@@ -1,0 +1,132 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB (SURVEY.md §7.8):
+- Exact dedup = one shuffle on an md5 fingerprint key (functions/text.py).
+- MinHash+LSH: signatures are computed per-row with built-in array functions
+  (no UDFs, no explode of the shingle set into a shuffle); only the tiny
+  (doc_id, band_key) pairs shuffle.  Candidate verification joins back the
+  shingle arrays and computes Jaccard with array_intersect sizes.  Total cost
+  is O(rows) map-side + a bucket-join whose fan-out is controlled by band
+  width — the standard scalable near-dup pipeline.
+- SimHash: per-row 32-bit signature from token hashes; bucket by signature
+  (or by rotated prefixes for hamming-distance search).
+
+Cross-engine determinism: the shingle hash is a closed-form polynomial over
+the first 8 character codes (no engine hash functions whose seeds differ),
+so the DuckDB oracle reproduces signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from delta_lake_spark.functions.text import normalize_text, tokens
+
+MINHASH_PRIME = 1_000_003
+MINHASH_K = 16
+MINHASH_BAND_SIZE = 4
+
+# Fixed MinHash permutation coefficients (seeded; shared with the SQL oracle).
+_rng = random.Random(42)
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (_rng.randrange(1, MINHASH_PRIME), _rng.randrange(0, MINHASH_PRIME)) for _ in range(MINHASH_K)
+]
+
+_POLY_COEFS = [31**p for p in range(7, -1, -1)]  # 31^7 .. 31^0
+
+
+def shingle_hash(s: Column) -> Column:
+    """Closed-form polynomial hash of the first 8 chars: sum ascii(c_i)*31^(8-i).
+    ascii('') == 0 in both Spark and DuckDB, so short strings pad with zeros."""
+    total = F.lit(0).cast("long")
+    for i, coef in enumerate(_POLY_COEFS, start=1):
+        total = total + F.ascii(F.substring(s, i, 1)).cast("long") * F.lit(coef)
+    return total
+
+
+def token_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct n-token shingles (space-joined) of the normalized text."""
+    toks = tokens(normalize_text(text))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
+    )
+
+
+def _perm(a: int, b: int):
+    # NB: plain single-arg lambdas only — PySpark reads the Python signature
+    # to decide the higher-order function's arity, so default-arg closures
+    # (lambda s, a=a: ...) break with NUM_ARGS_MISMATCH.
+    return lambda s: (F.lit(a) * shingle_hash(s) + F.lit(b)) % MINHASH_PRIME
+
+
+def minhash_signature(shingles: Column) -> Column:
+    """Array of MINHASH_K minima of (a*h(s)+b) mod p over the shingle set."""
+    mins = [F.array_min(F.transform(shingles, _perm(a, b))) for a, b in MINHASH_COEFFS]
+    return F.array(*mins)
+
+
+def band_keys(sig: Column) -> Column:
+    """LSH band keys: array of (band_id, key) structs; docs sharing any band
+    key are near-dup candidates."""
+    n_bands = MINHASH_K // MINHASH_BAND_SIZE
+    bands = []
+    for b in range(n_bands):
+        parts = [
+            F.element_at(sig, b * MINHASH_BAND_SIZE + j + 1).cast("string")
+            for j in range(MINHASH_BAND_SIZE)
+        ]
+        bands.append(F.struct(F.lit(b).alias("band"), F.concat_ws("-", *parts).alias("key")))
+    return F.array(*bands)
+
+
+def minhash_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline -> verified candidate pairs with
+    exact shingle-Jaccard (intersection/union sizes as integers).
+
+    Returns columns: id_a, id_b, inter_size, union_size, jaccard_bp
+    (jaccard in basis points, floor(10000*|∩|/|∪|) — integer, oracle-stable).
+    """
+    base = docs.select(
+        F.col(id_col).alias("_id"), token_shingles(F.col(text_col)).alias("_sh")
+    ).withColumn("_sig", minhash_signature(F.col("_sh")))
+    banded = base.select("_id", "_sh", F.explode(band_keys(F.col("_sig"))).alias("_bk"))
+    a = banded.select(
+        F.col("_bk").alias("_bka"), F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")
+    )
+    b = banded.select(
+        F.col("_bk").alias("_bkb"), F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")
+    )
+    pairs = (
+        a.join(b, (a._bka == b._bkb) & (a.id_a < b.id_b))
+        .select("id_a", "id_b", "_sha", "_shb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    return pairs.select(
+        "id_a",
+        "id_b",
+        inter.alias("inter_size"),
+        union.alias("union_size"),
+        F.floor(inter * 10000 / union).cast("long").alias("jaccard_bp"),
+    )
+
+
+def simhash32(text: Column | str) -> Column:
+    """32-bit SimHash over the distinct token set (hash = polynomial-8).
+    Bit k of the result is 1 iff sum over tokens of (2*bit_k(h)-1) > 0."""
+    toks = F.array_distinct(tokens(normalize_text(text)))
+    hashes = F.transform(toks, shingle_hash)
+
+    def _bit_merge(k: int):
+        return lambda acc, h: acc + (F.shiftright(h, k).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    out = F.lit(0).cast("long")
+    for k in range(32):
+        bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), _bit_merge(k))
+        out = out + F.when(bit_sum > 0, F.lit(2**k).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out

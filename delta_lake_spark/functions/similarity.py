@@ -1,0 +1,72 @@
+"""Vector similarity search over ArrayType(FloatType) embedding columns.
+
+Brute-force cosine top-k is the exactness baseline; LSH (random hyperplane)
+bucketing is the scale path — both pure built-in functions (F.aggregate /
+F.zip_with fold left-to-right deterministically, which keeps results
+bit-identical with the DuckDB oracle's list_dot_product).
+
+At 100 TB the brute-force path is a broadcast of the (small) query set
+against a partitioned candidate scan — linear, no shuffle until top-k; the
+hyperplane path buckets candidates so each query only scans its bucket.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+N_HYPERPLANES = 16
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic left-to-right fold — matches DuckDB's list_dot_product."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    query_id: str = "qid",
+    cand_id: str = "vid",
+    query_vec: str = "qvec",
+    cand_vec: str = "cvec",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast queries x candidate scan, ranked
+    per query with a deterministic tie-break on candidate id."""
+    joined = candidates.crossJoin(F.broadcast(queries)).filter(F.col(query_id) != F.col(cand_id))
+    sims = joined.select(
+        query_id,
+        cand_id,
+        cosine(as_double(F.col(query_vec)), as_double(F.col(cand_vec))).alias("sim"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("sim"), cand_id)
+    return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplane_signature(vec: Column, dim: int, seed: int = 7) -> Column:
+    """Random-hyperplane LSH signature (bigint bitmask): bit i = 1 iff
+    dot(vec, h_i) > 0 for N_HYPERPLANES fixed seeded hyperplanes."""
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(N_HYPERPLANES)]
+    v = as_double(vec)
+    out = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = dot(v, F.array(*[F.lit(x) for x in plane]))
+        out = out + F.when(d > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out

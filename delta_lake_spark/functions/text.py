@@ -1,0 +1,124 @@
+"""Text-analysis column functions for large-scale training-data pipelines.
+
+All hot-path functions are built-in pyspark.sql.functions compositions
+(JVM-side, codegen'd) — no Python UDFs — so they stay inside whole-stage
+codegen and scale linearly with input splits at 100 TB.
+
+Surface: tokenization / token counting, normalization, document
+fingerprinting, n-gram shingles, language ID (stopword heuristic), and a
+quality score.  Cross-engine determinism (for the DuckDB oracle): only
+integer/string/md5 primitives, no float accumulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Chosen to be disjoint across languages.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "with"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "les", "des", "une", "est"],
+    "de": ["der", "die", "und", "das", "ein"],
+    "zh": ["de5", "shi4", "zai4", "he2", "le5"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization; empty string -> empty array (not [''])."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def normalize_text(text: Column | str) -> Column:
+    """Lowercase, strip non-alphanumerics to spaces, collapse whitespace.
+    The canonical form used for exact-dup fingerprinting."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9]+", " "), r"\s+", " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+    (Rolling-hash variant in dedup.py; md5 is the cross-engine-stable core.)"""
+    return F.md5(normalize_text(text))
+
+
+def char_ngrams(text: Column | str, n: int = 3) -> Column:
+    """Character n-gram shingles of the normalized text, as an array.
+
+    Built-in-only implementation: slice positions via sequence + transform.
+    """
+    norm = normalize_text(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(0))),
+        lambda i: norm.substr(i, F.lit(n)),
+    )
+
+
+def word_count_of(text: Column | str, word: str) -> Column:
+    """Occurrences of a word (word-boundary regexp count, JVM-side)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(F.lower(c), F.lit(r"\b" + word + r"\b"))
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """Total stopword occurrences for one language's list."""
+    total = F.lit(0)
+    for w in LANG_STOPWORDS[lang]:
+        total = total + word_count_of(text, w)
+    return total
+
+
+def detect_language(text: Column | str, langs: list[str] | None = None) -> Column:
+    """Heuristic language ID: argmax of stopword hit counts, deterministic
+    tie-break on language-code order; 'und' when no stopword is seen."""
+    langs = langs or sorted(LANG_STOPWORDS)
+    scored = F.array(
+        *[F.struct(stopword_hits(text, lg).alias("hits"), F.lit(lg).alias("lang")) for lg in langs]
+    )
+    # array_max on struct compares fields in order -> (max hits, then max lang);
+    # to make ties resolve to the *first* lang alphabetically we negate rank by
+    # sorting: pick max hits, then min lang among maxima.
+    max_hits = F.array_max(F.transform(scored, lambda s: s["hits"]))
+    winners = F.filter(scored, lambda s: s["hits"] == max_hits)
+    first = F.array_min(F.transform(winners, lambda s: s["lang"]))
+    return F.when(max_hits > 0, first).otherwise(F.lit("und"))
+
+
+def punct_ratio(text: Column | str) -> Column:
+    """Share of characters that are not alphanumeric/space, in 1/10000ths
+    (integer to stay hash-stable across engines)."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_punct = F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", ""))
+    # floor, not cast: Spark's double->long cast truncates while DuckDB's
+    # rounds, so only an explicit floor is portable to the oracle.
+    return F.when(F.length(c) > 0, F.floor((n_punct * 10000) / F.length(c))).otherwise(
+        F.lit(0)
+    ).cast("long")
+
+
+def quality_score(text: Column | str) -> Column:
+    """Integer 0-100 quality score: token-count band + stopword presence +
+    punctuation penalty.  Deterministic (integer arithmetic only)."""
+    tc = token_count(text)
+    len_score = (
+        F.when((tc >= 20) & (tc <= 1000), 50)
+        .when((tc >= 5) & (tc < 20), 30)
+        .when(tc > 1000, 25)
+        .otherwise(0)
+    )
+    any_stop = F.lit(0)
+    for lg in sorted(LANG_STOPWORDS):
+        any_stop = any_stop + stopword_hits(text, lg)
+    stop_score = F.when(any_stop > 0, 30).otherwise(0)
+    punct_penalty = F.when(punct_ratio(text) > 2000, 20).otherwise(0)
+    return (len_score + stop_score + F.lit(20) - punct_penalty).cast("long")

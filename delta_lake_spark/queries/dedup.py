@@ -1,0 +1,116 @@
+"""Near-duplicate detection queries: MinHash+LSH and SimHash over documents.
+
+The oracle SQL is *generated* from the same seeded MinHash coefficients and
+polynomial shingle hash as functions/dedup.py, so DuckDB reproduces the
+signatures, buckets, and verified Jaccard values exactly (integer-only math).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_spark.catalog import table
+from delta_lake_spark.functions.dedup import (
+    MINHASH_BAND_SIZE,
+    MINHASH_COEFFS,
+    MINHASH_K,
+    MINHASH_PRIME,
+    minhash_candidate_pairs,
+    simhash32,
+)
+from delta_lake_spark.queries.registry import register
+from delta_lake_spark.queries.text import _NORM_SQL
+
+_POLY = [31**p for p in range(7, -1, -1)]
+
+
+def _hash_sql(var: str) -> str:
+    """Mirror of functions.dedup.shingle_hash for DuckDB."""
+    return "(" + " + ".join(
+        f"ascii(substr({var}, {i}, 1))::BIGINT * {c}" for i, c in enumerate(_POLY, start=1)
+    ) + ")"
+
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS toks FROM documents)
+  WHERE len(toks) >= 3
+"""
+
+_SIG_COLS = ", ".join(
+    f"list_min(list_transform(sh, s -> ({a} * {_hash_sql('s')} + {b}) % {MINHASH_PRIME})) AS s{j}"
+    for j, (a, b) in enumerate(MINHASH_COEFFS)
+)
+
+_N_BANDS = MINHASH_K // MINHASH_BAND_SIZE
+_BAND_SELECTS = "\nUNION ALL\n".join(
+    "SELECT doc_id, {b} AS band, {key} AS key FROM sigs".format(
+        b=b,
+        key=" || '-' || ".join(
+            f"s{b * MINHASH_BAND_SIZE + j}::VARCHAR" for j in range(MINHASH_BAND_SIZE)
+        ),
+    )
+    for b in range(_N_BANDS)
+)
+
+
+# ---------------------------------------------------------------------------
+# d06 — MinHash+LSH near-dup candidates with exact shingle-Jaccard verify
+# ---------------------------------------------------------------------------
+@register(
+    "d06_minhash_lsh_pairs",
+    oracle=f"""
+WITH base AS ({_SHINGLES_SQL}),
+sigs AS (SELECT doc_id, sh, {_SIG_COLS} FROM base),
+banded AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       len(list_intersect(x.sh, y.sh)) AS inter_size,
+       len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)) AS union_size,
+       CAST(FLOOR(len(list_intersect(x.sh, y.sh)) * 10000.0 /
+            (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))) AS BIGINT) AS jaccard_bp
+FROM cand JOIN base x ON x.doc_id = id_a JOIN base y ON y.doc_id = id_b
+ORDER BY id_a, id_b
+""",
+)
+def d06_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
+    return minhash_candidate_pairs(docs, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# d07 — SimHash fingerprints per document (32-bit, integer-deterministic)
+# ---------------------------------------------------------------------------
+_H = _hash_sql("t")
+_BITSUMS = ", ".join(
+    f"list_sum(list_transform(hs, h -> ((h >> {k}) & 1) * 2 - 1)) AS bs{k}" for k in range(32)
+)
+_SIMHASH_EXPR = " + ".join(f"CASE WHEN bs{k} > 0 THEN {2**k} ELSE 0 END" for k in range(32))
+
+
+@register(
+    "d07_simhash",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_distinct(regexp_split_to_array({_NORM_SQL}, '\\s+')), t -> {_H}) AS hs
+  FROM documents
+),
+bits AS (SELECT doc_id, {_BITSUMS} FROM toks)
+SELECT doc_id, CAST({_SIMHASH_EXPR} AS BIGINT) AS simhash
+FROM bits
+ORDER BY doc_id
+""",
+)
+def d07_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash32("text").alias("simhash")).orderBy("doc_id")

@@ -1,0 +1,659 @@
+"""Core relational operator inventory (SURVEY.md §2.1-§2.8) on the test corpus.
+
+Each query mirrors a reference operator cluster (citations in docstrings) but
+is expressed over the driver's TPC-H-ish tables per FIXTURES.md §5:
+orders/lineitem ≈ transactions fact, customer+nation ≈ clients dim.
+
+All are pure DataFrame-API plans — Catalyst handles pushdown/pruning; joins
+against dims are explicitly broadcast (reference J3, deltalake.ipynb:3154).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from delta_lake_spark.catalog import table
+from delta_lake_spark.queries.registry import register
+
+DEC = "decimal(18,2)"
+
+
+def _dec(c):
+    return F.col(c).cast(DEC)
+
+
+# ---------------------------------------------------------------------------
+# q01 — pricing summary: grouped multi-agg with conditional math
+# (reference A1/A3: groupBy().agg(sum, avg, count) — deltalake.ipynb:1275-1298)
+# ---------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle="""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)                               AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)                          AS sum_base_price,
+  CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))) * 100) AS DOUBLE) / 100 AS sum_disc_price,
+  CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,4)))
+           * (1 + CAST(l_tax AS DECIMAL(8,4)))) * 100) AS DOUBLE) / 100 AS sum_charge,
+  FLOOR(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 100) / 100 AS avg_qty,
+  FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 100) / 100 AS avg_price,
+  COUNT(*)                                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.to_timestamp(F.lit("1998-09-02 00:00:00"))
+    )
+    # decimal arithmetic end-to-end: products of decimals are exact (no
+    # rounding below precision 38), so both engines sum identical values —
+    # casting a *computed double* to decimal is NOT portable (rounding of
+    # the binary value differs between engines on representational ties).
+    one = F.lit(1).cast("decimal(8,4)")
+    disc_price = _dec("l_extendedprice") * (one - F.col("l_discount").cast("decimal(8,4)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(8,4)"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            # high-scale decimal sums exceed double precision, and the
+            # decimal->double conversion path differs between engines; floor
+            # at 2dp first so the cast lands in the exact-integer domain.
+            (F.floor(F.sum(disc_price) * 100).cast("double") / 100).alias("sum_disc_price"),
+            (F.floor(F.sum(charge) * 100).cast("double") / 100).alias("sum_charge"),
+            (F.floor(F.sum(_dec("l_quantity")).cast("double") / F.count("*") * 100) / 100).alias("avg_qty"),
+            (F.floor(F.sum(_dec("l_extendedprice")).cast("double") / F.count("*") * 100) / 100).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — client_stats analog: broadcast dim join + multi-key groupBy
+# (reference J1+J3+A1+O1 — deltalake.ipynb:1273-1281, :3153-3162)
+# ---------------------------------------------------------------------------
+@register(
+    "q02_client_stats",
+    oracle="""
+SELECT
+  c.c_custkey                                         AS client_id,
+  c.c_name                                            AS name,
+  n.n_name                                            AS country,
+  c.c_mktsegment                                      AS segment,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)          AS total_amount,
+  FLOOR(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 100) / 100 AS avg_amount,
+  COUNT(*)                                            AS transactions_count
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_mktsegment
+ORDER BY total_amount DESC, client_id
+""",
+)
+def q02_client_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey, "left"
+    )
+    return (
+        joined.groupBy(
+            F.col("c_custkey").alias("client_id"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("country"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_amount"),
+            (F.floor(F.sum(_dec("o_totalprice")).cast("double") / F.count("*") * 100) / 100).alias("avg_amount"),
+            F.count("*").alias("transactions_count"),
+        )
+        .orderBy(F.desc("total_amount"), "client_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — daily_metrics analog: expression join to a daily rate series +
+# CASE-ladder conversion + conditional aggregation
+# (reference J2+A2+A3 — deltalake.ipynb:1284-1299; when-ladder :1286-1290)
+# The "rate" series is derived from events grouped by day-of-month (the
+# corpus' stand-in for currency_rates, FIXTURES.md §5); MAX keeps the rate
+# deterministic across engines (no float-accumulation order dependence).
+# ---------------------------------------------------------------------------
+@register(
+    "q03_daily_metrics",
+    oracle="""
+WITH rates AS (
+  SELECT EXTRACT(day FROM ts) AS rate_day, MAX(value) AS rate
+  FROM events GROUP BY 1
+),
+conv AS (
+  SELECT
+    CAST(o.o_orderdate AS DATE) AS order_date,
+    o.o_orderpriority,
+    CASE
+      WHEN o.o_orderpriority = '1-URGENT'
+        THEN CAST(o.o_totalprice AS DECIMAL(18,2)) * CAST(r.rate AS DECIMAL(10,2))
+      WHEN o.o_orderpriority = '2-HIGH'
+        THEN CAST(o.o_totalprice AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(4,2))
+      ELSE CAST(o.o_totalprice AS DECIMAL(18,2))
+    END AS amount_adj
+  FROM orders o
+  LEFT JOIN rates r ON EXTRACT(day FROM o.o_orderdate) = r.rate_day
+)
+SELECT
+  order_date                                            AS date,
+  CAST(SUM(amount_adj) AS DOUBLE)                       AS daily_volume,
+  FLOOR(CAST(SUM(amount_adj) AS DOUBLE) / COUNT(*) * 100) / 100 AS avg_transaction,
+  COUNT(*)                                              AS transactions_count,
+  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_count,
+  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+           THEN amount_adj ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent_volume
+FROM conv
+GROUP BY order_date
+ORDER BY date
+""",
+)
+def q03_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    rates = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.dayofmonth("ts").alias("rate_day"))
+        .agg(F.max("value").alias("rate"))
+    )
+    joined = o.join(F.broadcast(rates), F.dayofmonth(o.o_orderdate) == rates.rate_day, "left")
+    # decimal end-to-end (see q01 note): products of decimals are exact
+    price_dec = _dec("o_totalprice")
+    amount_adj = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", price_dec * F.col("rate").cast("decimal(10,2)"))
+        .when(F.col("o_orderpriority") == "2-HIGH", price_dec * F.lit("1.05").cast("decimal(4,2)"))
+        .otherwise(price_dec)
+    )
+    conv = joined.select(
+        F.to_date("o_orderdate").alias("order_date"),
+        F.col("o_orderpriority"),
+        amount_adj.alias("amount_adj"),
+    )
+    adj = F.col("amount_adj")
+    return (
+        conv.groupBy(F.col("order_date").alias("date"))
+        .agg(
+            F.sum(adj).cast("double").alias("daily_volume"),
+            (F.floor(F.sum(adj).cast("double") / F.count("*") * 100) / 100).alias("avg_transaction"),
+            F.count("*").alias("transactions_count"),
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("urgent_count"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", adj).otherwise(F.lit(0).cast(DEC))
+            ).cast("double").alias("urgent_volume"),
+        )
+        .orderBy("date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — fraud_analysis analog: boolean-flag filter + 2-key groupBy over a
+# 3-way join (reference P10+J1+A1 — deltalake.ipynb:1302-1312)
+# ---------------------------------------------------------------------------
+@register(
+    "q04_fraud_analysis",
+    oracle="""
+SELECT
+  l.l_returnflag                              AS category,
+  n.n_name                                    AS country,
+  COUNT(*)                                    AS fraud_count,
+  FLOOR(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 100) / 100 AS avg_fraud_amount,
+  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_fraud_amount
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE l.l_quantity > 45 AND l.l_returnflag IN ('R', 'A')
+GROUP BY l.l_returnflag, n.n_name
+ORDER BY category, country
+""",
+)
+def q04_fraud_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    suspicious = l.filter((F.col("l_quantity") > 45) & F.col("l_returnflag").isin("R", "A"))
+    joined = (
+        suspicious.join(o, suspicious.l_orderkey == o.o_orderkey, "inner")
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+    )
+    return (
+        joined.groupBy(F.col("l_returnflag").alias("category"), F.col("n_name").alias("country"))
+        .agg(
+            F.count("*").alias("fraud_count"),
+            (F.floor(F.sum(_dec("l_extendedprice")).cast("double") / F.count("*") * 100) / 100).alias("avg_fraud_amount"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_fraud_amount"),
+        )
+        .orderBy("category", "country")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 — top-k with deterministic tie-break (reference O3 —
+# deltalake.ipynb:1363-1379; Spark plans TakeOrderedAndProject)
+# ---------------------------------------------------------------------------
+@register(
+    "q05_topk_customers",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+ORDER BY c_acctbal DESC, c_custkey
+LIMIT 5
+""",
+)
+def q05_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 — left anti join (reference J4: incremental "except existing" —
+# deltalake.ipynb:3232, :4250)
+# ---------------------------------------------------------------------------
+@register(
+    "q06_customers_without_orders",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+ORDER BY c_custkey
+""",
+)
+def q06_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no large (>300k) order — anti-join on a filtered fact."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — left semi join (EXISTS; engine exposes Spark's full join surface
+# beyond the reference's left/inner/anti — SURVEY.md §2.3 note)
+# ---------------------------------------------------------------------------
+@register(
+    "q07_customers_with_open_orders",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+ORDER BY c_custkey
+""",
+)
+def q07_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q08 — distinct projection (reference A6 — deltalake.ipynb:265, :3228-3230)
+# ---------------------------------------------------------------------------
+@register(
+    "q08_distinct_segments",
+    oracle="""
+SELECT DISTINCT c_mktsegment AS segment, c_nationkey AS nationkey
+FROM customer
+ORDER BY segment, nationkey
+""",
+)
+def q08_distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("segment"), F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+        .orderBy("segment", "nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — ranking window: top-3 orders per customer
+# (engine extension over the reference's frame-only windows, SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+@register(
+    "q11_top3_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+ORDER BY o_custkey, rn
+""",
+)
+def q11_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12 — running total (frame window rowsBetween, reference W1's frame form —
+# deltalake.ipynb:1017-1025 — with the partitionBy the reference lacks)
+# ---------------------------------------------------------------------------
+@register(
+    "q12_running_total_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def q12_running_total_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — set operations: UNION / INTERSECT / EXCEPT (SURVEY.md §2.7 — the
+# reference only uses anti-join-as-EXCEPT; the engine exposes all three)
+# ---------------------------------------------------------------------------
+@register(
+    "q13_set_ops",
+    oracle="""
+WITH big_spenders AS (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+),
+building AS (
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+)
+SELECT 'both' AS tag, custkey FROM (SELECT custkey FROM big_spenders INTERSECT SELECT custkey FROM building) t
+UNION ALL
+SELECT 'only_big' AS tag, custkey FROM (SELECT custkey FROM big_spenders EXCEPT SELECT custkey FROM building) t
+UNION ALL
+SELECT 'only_building' AS tag, custkey FROM (SELECT custkey FROM building EXCEPT SELECT custkey FROM big_spenders) t
+ORDER BY tag, custkey
+""",
+)
+def q13_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = o.filter(F.col("o_totalprice") > 300000).select(F.col("o_custkey").alias("custkey")).distinct()
+    bld = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("custkey"))
+    both = big.intersect(bld).select(F.lit("both").alias("tag"), "custkey")
+    only_big = big.exceptAll(bld.distinct()).select(F.lit("only_big").alias("tag"), "custkey")
+    only_bld = bld.exceptAll(big).select(F.lit("only_building").alias("tag"), "custkey")
+    return both.unionAll(only_big).unionAll(only_bld).orderBy("tag", "custkey")
+
+
+# ---------------------------------------------------------------------------
+# q14 — CASE ladder + date extraction (reference P2/scalar functions —
+# when/otherwise ladders deltalake.ipynb:981-985, date funcs :950,:978)
+# ---------------------------------------------------------------------------
+@register(
+    "q14_order_tiers_by_year",
+    oracle="""
+SELECT
+  EXTRACT(year FROM o_orderdate)::BIGINT AS order_year,
+  CASE
+    WHEN o_totalprice < 50000  THEN 'small'
+    WHEN o_totalprice < 200000 THEN 'medium'
+    ELSE 'large'
+  END AS tier,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY 1, 2
+ORDER BY order_year, tier
+""",
+)
+def q14_order_tiers_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            tier.alias("tier"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+        )
+        .orderBy("order_year", "tier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — string functions: upper/split/concat/regexp
+# (engine extension; reference's string surface is literals only, §2.8)
+# ---------------------------------------------------------------------------
+@register(
+    "q15_part_string_ops",
+    oracle="""
+SELECT
+  UPPER(split_part(p_type, ' ', 1))                       AS type_head,
+  CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT)  AS brand_num,
+  COUNT(*)                                                AS n_parts,
+  CAST(SUM(LENGTH(p_name)) AS BIGINT)                     AS total_name_len,
+  MIN(p_name)                                             AS first_name
+FROM part
+GROUP BY 1, 2
+ORDER BY type_head, brand_num
+""",
+)
+def q15_part_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return (
+        p.groupBy(
+            F.upper(F.split(F.col("p_type"), " ").getItem(0)).alias("type_head"),
+            F.regexp_extract(F.col("p_brand"), r"([0-9]+)", 1).cast("long").alias("brand_num"),
+        )
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(F.length("p_name")).alias("total_name_len"),
+            F.min("p_name").alias("first_name"),
+        )
+        .orderBy("type_head", "brand_num")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — JSON extraction from string column (SURVEY.md §2.8 note: the engine
+# adds from_json/get_json_object for events.props)
+# ---------------------------------------------------------------------------
+@register(
+    "q16_json_props",
+    oracle="""
+SELECT
+  event_type,
+  COUNT(*)                                               AS n_events,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q16_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — pivot (engine extension: §2.4 notes no pivot in reference; result
+# identical to conditional aggregation, which is the oracle form)
+# ---------------------------------------------------------------------------
+@register(
+    "q17_pivot_status",
+    oracle="""
+SELECT
+  l_returnflag,
+  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q17_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — rollup with grouping flags (engine extension, §2.4 note)
+# ---------------------------------------------------------------------------
+@register(
+    "q18_rollup_flags",
+    oracle="""
+SELECT
+  CAST(GROUPING(l_returnflag) AS BIGINT)  AS g_flag,
+  CAST(GROUPING(l_linestatus) AS BIGINT)  AS g_status,
+  l_returnflag,
+  l_linestatus,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+""",
+)
+def q18_rollup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            F.grouping("l_linestatus").cast("long").alias("g_status"),
+            F.count("*").alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("qty"),
+        )
+        .select("g_flag", "g_status", "l_returnflag", "l_linestatus", "n", "qty")
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — global scalar aggregation (reference A5 — deltalake.ipynb:1006-1009,
+# :1498-1499: min/max high-water-mark reads)
+# ---------------------------------------------------------------------------
+@register(
+    "q21_global_stats",
+    oracle="""
+SELECT
+  COUNT(*)                                       AS n_rows,
+  COUNT(DISTINCT l_orderkey)                     AS n_orders,
+  CAST(MIN(l_shipdate) AS DATE)                  AS min_ship,
+  CAST(MAX(l_shipdate) AS DATE)                  AS max_ship,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)    AS total_price,
+  MIN(l_quantity)                                AS min_qty,
+  MAX(l_quantity)                                AS max_qty
+FROM lineitem
+""",
+)
+def q21_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.min(F.to_date("l_shipdate")).alias("min_ship"),
+        F.max(F.to_date("l_shipdate")).alias("max_ship"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("total_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — ntile quartiles (engine extension; deterministic tie-break)
+# ---------------------------------------------------------------------------
+@register(
+    "q22_balance_quartiles",
+    oracle="""
+SELECT quartile, COUNT(*) AS n, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+FROM (
+  SELECT c_acctbal,
+         NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+  FROM customer
+) t
+GROUP BY quartile
+ORDER BY quartile
+""",
+)
+def q22_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        table(spark, sf_dir, "customer")
+        .select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("quartile")
+    )

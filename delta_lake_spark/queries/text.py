@@ -1,0 +1,182 @@
+"""Text-analysis / dedup operator queries over the documents table
+(the LLM-training-data-pipeline surface: exact dedup, token stats, quality
+scoring, language ID — SURVEY.md §7.8).
+
+The oracle SQL strings are *generated* from the same stopword lists and
+constants as the Spark implementations in functions/text.py, so both engines
+compute the identical integer/string-valued result.
+
+DuckDB vs Spark regexp gotcha: Spark's regexp_replace replaces ALL matches;
+DuckDB needs the explicit 'g' flag — every oracle below passes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_spark.catalog import table
+from delta_lake_spark.functions.text import (
+    LANG_STOPWORDS,
+    detect_language,
+    fingerprint,
+    punct_ratio,
+    quality_score,
+    token_count,
+)
+from delta_lake_spark.queries.registry import register
+
+# SQL fragment: normalized text (mirror of functions.text.normalize_text)
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _hits_sql(lang: str) -> str:
+    """Mirror of functions.text.stopword_hits as DuckDB SQL."""
+    parts = [
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in LANG_STOPWORDS[lang]
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+_ANY_STOP_SQL = "(" + " + ".join(_hits_sql(lg) for lg in sorted(LANG_STOPWORDS)) + ")"
+
+_PUNCT_SQL = (
+    "CASE WHEN length(text) > 0 THEN "
+    "CAST(FLOOR(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 10000.0 "
+    "/ length(text)) AS BIGINT) ELSE 0 END"
+)
+
+_QUALITY_SQL = f"""(
+  CASE WHEN len({_TOKENS_SQL}) BETWEEN 20 AND 1000 THEN 50
+       WHEN len({_TOKENS_SQL}) BETWEEN 5 AND 19 THEN 30
+       WHEN len({_TOKENS_SQL}) > 1000 THEN 25
+       ELSE 0 END
+  + CASE WHEN {_ANY_STOP_SQL} > 0 THEN 30 ELSE 0 END
+  + 20
+  - CASE WHEN {_PUNCT_SQL} > 2000 THEN 20 ELSE 0 END
+)"""
+
+_LANGS = sorted(LANG_STOPWORDS)  # de, en, es, fr, zh
+_MAX_HITS_SQL = "GREATEST(" + ", ".join(f"h_{lg}" for lg in _LANGS) + ")"
+_PRED_SQL = (
+    "CASE WHEN mx = 0 THEN 'und' "
+    + " ".join(f"WHEN h_{lg} = mx THEN '{lg}'" for lg in _LANGS)
+    + " END"
+)
+
+
+# ---------------------------------------------------------------------------
+# t01 — exact deduplication: md5 fingerprint of normalized text, group,
+# canonical = min doc_id (hash-groupBy dedup; scales as one shuffle on the
+# fingerprint key — no pairwise comparison)
+# ---------------------------------------------------------------------------
+@register(
+    "t01_dedup_exact",
+    oracle=f"""
+SELECT md5({_NORM_SQL}) AS fp,
+       COUNT(*)         AS n_docs,
+       MIN(doc_id)      AS canonical_id
+FROM documents
+GROUP BY 1
+ORDER BY fp
+""",
+)
+def t01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(fingerprint("text").alias("fp"))
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+        .orderBy("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t02 — token statistics per (lang, source) slice
+# ---------------------------------------------------------------------------
+@register(
+    "t02_token_stats",
+    oracle=f"""
+SELECT lang,
+       COUNT(*)                          AS n_docs,
+       CAST(SUM(len({_TOKENS_SQL})) AS BIGINT) AS total_tokens,
+       MIN(len({_TOKENS_SQL}))           AS min_tokens,
+       MAX(len({_TOKENS_SQL}))           AS max_tokens,
+       FLOOR(CAST(SUM(len({_TOKENS_SQL})) AS DOUBLE) / COUNT(*) * 100) / 100 AS avg_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def t02_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").withColumn("n_tok", token_count("text"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+            (F.floor(F.sum("n_tok").cast("double") / F.count("*") * 100) / 100).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t03 — per-document quality scoring (integer-valued, oracle-stable)
+# ---------------------------------------------------------------------------
+@register(
+    "t03_quality_scores",
+    oracle=f"""
+SELECT doc_id,
+       len({_TOKENS_SQL})    AS n_tokens,
+       {_PUNCT_SQL}          AS punct_ratio_bp,
+       {_QUALITY_SQL}        AS quality
+FROM documents
+ORDER BY doc_id
+""",
+)
+def t03_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        punct_ratio("text").alias("punct_ratio_bp"),
+        quality_score("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t04 — language ID: stopword-hit argmax vs the labeled lang column
+# ---------------------------------------------------------------------------
+@register(
+    "t04_langid_confusion",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang,
+         {", ".join(f"{_hits_sql(lg)} AS h_{lg}" for lg in _LANGS)}
+  FROM documents
+),
+pred AS (
+  SELECT lang, {_MAX_HITS_SQL} AS mx,
+         {_PRED_SQL.replace("mx", _MAX_HITS_SQL)} AS predicted
+  FROM scored
+)
+SELECT lang, predicted, COUNT(*) AS n_docs
+FROM pred
+GROUP BY lang, predicted
+ORDER BY lang, predicted
+""",
+)
+def t04_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", detect_language("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )

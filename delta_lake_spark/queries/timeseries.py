@@ -1,0 +1,170 @@
+"""Time-series operator inventory (SURVEY.md §2.5): date spine, forward fill,
+lag deltas, as-of join — over the events table (the corpus stand-in for the
+reference's daily currency_rates series, FIXTURES.md §5).
+
+Determinism: the daily "rate" is MAX(value) per day — max of doubles is
+order-independent, unlike sum/avg, so forward-filled values are bit-identical
+between Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from delta_lake_spark.catalog import table
+from delta_lake_spark.ops.windows import asof_join, date_spine, diff_cols, gap_fill
+from delta_lake_spark.queries.registry import register
+
+
+def _sparse_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rate series with gaps (mirrors currency_rates' weekend gaps,
+    FIXTURES.md §3): only days where some event value exceeded 480."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("value") > 480)
+        .groupBy(F.to_date("ts").alias("rate_date"))
+        .agg(F.max("value").alias("rate"))
+    )
+
+
+_SPARSE_RATES_SQL = """
+  SELECT CAST(ts AS DATE) AS rate_date, MAX(value) AS rate
+  FROM events WHERE value > 480 GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# q09 — date spine + forward fill (reference W3+W1+J5 —
+# deltalake.ipynb:1011-1025: spine join then last(ignorenulls))
+# ---------------------------------------------------------------------------
+@register(
+    "q09_date_spine_ffill",
+    oracle=f"""
+WITH rates AS ({_SPARSE_RATES_SQL}),
+bounds AS (SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events),
+spine AS (
+  SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date FROM bounds
+)
+SELECT s.date,
+       LAST_VALUE(r.rate IGNORE NULLS) OVER (
+         ORDER BY s.date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rate
+FROM spine s LEFT JOIN rates r ON s.date = r.rate_date
+ORDER BY s.date
+""",
+)
+def q09_date_spine_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(F.to_date("ts").alias("d"))
+    spine = date_spine(e, "d", alias="date")
+    rates = _sparse_daily_rates(spark, sf_dir)
+    joined = spine.join(rates, spine.date == rates.rate_date, "left").select("date", "rate")
+    return gap_fill(joined, ["rate"], order_by=["date"]).orderBy("date")
+
+
+# ---------------------------------------------------------------------------
+# q10 — lag delta over the filled series (reference W2 —
+# deltalake.ipynb:1027-1032: rate - lag(rate) ordered by date)
+# ---------------------------------------------------------------------------
+@register(
+    "q10_rate_changes",
+    oracle=f"""
+WITH rates AS ({_SPARSE_RATES_SQL})
+SELECT rate_date AS date, rate,
+       rate - LAG(rate, 1) OVER (ORDER BY rate_date) AS rate_change
+FROM rates
+ORDER BY date
+""",
+)
+def q10_rate_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rates = _sparse_daily_rates(spark, sf_dir).withColumnRenamed("rate_date", "date")
+    return diff_cols(rates, ["rate"], order_by=["date"], suffix="_change").orderBy("date")
+
+
+# ---------------------------------------------------------------------------
+# q19 — as-of join: each event matched to the most recent sparse rate at or
+# before its date (engine operator; oracle = DuckDB native ASOF LEFT JOIN)
+# ---------------------------------------------------------------------------
+@register(
+    "q19_asof_event_rates",
+    oracle=f"""
+WITH rates AS ({_SPARSE_RATES_SQL})
+SELECT e.event_id, CAST(e.ts AS DATE) AS event_date,
+       r.rate_date AS rate_date_asof, r.rate
+FROM (SELECT event_id, ts FROM events WHERE event_id % 20 = 0) e
+ASOF LEFT JOIN rates r ON CAST(e.ts AS DATE) >= r.rate_date
+ORDER BY e.event_id
+""",
+)
+def q19_asof_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 20 == 0)
+        .select("event_id", F.to_date("ts").alias("event_date"))
+    )
+    rates = _sparse_daily_rates(spark, sf_dir).withColumnRenamed("rate_date", "event_date")
+    out = asof_join(e, rates, on="event_date", right_cols=["rate"])
+    return out.select(
+        "event_id", "event_date", F.col("event_date_asof").alias("rate_date_asof"), "rate"
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# q20 — gap-fill invariant view: spine row count and coverage
+# (reference golden invariant: count == datediff(max,min)+1, FIXTURES.md §3)
+# ---------------------------------------------------------------------------
+@register(
+    "q20_spine_invariants",
+    oracle="""
+WITH bounds AS (SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events)
+SELECT (hi - lo + 1)::BIGINT AS expected_days,
+       date_diff('day', lo, hi) + 1 AS datediff_days,
+       lo AS min_date, hi AS max_date
+FROM bounds
+""",
+)
+def q20_spine_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.agg(
+        (F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1).cast("long").alias("expected_days"),
+        (F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1).cast("long").alias("datediff_days"),
+        F.min(F.to_date("ts")).alias("min_date"),
+        F.max(F.to_date("ts")).alias("max_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q23 — sessionization-lite: per-user event ordering with lag + time deltas
+# (engine extension exercising lag over partitioned windows at fact scale)
+# ---------------------------------------------------------------------------
+@register(
+    "q23_user_event_gaps",
+    oracle="""
+SELECT user_id,
+       COUNT(*)                         AS n_events,
+       MAX(gap_s)                       AS max_gap_s,
+       CAST(SUM(CASE WHEN gap_s > 86400 THEN 1 ELSE 0 END) AS BIGINT) AS n_day_gaps
+FROM (
+  SELECT user_id,
+         date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+  FROM events
+) t
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q23_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    return (
+        e.select("user_id", "event_id", "ts")
+        .withColumn("gap_s", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("gap_s").alias("max_gap_s"),
+            F.sum(F.when(F.col("gap_s") > 86400, 1).otherwise(0)).alias("n_day_gaps"),
+        )
+        .orderBy("user_id")
+    )

@@ -1,0 +1,57 @@
+"""SparkSession factory.
+
+Mirrors the reference's session setup (deltalake.ipynb:929-933 builder with
+Delta extensions; :508-511 memory tuning; :2909-2913 off-heap + merge tuning)
+re-expressed for a plain Spark 4 environment:
+
+- AQE on (runtime coalescing, skew-join handling) — supersedes the
+  reference's hand-tuned ``spark.sql.shuffle.partitions`` flips (4 vs 200).
+- Arrow on for any pandas boundary crossing.
+- UTC session timezone so date/timestamp semantics are stable across hosts.
+- Shuffle partitions sized to the local core count, not Spark's default 200 —
+  on a real cluster this would be executors*cores*2..3.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "delta_lake_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a local SparkSession tuned for this engine.
+
+    In ``local[N]`` mode there is a single JVM; ``spark.driver.memory`` is the
+    only memory knob that matters.  On a cluster the same config block applies
+    unchanged except master/memory.
+    """
+    cpus = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
