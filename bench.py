@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The headline set mirrors the reference's timed workload (BASELINE.md: the
+Gold-mart build over the fact table + scan suite) plus one representative of
+each extension family (text, dedup, vector, time series).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",      # grouped multi-agg scan (A1/A3)
+    "q02_client_stats",         # broadcast dim join + multi-key agg (gold mart 1)
+    "q03_daily_metrics",        # expr join + when-ladder + conditional aggs (gold mart 2)
+    "q04_fraud_analysis",       # filter + 3-way join + 2-key agg (gold mart 3)
+    "q11_top3_orders_per_customer",  # partitioned ranking window
+    "q23_user_event_gaps",      # partitioned lag window at fact scale
+    "q09_date_spine_ffill",     # spine + forward fill
+    "q19_asof_event_rates",     # as-of join
+    "t01_dedup_exact",          # hash-groupBy dedup
+    "t04_langid_confusion",     # text analysis (regexp-heavy)
+    "d06_minhash_lsh_pairs",    # MinHash+LSH near-dup
+    "v01_cosine_topk",          # brute-force vector top-k
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from delta_lake_spark.session import get_spark
+    from delta_lake_spark.queries import QUERIES
+
+    spark = get_spark(app_name="delta_lake_spark_bench")
+    # warm the JVM + parquet footers so per-query times reflect execution
+    spark.range(1).count()
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = QUERIES[name](spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,22 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def table_parallel(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
+    """Scan + hash-repartition to the session's parallelism.
+
+    The corpus tables are single small parquet files, so a plain scan yields
+    ONE input split and any expression-heavy map stage (regexp, shingling,
+    hashing) runs single-threaded.  On a real cluster large tables arrive
+    pre-split; this helper only matters for small-file inputs feeding heavy
+    per-row compute — exactly the LLM-pipeline text operators.  Deterministic
+    (hash partitioning on a key, not round-robin).
+    """
+    par = spark.sparkContext.defaultParallelism
+    from pyspark.sql import functions as F
+
+    return table(spark, sf_dir, name).repartition(par, F.col(key))
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every corpus table as a temp view for spark.sql use
     (SURVEY.md §2.1 K8 analog for the test corpus)."""

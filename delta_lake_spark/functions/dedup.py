@@ -60,12 +60,18 @@ def _perm(a: int, b: int):
     # NB: plain single-arg lambdas only — PySpark reads the Python signature
     # to decide the higher-order function's arity, so default-arg closures
     # (lambda s, a=a: ...) break with NUM_ARGS_MISMATCH.
-    return lambda s: (F.lit(a) * shingle_hash(s) + F.lit(b)) % MINHASH_PRIME
+    return lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_PRIME
 
 
 def minhash_signature(shingles: Column) -> Column:
-    """Array of MINHASH_K minima of (a*h(s)+b) mod p over the shingle set."""
-    mins = [F.array_min(F.transform(shingles, _perm(a, b))) for a, b in MINHASH_COEFFS]
+    """Array of MINHASH_K minima of (a*h(s)+b) mod p over the shingle set.
+
+    The base hash is materialized ONCE per shingle (one transform), then each
+    permutation is plain integer arithmetic over the hashed array — 16x less
+    string work than hashing inside every permutation.
+    """
+    hashes = F.transform(shingles, shingle_hash)
+    mins = [F.array_min(F.transform(hashes, _perm(a, b))) for a, b in MINHASH_COEFFS]
     return F.array(*mins)
 
 
@@ -93,17 +99,21 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> Data
     base = docs.select(
         F.col(id_col).alias("_id"), token_shingles(F.col(text_col)).alias("_sh")
     ).withColumn("_sig", minhash_signature(F.col("_sh")))
-    banded = base.select("_id", "_sh", F.explode(band_keys(F.col("_sig"))).alias("_bk"))
-    a = banded.select(
-        F.col("_bk").alias("_bka"), F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")
-    )
-    b = banded.select(
-        F.col("_bk").alias("_bkb"), F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")
-    )
-    pairs = (
+    # materialize once: the shingle+signature computation is the expensive
+    # map-side pass and feeds both sides of the bucket self-join.
+    base = base.persist()
+    banded = base.select("_id", F.explode(band_keys(F.col("_sig"))).alias("_bk"))
+    a = banded.select(F.col("_bk").alias("_bka"), F.col("_id").alias("id_a"))
+    b = banded.select(F.col("_bk").alias("_bkb"), F.col("_id").alias("id_b"))
+    cand = (
         a.join(b, (a._bka == b._bkb) & (a.id_a < b.id_b))
-        .select("id_a", "id_b", "_sha", "_shb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # verification join pulls the shingle arrays back only for candidates
+    pairs = (
+        cand.join(base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")), "id_a")
+        .join(base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")), "id_b")
     )
     inter = F.size(F.array_intersect("_sha", "_shb"))
     union = F.size("_sha") + F.size("_shb") - inter

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from delta_lake_spark.catalog import table
+from delta_lake_spark.catalog import table, table_parallel
 from delta_lake_spark.functions.dedup import (
     MINHASH_BAND_SIZE,
     MINHASH_COEFFS,
@@ -81,7 +81,7 @@ ORDER BY id_a, id_b
 """,
 )
 def d06_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").filter(
+    docs = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
         F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
     )
     return minhash_candidate_pairs(docs, "doc_id", "text").orderBy("id_a", "id_b")
@@ -112,5 +112,5 @@ ORDER BY doc_id
 """,
 )
 def d07_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
     return d.select("doc_id", simhash32("text").alias("simhash")).orderBy("doc_id")

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from delta_lake_spark.catalog import table
+from delta_lake_spark.catalog import table, table_parallel
 from delta_lake_spark.functions.text import (
     LANG_STOPWORDS,
     detect_language,
@@ -86,7 +86,7 @@ ORDER BY fp
 """,
 )
 def t01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
     return (
         d.groupBy(fingerprint("text").alias("fp"))
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical_id"))
@@ -112,7 +112,7 @@ ORDER BY lang
 """,
 )
 def t02_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").withColumn("n_tok", token_count("text"))
+    d = table_parallel(spark, sf_dir, "documents", "doc_id").withColumn("n_tok", token_count("text"))
     return (
         d.groupBy("lang")
         .agg(
@@ -141,7 +141,7 @@ ORDER BY doc_id
 """,
 )
 def t03_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
     return d.select(
         "doc_id",
         token_count("text").alias("n_tokens"),
@@ -173,7 +173,7 @@ ORDER BY lang, predicted
 """,
 )
 def t04_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
     return (
         d.select("lang", detect_language("text").alias("predicted"))
         .groupBy("lang", "predicted")

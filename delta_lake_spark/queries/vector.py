@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from delta_lake_spark.catalog import table
+from delta_lake_spark.catalog import table, table_parallel
 from delta_lake_spark.functions.similarity import as_double, cosine, cosine_topk
 from delta_lake_spark.queries.registry import register
 
@@ -43,7 +43,9 @@ def v01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    candidates = e.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("cvec"))
+    candidates = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("cvec")
+    )
     return (
         cosine_topk(queries, candidates, k=10)
         .select("qid", "vid", "sim", "rank")
