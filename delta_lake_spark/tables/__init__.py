@@ -1,0 +1,18 @@
+"""Lakehouse table layer: versioned managed tables + incremental patterns."""
+
+from delta_lake_spark.tables.incremental import (
+    anti_join_append,
+    high_water_mark,
+    incremental_refresh,
+    insert_only_merge,
+)
+from delta_lake_spark.tables.managed import ConcurrentWriteError, ManagedTable
+
+__all__ = [
+    "ManagedTable",
+    "ConcurrentWriteError",
+    "high_water_mark",
+    "insert_only_merge",
+    "anti_join_append",
+    "incremental_refresh",
+]

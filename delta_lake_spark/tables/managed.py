@@ -1,0 +1,440 @@
+"""Versioned, parquet-backed managed tables (the engine's lakehouse format).
+
+The reference stores every zone table as Delta Lake (parquet + transaction
+log) and leans on five Delta capabilities: overwrite/append sinks
+(deltalake.ipynb:526-550, :1539), partitioned writes (:959, :1319, :1326),
+``MERGE`` upsert (:1786-1791, :2942-2945, :3212-3218), ``OPTIMIZE``
+compaction / Z-ordering (:1336-1338, :4614-4620), and table metadata
+(``DESCRIBE DETAIL`` / ``history`` — :8607-8613, :8760).  delta-spark is not
+available in this environment, so this module re-implements that capability
+surface natively on Spark primitives:
+
+- **Commit log**: ``<root>/_log/<version>.json``, one JSON file per commit,
+  each holding the *complete* file list of that snapshot (Delta-checkpoint
+  style rather than add/remove deltas — O(files) metadata per commit, fine up
+  to ~100K files; at larger file counts the log entry itself should become a
+  parquet checkpoint, which is exactly what Delta does).
+- **Data files**: each commit writes into its own ``<root>/c<version>/``
+  directory via the normal Spark parquet writer (so partitioned layouts,
+  snappy, column stats all come for free); the log records every file with
+  its parsed partition values.
+- **Atomicity**: the log file is written to a temp name and ``os.rename``d
+  into place — rename is atomic on POSIX, so readers see either the old or
+  the new version, never a torn one.  Single-writer semantics (a concurrent
+  commit to the same version raises ``ConcurrentWriteError``); multi-writer
+  coordination would need a lock service, which Delta on S3 needs too.
+
+Scale notes (100 TB / 1000 executors):
+
+- All metadata handling is driver-side and O(number of files), never
+  O(rows).  Reads/writes are ordinary distributed parquet scans/writes.
+- ``merge`` prunes at *partition* granularity: only partitions present in
+  the source are rewritten; untouched files carry over into the new snapshot
+  by reference.  (Delta additionally prunes at file granularity using
+  per-file min/max stats — the same hook would fit here by filtering the
+  log's file list against source key bounds.)
+- ``merge_in_batches`` reproduces the reference's modulo-bucketed merge
+  (deltalake.ipynb:2937-2946) that fixed its 11M-row OOM (:2217): the source
+  is split by ``pmod(hash(key), n)`` and merged in ``n`` sequential commits,
+  bounding the shuffle/join working set of any single commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_LOG_DIR = "_log"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this version first."""
+
+
+class ManagedTable:
+    """Handle to one versioned table rooted at ``path``.
+
+    Mirrors the ``DeltaTable`` API surface the reference uses
+    (``forPath`` / ``merge`` / ``optimize`` / ``history`` / ``detail`` /
+    ``isDeltaTable`` — SURVEY.md §2.11 M1-M5, §2.3 J7-J8).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ------------------------------------------------------------------ #
+    # existence / construction
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def is_managed_table(path: str) -> bool:
+        """Existence probe gating merge-vs-create, the reference's
+        ``DeltaTable.isDeltaTable`` pattern (deltalake.ipynb:1786, :2933)."""
+        log = os.path.join(os.path.abspath(path), _LOG_DIR)
+        return os.path.isdir(log) and any(
+            f.endswith(".json") for f in os.listdir(log)
+        )
+
+    @classmethod
+    def for_path(cls, spark: SparkSession, path: str) -> "ManagedTable":
+        if not cls.is_managed_table(path):
+            raise FileNotFoundError(f"not a managed table: {path}")
+        return cls(spark, path)
+
+    # ------------------------------------------------------------------ #
+    # log handling
+    # ------------------------------------------------------------------ #
+
+    def _log_path(self, version: int) -> str:
+        return os.path.join(self.path, _LOG_DIR, f"{version:08d}.json")
+
+    def _versions(self) -> list[int]:
+        log = os.path.join(self.path, _LOG_DIR)
+        if not os.path.isdir(log):
+            return []
+        return sorted(
+            int(f[:-5]) for f in os.listdir(log) if f.endswith(".json")
+        )
+
+    def latest_version(self) -> int | None:
+        vs = self._versions()
+        return vs[-1] if vs else None
+
+    def _entry(self, version: int | None = None) -> dict[str, Any]:
+        if version is None:
+            version = self.latest_version()
+            if version is None:
+                raise FileNotFoundError(f"not a managed table: {self.path}")
+        with open(self._log_path(version)) as f:
+            return json.load(f)
+
+    def _commit(self, entry: dict[str, Any]) -> int:
+        os.makedirs(os.path.join(self.path, _LOG_DIR), exist_ok=True)
+        latest = self.latest_version()
+        version = 0 if latest is None else latest + 1
+        entry["version"] = version
+        entry["timestamp"] = time.time()
+        final = self._log_path(version)
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(entry, f)
+        if os.path.exists(final):  # lost the race
+            os.unlink(tmp)
+            raise ConcurrentWriteError(f"version {version} already committed")
+        os.rename(tmp, final)
+        return version
+
+    # ------------------------------------------------------------------ #
+    # write paths
+    # ------------------------------------------------------------------ #
+
+    def _write_commit_dir(
+        self, df: DataFrame, partition_by: list[str] | None
+    ) -> tuple[str, list[dict[str, Any]]]:
+        """Write ``df`` into a fresh commit directory, return (dirname,
+        file records).  Uses the stock distributed parquet writer; the
+        driver only walks the output dir for metadata."""
+        latest = self.latest_version()
+        commit_dir = f"c{(0 if latest is None else latest + 1):06d}-{uuid.uuid4().hex[:8]}"
+        out = os.path.join(self.path, commit_dir)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out)
+        files = []
+        for dirpath, _dirs, names in os.walk(out):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, self.path)
+                partition: dict[str, str] = {}
+                for seg in os.path.relpath(dirpath, out).split(os.sep):
+                    if "=" in seg:
+                        k, _, v = seg.partition("=")
+                        partition[k] = v
+                files.append(
+                    {
+                        "path": rel,
+                        "size": os.path.getsize(full),
+                        "partition": partition,
+                    }
+                )
+        return commit_dir, files
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Delta-sink analog: ``overwrite`` (K2) / ``append`` (K4), with
+        optional ``partitionBy`` (K3).  Returns the committed version."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        prev_files: list[dict[str, Any]] = []
+        if mode == "append" and self.latest_version() is not None:
+            prev = self._entry()
+            prev_files = prev["files"]
+            if partition_by is None:
+                partition_by = prev.get("partition_by") or None
+        _dir, files = self._write_commit_dir(df, partition_by)
+        self._commit(
+            {
+                "operation": mode,
+                "files": prev_files + files,
+                "partition_by": partition_by or [],
+                "schema": json.loads(df.schema.json()),
+                "num_files": len(prev_files) + len(files),
+                "added_files": len(files),
+            }
+        )
+        return self.latest_version()  # type: ignore[return-value]
+
+    # ------------------------------------------------------------------ #
+    # read paths
+    # ------------------------------------------------------------------ #
+
+    def schema(self, version: int | None = None) -> StructType:
+        return StructType.fromJson(self._entry(version)["schema"])
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot scan (S3 analog); ``version`` gives time travel.
+
+        Files are grouped by commit directory and each group is read with
+        ``basePath`` pointing at its commit dir so Hive-style partition
+        columns are recovered; groups are unioned by name.  Each scan is a
+        plain parquet relation, so Catalyst pushdown/pruning applies
+        per-group.
+        """
+        entry = self._entry(version)
+        return self._read_files(entry, entry["files"])
+
+    def to_df(self) -> DataFrame:
+        return self.read()
+
+    # ------------------------------------------------------------------ #
+    # merge (J7 / J8)
+    # ------------------------------------------------------------------ #
+
+    def merge(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        when_matched: str = "update_all",
+        when_not_matched: str = "insert_all",
+    ) -> int:
+        """Upsert ``source`` into the table on equality of ``keys``.
+
+        ``when_matched``: ``update_all`` (replace the whole row with the
+        source row — Delta ``whenMatchedUpdateAll``), ``ignore``, or
+        ``delete`` (Delta ``whenMatchedDelete``).
+        ``when_not_matched``: ``insert_all`` (Delta
+        ``whenNotMatchedInsertAll``) or ``ignore``.  The
+        (``ignore``/``insert_all``) pair is the reference's insert-only
+        dedup merge (deltalake.ipynb:1786-1791); the default pair is its
+        full upsert (:2942-2945).
+
+        Like Delta, requires the source to have at most one row per key
+        (not validated here — validate with ``quality.assert_unique`` when
+        in doubt).
+
+        Partition pruning: if the table is partitioned and every partition
+        column is present in the source, only the partitions the source
+        touches are rewritten; all other files carry into the new snapshot
+        by reference.  The rewrite itself is a distributed anti/union plan —
+        with a small source, Spark auto-broadcasts the anti-join side.
+        """
+        if when_matched not in ("update_all", "ignore", "delete"):
+            raise ValueError(f"bad when_matched: {when_matched!r}")
+        if when_not_matched not in ("insert_all", "ignore"):
+            raise ValueError(f"bad when_not_matched: {when_not_matched!r}")
+        entry = self._entry()
+        partition_by: list[str] = entry.get("partition_by") or []
+        prune = bool(partition_by) and all(
+            c in source.columns for c in partition_by
+        )
+
+        if prune:
+            # driver-side partition pruning over log metadata (small), never
+            # over data rows
+            touched = {
+                tuple(str(r[c]) for c in partition_by)
+                for r in source.select(*partition_by).distinct().collect()
+            }
+            keep_files, affected = [], []
+            for f in entry["files"]:
+                part = tuple(f["partition"].get(c) for c in partition_by)
+                (affected if part in touched else keep_files).append(f)
+            target = self._read_files(entry, affected)
+        else:
+            keep_files = []
+            target = self.read()
+
+        src = source.select(*target.columns)
+        if when_matched == "update_all" and when_not_matched == "insert_all":
+            merged = src.unionByName(target.join(src, keys, "left_anti"))
+        elif when_matched == "ignore" and when_not_matched == "insert_all":
+            merged = target.unionByName(src.join(target, keys, "left_anti"))
+        elif when_matched == "delete":
+            merged = target.join(src, keys, "left_anti")
+            if when_not_matched == "insert_all":
+                merged = merged.unionByName(src)
+        else:  # matched update only, no inserts
+            matched = src.join(target, keys, "left_semi")
+            merged = matched.unionByName(target.join(src, keys, "left_anti"))
+
+        _dir, files = self._write_commit_dir(merged, partition_by or None)
+        self._commit(
+            {
+                "operation": "merge",
+                "files": keep_files + files,
+                "partition_by": partition_by,
+                "schema": entry["schema"],
+                "num_files": len(keep_files) + len(files),
+                "added_files": len(files),
+                "pruned": prune,
+            }
+        )
+        return self.latest_version()  # type: ignore[return-value]
+
+    def _read_files(
+        self, entry: dict[str, Any], files: list[dict[str, Any]]
+    ) -> DataFrame:
+        schema = StructType.fromJson(entry["schema"])
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        groups: dict[str, list[str]] = {}
+        for f in files:
+            commit_dir = f["path"].split("/", 1)[0]
+            groups.setdefault(commit_dir, []).append(
+                os.path.join(self.path, f["path"])
+            )
+        dfs = [
+            self.spark.read.schema(schema)
+            .option("basePath", os.path.join(self.path, commit_dir))
+            .parquet(*paths)
+            for commit_dir, paths in sorted(groups.items())
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def merge_in_batches(
+        self, source: DataFrame, keys: list[str], n_batches: int = 5
+    ) -> list[int]:
+        """Modulo-bucketed sequential merge (deltalake.ipynb:2937-2946):
+        bounds any single merge's join working set; the reference added this
+        after an un-batched 11M-row MERGE OOMed (:2217)."""
+        bucket = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_batches))
+        src = source.withColumn("_mb", bucket).persist()
+        try:
+            versions = []
+            for i in range(n_batches):
+                batch = src.filter(F.col("_mb") == i).drop("_mb")
+                versions.append(self.merge(batch, keys))
+            return versions
+        finally:
+            src.unpersist()
+
+    # ------------------------------------------------------------------ #
+    # maintenance (M1-M4)
+    # ------------------------------------------------------------------ #
+
+    def optimize(
+        self,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        sort_by: list[str] | None = None,
+    ) -> int:
+        """Compaction (Delta ``optimize().executeCompaction()``,
+        deltalake.ipynb:1336-1338) and data clustering (``executeZOrderBy``,
+        :4614-4620).
+
+        ``sort_by`` performs a global range-sort on the given columns before
+        writing, so parquet row-group min/max stats become selective for
+        those columns — the same data-skipping effect the reference measured
+        at 18-50% (:8354-8356).  (A true Z-curve interleaves bits of several
+        columns; linear range-sort is the strongest clustering for 1-2
+        columns and a reasonable stand-in beyond that.)
+        """
+        entry = self._entry()
+        partition_by: list[str] = entry.get("partition_by") or []
+        total = sum(f["size"] for f in entry["files"]) or 1
+        n_files = max(1, -(-total // target_file_bytes))
+        df = self.read()
+        if sort_by:
+            df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_by])
+            df = df.sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(n_files) if n_files < len(entry["files"]) else df
+        _dir, files = self._write_commit_dir(df, partition_by or None)
+        self._commit(
+            {
+                "operation": "optimize" if not sort_by else "zorder",
+                "files": files,
+                "partition_by": partition_by,
+                "schema": entry["schema"],
+                "num_files": len(files),
+                "added_files": len(files),
+                "sort_by": sort_by or [],
+            }
+        )
+        return self.latest_version()  # type: ignore[return-value]
+
+    def history(self) -> list[dict[str, Any]]:
+        """Commit history, latest first (Delta ``history()``,
+        deltalake.ipynb:8760)."""
+        out = []
+        for v in reversed(self._versions()):
+            e = self._entry(v)
+            out.append(
+                {
+                    "version": e["version"],
+                    "operation": e["operation"],
+                    "timestamp": e["timestamp"],
+                    "num_files": e.get("num_files"),
+                    "added_files": e.get("added_files"),
+                }
+            )
+        return out
+
+    def detail(self) -> dict[str, Any]:
+        """``DESCRIBE DETAIL`` analog (deltalake.ipynb:8607-8613)."""
+        e = self._entry()
+        return {
+            "location": self.path,
+            "version": e["version"],
+            "num_files": len(e["files"]),
+            "size_bytes": sum(f["size"] for f in e["files"]),
+            "partition_columns": e.get("partition_by") or [],
+            "schema": self.schema().simpleString(),
+        }
+
+    def vacuum(self) -> int:
+        """Delete data files not referenced by the LATEST snapshot.
+
+        After vacuum, time travel to pre-vacuum versions is no longer
+        possible (log entries remain for history, like Delta after
+        ``VACUUM RETAIN 0``).  Returns the number of files deleted.
+        """
+        live = {f["path"] for f in self._entry()["files"]}
+        deleted = 0
+        for dirpath, _dirs, names in os.walk(self.path):
+            if _LOG_DIR in dirpath:
+                continue
+            for name in names:
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, self.path)
+                if name.endswith(".parquet") and rel not in live:
+                    os.unlink(full)
+                    deleted += 1
+        return deleted

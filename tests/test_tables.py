@@ -1,0 +1,166 @@
+"""Managed-table layer tests: write modes, time travel, merge semantics
+(incl. idempotency, SURVEY.md §5 property 4), partition-pruned merge,
+optimize/vacuum/history/detail, incremental patterns."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from delta_lake_spark.tables import (
+    ManagedTable,
+    anti_join_append,
+    high_water_mark,
+    insert_only_merge,
+)
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture
+def base_df(spark):
+    return spark.createDataFrame(
+        [Row(id=i, grp=("a" if i % 2 == 0 else "b"), val=float(i)) for i in range(10)]
+    )
+
+
+def test_overwrite_append_time_travel(spark, tmp_path, base_df):
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    assert not ManagedTable.is_managed_table(t.path)
+    v0 = t.write(base_df)
+    assert v0 == 0 and ManagedTable.is_managed_table(t.path)
+    assert t.read().count() == 10
+
+    extra = spark.createDataFrame([Row(id=100, grp="c", val=1.5)])
+    v1 = t.write(extra, mode="append")
+    assert v1 == 1
+    assert t.read().count() == 11
+    assert t.read(version=0).count() == 10  # time travel
+
+    v2 = t.write(extra, mode="overwrite")
+    assert t.read(version=v2).count() == 1
+    ops = [h["operation"] for h in t.history()]
+    assert ops == ["overwrite", "append", "overwrite"]
+
+
+def test_partitioned_write_and_pruning(spark, tmp_path, base_df):
+    t = ManagedTable(spark, str(tmp_path / "p"))
+    t.write(base_df, partition_by=["grp"])
+    assert t.detail()["partition_columns"] == ["grp"]
+    got = t.read().filter(F.col("grp") == "a")
+    # partition column recovered from dir names; values correct
+    assert rows(got.select("id", "grp", "val")) == rows(
+        base_df.filter("grp = 'a'").select("id", "grp", "val")
+    )
+    # the physical plan should show a partition filter, not a data filter
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_merge_upsert_and_idempotency(spark, tmp_path, base_df):
+    t = ManagedTable(spark, str(tmp_path / "m"))
+    t.write(base_df)
+    src = spark.createDataFrame(
+        [Row(id=1, grp="b", val=999.0), Row(id=42, grp="z", val=42.0)]
+    )
+    t.merge(src, ["id"])
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[1] == 999.0 and got[42] == 42.0 and len(got) == 11
+    before = rows(t.read())
+    t.merge(src, ["id"])  # idempotent: same source changes nothing
+    assert rows(t.read()) == before
+
+
+def test_merge_insert_only_and_delete(spark, tmp_path, base_df):
+    t = ManagedTable(spark, str(tmp_path / "mi"))
+    t.write(base_df)
+    src = spark.createDataFrame(
+        [Row(id=1, grp="b", val=999.0), Row(id=50, grp="n", val=5.0)]
+    )
+    insert_only_merge(t, src, ["id"])
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[1] == 1.0  # matched row untouched
+    assert got[50] == 5.0 and len(got) == 11
+
+    t.merge(src, ["id"], when_matched="delete", when_not_matched="ignore")
+    ids = {r["id"] for r in t.read().collect()}
+    assert 1 not in ids and 50 not in ids and len(ids) == 9
+
+
+def test_merge_partition_pruned(spark, tmp_path, base_df):
+    t = ManagedTable(spark, str(tmp_path / "mp"))
+    t.write(base_df, partition_by=["grp"])
+    files_before = {f["path"] for f in t._entry()["files"] if f["partition"]["grp"] == "b"}
+    src = spark.createDataFrame([Row(id=0, grp="a", val=-1.0)])
+    t.merge(src, ["id"])
+    entry = t._entry()
+    assert entry["pruned"] is True
+    # partition b files carried over untouched by reference
+    files_after = {f["path"] for f in entry["files"] if f["partition"]["grp"] == "b"}
+    assert files_before == files_after
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[0] == -1.0 and len(got) == 10
+
+
+def test_merge_in_batches(spark, tmp_path, base_df):
+    t = ManagedTable(spark, str(tmp_path / "mb"))
+    t.write(base_df)
+    src = spark.createDataFrame(
+        [Row(id=i, grp="u", val=float(-i)) for i in range(0, 20)]
+    )
+    versions = t.merge_in_batches(src, ["id"], n_batches=3)
+    assert len(versions) == 3
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert len(got) == 20 and all(got[i] == float(-i) for i in range(20))
+
+
+def test_optimize_compacts_and_sorts(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "o"))
+    df = spark.range(1000).withColumn("k", F.pmod("id", F.lit(7)))
+    t.write(df.repartition(16))
+    assert t.detail()["num_files"] >= 8
+    t.optimize()
+    assert t.detail()["num_files"] == 1
+    assert t.read().count() == 1000
+    t.optimize(sort_by=["k"])
+    assert t.history()[0]["operation"] == "zorder"
+    assert t.read().count() == 1000
+
+
+def test_vacuum_drops_old_versions(spark, tmp_path, base_df):
+    t = ManagedTable(spark, str(tmp_path / "v"))
+    t.write(base_df)
+    t.write(base_df.filter("id < 3"), mode="overwrite")
+    deleted = t.vacuum()
+    assert deleted > 0
+    assert t.read().count() == 3  # latest unaffected
+    with pytest.raises(Exception):
+        t.read(version=0).count()  # pre-vacuum version gone
+
+
+def test_high_water_mark_and_anti_join_append(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "hwm"))
+    df = spark.createDataFrame(
+        [Row(d=datetime.date(2024, 1, i), x=i) for i in range(1, 6)]
+    )
+    t.write(df)
+    assert high_water_mark(t, "d") == datetime.date(2024, 1, 5)
+    src = spark.createDataFrame(
+        [Row(d=datetime.date(2024, 1, i), x=-i) for i in range(4, 9)]
+    )
+    anti_join_append(t, src, ["d"])
+    got = {r["d"].day: r["x"] for r in t.read().collect()}
+    # existing dates 4,5 kept original values; 6-8 appended
+    assert got[4] == 4 and got[5] == 5 and got[8] == -8 and len(got) == 8
+
+
+def test_empty_write_and_read(spark, tmp_path, base_df):
+    t = ManagedTable(spark, str(tmp_path / "e"))
+    t.write(base_df.filter("id < 0"))
+    assert t.read().count() == 0
+    assert t.read().schema == base_df.schema
