@@ -1,0 +1,162 @@
+"""Medallion (Bronze → Silver → Gold) pipeline over managed tables.
+
+Re-expresses the reference's whole ETL arc (SURVEY.md §3) as a library API:
+
+- **Bronze** — land raw sources unmodified, one managed table per source
+  (deltalake.ipynb:516-550, cell 5).
+- **Silver** — typed/cleaned/enriched: decimal money casts, derived date
+  and boolean-flag columns (:947-954), dim conformance, the forward-filled
+  daily rate series (:1542-1588); fact partitioned by a bounded-cardinality
+  derived column (order_year) — the reference partitions by raw date
+  (:959), which at 100 TB yields tens of thousands of tiny partitions, so
+  we deliberately coarsen.
+- **Gold** — the three marts (client_stats, daily_metrics, fraud_analysis,
+  :1272-1312) built from Silver, partitioned like the reference (:1319,
+  :1326), refreshed incrementally: MERGE on client_id for client_stats
+  (:3212-3218), anti-join date append for daily_metrics (:3227-3243), full
+  rebuild for the (small) fraud mart.
+
+Scale shape: Bronze/Silver writes are embarrassingly parallel map jobs;
+every Gold mart is broadcast-joins + one hash-agg shuffle; incremental
+refresh touches only changed partitions / new dates.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_spark.catalog import table as corpus_table
+from delta_lake_spark.pipeline.marts import (
+    client_stats_mart,
+    daily_metrics_mart,
+    daily_rates,
+    fraud_analysis_mart,
+)
+from delta_lake_spark.tables import ManagedTable, anti_join_append
+
+BRONZE_SOURCES = ["orders", "lineitem", "customer", "nation", "events"]
+
+
+class MedallionPipeline:
+    def __init__(self, spark: SparkSession, lake_root: str, sf_dir: str):
+        self.spark = spark
+        self.root = os.path.abspath(lake_root)
+        self.sf_dir = sf_dir
+
+    def _t(self, zone: str, name: str) -> ManagedTable:
+        return ManagedTable(self.spark, os.path.join(self.root, zone, name))
+
+    def read(self, zone: str, name: str) -> DataFrame:
+        return self._t(zone, name).read()
+
+    # ------------------------------------------------------------------ #
+
+    def build_bronze(self) -> None:
+        """Land each raw source as-is (reference cell 5)."""
+        for name in BRONZE_SOURCES:
+            self._t("bronze", name).write(corpus_table(self.spark, self.sf_dir, name))
+
+    def build_silver(self) -> None:
+        """Type/flag/enrich (reference cell 7)."""
+        orders = self.read("bronze", "orders")
+        silver_orders = (
+            orders.withColumn("amount", F.col("o_totalprice").cast("decimal(18,2)"))
+            .withColumn("order_year", F.year("o_orderdate"))
+            .withColumn(
+                # is_suspicious analog (deltalake.ipynb:953-954):
+                # amount > threshold AND category IN (...)
+                "is_priority_large",
+                (F.col("o_totalprice") > 200000)
+                & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            )
+        )
+        self._t("silver", "orders").write(silver_orders, partition_by=["order_year"])
+
+        lineitem = self.read("bronze", "lineitem")
+        silver_lineitem = lineitem.withColumn(
+            "revenue",
+            (
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)"))
+            ).cast("decimal(18,2)"),
+        ).withColumn("ship_year", F.year("l_shipdate"))
+        self._t("silver", "lineitem").write(silver_lineitem, partition_by=["ship_year"])
+
+        customer = self.read("bronze", "customer")
+        nation = self.read("bronze", "nation")
+        silver_customer = customer.join(
+            F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("country"))),
+            customer.c_nationkey == F.col("n_nationkey"),
+            "left",
+        ).drop("n_nationkey")
+        self._t("silver", "customer").write(silver_customer)
+        self._t("silver", "nation").write(nation)
+
+        rates = daily_rates(self.read("bronze", "events"))
+        self._t("silver", "rates").write(rates)
+
+    def build_gold(self) -> None:
+        """Full mart build (reference cell 11)."""
+        orders = self.read("silver", "orders")
+        lineitem = self.read("silver", "lineitem")
+        customer = self.read("silver", "customer")
+        nation = self.read("silver", "nation")
+        rates = self.read("silver", "rates")
+
+        self._t("gold", "client_stats").write(
+            client_stats_mart(orders, customer, nation)
+        )
+        self._t("gold", "daily_metrics").write(daily_metrics_mart(orders, rates))
+        self._t("gold", "fraud_analysis").write(
+            fraud_analysis_mart(lineitem, orders, customer, nation)
+        )
+
+    def run(self) -> None:
+        self.build_bronze()
+        self.build_silver()
+        self.build_gold()
+
+    # ------------------------------------------------------------------ #
+    # incremental refresh (reference cells 19-21)
+    # ------------------------------------------------------------------ #
+
+    def ingest_orders_increment(self, new_orders: DataFrame, n_batches: int = 1) -> None:
+        """Upsert a new batch of orders into Silver (batched MERGE,
+        deltalake.ipynb:2937-2946), then refresh Gold incrementally."""
+        silver = (
+            new_orders.withColumn("amount", F.col("o_totalprice").cast("decimal(18,2)"))
+            .withColumn("order_year", F.year("o_orderdate"))
+            .withColumn(
+                "is_priority_large",
+                (F.col("o_totalprice") > 200000)
+                & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            )
+        )
+        t = self._t("silver", "orders")
+        if n_batches <= 1:
+            t.merge(silver, ["o_orderkey"])
+        else:
+            t.merge_in_batches(silver, ["o_orderkey"], n_batches)
+        self.refresh_gold()
+
+    def refresh_gold(self) -> None:
+        orders = self.read("silver", "orders")
+        customer = self.read("silver", "customer")
+        nation = self.read("silver", "nation")
+        rates = self.read("silver", "rates")
+
+        # client_stats: MERGE on client_id (deltalake.ipynb:3212-3218).
+        # Recomputing the aggregate still scans the fact table once; at
+        # scale, restrict `orders` to changed clients' partitions first.
+        self._t("gold", "client_stats").merge(
+            client_stats_mart(orders, customer, nation), ["client_id"]
+        )
+        # daily_metrics: append new dates only (deltalake.ipynb:3227-3243)
+        anti_join_append(
+            self._t("gold", "daily_metrics"),
+            daily_metrics_mart(orders, rates),
+            ["date"],
+        )

@@ -100,26 +100,13 @@ ORDER BY total_amount DESC, client_id
 """,
 )
 def q02_client_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    n = table(spark, sf_dir, "nation")
-    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").join(
-        F.broadcast(n), c.c_nationkey == n.n_nationkey, "left"
-    )
-    return (
-        joined.groupBy(
-            F.col("c_custkey").alias("client_id"),
-            F.col("c_name").alias("name"),
-            F.col("n_name").alias("country"),
-            F.col("c_mktsegment").alias("segment"),
-        )
-        .agg(
-            F.sum(_dec("o_totalprice")).cast("double").alias("total_amount"),
-            (F.floor(F.sum(_dec("o_totalprice")).cast("double") / F.count("*") * 100) / 100).alias("avg_amount"),
-            F.count("*").alias("transactions_count"),
-        )
-        .orderBy(F.desc("total_amount"), "client_id")
-    )
+    from delta_lake_spark.pipeline.marts import client_stats_mart
+
+    return client_stats_mart(
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"),
+    ).orderBy(F.desc("total_amount"), "client_id")
 
 
 # ---------------------------------------------------------------------------
@@ -165,39 +152,12 @@ ORDER BY date
 """,
 )
 def q03_daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
-    rates = (
-        table(spark, sf_dir, "events")
-        .groupBy(F.dayofmonth("ts").alias("rate_day"))
-        .agg(F.max("value").alias("rate"))
-    )
-    joined = o.join(F.broadcast(rates), F.dayofmonth(o.o_orderdate) == rates.rate_day, "left")
-    # decimal end-to-end (see q01 note): products of decimals are exact
-    price_dec = _dec("o_totalprice")
-    amount_adj = (
-        F.when(F.col("o_orderpriority") == "1-URGENT", price_dec * F.col("rate").cast("decimal(10,2)"))
-        .when(F.col("o_orderpriority") == "2-HIGH", price_dec * F.lit("1.05").cast("decimal(4,2)"))
-        .otherwise(price_dec)
-    )
-    conv = joined.select(
-        F.to_date("o_orderdate").alias("order_date"),
-        F.col("o_orderpriority"),
-        amount_adj.alias("amount_adj"),
-    )
-    adj = F.col("amount_adj")
-    return (
-        conv.groupBy(F.col("order_date").alias("date"))
-        .agg(
-            F.sum(adj).cast("double").alias("daily_volume"),
-            (F.floor(F.sum(adj).cast("double") / F.count("*") * 100) / 100).alias("avg_transaction"),
-            F.count("*").alias("transactions_count"),
-            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias("urgent_count"),
-            F.sum(
-                F.when(F.col("o_orderpriority") == "1-URGENT", adj).otherwise(F.lit(0).cast(DEC))
-            ).cast("double").alias("urgent_volume"),
-        )
-        .orderBy("date")
-    )
+    from delta_lake_spark.pipeline.marts import daily_metrics_mart, daily_rates
+
+    return daily_metrics_mart(
+        table(spark, sf_dir, "orders"),
+        daily_rates(table(spark, sf_dir, "events")),
+    ).orderBy("date")
 
 
 # ---------------------------------------------------------------------------
@@ -223,25 +183,14 @@ ORDER BY category, country
 """,
 )
 def q04_fraud_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = table(spark, sf_dir, "lineitem")
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    n = table(spark, sf_dir, "nation")
-    suspicious = l.filter((F.col("l_quantity") > 45) & F.col("l_returnflag").isin("R", "A"))
-    joined = (
-        suspicious.join(o, suspicious.l_orderkey == o.o_orderkey, "inner")
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
-    )
-    return (
-        joined.groupBy(F.col("l_returnflag").alias("category"), F.col("n_name").alias("country"))
-        .agg(
-            F.count("*").alias("fraud_count"),
-            (F.floor(F.sum(_dec("l_extendedprice")).cast("double") / F.count("*") * 100) / 100).alias("avg_fraud_amount"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("total_fraud_amount"),
-        )
-        .orderBy("category", "country")
-    )
+    from delta_lake_spark.pipeline.marts import fraud_analysis_mart
+
+    return fraud_analysis_mart(
+        table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"),
+    ).orderBy("category", "country")
 
 
 # ---------------------------------------------------------------------------
