@@ -1,0 +1,18 @@
+"""Structured Streaming layer: incremental sources, watermarked windows,
+streaming dedup, foreachBatch merge sinks, stateful sessionization."""
+
+from delta_lake_spark.streaming.stateful import sessionize
+from delta_lake_spark.streaming.streams import (
+    dedup_stream,
+    file_stream,
+    stream_merge_into,
+    windowed_agg,
+)
+
+__all__ = [
+    "file_stream",
+    "windowed_agg",
+    "dedup_stream",
+    "stream_merge_into",
+    "sessionize",
+]

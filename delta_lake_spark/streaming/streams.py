@@ -1,0 +1,130 @@
+"""Structured Streaming layer (SURVEY.md §2.9).
+
+The reference has NO streaming — its incrementality is four batch patterns
+(high-water-mark fetch, Bronze append, MERGE into Silver, anti-join append
+into Gold; deltalake.ipynb:1495-1502, :1539, :2933-2946, :3227-3243).  This
+module re-expresses those patterns on Structured Streaming so the same
+engine serves both batch-incremental and continuous pipelines:
+
+- ``file_stream`` — ``readStream`` over a landing directory (the streaming
+  analog of the reference's Bronze append: new files ARE the increments).
+- ``windowed_agg`` — event-time tumbling-window aggregation with a
+  watermark for late data (capability the reference lacks entirely).
+- ``dedup_stream`` — dropDuplicatesWithinWatermark, the streaming analog of
+  the reference's insert-only dedup MERGE (J7).
+- ``stream_merge_into`` — ``foreachBatch`` upserting each micro-batch into
+  a :class:`ManagedTable`; with key-idempotent merges, restarts replay the
+  last batch harmlessly (effectively-once), matching Delta's canonical
+  ``foreachBatch(merge)`` recipe.
+
+Scale notes: file-source listing is incremental (``maxFilesPerTrigger``
+bounds batch size); watermark state is partitioned by group key across
+executors; foreachBatch merge inherits ManagedTable's partition-pruned
+rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from delta_lake_spark.tables import ManagedTable
+
+
+def file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental file-directory source (streaming Bronze landing).
+
+    Schema must be explicit — streaming sources don't infer.  On a cluster
+    the directory would be object storage; listing state lives in the
+    checkpoint.
+    """
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(path)
+
+
+def windowed_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Event-time tumbling-window counts/sums with late-data watermark.
+
+    State is bounded: windows older than the watermark are finalized and
+    evicted.  Output columns: window_start, window_end, group cols, n,
+    total_value.
+    """
+    grouped = events.withWatermark(ts_col, watermark).groupBy(
+        F.window(F.col(ts_col), window), *(group_cols or [])
+    )
+    return grouped.agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("total_value"),
+    ).select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *(group_cols or []),
+        "n",
+        "total_value",
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on ``keys`` with bounded state: duplicates
+    arriving within the watermark horizon are dropped; older state is
+    evicted (the streaming analog of insert-only MERGE, J7)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_merge_into(
+    stream: DataFrame,
+    table: ManagedTable,
+    keys: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+    insert_only: bool = False,
+    output_mode: str | None = None,
+) -> StreamingQuery:
+    """Sink a stream into a managed table via per-micro-batch MERGE
+    (``foreachBatch`` — the Delta canonical incremental-sink recipe; the
+    batch analog is deltalake.ipynb:2933-2946).
+
+    Idempotent merges make micro-batch replay after restart harmless.
+    ``available_now=True`` drains everything currently in the source then
+    stops — the streaming equivalent of one reference incremental run.
+    """
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        if not ManagedTable.is_managed_table(table.path):
+            table.write(batch)
+        elif insert_only:
+            table.merge(batch, keys, when_matched="ignore")
+        else:
+            table.merge(batch, keys)
+
+    if output_mode is None:
+        output_mode = "append" if insert_only else "update"
+    writer = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
