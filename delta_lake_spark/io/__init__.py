@@ -1,0 +1,27 @@
+"""IO edge: schema-declared readers and export writers."""
+
+from delta_lake_spark.io.readers import (
+    from_pandas,
+    from_rows,
+    read_csv,
+    read_json,
+    read_parquet,
+)
+from delta_lake_spark.io.writers import (
+    write_csv,
+    write_jdbc,
+    write_parquet,
+    write_single_csv,
+)
+
+__all__ = [
+    "read_parquet",
+    "read_csv",
+    "read_json",
+    "from_pandas",
+    "from_rows",
+    "write_parquet",
+    "write_csv",
+    "write_single_csv",
+    "write_jdbc",
+]
