@@ -140,3 +140,63 @@ def simhash32(text: Column | str) -> Column:
         bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), _bit_merge(k))
         out = out + F.when(bit_sum > 0, F.lit(2**k).cast("long")).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_jaccard_bp: int = 0,
+) -> DataFrame:
+    """All-pairs character-n-gram Jaccard similarity.
+
+    Exact quadratic variant of the dedup family: right for small/filtered
+    candidate sets (a re-rank stage after LSH blocking); for full-corpus
+    near-dup at scale use minhash_candidate_pairs, which replaces the
+    O(n^2) self-join with band-bucket blocking.
+    """
+    from delta_lake_spark.functions.text import char_ngrams
+
+    grams = F.array_distinct(char_ngrams(F.col(text_col), n))
+    base = docs.select(F.col(id_col).alias("_id"), grams.alias("_g")).filter(
+        F.size("_g") > 0
+    )
+    a = base.select(F.col("_id").alias("id_a"), F.col("_g").alias("_ga"))
+    b = base.select(F.col("_id").alias("id_b"), F.col("_g").alias("_gb"))
+    inter = F.size(F.array_intersect("_ga", "_gb"))
+    union = F.size("_ga") + F.size("_gb") - inter
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            inter.alias("inter_size"),
+            union.alias("union_size"),
+            F.floor(inter * 10000 / union).cast("long").alias("jaccard_bp"),
+        )
+        .filter(F.col("jaccard_bp") >= min_jaccard_bp)
+    )
+
+
+def token_shingle_seq(text: Column | str, n: int = 3) -> Column:
+    """n-token shingles in document order, duplicates KEPT — the rolling
+    sequence winnowing needs (and order-stable across engines, unlike
+    distinct sets)."""
+    toks = tokens(normalize_text(text))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
+    )
+
+
+def winnow_fingerprints(text: Column | str, window: int = 4) -> Column:
+    """Winnowing document fingerprint set (Schleimer et al., MOSS): the
+    distinct minima of a rolling window over the in-order token-shingle
+    hash sequence.  Robust to local edits — shared fingerprints localize
+    near-duplicate regions; integer-only, oracle-reproducible."""
+    hashes = F.transform(token_shingle_seq(text), shingle_hash)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, window)))
+    )

@@ -12,5 +12,6 @@ from delta_lake_spark.queries import timeseries  # noqa: F401,E402
 from delta_lake_spark.queries import text  # noqa: F401,E402
 from delta_lake_spark.queries import vector  # noqa: F401,E402
 from delta_lake_spark.queries import dedup  # noqa: F401,E402
+from delta_lake_spark.queries import multimodal  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE"]

@@ -114,3 +114,37 @@ ORDER BY doc_id
 def d07_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table_parallel(spark, sf_dir, "documents", "doc_id")
     return d.select("doc_id", simhash32("text").alias("simhash")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# d08 — exact character-3-gram Jaccard over a bounded candidate set (the
+# re-rank stage of the dedup family; full-corpus variant is d06's LSH)
+# ---------------------------------------------------------------------------
+@register(
+    "d08_ngram_jaccard",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(length({_NORM_SQL}) - 2, 0) + 1),
+             i -> substr({_NORM_SQL}, i, 3))) AS gr
+  FROM documents WHERE doc_id < 100
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.gr, b.gr)) AS inter_size,
+       len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr)) AS union_size,
+       CAST(FLOOR(len(list_intersect(a.gr, b.gr)) * 10000.0 /
+            (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr)))) AS BIGINT) AS jaccard_bp
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(a.gr) > 0 AND len(b.gr) > 0
+  AND FLOOR(len(list_intersect(a.gr, b.gr)) * 10000.0 /
+      (len(a.gr) + len(b.gr) - len(list_intersect(a.gr, b.gr)))) >= 1500
+ORDER BY id_a, id_b
+""",
+)
+def d08_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, min_jaccard_bp=1500).orderBy(
+        "id_a", "id_b"
+    )

@@ -1,0 +1,71 @@
+"""Multimodal-column queries: binary payload metadata (oracle-checked) and
+the stubbed decode/feature pipeline (mapInPandas — not SQL-expressible, so
+rows-only checked; the driver records the weaker gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_spark.catalog import table, table_parallel
+from delta_lake_spark.functions.multimodal import (
+    decode_frames,
+    payload_sha256,
+    payload_size,
+    with_payload,
+)
+from delta_lake_spark.queries.registry import register
+
+
+# ---------------------------------------------------------------------------
+# m01 — binary payload metadata: size, content hash, sniffed type
+# (the typed-metadata side of the multimodal pattern; all JVM built-ins)
+# ---------------------------------------------------------------------------
+@register(
+    "m01_payload_metadata",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text))                         AS payload_bytes,
+       sha256(text)                                       AS payload_sha256,
+       CASE ascii(substr(text, 1, 1)) % 3
+         WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+       END                                                AS media_type
+FROM documents
+ORDER BY doc_id
+""",
+)
+def m01_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_payload(table_parallel(spark, sf_dir, "documents", "doc_id"))
+    first = F.ascii(F.substring("text", 1, 1))
+    media = (
+        F.when(first % 3 == 0, F.lit("image"))
+        .when(first % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    return d.select(
+        "doc_id",
+        payload_size("payload").alias("payload_bytes"),
+        payload_sha256("payload").alias("payload_sha256"),
+        media.alias("media_type"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# m02 — stubbed decode + frame-sample + feature-extract over mapInPandas.
+# No oracle: the Arrow-batched python stage is not SQL-expressible (the
+# driver records a rows-only check).  Aggregated to stay schema-stable.
+# ---------------------------------------------------------------------------
+@register("m02_frame_features")
+def m02_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = with_payload(table_parallel(spark, sf_dir, "documents", "doc_id"))
+    frames = decode_frames(d)
+    return (
+        frames.groupBy("media_type")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_frames").alias("total_frames"),
+            F.min(F.element_at("features", 1)).alias("min_bytes"),
+            F.max(F.element_at("features", 1)).alias("max_bytes"),
+        )
+        .orderBy("media_type")
+    )

@@ -180,3 +180,58 @@ def t04_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# t05 — winnowing rolling-hash fingerprints (MOSS-style) per document:
+# distinct window-minima over the token-shingle hash sequence
+# ---------------------------------------------------------------------------
+@register(
+    "t05_winnow_fingerprints",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS sh
+  FROM (SELECT doc_id,
+               regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')), '\\s+') AS toks
+        FROM documents)
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(sh, s -> (ascii(substr(s, 1, 1))::BIGINT * 27512614111
+            + ascii(substr(s, 2, 1))::BIGINT * 887503681
+            + ascii(substr(s, 3, 1))::BIGINT * 28629151
+            + ascii(substr(s, 4, 1))::BIGINT * 923521
+            + ascii(substr(s, 5, 1))::BIGINT * 29791
+            + ascii(substr(s, 6, 1))::BIGINT * 961
+            + ascii(substr(s, 7, 1))::BIGINT * 31
+            + ascii(substr(s, 8, 1))::BIGINT * 1)) AS h
+  FROM base
+),
+fp AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(h) - 3, 0) + 1),
+             i -> list_min(list_slice(h, i, i+3)))) AS fps
+  FROM hs
+)
+SELECT doc_id,
+       len(fps)       AS n_fingerprints,
+       list_min(fps)  AS min_fp,
+       list_max(fps)  AS max_fp
+FROM fp
+ORDER BY doc_id
+""",
+)
+def t05_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.dedup import winnow_fingerprints
+
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    fps = winnow_fingerprints("text", window=4)
+    return d.select(
+        "doc_id",
+        F.size(fps).alias("n_fingerprints"),
+        F.array_min(fps).alias("min_fp"),
+        F.array_max(fps).alias("max_fp"),
+    ).orderBy("doc_id")

@@ -121,3 +121,69 @@ def v03_label_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label_a", "label_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# v04 — bucketed ANN (IVF/LSH scale path): coordinate-sign coarse buckets
+# (deterministic hyperplanes = axes of the first 4 dims), then exact cosine
+# top-k WITHIN the query's bucket — each query scans ~1/16th of the corpus.
+# Recall tradeoff vs v01's exact scan is the standard IVF nprobe=1 contract.
+# ---------------------------------------------------------------------------
+_BUCKET_SQL = (
+    "(CASE WHEN e[1] > 0 THEN 1 ELSE 0 END + CASE WHEN e[2] > 0 THEN 2 ELSE 0 END"
+    " + CASE WHEN e[3] > 0 THEN 4 ELSE 0 END + CASE WHEN e[4] > 0 THEN 8 ELSE 0 END)"
+)
+
+
+@register(
+    "v04_bucketed_ann",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket FROM embeddings)
+SELECT qid, vid, sim, rank FROM (
+  SELECT a.vec_id AS qid, b.vec_id AS vid, {_COS_SQL} AS sim,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank
+  FROM (SELECT * FROM v WHERE vec_id < 5) a
+  JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+) t
+WHERE rank <= 10
+ORDER BY qid, rank
+""",
+)
+def v04_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def bucket(vec):
+        out = F.lit(0)
+        for j in range(4):
+            out = out + F.when(
+                F.element_at(vec, j + 1).cast("double") > 0, F.lit(2**j)
+            ).otherwise(F.lit(0))
+        return out
+
+    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").withColumn(
+        "bucket", bucket(F.col("embedding"))
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    candidates = e.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("cvec"),
+        F.col("bucket").alias("cbucket"),
+    )
+    joined = candidates.join(
+        F.broadcast(queries),
+        (F.col("qbucket") == F.col("cbucket")) & (F.col("qid") != F.col("vid")),
+    )
+    sims = joined.select(
+        "qid", "vid", cosine(as_double(F.col("qvec")), as_double(F.col("cvec"))).alias("sim")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vid")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "vid", "sim", "rank")
+        .orderBy("qid", "rank")
+    )
