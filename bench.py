@@ -30,8 +30,11 @@ HEADLINE = [
     "q19_asof_event_rates",     # as-of join
     "t01_dedup_exact",          # hash-groupBy dedup
     "t04_langid_confusion",     # text analysis (regexp-heavy)
+    "t05_winnow_fingerprints",  # rolling-hash winnowing fingerprints
     "d06_minhash_lsh_pairs",    # MinHash+LSH near-dup
     "v01_cosine_topk",          # brute-force vector top-k
+    "v04_bucketed_ann",         # bucketed (IVF-style) ANN scale path
+    "m02_frame_features",       # mapInPandas multimodal decode stub
 ]
 
 
