@@ -17,7 +17,14 @@ Spark-first library:
                    time travel.  (delta-spark is not available in this
                    environment; the capabilities are rebuilt on plain Spark.)
 - ``streaming``  — Structured Streaming equivalents of the reference's
-                   batch-incremental patterns.
+                   batch-incremental patterns, plus watermarked windows,
+                   streaming dedup, and stateful sessionization.
+- ``pipeline``   — the medallion (Bronze → Silver → Gold) pipeline API with
+                   incremental refresh.
+- ``io``         — schema-declared CSV/JSON readers, export writers (single
+                   -file CSV, tuned parquet, JDBC serving sink).
+- ``quality``    — enforced data-quality gates (schema/uniqueness/nulls/
+                   reconciliation).
 """
 
 __version__ = "0.1.0"

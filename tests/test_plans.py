@@ -1,0 +1,59 @@
+"""Physical-plan assertions: the optimizations the engine is designed
+around must actually appear in the executed plans (broadcast joins, filter
+pushdown into scans, column pruning, whole-stage codegen)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from delta_lake_spark.catalog import table
+from delta_lake_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = plan_of(QUERIES["q02_client_stats"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never shuffle the fact
+
+
+def test_filter_pushed_into_parquet_scan(spark):
+    plan = plan_of(QUERIES["q01_pricing_summary"](spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    plan = plan_of(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity" in plan
+    assert "l_comment" not in plan  # untouched columns never read
+
+
+def test_aggregation_stays_in_codegen(spark):
+    plan = plan_of(QUERIES["q01_pricing_summary"](spark, SF_SMOKE), mode="codegen")
+    assert "WholeStageCodegen subtrees" in plan
+
+
+def test_topk_plans_take_ordered(spark):
+    df = QUERIES["q05_topk_customers"](spark, SF_SMOKE)
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_partition_filter_prunes_managed_table(spark, tmp_path):
+    from delta_lake_spark.tables import ManagedTable
+
+    t = ManagedTable(spark, str(tmp_path / "pp"))
+    df = spark.range(100).withColumn("part", F.pmod("id", F.lit(4)))
+    t.write(df, partition_by=["part"])
+    plan = plan_of(t.read().filter(F.col("part") == 1))
+    assert "PartitionFilters: [isnotnull(part" in plan

@@ -1,0 +1,86 @@
+"""Quality-gate and skew-utility tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from delta_lake_spark.catalog import table
+from delta_lake_spark.ops.skew import salted_join, two_phase_agg
+from delta_lake_spark.quality import (
+    QualityError,
+    assert_count_equals,
+    assert_invariant,
+    assert_no_nulls,
+    assert_schema,
+    assert_unique,
+    reconcile_sums,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_quality_gates_pass_and_fail(spark):
+    nation = table(spark, SF_SMOKE, "nation")
+    assert_schema(nation, nation.schema)
+    assert_count_equals(nation, nation)
+    assert_unique(nation, ["n_nationkey"])
+    assert_no_nulls(nation, ["n_nationkey", "n_name"])
+    assert_invariant(nation, F.col("n_nationkey") >= 0)
+    reconcile_sums(nation, nation, "n_nationkey", decimals=0)
+
+    dup = nation.union(nation)
+    with pytest.raises(QualityError):
+        assert_unique(dup, ["n_nationkey"])
+    with pytest.raises(QualityError):
+        assert_count_equals(nation, dup)
+    with pytest.raises(QualityError):
+        assert_invariant(nation, F.col("n_nationkey") > 5)
+    withnull = nation.withColumn(
+        "n_name", F.when(F.col("n_nationkey") == 0, None).otherwise(F.col("n_name"))
+    )
+    with pytest.raises(QualityError):
+        assert_no_nulls(withnull, ["n_name"])
+    with pytest.raises(QualityError):
+        reconcile_sums(nation, dup, "n_nationkey", decimals=0)
+
+
+def _rowset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed fact: 90% of rows on one key
+    fact = spark.createDataFrame(
+        [Row(k=(0 if i % 10 else i % 3), v=i) for i in range(2000)]
+    )
+    dim = spark.createDataFrame([Row(k=i, name=f"d{i}") for i in range(5)])
+    plain = fact.join(dim, ["k"], "inner")
+    salted = salted_join(fact, dim, ["k"], n_salts=4)
+    assert _rowset(salted.select("k", "v", "name")) == _rowset(
+        plain.select("k", "v", "name")
+    )
+    left = salted_join(fact, dim.filter("k < 2"), ["k"], n_salts=4, how="left")
+    plain_left = fact.join(dim.filter("k < 2"), ["k"], "left")
+    assert _rowset(left.select("k", "v", "name")) == _rowset(
+        plain_left.select("k", "v", "name")
+    )
+
+
+def test_two_phase_agg_matches_plain_agg(spark):
+    df = spark.createDataFrame(
+        [Row(k=(0 if i % 5 else 1), x=float(i)) for i in range(1000)]
+    )
+    got = two_phase_agg(
+        df,
+        ["k"],
+        {"n": ("x", "count"), "sx": ("x", "sum"), "mn": ("x", "min"), "mx": ("x", "max")},
+        n_salts=4,
+    )
+    want = df.groupBy("k").agg(
+        F.count("x").alias("n"),
+        F.sum("x").alias("sx"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+    assert _rowset(got) == _rowset(want)
