@@ -606,3 +606,80 @@ def q22_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quartile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q24 — CUBE multi-dimensional aggregate (beyond the reference's flat
+# GROUP BYs; q18 covers ROLLUP).  Exercised through spark.sql over
+# registered views — the engine's SQL entry path (SURVEY.md §2.1 K8).
+# ---------------------------------------------------------------------------
+_Q24_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       {gid}                                               AS gid,
+       COUNT(*)                                            AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY gid, o_orderpriority, o_orderstatus
+"""
+
+
+@register(
+    "q24_cube_order_mix",
+    oracle=_Q24_SQL.format(
+        gid="(CASE WHEN GROUPING(o_orderpriority) = 1 THEN 2 ELSE 0 END"
+        " + CASE WHEN GROUPING(o_orderstatus) = 1 THEN 1 ELSE 0 END)"
+    ),
+)
+def q24_cube_order_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q24_SQL.format(gid="GROUPING_ID(o_orderpriority, o_orderstatus)"))
+
+
+# ---------------------------------------------------------------------------
+# q25 — event-time RANGE frame: per-customer rolling 7-day order volume
+# (interval-bounded window frames; the reference only uses row frames, W1)
+# ---------------------------------------------------------------------------
+_Q25_SQL = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS vol_7d
+FROM orders
+WHERE o_custkey < 200
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+@register("q25_rolling_7d_volume", oracle=_Q25_SQL.replace("7 DAYS", "7 DAY"))
+def q25_rolling_7d_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q25_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q26 — correlated EXISTS / NOT EXISTS subqueries (Catalyst rewrites to
+# semi/anti joins — verify the declarative form, not hand-built joins)
+# ---------------------------------------------------------------------------
+_Q26_SQL = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+ORDER BY c.c_custkey
+"""
+
+
+@register("q26_exists_urgent_no_failed", oracle=_Q26_SQL)
+def q26_exists_urgent_no_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q26_SQL)

@@ -390,6 +390,13 @@ class ManagedTable:
         )
         return self.latest_version()  # type: ignore[return-value]
 
+    def create_view(self, name: str, version: int | None = None) -> None:
+        """Register the (time-travel) snapshot for ``spark.sql`` access —
+        the engine's analog of the reference's
+        ``CREATE TABLE ... USING DELTA LOCATION ...`` metastore registration
+        (deltalake.ipynb:1046-1060; SURVEY.md §2.1 K8)."""
+        self.read(version).createOrReplaceTempView(name)
+
     def history(self) -> list[dict[str, Any]]:
         """Commit history, latest first (Delta ``history()``,
         deltalake.ipynb:8760)."""

@@ -164,3 +164,11 @@ def test_empty_write_and_read(spark, tmp_path, base_df):
     t.write(base_df.filter("id < 0"))
     assert t.read().count() == 0
     assert t.read().schema == base_df.schema
+
+
+def test_create_view_sql_access(spark, tmp_path, base_df):
+    t = ManagedTable(spark, str(tmp_path / "sqlv"))
+    t.write(base_df)
+    t.create_view("managed_base")
+    got = spark.sql("SELECT grp, COUNT(*) AS n FROM managed_base GROUP BY grp")
+    assert {(r["grp"], r["n"]) for r in got.collect()} == {("a", 5), ("b", 5)}
