@@ -53,6 +53,78 @@ from pyspark.sql.types import StructType
 
 _LOG_DIR = "_log"
 
+# JSON-safe stat types we collect and prune on (Delta's data-skipping set,
+# minus timestamps which need tz care)
+_STATS_TYPES = (int, float, str, bool)
+
+
+def _footer_stats(path: str) -> dict[str, list[Any]]:
+    """Per-file column [min, max] from the parquet footer — metadata-only
+    read on the driver at commit time (the same stats Delta records for
+    data skipping).  Dates are stored as ISO strings; unsupported types are
+    skipped."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    try:
+        meta = pq.ParquetFile(path).metadata
+    except Exception:
+        return {}
+    agg: dict[str, list[Any]] = {}
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested — skip
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, (datetime.date, datetime.datetime)):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            elif isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, _STATS_TYPES):
+                continue
+            if name in agg:
+                agg[name] = [min(agg[name][0], lo), max(agg[name][1], hi)]
+            else:
+                agg[name] = [lo, hi]
+    return agg
+
+
+def _file_may_match(
+    f: dict[str, Any], filters: list[tuple[str, str, Any]]
+) -> bool:
+    """Conservative stats check: False only when the file PROVABLY contains
+    no matching row.  Unknown columns/types keep the file."""
+    import datetime
+
+    for col, op, val in filters:
+        if isinstance(val, (datetime.date, datetime.datetime)):
+            val = val.isoformat()
+        stats = f.get("stats") or {}
+        if col not in stats:
+            continue
+        lo, hi = stats[col]
+        if type(lo) is not type(val) and not (
+            isinstance(lo, (int, float)) and isinstance(val, (int, float))
+        ):
+            continue
+        if (
+            (op == "=" and not (lo <= val <= hi))
+            or (op in ("<", "<=") and lo > val)
+            or (op in (">", ">=") and hi < val)
+        ):
+            return False
+    return True
+
 
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed this version first."""
@@ -166,6 +238,7 @@ class ManagedTable:
                         "path": rel,
                         "size": os.path.getsize(full),
                         "partition": partition,
+                        "stats": _footer_stats(full),
                     }
                 )
         return commit_dir, files
@@ -220,6 +293,46 @@ class ManagedTable:
 
     def to_df(self) -> DataFrame:
         return self.read()
+
+    def scan(
+        self, filters: list[tuple[str, str, Any]], version: int | None = None
+    ) -> DataFrame:
+        """Stats-pruned scan: Delta-style data skipping on the per-file
+        min/max recorded at commit time, plus partition-value pruning —
+        then the same predicates applied exactly as DataFrame filters.
+
+        ``filters``: [(column, op, literal), ...] with op in
+        ``= < <= > >=`` (AND semantics).  Combined with
+        ``optimize(sort_by=...)``, a selective scan touches only the files
+        whose stat range covers the predicate — the measurable form of the
+        reference's Z-order benefit (deltalake.ipynb:8354-8356).
+        """
+        entry = self._entry(version)
+        part_cols = set(entry.get("partition_by") or [])
+        live = []
+        for f in entry["files"]:
+            keep = _file_may_match(f, filters)
+            for col, op, val in filters:
+                if col in part_cols and op == "=" and f["partition"].get(col) != str(val):
+                    keep = False
+            if keep:
+                live.append(f)
+        df = self._read_files(entry, live)
+        for col, op, val in filters:
+            c = F.col(col)
+            df = df.filter(
+                {"=": c == val, "<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val}[op]
+            )
+        return df
+
+    def pruned_file_count(
+        self, filters: list[tuple[str, str, Any]], version: int | None = None
+    ) -> tuple[int, int]:
+        """(surviving, total) file counts for ``filters`` — the
+        deterministic data-skipping metric used by tests/benchmarks."""
+        entry = self._entry(version)
+        live = [f for f in entry["files"] if _file_may_match(f, filters)]
+        return len(live), len(entry["files"])
 
     # ------------------------------------------------------------------ #
     # merge (J7 / J8)

@@ -172,3 +172,33 @@ def test_create_view_sql_access(spark, tmp_path, base_df):
     t.create_view("managed_base")
     got = spark.sql("SELECT grp, COUNT(*) AS n FROM managed_base GROUP BY grp")
     assert {(r["grp"], r["n"]) for r in got.collect()} == {("a", 5), ("b", 5)}
+
+
+def test_stats_pruned_scan_and_zorder_skipping(spark, tmp_path):
+    """Data skipping: after sort-clustering, a selective predicate must
+    prune most files BY METADATA (the deterministic form of the reference's
+    Z-order scan speedup) while returning exactly the right rows."""
+    t = ManagedTable(spark, str(tmp_path / "sk"))
+    df = spark.range(10_000).withColumn("v", F.pmod(F.col("id") * 7919, F.lit(10_000)))
+    # unclustered: v is scattered, every file covers ~the full v range
+    t.write(df.repartition(16))
+    survive_before, total_before = t.pruned_file_count([("v", "<=", 100)])
+    assert total_before == 16 and survive_before == 16  # no skipping possible
+
+    # re-cluster on v into many small files: each now covers a narrow v range
+    t.optimize(sort_by=["v"], target_file_bytes=8 * 1024)
+    survive, total = t.pruned_file_count([("v", "<=", 100)])
+    assert total > 4 and survive < total / 2  # most files provably skipped
+
+    got = t.scan([("v", "<=", 100)])
+    want = df.filter(F.col("v") <= 100)
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in want.collect()
+    )
+
+
+def test_scan_partition_value_pruning(spark, tmp_path, base_df):
+    t = ManagedTable(spark, str(tmp_path / "pv"))
+    t.write(base_df, partition_by=["grp"])
+    got = t.scan([("grp", "=", "a"), ("id", ">=", 2)])
+    assert {r["id"] for r in got.collect()} == {2, 4, 6, 8}
