@@ -1,0 +1,55 @@
+"""Model-based property test for ManagedTable merge semantics: a random
+sequence of upsert / insert-only / delete batches must leave the table
+equal to a driver-side dict model (SURVEY.md §5 plan item 4, generalized
+from fixed idempotency cases)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from delta_lake_spark.tables import ManagedTable
+
+KEYS = st.integers(min_value=0, max_value=7)
+BATCH = st.lists(
+    st.tuples(KEYS, st.integers(min_value=-100, max_value=100)),
+    min_size=1,
+    max_size=5,
+    unique_by=lambda kv: kv[0],  # merge precondition: unique source keys
+)
+OP = st.sampled_from(["upsert", "insert_only", "delete"])
+SCRIPT = st.lists(st.tuples(OP, BATCH), min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(script=SCRIPT)
+def test_merge_sequence_matches_model(spark, script):
+    root = tempfile.mkdtemp(prefix="mt_prop_")
+    try:
+        t = ManagedTable(spark, root)
+        t.write(spark.createDataFrame([(0, 0)], "id long, val long"))
+        model: dict[int, int] = {0: 0}
+        for op, batch in script:
+            src = spark.createDataFrame(batch, "id long, val long")
+            if op == "upsert":
+                t.merge(src, ["id"])
+                model.update(dict(batch))
+            elif op == "insert_only":
+                t.merge(src, ["id"], when_matched="ignore")
+                for k, v in batch:
+                    model.setdefault(k, v)
+            else:
+                t.merge(src, ["id"], when_matched="delete", when_not_matched="ignore")
+                for k, _v in batch:
+                    model.pop(k, None)
+        got = {r["id"]: r["val"] for r in t.read().collect()}
+        assert got == model
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
