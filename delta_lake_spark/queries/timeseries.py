@@ -168,3 +168,46 @@ def q23_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q27 — batch sessionization: gap-based sessions via lag + running sum
+# windows (the batch twin of streaming.stateful.sessionize; integer-only
+# durations keep it oracle-exact)
+# ---------------------------------------------------------------------------
+_Q27_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN {epoch_us}(ts) - LAG({epoch_us}(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+),
+per_sess AS (
+  SELECT user_id, sess_id, COUNT(*) AS n_events,
+         {epoch_us}(MAX(ts)) - {epoch_us}(MIN(ts)) AS dur_us
+  FROM sess GROUP BY user_id, sess_id
+)
+SELECT user_id,
+       COUNT(*)                                        AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT)                   AS total_events,
+       CAST(MAX(n_events) AS BIGINT)                   AS max_session_events,
+       CAST(FLOOR(SUM(dur_us) / COUNT(*) / 1000000.0) AS BIGINT) AS avg_session_s
+FROM per_sess
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("q27_user_sessions", oracle=_Q27_SQL.format(epoch_us="epoch_us"))
+def q27_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q27_SQL.format(epoch_us="unix_micros"))

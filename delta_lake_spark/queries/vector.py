@@ -187,3 +187,20 @@ def v04_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vid", "sim", "rank")
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# v05 — per-label centroid + dispersion via grouped applyInPandas (the
+# Arrow-grouped escape hatch; float reductions are deterministic through
+# in-group sorting but not SQL-expressible — rows-only check, like m02)
+# ---------------------------------------------------------------------------
+@register("v05_label_centroids")
+def v05_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.pandas_ops import label_centroids
+
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        label_centroids(e)
+        .select("label", "n", F.size("centroid").alias("dim"), "mean_dist", "max_dist")
+        .orderBy("label")
+    )

@@ -82,7 +82,10 @@ def _footer_stats(path: str) -> dict[str, list[Any]]:
             name = col.path_in_schema
             if "." in name:  # nested — skip
                 continue
-            lo, hi = st.min, st.max
+            try:
+                lo, hi = st.min, st.max
+            except Exception:  # pyarrow can't cast some types (e.g. decimal)
+                continue
             if isinstance(lo, (datetime.date, datetime.datetime)):
                 lo, hi = lo.isoformat(), hi.isoformat()
             elif isinstance(lo, bytes):

@@ -1,0 +1,40 @@
+"""Pandas escape-hatch tests: the vectorized UDF agrees with an equivalent
+JVM expression; the grouped centroid op agrees with driver-side numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from delta_lake_spark.catalog import table
+from delta_lake_spark.functions.pandas_ops import bpe_ish_token_count, label_centroids
+from tests.conftest import SF_SMOKE
+
+
+def test_pandas_udf_matches_jvm_expression(spark):
+    d = table(spark, SF_SMOKE, "documents").limit(200)
+    jvm = (
+        F.regexp_count("text", F.lit(r"[A-Za-z]+"))
+        + F.regexp_count("text", F.lit(r"[0-9]+"))
+        + F.regexp_count("text", F.lit(r"[^\sA-Za-z0-9]"))
+    ).cast("long")
+    rows = d.select(
+        bpe_ish_token_count("text").alias("py"), jvm.alias("jvm")
+    ).collect()
+    assert rows and all(r["py"] == r["jvm"] for r in rows)
+
+
+def test_label_centroids_match_numpy(spark):
+    e = table(spark, SF_SMOKE, "embeddings")
+    got = {r["label"]: r for r in label_centroids(e).collect()}
+    pdf = e.select("vec_id", "label", "embedding").toPandas()
+    for label, grp in pdf.groupby("label"):
+        grp = grp.sort_values("vec_id")
+        mat = np.array(grp["embedding"].to_list(), dtype="float64")
+        centroid = mat.mean(axis=0)
+        dists = np.linalg.norm(mat - centroid, axis=1)
+        r = got[label]
+        assert r["n"] == len(grp)
+        assert np.allclose(r["centroid"], centroid)
+        assert abs(r["mean_dist"] - dists.mean()) < 1e-9
+        assert abs(r["max_dist"] - dists.max()) < 1e-9
