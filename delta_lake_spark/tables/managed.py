@@ -395,20 +395,26 @@ class ManagedTable:
             keep_files = []
             target = self.read()
 
-        src = source.select(*target.columns)
-        if when_matched == "update_all" and when_not_matched == "insert_all":
-            merged = src.unionByName(target.join(src, keys, "left_anti"))
-        elif when_matched == "ignore" and when_not_matched == "insert_all":
-            merged = target.unionByName(src.join(target, keys, "left_anti"))
-        elif when_matched == "delete":
-            merged = target.join(src, keys, "left_anti")
-            if when_not_matched == "insert_all":
-                merged = merged.unionByName(src)
-        else:  # matched update only, no inserts
-            matched = src.join(target, keys, "left_semi")
-            merged = matched.unionByName(target.join(src, keys, "left_anti"))
+        # The source plan feeds two branches of every merge shape (union +
+        # anti/semi join); persist so an expensive source (e.g. a recomputed
+        # mart) is evaluated once, not per-branch.
+        src = source.select(*target.columns).persist()
+        try:
+            if when_matched == "update_all" and when_not_matched == "insert_all":
+                merged = src.unionByName(target.join(src, keys, "left_anti"))
+            elif when_matched == "ignore" and when_not_matched == "insert_all":
+                merged = target.unionByName(src.join(target, keys, "left_anti"))
+            elif when_matched == "delete":
+                merged = target.join(src, keys, "left_anti")
+                if when_not_matched == "insert_all":
+                    merged = merged.unionByName(src)
+            else:  # matched update only, no inserts
+                matched = src.join(target, keys, "left_semi")
+                merged = matched.unionByName(target.join(src, keys, "left_anti"))
 
-        _dir, files = self._write_commit_dir(merged, partition_by or None)
+            _dir, files = self._write_commit_dir(merged, partition_by or None)
+        finally:
+            src.unpersist()
         self._commit(
             {
                 "operation": "merge",

@@ -57,3 +57,21 @@ def test_partition_filter_prunes_managed_table(spark, tmp_path):
     t.write(df, partition_by=["part"])
     plan = plan_of(t.read().filter(F.col("part") == 1))
     assert "PartitionFilters: [isnotnull(part" in plan
+
+
+def test_managed_table_mart_still_broadcasts(spark, tmp_path):
+    """Gold marts built FROM managed tables (union-of-commit-dir scans)
+    must keep the broadcast dim join — the snapshot wrapper must not push
+    Catalyst into a sort-merge plan."""
+    from delta_lake_spark.pipeline.marts import client_stats_mart
+    from delta_lake_spark.tables import ManagedTable
+
+    o = ManagedTable(spark, str(tmp_path / "o"))
+    o.write(table(spark, SF_SMOKE, "orders"))
+    o.write(table(spark, SF_SMOKE, "orders").limit(10), mode="append")
+    c = ManagedTable(spark, str(tmp_path / "c"))
+    c.write(table(spark, SF_SMOKE, "customer"))
+    n = ManagedTable(spark, str(tmp_path / "n"))
+    n.write(table(spark, SF_SMOKE, "nation"))
+    plan = plan_of(client_stats_mart(o.read(), c.read(), n.read()))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

@@ -202,3 +202,22 @@ def test_scan_partition_value_pruning(spark, tmp_path, base_df):
     t.write(base_df, partition_by=["grp"])
     got = t.scan([("grp", "=", "a"), ("id", ">=", 2)])
     assert {r["id"] for r in got.collect()} == {2, 4, 6, 8}
+
+
+def test_concurrent_write_detected(spark, tmp_path, base_df):
+    """Two writers racing to the same version: the loser must fail loudly,
+    never silently clobber (single-writer commit-log contract)."""
+    from delta_lake_spark.tables import ConcurrentWriteError
+
+    from unittest import mock
+
+    t1 = ManagedTable(spark, str(tmp_path / "cw"))
+    t1.write(base_df)
+    t2 = ManagedTable(spark, str(tmp_path / "cw"))
+    entry = t2._entry()
+    t1.write(base_df.filter("id < 5"), mode="overwrite")  # racer lands v1
+    # t2 still believes v0 is latest -> its commit targets v1, which exists
+    with mock.patch.object(t2, "latest_version", return_value=0):
+        with pytest.raises(ConcurrentWriteError):
+            t2._commit({**entry, "operation": "overwrite"})
+    assert t1.read().count() == 5  # racer's committed state intact
