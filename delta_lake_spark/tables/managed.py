@@ -260,8 +260,13 @@ class ManagedTable:
         if mode == "append" and self.latest_version() is not None:
             prev = self._entry()
             prev_files = prev["files"]
+            existing_pb = prev.get("partition_by") or None
             if partition_by is None:
-                partition_by = prev.get("partition_by") or None
+                partition_by = existing_pb
+            elif partition_by != (existing_pb or []):
+                raise ValueError(
+                    f"append partition_by {partition_by} != table layout {existing_pb}"
+                )
         _dir, files = self._write_commit_dir(df, partition_by)
         self._commit(
             {
