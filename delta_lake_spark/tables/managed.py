@@ -129,6 +129,24 @@ def _file_may_match(
     return True
 
 
+def _merge_schemas(existing: "StructType", incoming: "StructType") -> "StructType":
+    """Delta mergeSchema semantics: union of columns by name (existing
+    order first, new columns appended as nullable); same-name columns must
+    have identical types (no implicit widening)."""
+    by_name = {f.name: f for f in incoming.fields}
+    for f in existing.fields:
+        inc = by_name.get(f.name)
+        if inc is not None and inc.dataType != f.dataType:
+            raise ValueError(
+                f"column {f.name!r} type conflict: table has "
+                f"{f.dataType.simpleString()}, data has {inc.dataType.simpleString()}"
+            )
+    merged = list(existing.fields)
+    seen = {f.name for f in existing.fields}
+    merged += [f for f in incoming.fields if f.name not in seen]
+    return StructType(merged)
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed this version first."""
 
@@ -251,12 +269,21 @@ class ManagedTable:
         df: DataFrame,
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """Delta-sink analog: ``overwrite`` (K2) / ``append`` (K4), with
-        optional ``partitionBy`` (K3).  Returns the committed version."""
+        optional ``partitionBy`` (K3).  Returns the committed version.
+
+        Schema evolution (SURVEY.md §1.4): an append whose schema drifts
+        from the table's FAILS unless ``merge_schema=True`` (Delta's
+        ``mergeSchema`` — new nullable columns are added, existing column
+        types must match; old files read back with nulls for new columns).
+        ``overwrite`` always replaces the schema (``overwriteSchema``).
+        """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         prev_files: list[dict[str, Any]] = []
+        schema = df.schema
         if mode == "append" and self.latest_version() is not None:
             prev = self._entry()
             prev_files = prev["files"]
@@ -267,13 +294,24 @@ class ManagedTable:
                 raise ValueError(
                     f"append partition_by {partition_by} != table layout {existing_pb}"
                 )
+            existing = StructType.fromJson(prev["schema"])
+            if [f.name for f in df.schema.fields] != [f.name for f in existing.fields] or any(
+                a.dataType != b.dataType for a, b in zip(df.schema.fields, existing.fields)
+            ):
+                if not merge_schema:
+                    raise ValueError(
+                        "append schema differs from table schema; pass "
+                        f"merge_schema=True to evolve.\n  table: {existing.simpleString()}"
+                        f"\n  data:  {df.schema.simpleString()}"
+                    )
+                schema = _merge_schemas(existing, df.schema)
         _dir, files = self._write_commit_dir(df, partition_by)
         self._commit(
             {
                 "operation": mode,
                 "files": prev_files + files,
                 "partition_by": partition_by or [],
-                "schema": json.loads(df.schema.json()),
+                "schema": json.loads(schema.json()),
                 "num_files": len(prev_files) + len(files),
                 "added_files": len(files),
             }

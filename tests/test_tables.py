@@ -221,3 +221,24 @@ def test_concurrent_write_detected(spark, tmp_path, base_df):
         with pytest.raises(ConcurrentWriteError):
             t2._commit({**entry, "operation": "overwrite"})
     assert t1.read().count() == 5  # racer's committed state intact
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path, base_df):
+    """SURVEY.md §1.4: schema drift on append fails without merge_schema;
+    with it, new columns evolve in and old rows read back as null."""
+    t = ManagedTable(spark, str(tmp_path / "se"))
+    t.write(base_df)
+    evolved = base_df.withColumn("extra", F.col("id") * 2).withColumn(
+        "id", F.col("id") + 100
+    )
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.write(evolved, mode="append")
+    t.write(evolved, mode="append", merge_schema=True)
+    got = t.read()
+    assert [f.name for f in got.schema.fields] == ["id", "grp", "val", "extra"]
+    by_id = {r["id"]: r["extra"] for r in got.collect()}
+    assert by_id[0] is None and by_id[100] == 0 and by_id[105] == 10
+    # type conflicts always fail
+    bad = base_df.withColumn("val", F.col("val").cast("string"))
+    with pytest.raises(ValueError, match="type conflict"):
+        t.write(bad, mode="append", merge_schema=True)
