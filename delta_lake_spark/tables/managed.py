@@ -433,10 +433,26 @@ class ManagedTable:
             for f in entry["files"]:
                 part = tuple(f["partition"].get(c) for c in partition_by)
                 (affected if part in touched else keep_files).append(f)
-            target = self._read_files(entry, affected)
         else:
-            keep_files = []
-            target = self.read()
+            # file-level stats pruning (Delta data-skipping applied to
+            # MERGE): a file whose per-key min/max range is disjoint from
+            # the source's key bounds can't contain a matched row, so it
+            # carries over by reference.  One tiny agg over the source;
+            # inserts always land in the new commit's files, so only
+            # matched rows constrain which files must rewrite.
+            bounds_row = source.agg(
+                *[F.min(k).alias(f"_lo_{k}") for k in keys],
+                *[F.max(k).alias(f"_hi_{k}") for k in keys],
+            ).first()
+            filters = []
+            for k in keys:
+                lo, hi = bounds_row[f"_lo_{k}"], bounds_row[f"_hi_{k}"]
+                if lo is not None:
+                    filters += [(k, ">=", lo), (k, "<=", hi)]
+            keep_files, affected = [], []
+            for f in entry["files"]:
+                (affected if not filters or _file_may_match(f, filters) else keep_files).append(f)
+        target = self._read_files(entry, affected)
 
         # The source plan feeds two branches of every merge shape (union +
         # anti/semi join); persist so an expensive source (e.g. a recomputed
@@ -467,6 +483,7 @@ class ManagedTable:
                 "num_files": len(keep_files) + len(files),
                 "added_files": len(files),
                 "pruned": prune,
+                "skipped_files": len(keep_files),
             }
         )
         return self.latest_version()  # type: ignore[return-value]

@@ -242,3 +242,30 @@ def test_schema_evolution_merge_schema(spark, tmp_path, base_df):
     bad = base_df.withColumn("val", F.col("val").cast("string"))
     with pytest.raises(ValueError, match="type conflict"):
         t.write(bad, mode="append", merge_schema=True)
+
+
+def test_merge_file_stats_pruned(spark, tmp_path):
+    """Unpartitioned but key-clustered table: a narrow-key merge must carry
+    most files over by reference (file-level stats pruning) and still apply
+    every merge shape correctly."""
+    t = ManagedTable(spark, str(tmp_path / "fsp"))
+    t.write(spark.range(10_000).withColumn("val", F.col("id") * 10))
+    t.optimize(sort_by=["id"], target_file_bytes=8 * 1024)  # cluster on id
+    total_files = t.detail()["num_files"]
+    assert total_files > 4
+
+    # narrow key range: bounds [5,7] intersect one clustered file
+    src = spark.createDataFrame([(5, -5), (7, -7)], "id long, val long")
+    t.merge(src, ["id"])
+    entry = t._entry()
+    assert entry["skipped_files"] > total_files / 2  # most files untouched
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[5] == -5 and got[7] == -7
+    assert len(got) == 10_000 and got[9_999] == 99_990
+
+    # insert-only against a kept-file key must NOT duplicate (disjointness
+    # guarantee: kept files can't contain any source key)
+    src2 = spark.createDataFrame([(5, 1), (20_000, 2)], "id long, val long")
+    t.merge(src2, ["id"], when_matched="ignore")
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[5] == -5 and got[20_000] == 2 and len(got) == 10_001
