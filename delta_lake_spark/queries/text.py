@@ -235,3 +235,40 @@ def t05_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(fps).alias("min_fp"),
         F.array_max(fps).alias("max_fp"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t06 — generator + ranking: explode tokens, top-3 words per language
+# (lateral/UNNEST surface; deterministic tie-break on the word itself)
+# ---------------------------------------------------------------------------
+@register(
+    "t06_top_words_per_lang",
+    oracle=f"""
+WITH w AS (
+  SELECT lang, unnest(regexp_split_to_array({_NORM_SQL}, '\\s+')) AS w
+  FROM documents
+),
+counted AS (
+  SELECT lang, w, COUNT(*) AS cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, w) AS rnk
+  FROM w WHERE length(w) >= 3
+  GROUP BY lang, w
+)
+SELECT lang, w, cnt, rnk FROM counted WHERE rnk <= 3
+ORDER BY lang, rnk
+""",
+)
+def t06_top_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from delta_lake_spark.functions.text import normalize_text, tokens
+
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    words = d.select(
+        "lang", F.explode(tokens(normalize_text("text"))).alias("w")
+    ).filter(F.length("w") >= 3)
+    counted = words.groupBy("lang", "w").agg(F.count("*").alias("cnt"))
+    rnk = F.row_number().over(Window.partitionBy("lang").orderBy(F.desc("cnt"), "w"))
+    return (
+        counted.withColumn("rnk", rnk).filter(F.col("rnk") <= 3).orderBy("lang", "rnk")
+    )
