@@ -114,10 +114,38 @@ class MedallionPipeline:
             fraud_analysis_mart(lineitem, orders, customer, nation)
         )
 
-    def run(self) -> None:
+    def run(self, validate: bool = True) -> None:
         self.build_bronze()
         self.build_silver()
+        if validate:
+            self.validate_silver()
         self.build_gold()
+
+    def validate_silver(self) -> None:
+        """Quality gates between Silver and Gold (the reference's manual
+        count/printSchema checks, enforced — SURVEY.md §5)."""
+        from pyspark.sql import functions as F
+
+        from delta_lake_spark import quality
+
+        orders = self.read("silver", "orders")
+        quality.assert_unique(orders, ["o_orderkey"])
+        quality.assert_no_nulls(orders, ["o_orderkey", "o_custkey", "amount"])
+        quality.assert_invariant(
+            orders,
+            F.col("is_priority_large")
+            == (
+                (F.col("o_totalprice") > 200000)
+                & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            ),
+            label="is_priority_large definition",
+        )
+        quality.assert_count_equals(
+            orders, self.read("bronze", "orders"), label="bronze->silver orders"
+        )
+        quality.reconcile_sums(
+            orders, self.read("bronze", "orders"), "o_totalprice"
+        )
 
     # ------------------------------------------------------------------ #
     # incremental refresh (reference cells 19-21)

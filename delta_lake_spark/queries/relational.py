@@ -683,3 +683,20 @@ def q26_exists_urgent_no_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q26_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q28 — approximate aggregates (sketch surface): HLL++ distinct counts and
+# approximate quantiles next to their exact counterparts.  Deterministic
+# for fixed input (HLL merge is commutative), but the approx values are
+# engine-specific by construction — rows-only check, like m02/v05.
+# ---------------------------------------------------------------------------
+@register("q28_sketch_aggregates")
+def q28_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.percentile_approx("o_totalprice", [0.5, 0.95], 10_000).alias("price_p50_p95"),
+        F.count("*").alias("n"),
+    ).orderBy("o_orderpriority")
