@@ -572,6 +572,23 @@ class ManagedTable:
         )
         return self.latest_version()  # type: ignore[return-value]
 
+    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Rows added after ``from_version`` up to ``to_version`` (latest by
+        default) — the engine's Change-Data-Feed analog, driven purely by
+        the commit log's file diff (no data rewrite, no extra columns).
+
+        Semantics: exact for append-only tables (each appended file's rows
+        appear once).  For merge/overwrite commits the added files contain
+        the POST-IMAGE of every row in the rewritten scope, so consumers see
+        upserts as fresh rows (like Delta CDF with update_postimage only);
+        deletes are not surfaced.  Downstream idempotent merges (the
+        engine's own sink pattern) absorb this correctly.
+        """
+        base = {f["path"] for f in self._entry(from_version)["files"]}
+        target = self._entry(to_version)
+        added = [f for f in target["files"] if f["path"] not in base]
+        return self._read_files(target, added)
+
     def create_view(self, name: str, version: int | None = None) -> None:
         """Register the (time-travel) snapshot for ``spark.sql`` access —
         the engine's analog of the reference's

@@ -269,3 +269,21 @@ def test_merge_file_stats_pruned(spark, tmp_path):
     t.merge(src2, ["id"], when_matched="ignore")
     got = {r["id"]: r["val"] for r in t.read().collect()}
     assert got[5] == -5 and got[20_000] == 2 and len(got) == 10_001
+
+
+def test_changes_feed(spark, tmp_path, base_df):
+    """Change feed: file-diff between versions yields exactly the appended
+    rows; a merge surfaces the post-image of its rewritten scope."""
+    t = ManagedTable(spark, str(tmp_path / "cf"))
+    v0 = t.write(base_df)
+    b1 = spark.createDataFrame([Row(id=100, grp="c", val=1.0)])
+    t.write(b1, mode="append")
+    b2 = spark.createDataFrame([Row(id=101, grp="c", val=2.0)])
+    v2 = t.write(b2, mode="append")
+    got = {r["id"] for r in t.changes(v0).collect()}
+    assert got == {100, 101}
+    assert {r["id"] for r in t.changes(v0, v2 - 1).collect()} == {100}
+
+    t.merge(spark.createDataFrame([Row(id=0, grp="a", val=-1.0)]), ["id"])
+    post = {r["id"]: r["val"] for r in t.changes(v2).collect()}
+    assert post[0] == -1.0  # post-image of the upserted key is visible
