@@ -133,3 +133,33 @@ def test_sessionize_matches_batch_sessions(spark, tmp_path, landing, events_batc
     assert got, "no sessions were closed"
     for k, v in got.items():
         assert k in want and want[k] == v, (k, v, want.get(k))
+
+
+def test_stream_managed_table_incrementally(spark, tmp_path):
+    """A managed table's commit dirs form a streaming file source: a
+    checkpointed availableNow run drains current commits; after an append,
+    re-running with the SAME checkpoint processes only the new files —
+    continuous consumption of the table's change feed."""
+    from pyspark.sql import Row
+
+    src_t = ManagedTable(spark, str(tmp_path / "src"))
+    src_t.write(spark.createDataFrame([Row(id=i, v=float(i)) for i in range(50)]))
+
+    dst = ManagedTable(spark, str(tmp_path / "dst"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = file_stream(spark, src_t.path + "/c*", src_t.schema())
+        q = stream_merge_into(stream, dst, ["id"], ckpt, insert_only=True)
+        drain(q)
+
+    run_once()
+    assert dst.read().count() == 50
+
+    src_t.write(
+        spark.createDataFrame([Row(id=i, v=float(i)) for i in range(50, 80)]),
+        mode="append",
+    )
+    run_once()  # same checkpoint: only the new commit's files are read
+    assert dst.read().count() == 80
+    assert {r["id"] for r in dst.read().collect()} == set(range(80))
