@@ -200,3 +200,78 @@ def winnow_fingerprints(text: Column | str, window: int = 4) -> Column:
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, window)))
     )
+
+
+def near_dedup(
+    docs: DataFrame, id_col: str, text_col: str, min_jaccard_bp: int = 8000
+) -> DataFrame:
+    """Greedy near-duplicate removal: drop every document that has a
+    more-canonical (lower-id) near-dup above the threshold.
+
+    One LSH candidate pass + one anti-join — the standard first-cut corpus
+    dedup.  Chains (a~b~c with a!~c) keep their middle member; full
+    transitive collapse is ``dedup_clusters`` (connected components).
+    """
+    pairs = minhash_candidate_pairs(docs, id_col, text_col)
+    losers = (
+        pairs.filter(F.col("jaccard_bp") >= min_jaccard_bp)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
+def connected_components(
+    edges: DataFrame, a: str = "id_a", b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an undirected edge list -> (id, component)
+    with component = min id reachable.  Iterative label propagation: each
+    round every node adopts the smallest label in its neighborhood; stops
+    at fixpoint (no label changed) or ``max_iter``.
+
+    Scale notes: each iteration is one groupBy-min over the (undirected)
+    edge list joined to current labels — O(E) shuffle per round, converging
+    in O(diameter) rounds (near-dup clusters are tiny, so 3-4 rounds in
+    practice).  Labels are persisted per round and the previous round
+    unpersisted; the fixpoint check is a 1-row aggregate, the only driver
+    round-trip.
+    """
+    und = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    sym = und.unionByName(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).persist()
+    labels.count()
+    for _ in range(max_iter):
+        nm = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.v") == F.col("l.node"), "inner")
+            .groupBy(F.col("e.u").alias("node"))
+            .agg(F.min("l.label").alias("nmin"))
+        )
+        new_labels = (
+            labels.alias("cur")
+            .join(nm.alias("nm"), F.col("cur.node") == F.col("nm.node"), "left")
+            .select(
+                F.col("cur.node").alias("node"),
+                F.least(
+                    F.col("cur.label"), F.coalesce("nm.nmin", F.col("cur.label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node").alias("id"), F.col("label").alias("component"))

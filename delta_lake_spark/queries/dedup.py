@@ -148,3 +148,67 @@ def d08_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, min_jaccard_bp=1500).orderBy(
         "id_a", "id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# d09 — greedy near-dedup: surviving corpus after dropping every doc with a
+# lower-id near-dup above threshold (one LSH pass + anti-join)
+# ---------------------------------------------------------------------------
+@register(
+    "d09_near_dedup_survivors",
+    oracle=f"""
+WITH base AS ({_SHINGLES_SQL}),
+sigs AS (SELECT doc_id, sh, {_SIG_COLS} FROM base),
+banded AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b
+  FROM cand JOIN base x ON x.doc_id = id_a JOIN base y ON y.doc_id = id_b
+  WHERE FLOOR(len(list_intersect(x.sh, y.sh)) * 10000.0 /
+        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))) >= 8000
+)
+SELECT d.doc_id, d.lang
+FROM documents d
+WHERE len(regexp_split_to_array(trim(d.text), '\\s+')) >= 3
+  AND d.doc_id NOT IN (SELECT id_b FROM verified)
+ORDER BY d.doc_id
+""",
+)
+def d09_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.dedup import near_dedup
+
+    docs = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
+    return (
+        near_dedup(docs, "doc_id", "text", min_jaccard_bp=8000)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d10 — transitive dedup clusters: connected components (iterative label
+# propagation) over the verified near-dup pairs.  Iterative — not
+# SQL-expressible without recursion, so rows-only checked.
+# ---------------------------------------------------------------------------
+@register("d10_dedup_clusters")
+def d10_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.dedup import connected_components
+
+    docs = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
+    pairs = minhash_candidate_pairs(docs, "doc_id", "text").filter(
+        F.col("jaccard_bp") >= 8000
+    )
+    comps = connected_components(pairs)
+    return (
+        comps.groupBy("component")
+        .agg(F.count("*").alias("cluster_size"), F.max("id").alias("max_id"))
+        .orderBy("component")
+    )

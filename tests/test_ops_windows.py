@@ -66,3 +66,17 @@ def test_gap_fill_partitioned(spark):
         for r in gap_fill(df, ["v"], order_by=["i"], partition_by=["k"]).collect()
     }
     assert out == {("a", 1): 5.0, ("a", 2): 5.0, ("b", 1): None, ("b", 2): 7.0}
+
+
+def test_connected_components_known_graph(spark):
+    """CC on a hand-built graph: two chains and an isolated edge."""
+    from pyspark.sql import Row
+
+    from delta_lake_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4),
+         Row(id_a=10, id_b=11), Row(id_a=20, id_b=21), Row(id_a=21, id_b=22)]
+    )
+    got = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
