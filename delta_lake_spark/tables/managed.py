@@ -47,7 +47,7 @@ import time
 import uuid
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -127,6 +127,17 @@ def _file_may_match(
         ):
             return False
     return True
+
+
+def _filters_expr(filters: list[tuple[str, str, Any]]) -> "Column":
+    """AND of simple (col, op, literal) predicates as a Column."""
+    out = F.lit(True)
+    for col, op, val in filters:
+        c = F.col(col)
+        out = out & {
+            "=": c == val, "<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val
+        }[op]
+    return out
 
 
 def _merge_schemas(existing: "StructType", incoming: "StructType") -> "StructType":
@@ -354,22 +365,24 @@ class ManagedTable:
         reference's Z-order benefit (deltalake.ipynb:8354-8356).
         """
         entry = self._entry(version)
+        _skipped, live = self._split_files(entry, filters)
+        df = self._read_files(entry, live)
+        return df.filter(_filters_expr(filters))
+
+    def _split_files(
+        self, entry: dict[str, Any], filters: list[tuple[str, str, Any]]
+    ) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+        """(provably-unmatched, possibly-matched) file split by footer
+        stats + partition values — shared by scan/delete/update."""
         part_cols = set(entry.get("partition_by") or [])
-        live = []
+        skipped, live = [], []
         for f in entry["files"]:
             keep = _file_may_match(f, filters)
             for col, op, val in filters:
                 if col in part_cols and op == "=" and f["partition"].get(col) != str(val):
                     keep = False
-            if keep:
-                live.append(f)
-        df = self._read_files(entry, live)
-        for col, op, val in filters:
-            c = F.col(col)
-            df = df.filter(
-                {"=": c == val, "<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val}[op]
-            )
-        return df
+            (live if keep else skipped).append(f)
+        return skipped, live
 
     def pruned_file_count(
         self, filters: list[tuple[str, str, Any]], version: int | None = None
@@ -510,6 +523,58 @@ class ManagedTable:
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+    def delete_where(self, filters: list[tuple[str, str, Any]]) -> int:
+        """DML DELETE: remove rows matching all ``filters`` (same tuple
+        form as :meth:`scan`).  Files that provably contain no matching row
+        carry over by reference; only possibly-matched files rewrite."""
+        entry = self._entry()
+        partition_by: list[str] = entry.get("partition_by") or []
+        keep_files, affected = self._split_files(entry, filters)
+        remaining = self._read_files(entry, affected).filter(~_filters_expr(filters))
+        _dir, files = self._write_commit_dir(remaining, partition_by or None)
+        self._commit(
+            {
+                "operation": "delete",
+                "files": keep_files + files,
+                "partition_by": partition_by,
+                "schema": entry["schema"],
+                "num_files": len(keep_files) + len(files),
+                "added_files": len(files),
+                "skipped_files": len(keep_files),
+            }
+        )
+        return self.latest_version()  # type: ignore[return-value]
+
+    def update_where(
+        self, filters: list[tuple[str, str, Any]], assignments: dict[str, Column]
+    ) -> int:
+        """DML UPDATE: set ``assignments`` (col -> Column expression) on
+        rows matching all ``filters``; same file pruning as delete."""
+        entry = self._entry()
+        partition_by: list[str] = entry.get("partition_by") or []
+        keep_files, affected = self._split_files(entry, filters)
+        df = self._read_files(entry, affected)
+        cond = _filters_expr(filters)
+        schema = StructType.fromJson(entry["schema"])
+        for col, expr in assignments.items():
+            field = next(f for f in schema.fields if f.name == col)
+            df = df.withColumn(
+                col, F.when(cond, expr.cast(field.dataType)).otherwise(F.col(col))
+            )
+        _dir, files = self._write_commit_dir(df, partition_by or None)
+        self._commit(
+            {
+                "operation": "update",
+                "files": keep_files + files,
+                "partition_by": partition_by,
+                "schema": entry["schema"],
+                "num_files": len(keep_files) + len(files),
+                "added_files": len(files),
+                "skipped_files": len(keep_files),
+            }
+        )
+        return self.latest_version()  # type: ignore[return-value]
 
     def merge_in_batches(
         self, source: DataFrame, keys: list[str], n_batches: int = 5

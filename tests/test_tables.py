@@ -287,3 +287,23 @@ def test_changes_feed(spark, tmp_path, base_df):
     t.merge(spark.createDataFrame([Row(id=0, grp="a", val=-1.0)]), ["id"])
     post = {r["id"]: r["val"] for r in t.changes(v2).collect()}
     assert post[0] == -1.0  # post-image of the upserted key is visible
+
+
+def test_delete_and_update_where(spark, tmp_path):
+    """DML delete/update with file pruning on a clustered table."""
+    t = ManagedTable(spark, str(tmp_path / "dml"))
+    t.write(spark.range(1000).withColumn("val", F.col("id") * 2))
+    t.optimize(sort_by=["id"], target_file_bytes=2 * 1024)
+    total = t.detail()["num_files"]
+    assert total > 3
+
+    t.delete_where([("id", ">=", 10), ("id", "<", 20)])
+    entry = t._entry()
+    assert entry["operation"] == "delete" and entry["skipped_files"] > 0
+    ids = {r["id"] for r in t.read().collect()}
+    assert len(ids) == 990 and not (set(range(10, 20)) & ids)
+
+    t.update_where([("id", "<", 5)], {"val": F.lit(-1)})
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert all(got[i] == -1 for i in range(5)) and got[100] == 200
+    assert t._entry()["operation"] == "update" and t._entry()["skipped_files"] > 0
