@@ -129,6 +129,30 @@ def _file_may_match(
     return True
 
 
+_Z_BITS = 16
+
+
+def _zvalue_expr(col_bounds: dict[str, tuple[Any, Any]]) -> Column:
+    """Z-curve key: each column linearly scaled to _Z_BITS bits over its
+    [lo, hi], bits interleaved (column j contributes bit i to position
+    i*ncols + j).  Pure column arithmetic — runs in whole-stage codegen."""
+    ncols = len(col_bounds)
+    z = F.lit(0).cast("long")
+    for j, (col, (lo, hi)) in enumerate(col_bounds.items()):
+        span = (F.lit(hi).cast("double") - F.lit(lo).cast("double"))
+        scaled = F.when(span <= 0, F.lit(0)).otherwise(
+            F.floor(
+                (F.col(col).cast("double") - F.lit(lo).cast("double"))
+                / span
+                * ((1 << _Z_BITS) - 1)
+            )
+        ).cast("long")
+        for i in range(_Z_BITS):
+            bit = F.shiftright(scaled, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * ncols + j)
+    return z
+
+
 def _filters_expr(filters: list[tuple[str, str, Any]]) -> "Column":
     """AND of simple (col, op, literal) predicates as a Column."""
     out = F.lit(True)
@@ -601,24 +625,48 @@ class ManagedTable:
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """Compaction (Delta ``optimize().executeCompaction()``,
         deltalake.ipynb:1336-1338) and data clustering (``executeZOrderBy``,
         :4614-4620).
 
-        ``sort_by`` performs a global range-sort on the given columns before
-        writing, so parquet row-group min/max stats become selective for
-        those columns — the same data-skipping effect the reference measured
-        at 18-50% (:8354-8356).  (A true Z-curve interleaves bits of several
-        columns; linear range-sort is the strongest clustering for 1-2
-        columns and a reasonable stand-in beyond that.)
+        ``sort_by``: global range-sort — the strongest clustering for ONE
+        leading column (plus prefix queries on the rest).
+
+        ``zorder_by``: true multi-column Z-curve — each numeric column is
+        linearly scaled to a 16-bit value over its [min, max] (one tiny agg
+        job), the bits are interleaved into a single z-value, and the table
+        is range-partitioned + sorted by it.  Every clustered column then
+        gets selective per-file min/max stats, so filters on ANY of them
+        skip files (the reference's measured 18-50% effect, :8354-8356) —
+        the property linear sort only gives the leading column.
         """
+        if sort_by and zorder_by:
+            raise ValueError("pass sort_by OR zorder_by, not both")
         entry = self._entry()
         partition_by: list[str] = entry.get("partition_by") or []
         total = sum(f["size"] for f in entry["files"]) or 1
         n_files = max(1, -(-total // target_file_bytes))
         df = self.read()
-        if sort_by:
+        if zorder_by:
+            bounds = df.agg(
+                *[F.min(c).alias(f"_lo_{c}") for c in zorder_by],
+                *[F.max(c).alias(f"_hi_{c}") for c in zorder_by],
+            ).first()
+            zval = _zvalue_expr(
+                {
+                    c: (bounds[f"_lo_{c}"], bounds[f"_hi_{c}"])
+                    for c in zorder_by
+                }
+            )
+            df = (
+                df.withColumn("_z", zval)
+                .repartitionByRange(n_files, F.col("_z"))
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        elif sort_by:
             df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_by])
             df = df.sortWithinPartitions(*sort_by)
         else:
@@ -626,13 +674,14 @@ class ManagedTable:
         _dir, files = self._write_commit_dir(df, partition_by or None)
         self._commit(
             {
-                "operation": "optimize" if not sort_by else "zorder",
+                "operation": "zorder" if (sort_by or zorder_by) else "optimize",
                 "files": files,
                 "partition_by": partition_by,
                 "schema": entry["schema"],
                 "num_files": len(files),
                 "added_files": len(files),
                 "sort_by": sort_by or [],
+                "zorder_by": zorder_by or [],
             }
         )
         return self.latest_version()  # type: ignore[return-value]

@@ -307,3 +307,35 @@ def test_delete_and_update_where(spark, tmp_path):
     got = {r["id"]: r["val"] for r in t.read().collect()}
     assert all(got[i] == -1 for i in range(5)) and got[100] == 200
     assert t._entry()["operation"] == "update" and t._entry()["skipped_files"] > 0
+
+
+def test_zorder_skips_on_every_clustered_column(spark, tmp_path):
+    """True Z-curve clustering: after zorder_by(x, y), selective filters on
+    EITHER column must prune files — the property a linear sort gives only
+    its leading column."""
+    n = 20_000
+    df = (
+        spark.range(n)
+        .withColumn("x", F.pmod(F.col("id") * 7919, F.lit(n)))
+        .withColumn("y", F.pmod(F.col("id") * 104729, F.lit(n)))
+    )
+    lin = ManagedTable(spark, str(tmp_path / "lin"))
+    lin.write(df)
+    lin.optimize(sort_by=["x", "y"], target_file_bytes=16 * 1024)
+    z = ManagedTable(spark, str(tmp_path / "z"))
+    z.write(df)
+    z.optimize(zorder_by=["x", "y"], target_file_bytes=16 * 1024)
+
+    # leading column: both layouts skip
+    sx, tx = z.pruned_file_count([("x", "<=", 500)])
+    assert sx < tx / 2
+    # trailing column: only the z-order layout skips
+    lsy, lty = lin.pruned_file_count([("y", "<=", 500)])
+    zsy, zty = z.pruned_file_count([("y", "<=", 500)])
+    assert lsy == lty  # linear sort: y scattered, nothing provably skipped
+    assert zsy < zty * 3 // 4  # z-order: y-filter prunes files too
+
+    # correctness: scan returns exactly the filtered rows
+    got = sorted(r["id"] for r in z.scan([("y", "<=", 500)]).collect())
+    want = sorted(r["id"] for r in df.filter(F.col("y") <= 500).collect())
+    assert got == want
