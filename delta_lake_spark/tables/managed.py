@@ -132,19 +132,31 @@ def _file_may_match(
 _Z_BITS = 16
 
 
-def _zvalue_expr(col_bounds: dict[str, tuple[Any, Any]]) -> Column:
-    """Z-curve key: each column linearly scaled to _Z_BITS bits over its
-    [lo, hi], bits interleaved (column j contributes bit i to position
-    i*ncols + j).  Pure column arithmetic — runs in whole-stage codegen."""
+def _z_numeric(col: str, dtype: Any) -> Column:
+    """Numeric view of a z-orderable column (dates -> days since epoch,
+    timestamps -> seconds since epoch, numerics -> double)."""
+    from pyspark.sql.types import DateType, TimestampType
+
+    c = F.col(col)
+    if isinstance(dtype, DateType):
+        return F.datediff(c, F.lit("1970-01-01")).cast("double")
+    if isinstance(dtype, TimestampType):
+        return F.unix_timestamp(c).cast("double")
+    return c.cast("double")
+
+
+def _zvalue_expr(col_bounds: dict[str, tuple[Column, Any, Any]]) -> Column:
+    """Z-curve key: each column's numeric view linearly scaled to _Z_BITS
+    bits over its [lo, hi], bits interleaved (column j contributes bit i to
+    position i*ncols + j).  Pure column arithmetic — runs in whole-stage
+    codegen."""
     ncols = len(col_bounds)
     z = F.lit(0).cast("long")
-    for j, (col, (lo, hi)) in enumerate(col_bounds.items()):
+    for j, (_col, (num, lo, hi)) in enumerate(col_bounds.items()):
         span = (F.lit(hi).cast("double") - F.lit(lo).cast("double"))
         scaled = F.when(span <= 0, F.lit(0)).otherwise(
             F.floor(
-                (F.col(col).cast("double") - F.lit(lo).cast("double"))
-                / span
-                * ((1 << _Z_BITS) - 1)
+                (num - F.lit(lo).cast("double")) / span * ((1 << _Z_BITS) - 1)
             )
         ).cast("long")
         for i in range(_Z_BITS):
@@ -650,13 +662,24 @@ class ManagedTable:
         n_files = max(1, -(-total // target_file_bytes))
         df = self.read()
         if zorder_by:
+            from pyspark.sql.types import DateType, NumericType, TimestampType
+
+            numeric: dict[str, Column] = {}
+            for c in zorder_by:
+                dt = df.schema[c].dataType
+                if not isinstance(dt, (NumericType, DateType, TimestampType)):
+                    raise ValueError(
+                        f"zorder_by needs numeric/date/timestamp columns; "
+                        f"{c!r} is {dt.simpleString()} (use sort_by for strings)"
+                    )
+                numeric[c] = _z_numeric(c, dt)
             bounds = df.agg(
-                *[F.min(c).alias(f"_lo_{c}") for c in zorder_by],
-                *[F.max(c).alias(f"_hi_{c}") for c in zorder_by],
+                *[F.min(numeric[c]).alias(f"_lo_{c}") for c in zorder_by],
+                *[F.max(numeric[c]).alias(f"_hi_{c}") for c in zorder_by],
             ).first()
             zval = _zvalue_expr(
                 {
-                    c: (bounds[f"_lo_{c}"], bounds[f"_hi_{c}"])
+                    c: (numeric[c], bounds[f"_lo_{c}"], bounds[f"_hi_{c}"])
                     for c in zorder_by
                 }
             )

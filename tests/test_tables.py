@@ -339,3 +339,23 @@ def test_zorder_skips_on_every_clustered_column(spark, tmp_path):
     got = sorted(r["id"] for r in z.scan([("y", "<=", 500)]).collect())
     want = sorted(r["id"] for r in df.filter(F.col("y") <= 500).collect())
     assert got == want
+
+
+def test_zorder_on_date_column(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "zd"))
+    df = spark.range(5000).select(
+        "id",
+        F.date_add(F.lit("2020-01-01"), F.pmod(F.col("id") * 37, F.lit(5000)).cast("int")).alias("d"),
+    )
+    t.write(df)
+    t.optimize(zorder_by=["d"], target_file_bytes=8 * 1024)
+    import datetime
+
+    s, total = t.pruned_file_count([("d", "<=", datetime.date(2020, 3, 1))])
+    assert s < total / 2
+    got = t.scan([("d", "<=", datetime.date(2020, 3, 1))]).count()
+    assert got == df.filter(F.col("d") <= "2020-03-01").count()
+    t2 = ManagedTable(spark, str(tmp_path / "zs"))
+    t2.write(df.withColumn("s", F.lit("x")))
+    with pytest.raises(ValueError, match="zorder_by needs"):
+        t2.optimize(zorder_by=["s"])
