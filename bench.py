@@ -24,6 +24,7 @@ HEADLINE = [
     "q02_client_stats",         # broadcast dim join + multi-key agg (gold mart 1)
     "q03_daily_metrics",        # expr join + when-ladder + conditional aggs (gold mart 2)
     "q04_fraud_analysis",       # filter + 3-way join + 2-key agg (gold mart 3)
+    "q30_local_supplier_volume",  # 6-way join through the dim chain
     "q11_top3_orders_per_customer",  # partitioned ranking window
     "q23_user_event_gaps",      # partitioned lag window at fact scale
     "q09_date_spine_ffill",     # spine + forward fill
