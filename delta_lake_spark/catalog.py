@@ -24,25 +24,54 @@ TABLES = [
 ]
 
 
+# events.ts is TIMESTAMP(NANOS) in the corpus, which Spark 4 refuses to read
+# as a timestamp type.  An explicit BIGINT schema reads the raw INT64 nanos
+# without any session conf (the physical parquet type is INT64 either way).
+_EVENTS_RAW_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+# TIMESTAMP_NTZ epoch for wall-clock arithmetic (see epoch helpers below).
+EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan (SURVEY.md §2.1 S1).  Column pruning and predicate
     pushdown happen automatically once the caller selects/filters.
 
-    events.ts is TIMESTAMP(NANOS) in the corpus, which Spark 4 refuses to
-    read as a timestamp; read it as raw nanos (legacy conf) and convert to a
-    microsecond timestamp column so downstream code sees TimestampType.
+    events.ts becomes TIMESTAMP_NTZ (wall-clock, no zone): the corpus writes
+    timezone-naive nanos and the DuckDB oracle reads them naive, so NTZ is
+    the semantically matching Spark type — date/day projections are identical
+    under ANY session timezone, with no session-conf mutation (a reader must
+    never silently change semantics for the rest of the session).
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # timestamp_micros() builds a UTC-instant TimestampType whose
-        # date/second projections are session-timezone-dependent; pin UTC so
-        # results match the (timezone-naive) oracle under any host session.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         from pyspark.sql import functions as F
 
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/{name}.parquet")
+        # integer ns->us division (double division would round at 2^53)
+        return df.withColumn(
+            "ts",
+            F.timestamp_add("MICROSECOND", F.expr("ts div 1000"), F.expr(EPOCH_NTZ)),
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def epoch_seconds(col) -> "F.Column":  # noqa: F821 - Column via functions import
+    """Floor epoch-seconds of a TIMESTAMP_NTZ as wall-clock UTC — the exact
+    twin of DuckDB's second-boundary counting on naive timestamps, and
+    timezone-independent by construction."""
+    from pyspark.sql import functions as F
+
+    return F.timestamp_diff("SECOND", F.expr(EPOCH_NTZ), col)
+
+
+def epoch_micros(col) -> "F.Column":  # noqa: F821
+    """Epoch-microseconds of a TIMESTAMP_NTZ (wall-clock UTC)."""
+    from pyspark.sql import functions as F
+
+    return F.timestamp_diff("MICROSECOND", F.expr(EPOCH_NTZ), col)
 
 
 def table_parallel(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:

@@ -22,9 +22,14 @@ def _dec(c):
 
 
 def client_stats_mart(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
-    """Per-client aggregate mart (deltalake.ipynb:1273-1281, :3153-3162)."""
+    """Per-client aggregate mart (deltalake.ipynb:1273-1281, :3153-3162).
+
+    customer SCALES with the data (150K rows/SF; the reference broadcasts
+    its 50K clients, :3154, which stops being safe at 100x) — no hard hint;
+    AQE auto-broadcasts under threshold.  nation is a fixed dim: hint kept.
+    """
     joined = orders.join(
-        F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left"
+        customer, orders.o_custkey == customer.c_custkey, "left"
     ).join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
     return joined.groupBy(
         F.col("c_custkey").alias("client_id"),
@@ -85,7 +90,7 @@ def fraud_analysis_mart(
     )
     joined = (
         suspicious.join(orders, suspicious.l_orderkey == orders.o_orderkey, "inner")
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "left")
+        .join(customer, orders.o_custkey == customer.c_custkey, "left")
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
     )
     return joined.groupBy(

@@ -697,7 +697,8 @@ def q28_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
         F.countDistinct("o_custkey").alias("exact_customers"),
-        F.percentile_approx("o_totalprice", [0.5, 0.95], 10_000).alias("price_p50_p95"),
+        F.percentile_approx("o_totalprice", 0.5, 10_000).alias("price_p50"),
+        F.percentile_approx("o_totalprice", 0.95, 10_000).alias("price_p95"),
         F.count("*").alias("n"),
     ).orderBy("o_orderpriority")
 
@@ -737,8 +738,11 @@ def q29_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
     )
     return (
+        # customer SCALES with the data (150K/SF) — no hard broadcast hint;
+        # AQE auto-broadcasts under threshold and falls back to shuffle at
+        # 100x scale instead of OOMing the executors.
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             F.to_date("o_orderdate").alias("order_date"),
@@ -780,10 +784,12 @@ def q30_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
     )
     joined = (
+        # customer/supplier scale with the data — no hard broadcast hints
+        # (AQE decides); nation/region are fixed-size dims, hint kept.
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -825,8 +831,9 @@ def q31_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
     )
     return (
+        # customer scales — AQE decides; nation is a fixed dim, hint kept
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
         .agg(

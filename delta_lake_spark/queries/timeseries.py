@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from delta_lake_spark.catalog import table
+from delta_lake_spark.catalog import epoch_seconds, table
 from delta_lake_spark.ops.windows import asof_join, date_spine, diff_cols, gap_fill
 from delta_lake_spark.queries.registry import register
 
@@ -156,7 +156,9 @@ ORDER BY user_id
 def q23_user_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # floor-epoch-second difference == DuckDB date_diff('second', ...)
+    # boundary counting; ts is TIMESTAMP_NTZ so this is tz-independent
+    gap = epoch_seconds(F.col("ts")) - F.lag(epoch_seconds(F.col("ts"))).over(w)
     return (
         e.select("user_id", "event_id", "ts")
         .withColumn("gap_s", gap)
@@ -207,7 +209,14 @@ ORDER BY user_id
 
 @register("q27_user_sessions", oracle=_Q27_SQL.format(epoch_us="epoch_us"))
 def q27_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_lake_spark.catalog import register_views
+    from delta_lake_spark.catalog import EPOCH_NTZ, register_views
 
     register_views(spark, sf_dir)
-    return spark.sql(_Q27_SQL.format(epoch_us="unix_micros"))
+    # SQL scalar UDF (pure-SQL body, stays in codegen): wall-clock epoch-us
+    # of a TIMESTAMP_NTZ — the exact twin of DuckDB's epoch_us on naive ts,
+    # timezone-independent (events.ts is NTZ, see catalog.table).
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION epoch_us_wall(t TIMESTAMP_NTZ) "
+        f"RETURNS BIGINT RETURN timestampdiff(MICROSECOND, {EPOCH_NTZ}, t)"
+    )
+    return spark.sql(_Q27_SQL.format(epoch_us="epoch_us_wall"))

@@ -29,14 +29,17 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
-    TimestampType,
+    TimestampNTZType,
 )
 
+# NTZ wall-clock timestamps end-to-end: events.ts is TIMESTAMP_NTZ
+# (catalog.table), naive pandas timestamps map to NTZ losslessly, and the
+# emitted sessions stay timezone-independent under any session timezone.
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
-        StructField("session_start", TimestampType()),
-        StructField("session_end", TimestampType()),
+        StructField("session_start", TimestampNTZType()),
+        StructField("session_end", TimestampNTZType()),
         StructField("n_events", LongType()),
         StructField("duration_s", DoubleType()),
     ]
@@ -106,8 +109,10 @@ def sessionize(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Gap-based sessions per user over a (streaming) events frame."""
+    from delta_lake_spark.streaming.streams import as_event_time
+
     return (
-        events.withWatermark("ts", watermark)
+        as_event_time(events, "ts").withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             make_sessionizer(gap_seconds),

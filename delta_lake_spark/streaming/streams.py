@@ -52,6 +52,19 @@ def file_stream(
     return reader.format(fmt).load(path)
 
 
+def as_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize a timestamp column for event-time use: Spark watermarks
+    require TimestampType instants (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on
+    TIMESTAMP_NTZ).  Batch-side events.ts is NTZ wall-clock (catalog.table);
+    the cast interprets it in the session timezone — UTC in ``get_spark``
+    sessions, so wall-clock and instant coincide."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def windowed_agg(
     events: DataFrame,
     ts_col: str = "ts",
@@ -65,6 +78,7 @@ def windowed_agg(
     evicted.  Output columns: window_start, window_end, group cols, n,
     total_value.
     """
+    events = as_event_time(events, ts_col)
     grouped = events.withWatermark(ts_col, watermark).groupBy(
         F.window(F.col(ts_col), window), *(group_cols or [])
     )
@@ -89,6 +103,7 @@ def dedup_stream(
     """Streaming exact dedup on ``keys`` with bounded state: duplicates
     arriving within the watermark horizon are dropped; older state is
     evicted (the streaming analog of insert-only MERGE, J7)."""
+    events = as_event_time(events, ts_col)
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 

@@ -21,8 +21,20 @@ def plan_of(df, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def executed_plan_of(df, mode: str = "formatted") -> str:
+    """Final AQE plan: the engine deliberately leaves scaling-table joins
+    unhinted (no hard broadcast on customer/supplier — VERDICT r1 #4), so
+    the broadcast decision is made at runtime from observed sizes and only
+    the post-execution adaptive plan shows it."""
+    df.collect()  # count() would plan a separate aggregate; collect()
+    # executes THIS DataFrame's QueryExecution so explain shows the final plan
+    plan = plan_of(df, mode)
+    assert "isFinalPlan=true" in plan
+    return plan
+
+
 def test_dim_joins_are_broadcast(spark):
-    plan = plan_of(QUERIES["q02_client_stats"](spark, SF_SMOKE))
+    plan = executed_plan_of(QUERIES["q02_client_stats"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan  # dims must never shuffle the fact
 
@@ -73,5 +85,5 @@ def test_managed_table_mart_still_broadcasts(spark, tmp_path):
     c.write(table(spark, SF_SMOKE, "customer"))
     n = ManagedTable(spark, str(tmp_path / "n"))
     n.write(table(spark, SF_SMOKE, "nation"))
-    plan = plan_of(client_stats_mart(o.read(), c.read(), n.read()))
+    plan = executed_plan_of(client_stats_mart(o.read(), c.read(), n.read()))
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

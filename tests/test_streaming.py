@@ -105,12 +105,15 @@ def test_sessionize_matches_batch_sessions(spark, tmp_path, landing, events_batc
 
     from pyspark.sql.window import Window
 
+    from delta_lake_spark.catalog import epoch_seconds
+
     w = Window.partitionBy("user_id").orderBy("ts")
     batch_sessions = (
         events_batch.withColumn(
             "new_sess",
             (
-                F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800
+                epoch_seconds(F.col("ts")) - F.lag(epoch_seconds(F.col("ts"))).over(w)
+                > 1800
             ).cast("int"),
         )
         .withColumn("sess_id", F.sum(F.coalesce("new_sess", F.lit(0))).over(w))
