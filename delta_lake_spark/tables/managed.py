@@ -18,11 +18,13 @@ surface natively on Spark primitives:
   directory via the normal Spark parquet writer (so partitioned layouts,
   snappy, column stats all come for free); the log records every file with
   its parsed partition values.
-- **Atomicity**: the log file is written to a temp name and ``os.rename``d
-  into place — rename is atomic on POSIX, so readers see either the old or
-  the new version, never a torn one.  Single-writer semantics (a concurrent
-  commit to the same version raises ``ConcurrentWriteError``); multi-writer
-  coordination would need a lock service, which Delta on S3 needs too.
+- **Atomicity**: the log file is written to a temp name and hard-linked
+  (``os.link``) into place — link is an atomic put-if-absent on POSIX
+  (fails ``EEXIST``), so readers see either the old or the new version,
+  never a torn one, and two writers racing the same version cannot both
+  succeed (the loser raises ``ConcurrentWriteError``).  Multi-writer
+  coordination beyond detect-and-fail would need a lock service, which
+  Delta on S3 needs too.
 
 Scale notes (100 TB / 1000 executors):
 
@@ -134,35 +136,75 @@ _Z_BITS = 16
 
 def _z_numeric(col: str, dtype: Any) -> Column:
     """Numeric view of a z-orderable column (dates -> days since epoch,
-    timestamps -> seconds since epoch, numerics -> double)."""
-    from pyspark.sql.types import DateType, TimestampType
+    timestamps -> seconds since epoch, booleans -> 0/1, numerics ->
+    double)."""
+    from pyspark.sql.types import BooleanType, DateType, TimestampType
 
     c = F.col(col)
     if isinstance(dtype, DateType):
         return F.datediff(c, F.lit("1970-01-01")).cast("double")
     if isinstance(dtype, TimestampType):
         return F.unix_timestamp(c).cast("double")
+    if isinstance(dtype, BooleanType):
+        return c.cast("int").cast("double")
     return c.cast("double")
 
 
 def _zvalue_expr(col_bounds: dict[str, tuple[Column, Any, Any]]) -> Column:
-    """Z-curve key: each column's numeric view linearly scaled to _Z_BITS
-    bits over its [lo, hi], bits interleaved (column j contributes bit i to
-    position i*ncols + j).  Pure column arithmetic — runs in whole-stage
-    codegen."""
+    """Z-curve key: each column's numeric view linearly scaled to a fixed
+    number of bits over its [lo, hi], bits interleaved (column j contributes
+    bit i to position i*ncols + j).  Pure column arithmetic — runs in
+    whole-stage codegen.
+
+    Per-column bits are capped so the highest interleaved bit stays below
+    position 62: with 16 bits and 4+ columns a bit would land on the long's
+    sign bit (making z-values negative and mis-ordered) or wrap mod 64 and
+    alias between columns.
+    """
     ncols = len(col_bounds)
+    bits = min(_Z_BITS, 62 // ncols)
     z = F.lit(0).cast("long")
     for j, (_col, (num, lo, hi)) in enumerate(col_bounds.items()):
         span = (F.lit(hi).cast("double") - F.lit(lo).cast("double"))
         scaled = F.when(span <= 0, F.lit(0)).otherwise(
             F.floor(
-                (num - F.lit(lo).cast("double")) / span * ((1 << _Z_BITS) - 1)
+                (num - F.lit(lo).cast("double")) / span * ((1 << bits) - 1)
             )
         ).cast("long")
-        for i in range(_Z_BITS):
+        for i in range(bits):
             bit = F.shiftright(scaled, i).bitwiseAND(F.lit(1))
             z = z + F.shiftleft(bit, i * ncols + j)
     return z
+
+
+def _hive_value_str(val: Any) -> str | None:
+    """Render a Python value the way a Hive-style partition directory names
+    it *after* unescaping: ``None``/empty string -> None (the default
+    partition), booleans lowercase, dates/timestamps in Spark's dir format,
+    everything else ``str``.  Paired with :func:`_dir_value_str` so both
+    sides of a partition-value comparison are in the same form."""
+    import datetime
+
+    if val is None:
+        return None
+    if isinstance(val, bool):
+        return "true" if val else "false"
+    if isinstance(val, datetime.datetime):
+        return val.isoformat(sep=" ")
+    if isinstance(val, datetime.date):
+        return val.isoformat()
+    s = str(val)
+    return s if s != "" else None
+
+
+def _dir_value_str(raw: str) -> str | None:
+    """Decode a raw Hive dir-name partition value: percent-unescape and map
+    ``__HIVE_DEFAULT_PARTITION__`` (null or empty string) to None."""
+    from urllib.parse import unquote
+
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    return unquote(raw)
 
 
 def _filters_expr(filters: list[tuple[str, str, Any]]) -> "Column":
@@ -266,10 +308,17 @@ class ManagedTable:
         tmp = final + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(entry, f)
-        if os.path.exists(final):  # lost the race
+        # Atomic put-if-absent: link() fails with EEXIST if another writer
+        # committed this version first (an exists()-then-rename check would
+        # race — POSIX rename silently overwrites, losing a commit).
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"version {version} already committed"
+            ) from None
+        finally:
             os.unlink(tmp)
-            raise ConcurrentWriteError(f"version {version} already committed")
-        os.rename(tmp, final)
         return version
 
     # ------------------------------------------------------------------ #
@@ -415,8 +464,14 @@ class ManagedTable:
         for f in entry["files"]:
             keep = _file_may_match(f, filters)
             for col, op, val in filters:
-                if col in part_cols and op == "=" and f["partition"].get(col) != str(val):
-                    keep = False
+                if col in part_cols and op == "=" and col in f["partition"]:
+                    # normalized comparison (booleans, escaped chars, null
+                    # partition): skip only on a PROVEN mismatch — a null/
+                    # empty dir value (None) never proves a mismatch against
+                    # an empty-string literal, so both normalize to None and
+                    # the file is kept.
+                    if _dir_value_str(f["partition"][col]) != _hive_value_str(val):
+                        keep = False
             (live if keep else skipped).append(f)
         return skipped, live
 
@@ -455,11 +510,17 @@ class ManagedTable:
         (not validated here — validate with ``quality.assert_unique`` when
         in doubt).
 
-        Partition pruning: if the table is partitioned and every partition
-        column is present in the source, only the partitions the source
-        touches are rewritten; all other files carry into the new snapshot
-        by reference.  The rewrite itself is a distributed anti/union plan —
-        with a small source, Spark auto-broadcasts the anti-join side.
+        Partition pruning: only applied when every partition column is part
+        of ``keys`` — then a matched target row provably carries the same
+        partition values as its source row, so partitions the source doesn't
+        touch can't contain matches and carry over by reference.  When the
+        partition columns are NOT merge keys, a key's partition value may
+        differ between source and target (e.g. a client changing country);
+        skipping the old partition would strand the stale row (duplicate
+        keys), so the merge falls back to file-stats pruning across the
+        whole table — Delta MERGE matches table-wide too.  The rewrite
+        itself is a distributed anti/union plan — with a small source, Spark
+        auto-broadcasts the anti-join side.
         """
         if when_matched not in ("update_all", "ignore", "delete"):
             raise ValueError(f"bad when_matched: {when_matched!r}")
@@ -467,47 +528,54 @@ class ManagedTable:
             raise ValueError(f"bad when_not_matched: {when_not_matched!r}")
         entry = self._entry()
         partition_by: list[str] = entry.get("partition_by") or []
-        prune = bool(partition_by) and all(
-            c in source.columns for c in partition_by
-        )
+        prune = bool(partition_by) and all(c in keys for c in partition_by)
+        table_cols = [f.name for f in StructType.fromJson(entry["schema"]).fields]
 
-        if prune:
-            # driver-side partition pruning over log metadata (small), never
-            # over data rows
-            touched = {
-                tuple(str(r[c]) for c in partition_by)
-                for r in source.select(*partition_by).distinct().collect()
-            }
-            keep_files, affected = [], []
-            for f in entry["files"]:
-                part = tuple(f["partition"].get(c) for c in partition_by)
-                (affected if part in touched else keep_files).append(f)
-        else:
-            # file-level stats pruning (Delta data-skipping applied to
-            # MERGE): a file whose per-key min/max range is disjoint from
-            # the source's key bounds can't contain a matched row, so it
-            # carries over by reference.  One tiny agg over the source;
-            # inserts always land in the new commit's files, so only
-            # matched rows constrain which files must rewrite.
-            bounds_row = source.agg(
-                *[F.min(k).alias(f"_lo_{k}") for k in keys],
-                *[F.max(k).alias(f"_hi_{k}") for k in keys],
-            ).first()
-            filters = []
-            for k in keys:
-                lo, hi = bounds_row[f"_lo_{k}"], bounds_row[f"_hi_{k}"]
-                if lo is not None:
-                    filters += [(k, ">=", lo), (k, "<=", hi)]
-            keep_files, affected = [], []
-            for f in entry["files"]:
-                (affected if not filters or _file_may_match(f, filters) else keep_files).append(f)
-        target = self._read_files(entry, affected)
-
-        # The source plan feeds two branches of every merge shape (union +
-        # anti/semi join); persist so an expensive source (e.g. a recomputed
-        # mart) is evaluated once, not per-branch.
-        src = source.select(*target.columns).persist()
+        # The source plan feeds every downstream consumer (the pruning
+        # aggregate/distinct below plus both branches of the merge shape);
+        # persist FIRST so an expensive source (e.g. a recomputed mart) is
+        # evaluated once, not once per consumer.
+        src = source.select(*table_cols).persist()
         try:
+            if prune:
+                # driver-side partition pruning over log metadata (small),
+                # never over data rows; both sides normalized to the same
+                # rendering (booleans, escapes, null partition)
+                touched = {
+                    tuple(_hive_value_str(r[c]) for c in partition_by)
+                    for r in src.select(*partition_by).distinct().collect()
+                }
+                keep_files, affected = [], []
+                for f in entry["files"]:
+                    if all(c in f["partition"] for c in partition_by):
+                        part = tuple(
+                            _dir_value_str(f["partition"][c]) for c in partition_by
+                        )
+                        hit = part in touched
+                    else:  # un-layouted file (pre-partitioning commit): keep
+                        hit = True
+                    (affected if hit else keep_files).append(f)
+            else:
+                # file-level stats pruning (Delta data-skipping applied to
+                # MERGE): a file whose per-key min/max range is disjoint from
+                # the source's key bounds can't contain a matched row, so it
+                # carries over by reference.  One tiny agg over the source;
+                # inserts always land in the new commit's files, so only
+                # matched rows constrain which files must rewrite.
+                bounds_row = src.agg(
+                    *[F.min(k).alias(f"_lo_{k}") for k in keys],
+                    *[F.max(k).alias(f"_hi_{k}") for k in keys],
+                ).first()
+                filters = []
+                for k in keys:
+                    lo, hi = bounds_row[f"_lo_{k}"], bounds_row[f"_hi_{k}"]
+                    if lo is not None:
+                        filters += [(k, ">=", lo), (k, "<=", hi)]
+                keep_files, affected = [], []
+                for f in entry["files"]:
+                    (affected if not filters or _file_may_match(f, filters) else keep_files).append(f)
+            target = self._read_files(entry, affected)
+
             if when_matched == "update_all" and when_not_matched == "insert_all":
                 merged = src.unionByName(target.join(src, keys, "left_anti"))
             elif when_matched == "ignore" and when_not_matched == "insert_all":
@@ -662,15 +730,23 @@ class ManagedTable:
         n_files = max(1, -(-total // target_file_bytes))
         df = self.read()
         if zorder_by:
-            from pyspark.sql.types import DateType, NumericType, TimestampType
+            from pyspark.sql.types import (
+                BooleanType,
+                DateType,
+                NumericType,
+                TimestampType,
+            )
 
             numeric: dict[str, Column] = {}
             for c in zorder_by:
                 dt = df.schema[c].dataType
-                if not isinstance(dt, (NumericType, DateType, TimestampType)):
+                if not isinstance(
+                    dt, (NumericType, DateType, TimestampType, BooleanType)
+                ):
                     raise ValueError(
-                        f"zorder_by needs numeric/date/timestamp columns; "
-                        f"{c!r} is {dt.simpleString()} (use sort_by for strings)"
+                        f"zorder_by needs numeric/date/timestamp/boolean "
+                        f"columns; {c!r} is {dt.simpleString()} "
+                        f"(use sort_by for strings)"
                     )
                 numeric[c] = _z_numeric(c, dt)
             bounds = df.agg(
