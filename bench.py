@@ -67,18 +67,36 @@ def main() -> None:
         )
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_warm",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "cold_total": round(sum(cold.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_total_warm",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "cold_total": round(sum(cold.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+
+    # Reference-scale section (BASELINE.md is timed at 10-11M fact rows, not
+    # sf0.1): the same marts + scan suite at the reference's own row count.
+    # Data is generated once (seeded) and cached under benchdata/; repeat
+    # runs only pay the timed segments.  Disable with SPARK_GRAFT_10M=0.
+    if os.environ.get("SPARK_GRAFT_10M", "1") != "0":
+        try:
+            from delta_lake_spark.benchmark import run_ref10m
+
+            payload["ref10m"] = run_ref10m(
+                spark,
+                os.environ.get(
+                    "SPARK_GRAFT_10M_DIR",
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "benchdata", "ref10m"),
+                ),
+                num_records=int(os.environ.get("SPARK_GRAFT_10M_ROWS", 10_000_000)),
+            )
+        except Exception as exc:  # keep the headline line parseable
+            payload["ref10m"] = {"error": f"{type(exc).__name__}: {exc}"}
+
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -59,14 +59,22 @@ def cosine_topk(
     return sims.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def hyperplanes(dim: int, seed: int = 7) -> list[list[float]]:
+    """The fixed seeded hyperplane set — exposed so an oracle can replicate
+    the exact constants (floats round-trip exactly through repr into both
+    engines' double literals)."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(N_HYPERPLANES)]
+
+
 def hyperplane_signature(vec: Column, dim: int, seed: int = 7) -> Column:
     """Random-hyperplane LSH signature (bigint bitmask): bit i = 1 iff
-    dot(vec, h_i) > 0 for N_HYPERPLANES fixed seeded hyperplanes."""
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(N_HYPERPLANES)]
+    dot(vec, h_i) > 0 for N_HYPERPLANES fixed seeded hyperplanes.  The sign
+    test is bit-stable across engines because ``dot`` folds strictly
+    left-to-right in both."""
     v = as_double(vec)
     out = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
+    for i, plane in enumerate(hyperplanes(dim, seed)):
         d = dot(v, F.array(*[F.lit(x) for x in plane]))
         out = out + F.when(d > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
     return out

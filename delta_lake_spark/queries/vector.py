@@ -54,32 +54,103 @@ def v01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# v02 — embedding-cosine near-dup pairs above a threshold (corpus has no
-# planted dups — max pairwise sim ≈ 0.51 — so 0.4 yields a small non-empty
-# result; the operator itself is threshold-parametric)
+# v02 — embedding-cosine near-dup pairs via hyperplane-LSH candidate
+# generation: 16 seeded hyperplane sign bits per vector, banded 8x2; vectors
+# sharing any band bucket become candidate pairs; exact cosine verifies
+# candidates against the threshold.  NO all-pairs join anywhere — the only
+# joins are equi-joins on (band, key) and on vec_id, so the plan stays
+# hash/sort-merge (a test asserts no BroadcastNestedLoopJoin).  At 100 TB
+# the knobs scale the same shape: more hyperplanes + wider band keys shrink
+# buckets, candidate fetch stays two id-equi-joins.  Recall at the 0.4
+# threshold is 1-(1-p^2)^8 with p = 1 - acos(sim)/pi (~98%); the oracle
+# replicates the exact seeded hyperplanes so both engines surface the
+# identical candidate set (the d06 MinHash pattern).
+#
+# (Corpus has no planted dups — max pairwise sim ~0.51 — so 0.4 yields a
+# small non-empty result; threshold and banding are parametric.)
 # ---------------------------------------------------------------------------
-@register(
-    "v02_embedding_near_dups",
-    oracle=f"""
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label_a, b.label AS label_b,
-       {_COS_SQL} AS sim
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE {_COS_SQL} > 0.4
+_EMB_DIM = 64
+_N_BANDS, _BAND_BITS = 8, 2
+
+
+def _v02_oracle() -> str:
+    from delta_lake_spark.functions.similarity import hyperplanes
+
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(x) for x in p)}]) > 0"
+        f" THEN {2**i} ELSE 0 END)"
+        for i, p in enumerate(hyperplanes(_EMB_DIM))
+    )
+    cos = (
+        "list_dot_product(va.e, vb.e) / (sqrt(list_dot_product(va.e, va.e)) * "
+        "sqrt(list_dot_product(vb.e, vb.e)))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (SELECT vec_id, ({sig}) AS sig FROM v),
+bands AS (SELECT vec_id, r.range AS band,
+                 (sig >> (r.range * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1} AS key
+          FROM s, range({_N_BANDS}) r),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+SELECT c.id_a, c.id_b, va.label AS label_a, vb.label AS label_b, {cos} AS sim
+FROM cand c
+JOIN v va ON va.vec_id = c.id_a
+JOIN v vb ON vb.vec_id = c.id_b
+WHERE {cos} > 0.4
 ORDER BY id_a, id_b
-""",
-)
+"""
+
+
+@register("v02_embedding_near_dups", oracle=_v02_oracle())
 def v02_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-    a = e.select(
+    from delta_lake_spark.functions.similarity import hyperplane_signature
+
+    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", "label", "embedding"
+    )
+    sig = e.select(
+        "vec_id", hyperplane_signature(F.col("embedding"), dim=_EMB_DIM).alias("sig")
+    )
+    mask = (1 << _BAND_BITS) - 1
+    bands = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * _BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    va = e.select(
         F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"), F.col("embedding").alias("ea")
     )
-    b = e.select(
+    vb = e.select(
         F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("embedding").alias("eb")
     )
     sim = cosine(as_double(F.col("ea")), as_double(F.col("eb")))
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("sim", sim)
         .filter(F.col("sim") > 0.4)
         .select("id_a", "id_b", "label_a", "label_b", "sim")

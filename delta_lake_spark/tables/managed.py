@@ -338,26 +338,33 @@ class ManagedTable:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out)
-        files = []
+        found: list[tuple[str, dict[str, str]]] = []
         for dirpath, _dirs, names in os.walk(out):
+            partition: dict[str, str] = {}
+            for seg in os.path.relpath(dirpath, out).split(os.sep):
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    partition[k] = v
             for name in names:
-                if not name.endswith(".parquet"):
-                    continue
-                full = os.path.join(dirpath, name)
-                rel = os.path.relpath(full, self.path)
-                partition: dict[str, str] = {}
-                for seg in os.path.relpath(dirpath, out).split(os.sep):
-                    if "=" in seg:
-                        k, _, v = seg.partition("=")
-                        partition[k] = v
-                files.append(
-                    {
-                        "path": rel,
-                        "size": os.path.getsize(full),
-                        "partition": partition,
-                        "stats": _footer_stats(full),
-                    }
-                )
+                if name.endswith(".parquet"):
+                    found.append((os.path.join(dirpath, name), partition))
+        # footer stats are per-file metadata reads — IO-bound and
+        # independent, so collect them in a thread pool (a partitioned
+        # write can produce thousands of files; sequential collection was
+        # the dominant cost of partitioned commits)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, max(1, len(found)))) as pool:
+            stats = list(pool.map(lambda fp: _footer_stats(fp[0]), found))
+        files = [
+            {
+                "path": os.path.relpath(full, self.path),
+                "size": os.path.getsize(full),
+                "partition": partition,
+                "stats": st,
+            }
+            for (full, partition), st in zip(found, stats)
+        ]
         return commit_dir, files
 
     def write(

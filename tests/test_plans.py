@@ -71,6 +71,15 @@ def test_partition_filter_prunes_managed_table(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(part" in plan
 
 
+def test_v02_lsh_plan_has_no_cartesian(spark):
+    """v02 generates candidates through banded LSH equi-joins; an all-pairs
+    cosine join (BroadcastNestedLoopJoin / cartesian over the corpus) must
+    never reappear — it was the round-1 scale-killer (VERDICT r1 #3)."""
+    plan = plan_of(QUERIES["v02_embedding_near_dups"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_managed_table_mart_still_broadcasts(spark, tmp_path):
     """Gold marts built FROM managed tables (union-of-commit-dir scans)
     must keep the broadcast dim join — the snapshot wrapper must not push
