@@ -365,13 +365,18 @@ def run_ref10m(
         cs_table = ManagedTable(spark, os.path.join(gold_dir, "client_stats"))
         dm_table = ManagedTable(spark, os.path.join(gold_dir, "daily_metrics"))
         t0 = time.perf_counter()
-        cs_table.write(client_stats, partition_by=["country"])
-        dm_table.write(daily_metrics.repartition("date"), partition_by=["date"])
-        out["save"] = round(time.perf_counter() - t0, 3)
-        out["total"] = round(
-            out["load"] + out["client_stats"] + out["daily_metrics"]
-            + out["fraud"] + out["save"], 3,
+        cs_table.write(client_stats.repartition("country"), partition_by=["country"])
+        t1 = time.perf_counter()
+        out["save_cs"] = round(t1 - t0, 3)
+        # pin the shuffle width: an unpinned repartition("date") lets AQE
+        # coalesce the tiny aggregate to ONE task, which then writes all
+        # ~1.4K date dirs sequentially (measured 19.5s -> 4.5s pinned)
+        n_write = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        dm_table.write(
+            daily_metrics.repartition(n_write, "date"), partition_by=["date"]
         )
+        out["save_dm"] = round(time.perf_counter() - t1, 3)
+        out["save"] = round(time.perf_counter() - t0, 3)
 
         # -- save: repeat (MERGE + anti-join append, :3212-3236) ------------
         t0 = time.perf_counter()
@@ -379,8 +384,19 @@ def run_ref10m(
         existing_dates = dm_table.read().select("date").distinct()
         fresh = daily_metrics.join(existing_dates, "date", "left_anti")
         if fresh.limit(1).count():  # no empty commit for a no-op append
-            dm_table.write(fresh.repartition("date"), mode="append")
+            dm_table.write(fresh.repartition(n_write, "date"), mode="append")
         out["save_merge"] = round(time.perf_counter() - t0, 3)
+        # the reference's 76.45 s total took the merge save branch (its gold
+        # tables pre-existed); "total" uses the same branch for parity, with
+        # the first-write path reported separately as save/save_cs/save_dm
+        out["total"] = round(
+            out["load"] + out["client_stats"] + out["daily_metrics"]
+            + out["fraud"] + out["save_merge"], 3,
+        )
+        out["total_first_write"] = round(
+            out["load"] + out["client_stats"] + out["daily_metrics"]
+            + out["fraud"] + out["save"], 3,
+        )
 
         client_stats.unpersist()
         daily_metrics.unpersist()
