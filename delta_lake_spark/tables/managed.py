@@ -9,11 +9,17 @@ compaction / Z-ordering (:1336-1338, :4614-4620), and table metadata
 available in this environment, so this module re-implements that capability
 surface natively on Spark primitives:
 
-- **Commit log**: ``<root>/_log/<version>.json``, one JSON file per commit,
-  each holding the *complete* file list of that snapshot (Delta-checkpoint
-  style rather than add/remove deltas — O(files) metadata per commit, fine up
-  to ~100K files; at larger file counts the log entry itself should become a
-  parquet checkpoint, which is exactly what Delta does).
+- **Commit log**: ``<root>/_log/<version>.json``, one JSON file per commit
+  holding the commit's *delta* — ``add`` (new file records) and ``remove``
+  (paths dropped from the snapshot) — exactly Delta's add/remove action
+  model, so commit cost is O(changed files), not O(table files).  Every
+  ``_CHECKPOINT_INTERVAL`` commits a ``<version>.checkpoint.json`` with the
+  complete consolidated file list is also written (Delta's parquet
+  checkpoint, in compacted JSON); reading any version loads the nearest
+  checkpoint at-or-below it plus the delta tail — O(tail + snapshot), never
+  O(all history).  Version 0 needs no checkpoint (its delta IS the full
+  list); legacy entries carrying a full ``files`` list read as
+  self-contained snapshots.
 - **Data files**: each commit writes into its own ``<root>/c<version>/``
   directory via the normal Spark parquet writer (so partitioned layouts,
   snappy, column stats all come for free); the log records every file with
@@ -54,6 +60,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 _LOG_DIR = "_log"
+
+# Write a full-snapshot checkpoint every N commits; reads replay at most
+# N-1 delta entries past a checkpoint.  Delta's default is 10 too.
+_CHECKPOINT_INTERVAL = 10
 
 # JSON-safe stat types we collect and prune on (Delta's data-skipping set,
 # minus timestamps which need tz care)
@@ -251,6 +261,10 @@ class ManagedTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = os.path.abspath(path)
+        # Reconstructed snapshots keyed by version.  A committed version's
+        # content is immutable, so cached entries never go stale; the cache
+        # is bounded to keep driver memory O(few snapshots).
+        self._snap_cache: dict[int, dict[str, Any]] = {}
 
     # ------------------------------------------------------------------ #
     # existence / construction
@@ -283,25 +297,92 @@ class ManagedTable:
         if not os.path.isdir(log):
             return []
         return sorted(
-            int(f[:-5]) for f in os.listdir(log) if f.endswith(".json")
+            int(f[:-5])
+            for f in os.listdir(log)
+            if f.endswith(".json") and not f.endswith(".checkpoint.json")
+        )
+
+    def _checkpoint_versions(self) -> list[int]:
+        log = os.path.join(self.path, _LOG_DIR)
+        if not os.path.isdir(log):
+            return []
+        return sorted(
+            int(f[: -len(".checkpoint.json")])
+            for f in os.listdir(log)
+            if f.endswith(".checkpoint.json")
         )
 
     def latest_version(self) -> int | None:
         vs = self._versions()
         return vs[-1] if vs else None
 
+    def _raw_entry(self, version: int) -> dict[str, Any]:
+        """The log entry exactly as committed — a delta (``add``/``remove``)
+        in the current format, or a full snapshot for legacy/checkpoint
+        entries.  Metadata-only consumers (``history``) use this to stay
+        O(1) per version."""
+        with open(self._log_path(version)) as f:
+            return json.load(f)
+
     def _entry(self, version: int | None = None) -> dict[str, Any]:
+        """The full snapshot at ``version``: the commit's metadata plus the
+        materialized ``files`` list, reconstructed from the nearest
+        checkpoint at-or-below plus the delta tail (O(tail), never O(all
+        history))."""
         if version is None:
             version = self.latest_version()
             if version is None:
                 raise FileNotFoundError(f"not a managed table: {self.path}")
-        with open(self._log_path(version)) as f:
-            return json.load(f)
+        cached = self._snap_cache.get(version)
+        if cached is not None:
+            return cached
+        raw = self._raw_entry(version)
+        if "files" in raw:  # legacy self-contained entry
+            snap = raw
+        else:
+            ckpts = [c for c in self._checkpoint_versions() if c <= version]
+            files: dict[str, dict[str, Any]] = {}
+            start = -1
+            if ckpts:
+                start = ckpts[-1]
+                cp_path = os.path.join(
+                    self.path, _LOG_DIR, f"{start:08d}.checkpoint.json"
+                )
+                with open(cp_path) as f:
+                    files = {rec["path"]: rec for rec in json.load(f)["files"]}
+            for v in range(start + 1, version + 1):
+                d = raw if v == version else self._raw_entry(v)
+                if "files" in d:  # legacy entry doubles as a checkpoint
+                    files = {rec["path"]: rec for rec in d["files"]}
+                    continue
+                for p in d.get("remove", ()):
+                    files.pop(p, None)
+                for rec in d.get("add", ()):
+                    files[rec["path"]] = rec
+            snap = dict(raw)
+            snap["files"] = list(files.values())
+        self._snap_cache[version] = snap
+        while len(self._snap_cache) > 4:
+            self._snap_cache.pop(next(iter(self._snap_cache)))
+        return snap
 
     def _commit(self, entry: dict[str, Any]) -> int:
+        """Commit ``entry`` (carrying the complete post-commit ``files``
+        list) as the next version.  The log entry stores only the diff vs
+        the previous snapshot; a full checkpoint lands every
+        ``_CHECKPOINT_INTERVAL`` commits."""
         os.makedirs(os.path.join(self.path, _LOG_DIR), exist_ok=True)
         latest = self.latest_version()
         version = 0 if latest is None else latest + 1
+        new_files: list[dict[str, Any]] = entry.pop("files")
+        prev: dict[str, dict[str, Any]] = (
+            {}
+            if latest is None
+            else {f["path"]: f for f in self._entry(latest)["files"]}
+        )
+        new_paths = {f["path"] for f in new_files}
+        entry["add"] = [f for f in new_files if prev.get(f["path"]) != f]
+        entry["remove"] = sorted(p for p in prev if p not in new_paths)
         entry["version"] = version
         entry["timestamp"] = time.time()
         final = self._log_path(version)
@@ -319,6 +400,24 @@ class ManagedTable:
             ) from None
         finally:
             os.unlink(tmp)
+        snap = dict(entry)
+        snap["files"] = new_files
+        self._snap_cache[version] = snap
+        if version > 0 and version % _CHECKPOINT_INTERVAL == 0:
+            # Checkpoints are derived data — racing writers may both try
+            # this; first link wins, the loser's attempt is harmless.
+            cp = os.path.join(
+                self.path, _LOG_DIR, f"{version:08d}.checkpoint.json"
+            )
+            cp_tmp = cp + f".tmp-{uuid.uuid4().hex}"
+            with open(cp_tmp, "w") as f:
+                json.dump({"version": version, "files": new_files}, f)
+            try:
+                os.link(cp_tmp, cp)
+            except FileExistsError:
+                pass
+            finally:
+                os.unlink(cp_tmp)
         return version
 
     # ------------------------------------------------------------------ #
@@ -792,22 +891,90 @@ class ManagedTable:
         )
         return self.latest_version()  # type: ignore[return-value]
 
-    def changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
-        """Rows added after ``from_version`` up to ``to_version`` (latest by
-        default) — the engine's Change-Data-Feed analog, driven purely by
-        the commit log's file diff (no data rewrite, no extra columns).
+    def _commit_diff(
+        self, version: int
+    ) -> tuple[list[dict[str, Any]], list[str]]:
+        """(added file records, removed paths) for one commit — straight
+        from the delta entry, or a snapshot diff for legacy full entries."""
+        raw = self._raw_entry(version)
+        if "files" not in raw:
+            return raw.get("add", []), raw.get("remove", [])
+        prev = (
+            {f["path"] for f in self._entry(version - 1)["files"]}
+            if version > 0
+            else set()
+        )
+        new_paths = {f["path"] for f in raw["files"]}
+        add = [f for f in raw["files"] if f["path"] not in prev]
+        return add, sorted(prev - new_paths)
 
-        Semantics: exact for append-only tables (each appended file's rows
-        appear once).  For merge/overwrite commits the added files contain
-        the POST-IMAGE of every row in the rewritten scope, so consumers see
-        upserts as fresh rows (like Delta CDF with update_postimage only);
-        deletes are not surfaced.  Downstream idempotent merges (the
-        engine's own sink pattern) absorb this correctly.
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_change_type: bool = False,
+    ) -> DataFrame:
+        """Change-Data-Feed analog: rows changed after ``from_version`` up
+        to ``to_version`` (latest by default), driven purely by the commit
+        log's add/remove actions — no data rewrite, no extra storage.
+
+        Compaction-only commits (``optimize``/``zorder``) are skipped:
+        they rewrite files without a logical change, so they surface
+        nothing (Delta CDF emits nothing for OPTIMIZE either).
+
+        Default output: the union of each non-compaction commit's added
+        rows.  Appends are exact; merge/overwrite/delete/update commits
+        surface the POST-IMAGE of every row in their rewritten scope
+        (like Delta CDF's update_postimage) — downstream idempotent
+        merges (the engine's own sink pattern) absorb this correctly.
+
+        ``include_change_type=True`` adds a ``_change_type`` column and
+        additionally surfaces DELETED rows: for each commit, rows present
+        in its removed files but absent from its added files
+        (``exceptAll`` over the rewritten scope only) come back tagged
+        ``delete`` — these are pre-images, so an updated row appears as a
+        ``delete`` pre-image plus an ``insert`` post-image, standard CDC
+        shape.  Pre-images require the removed files to still exist —
+        i.e. ``vacuum`` must not have reclaimed the range being read.
         """
-        base = {f["path"] for f in self._entry(from_version)["files"]}
+        if to_version is None:
+            to_version = self.latest_version() or 0
         target = self._entry(to_version)
-        added = [f for f in target["files"] if f["path"] not in base]
-        return self._read_files(target, added)
+        live = {f["path"] for f in target["files"]}
+        added: dict[str, dict[str, Any]] = {}
+        delete_frames: list[DataFrame] = []
+        for v in range(from_version + 1, to_version + 1):
+            raw = self._raw_entry(v)
+            if raw.get("operation") in ("optimize", "zorder"):
+                continue
+            add, removed = self._commit_diff(v)
+            for rec in add:
+                added[rec["path"]] = rec
+            if include_change_type and removed:
+                prev_entry = self._entry(v - 1)
+                rm_recs = [
+                    f for f in prev_entry["files"] if f["path"] in set(removed)
+                ]
+                pre = self._read_files(prev_entry, rm_recs)
+                post = self._read_files(self._entry(v), add)
+                delete_frames.append(pre.exceptAll(post))
+        # A file added then rewritten later in the range would double-count
+        # its rows against the final post-image — keep only files still
+        # live in the target snapshot (their replacement files are also in
+        # the range and carry the surviving rows).
+        add_recs = [rec for p, rec in added.items() if p in live]
+        out = self._read_files(target, add_recs)
+        if not include_change_type:
+            return out
+        out = out.withColumn("_change_type", F.lit("insert"))
+        for d in delete_frames:
+            # allowMissingColumns: a pre-image from before a schema
+            # evolution lacks the later columns — they come back null
+            out = out.unionByName(
+                d.withColumn("_change_type", F.lit("delete")),
+                allowMissingColumns=True,
+            )
+        return out
 
     def create_view(self, name: str, version: int | None = None) -> None:
         """Register the (time-travel) snapshot for ``spark.sql`` access —
@@ -821,7 +988,7 @@ class ManagedTable:
         deltalake.ipynb:8760)."""
         out = []
         for v in reversed(self._versions()):
-            e = self._entry(v)
+            e = self._raw_entry(v)  # metadata only — no snapshot replay
             out.append(
                 {
                     "version": e["version"],
@@ -845,14 +1012,23 @@ class ManagedTable:
             "schema": self.schema().simpleString(),
         }
 
-    def vacuum(self) -> int:
-        """Delete data files not referenced by the LATEST snapshot.
+    def vacuum(self, retain_hours: float = 0.0) -> int:
+        """Delete data files referenced by no retained snapshot.
 
-        After vacuum, time travel to pre-vacuum versions is no longer
-        possible (log entries remain for history, like Delta after
-        ``VACUUM RETAIN 0``).  Returns the number of files deleted.
+        A snapshot is retained if it is the LATEST, or its commit
+        timestamp falls within the last ``retain_hours`` (Delta's
+        ``VACUUM ... RETAIN n HOURS``; Delta defaults to 168h, here the
+        default keeps only the latest — the pre-existing behavior).
+        Time travel and CDF pre-images older than the retention window
+        stop working (log entries remain for ``history``).  Returns the
+        number of files deleted.
         """
-        live = {f["path"] for f in self._entry()["files"]}
+        cutoff = time.time() - retain_hours * 3600.0
+        latest = self.latest_version()
+        live: set[str] = set()
+        for v in self._versions():
+            if v == latest or self._raw_entry(v)["timestamp"] >= cutoff:
+                live |= {f["path"] for f in self._entry(v)["files"]}
         deleted = 0
         for dirpath, _dirs, names in os.walk(self.path):
             if _LOG_DIR in dirpath:
