@@ -600,6 +600,9 @@ class ManagedTable:
         keys: list[str],
         when_matched: str = "update_all",
         when_not_matched: str = "insert_all",
+        matched_condition: "Column | str | None" = None,
+        update_set: "dict[str, Column | str] | None" = None,
+        not_matched_condition: "Column | str | None" = None,
     ) -> int:
         """Upsert ``source`` into the table on equality of ``keys``.
 
@@ -611,6 +614,20 @@ class ManagedTable:
         (``ignore``/``insert_all``) pair is the reference's insert-only
         dedup merge (deltalake.ipynb:1786-1791); the default pair is its
         full upsert (:2942-2945).
+
+        Conditional clauses (Delta ``whenMatchedUpdate(set=…,
+        condition=…)`` / ``whenNotMatchedInsert(condition=…)``):
+
+        - ``update_set``: partial update — only the listed columns change
+          on matched rows (``{col: expression}``; expressions may
+          reference the target as ``t.<col>`` and the source as
+          ``s.<col>``, strings are parsed with ``F.expr``).  Merge keys
+          cannot be assigned.  Implies an update ``when_matched``.
+        - ``matched_condition``: the matched clause (update or delete)
+          applies only where this ``t``/``s`` predicate holds; other
+          matched rows keep the target row.
+        - ``not_matched_condition``: only source rows satisfying this
+          ``s`` predicate insert.
 
         Like Delta, requires the source to have at most one row per key
         (not validated here — validate with ``quality.assert_unique`` when
@@ -632,6 +649,17 @@ class ManagedTable:
             raise ValueError(f"bad when_matched: {when_matched!r}")
         if when_not_matched not in ("insert_all", "ignore"):
             raise ValueError(f"bad when_not_matched: {when_not_matched!r}")
+        if update_set:
+            if when_matched != "update_all":
+                raise ValueError(
+                    "update_set implies an update clause; "
+                    f"incompatible with when_matched={when_matched!r}"
+                )
+            bad_keys = sorted(set(update_set) & set(keys))
+            if bad_keys:
+                raise ValueError(f"update_set cannot assign merge keys: {bad_keys}")
+        if matched_condition is not None and when_matched == "ignore":
+            raise ValueError("matched_condition with when_matched='ignore' is a no-op")
         entry = self._entry()
         partition_by: list[str] = entry.get("partition_by") or []
         prune = bool(partition_by) and all(c in keys for c in partition_by)
@@ -682,7 +710,25 @@ class ManagedTable:
                     (affected if not filters or _file_may_match(f, filters) else keep_files).append(f)
             target = self._read_files(entry, affected)
 
-            if when_matched == "update_all" and when_not_matched == "insert_all":
+            conditional = (
+                matched_condition is not None
+                or update_set
+                or not_matched_condition is not None
+            )
+            if conditional:
+                merged = self._conditional_merge_plan(
+                    target,
+                    src,
+                    keys,
+                    table_cols,
+                    StructType.fromJson(entry["schema"]),
+                    when_matched,
+                    when_not_matched,
+                    matched_condition,
+                    update_set,
+                    not_matched_condition,
+                )
+            elif when_matched == "update_all" and when_not_matched == "insert_all":
                 merged = src.unionByName(target.join(src, keys, "left_anti"))
             elif when_matched == "ignore" and when_not_matched == "insert_all":
                 merged = target.unionByName(src.join(target, keys, "left_anti"))
@@ -710,6 +756,74 @@ class ManagedTable:
             }
         )
         return self.latest_version()  # type: ignore[return-value]
+
+    def _conditional_merge_plan(
+        self,
+        target: DataFrame,
+        src: DataFrame,
+        keys: list[str],
+        table_cols: list[str],
+        schema: StructType,
+        when_matched: str,
+        when_not_matched: str,
+        matched_condition: "Column | str | None",
+        update_set: "dict[str, Column | str] | None",
+        not_matched_condition: "Column | str | None",
+    ) -> DataFrame:
+        """General merge shape for conditional clauses: an inner join pairs
+        matched rows (aliased ``t``/``s`` so clause expressions can
+        reference both sides), a left-anti keeps unmatched target rows, a
+        second left-anti produces inserts.  Still one equi-join family on
+        the merge keys — with a small source Spark broadcasts it, same as
+        the unconditional fast paths.
+
+        Unlike the unconditional ``update_all`` path (which replaces all
+        rows of a key with the single source row), duplicate target keys
+        each pair with the source row and update independently — Delta
+        errors on multiple matches; here the documented unique-key
+        precondition makes the cases coincide.
+        """
+
+        def as_col(e: "Column | str") -> Column:
+            return F.expr(e) if isinstance(e, str) else e
+
+        cond = (
+            as_col(matched_condition)
+            if matched_condition is not None
+            else F.lit(True)
+        )
+        t, s = target.alias("t"), src.alias("s")
+        join_cond = None
+        for k in keys:
+            c = F.col(f"t.{k}") == F.col(f"s.{k}")
+            join_cond = c if join_cond is None else (join_cond & c)
+        matched = t.join(s, join_cond, "inner")
+        t_cols = [F.col(f"t.{c}").alias(c) for c in table_cols]
+        if when_matched == "delete":
+            kept = matched.filter(~cond).select(*t_cols)
+        elif when_matched == "ignore":
+            kept = matched.select(*t_cols)
+        else:  # update_all or partial update_set
+            out_cols = []
+            for c in table_cols:
+                if update_set and c in update_set:
+                    new_v = as_col(update_set[c])
+                elif update_set:
+                    new_v = F.col(f"t.{c}")  # untouched column of a partial update
+                else:
+                    new_v = F.col(f"s.{c}")  # update_all
+                new_v = new_v.cast(schema[c].dataType)
+                out_cols.append(
+                    F.when(cond, new_v).otherwise(F.col(f"t.{c}")).alias(c)
+                )
+            kept = matched.select(*out_cols)
+        merged = target.join(src, keys, "left_anti").unionByName(kept)
+        if when_not_matched == "insert_all":
+            ins = src.join(target, keys, "left_anti").alias("s")
+            if not_matched_condition is not None:
+                ins = ins.filter(as_col(not_matched_condition))
+            merged = merged.unionByName(ins.select(*table_cols))
+        return merged
 
     def _read_files(
         self, entry: dict[str, Any], files: list[dict[str, Any]]

@@ -53,3 +53,63 @@ def test_merge_sequence_matches_model(spark, script):
         assert got == model
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+COND_OP = st.sampled_from(["max_wins", "add_set", "pos_insert", "cond_delete"])
+COND_SCRIPT = st.lists(st.tuples(COND_OP, BATCH), min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(script=COND_SCRIPT)
+def test_conditional_merge_matches_model(spark, script):
+    """Conditional clauses (Delta whenMatchedUpdate(set=…, condition=…) /
+    whenNotMatchedInsert(condition=…)) against a dict model:
+    - max_wins:    update only when the source value is greater
+    - add_set:     partial update_set accumulating t.val + s.val
+    - pos_insert:  insert-only, and only non-negative source values
+    - cond_delete: delete matched keys whose TARGET value is negative
+    """
+    root = tempfile.mkdtemp(prefix="mt_cprop_")
+    try:
+        t = ManagedTable(spark, root)
+        t.write(spark.createDataFrame([(0, -5), (1, 5)], "id long, val long"))
+        model: dict[int, int] = {0: -5, 1: 5}
+        for op, batch in script:
+            src = spark.createDataFrame(batch, "id long, val long")
+            if op == "max_wins":
+                t.merge(src, ["id"], matched_condition="s.val > t.val")
+                for k, v in batch:
+                    model[k] = max(model[k], v) if k in model else v
+            elif op == "add_set":
+                t.merge(src, ["id"], update_set={"val": "t.val + s.val"})
+                for k, v in batch:
+                    model[k] = model[k] + v if k in model else v
+            elif op == "pos_insert":
+                t.merge(
+                    src,
+                    ["id"],
+                    when_matched="ignore",
+                    not_matched_condition="s.val >= 0",
+                )
+                for k, v in batch:
+                    if k not in model and v >= 0:
+                        model[k] = v
+            else:  # cond_delete
+                t.merge(
+                    src,
+                    ["id"],
+                    when_matched="delete",
+                    when_not_matched="ignore",
+                    matched_condition="t.val < 0",
+                )
+                for k, _v in batch:
+                    if k in model and model[k] < 0:
+                        model.pop(k)
+        got = {r["id"]: r["val"] for r in t.read().collect()}
+        assert got == model
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -579,3 +579,36 @@ def test_vacuum_retention_window(spark, tmp_path, base_df):
     assert t.read().count() == 3
     with pytest.raises(Exception):
         t.read(version=0).count()
+
+
+def test_conditional_merge_partitioned_and_validation(spark, tmp_path):
+    """Conditional clauses compose with partition-pruned merge; invalid
+    clause combinations are rejected up front."""
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", float(i)) for i in range(10)],
+        "id long, grp string, val double",
+    )
+    t = ManagedTable(spark, str(tmp_path / "cm"))
+    t.write(df, partition_by=["grp"])
+    src = spark.createDataFrame(
+        [(0, "a", 100.0), (1, "b", 0.5), (20, "a", -1.0)],
+        "id long, grp string, val double",
+    )
+    # newer-wins update on (id, grp): id=0 updates (100 > 0), id=1 keeps
+    # target (0.5 < 1.0), id=20 fails the insert condition
+    t.merge(
+        src,
+        ["id", "grp"],
+        matched_condition="s.val > t.val",
+        not_matched_condition="s.val >= 0",
+    )
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[0] == 100.0 and got[1] == 1.0 and 20 not in got
+    assert len(got) == 10
+
+    with pytest.raises(ValueError, match="merge keys"):
+        t.merge(src, ["id"], update_set={"id": F.lit(1)})
+    with pytest.raises(ValueError, match="update_set implies"):
+        t.merge(src, ["id"], when_matched="delete", update_set={"val": F.lit(1.0)})
+    with pytest.raises(ValueError, match="no-op"):
+        t.merge(src, ["id"], when_matched="ignore", matched_condition="s.val > 0")
