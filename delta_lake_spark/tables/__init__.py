@@ -7,10 +7,12 @@ from delta_lake_spark.tables.incremental import (
     insert_only_merge,
 )
 from delta_lake_spark.tables.managed import ConcurrentWriteError, ManagedTable
+from delta_lake_spark.tables.registry import TableCatalog
 
 __all__ = [
     "ManagedTable",
     "ConcurrentWriteError",
+    "TableCatalog",
     "high_water_mark",
     "insert_only_merge",
     "anti_join_append",

@@ -612,3 +612,35 @@ def test_conditional_merge_partitioned_and_validation(spark, tmp_path):
         t.merge(src, ["id"], when_matched="delete", update_set={"val": F.lit(1.0)})
     with pytest.raises(ValueError, match="no-op"):
         t.merge(src, ["id"], when_matched="ignore", matched_condition="s.val > 0")
+
+
+def test_table_catalog_persists_across_sessions(spark, tmp_path, base_df):
+    """K8 parity: the reference registers zone tables in a metastore so any
+    session can query them by name (CREATE SCHEMA + CREATE TABLE ... USING
+    DELTA LOCATION, deltalake.ipynb:1046-1060). The registry is plain files
+    — a FRESH session (separate temp-view namespace) re-attaches and
+    queries by name."""
+    from delta_lake_spark.tables import TableCatalog
+
+    cat = TableCatalog(str(tmp_path / "wh"))
+    cat.create_schema("gold")
+    cat.create_table(spark, "gold.clients", df=base_df)
+    ext = ManagedTable(spark, str(tmp_path / "external"))
+    ext.write(base_df.filter("id < 3"))
+    cat.register("extern", ext.path)  # default schema, existing location
+    assert cat.tables() == ["default.extern", "gold.clients"]
+
+    # brand-new session: empty temp-view namespace, fresh registry handle
+    s2 = spark.newSession()
+    cat2 = TableCatalog(str(tmp_path / "wh"))
+    views = cat2.attach(s2)
+    assert views == ["extern", "gold_clients"]
+    assert s2.sql("SELECT count(*) AS n FROM gold_clients").first()["n"] == 10
+    assert s2.sql("SELECT count(*) AS n FROM extern").first()["n"] == 3
+    # the registered name round-trips to the full ManagedTable surface
+    assert cat2.table(s2, "gold.clients").history()[0]["operation"] == "overwrite"
+
+    cat2.drop_table("default.extern")
+    assert cat2.tables() == ["gold.clients"]
+    with pytest.raises(KeyError):
+        cat2.location("extern")
