@@ -28,9 +28,13 @@ surface natively on Spark primitives:
   (``os.link``) into place — link is an atomic put-if-absent on POSIX
   (fails ``EEXIST``), so readers see either the old or the new version,
   never a torn one, and two writers racing the same version cannot both
-  succeed (the loser raises ``ConcurrentWriteError``).  Multi-writer
-  coordination beyond detect-and-fail would need a lock service, which
-  Delta on S3 needs too.
+  succeed.  On losing the race, blind appends/overwrites re-prepare
+  against the winner's snapshot and retry (optimistic concurrency, Delta's
+  WriteSerializable level — appends never conflict, overwrites are
+  last-writer-wins); read-modify-write operations (merge/DML/optimize)
+  raise ``ConcurrentWriteError`` because their read snapshot may be
+  logically invalidated — the caller re-runs the operation, exactly
+  Delta's conflict behavior for non-disjoint transactions.
 
 Scale notes (100 TB / 1000 executors):
 
@@ -472,6 +476,7 @@ class ManagedTable:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
         merge_schema: bool = False,
+        max_retries: int = 10,
     ) -> int:
         """Delta-sink analog: ``overwrite`` (K2) / ``append`` (K4), with
         optional ``partitionBy`` (K3).  Returns the committed version.
@@ -481,44 +486,83 @@ class ManagedTable:
         ``mergeSchema`` — new nullable columns are added, existing column
         types must match; old files read back with nulls for new columns).
         ``overwrite`` always replaces the schema (``overwriteSchema``).
+
+        Optimistic concurrency: appends and overwrites don't read table
+        DATA, so when another writer wins the version race the commit is
+        re-prepared against the new snapshot and retried (up to
+        ``max_retries`` times) — Delta's WriteSerializable behavior, where
+        blind appends never conflict and concurrent overwrites are
+        last-writer-wins.  A retry re-validates schema/layout against the
+        competitor's commit: a concurrently-changed partition layout (or
+        an incompatible concurrent schema change) still raises, because
+        the data files were already laid out under the old assumptions.
+        Read-modify-write operations (merge/delete/update/optimize) keep
+        failing fast with :class:`ConcurrentWriteError` — their read
+        snapshot may be logically invalidated, which needs the caller to
+        re-run the whole operation.
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-        prev_files: list[dict[str, Any]] = []
-        schema = df.schema
-        if mode == "append" and self.latest_version() is not None:
-            prev = self._entry()
-            prev_files = prev["files"]
-            existing_pb = prev.get("partition_by") or None
-            if partition_by is None:
-                partition_by = existing_pb
-            elif partition_by != (existing_pb or []):
-                raise ValueError(
-                    f"append partition_by {partition_by} != table layout {existing_pb}"
-                )
-            existing = StructType.fromJson(prev["schema"])
-            if [f.name for f in df.schema.fields] != [f.name for f in existing.fields] or any(
-                a.dataType != b.dataType for a, b in zip(df.schema.fields, existing.fields)
-            ):
-                if not merge_schema:
+
+        requested_pb = partition_by
+
+        def prep() -> tuple[list[dict[str, Any]], list[str] | None, StructType]:
+            prev_files: list[dict[str, Any]] = []
+            pb = requested_pb
+            schema = df.schema
+            if mode == "append" and self.latest_version() is not None:
+                prev = self._entry()
+                prev_files = prev["files"]
+                existing_pb = prev.get("partition_by") or None
+                if pb is None:
+                    pb = existing_pb
+                elif pb != (existing_pb or []):
                     raise ValueError(
-                        "append schema differs from table schema; pass "
-                        f"merge_schema=True to evolve.\n  table: {existing.simpleString()}"
-                        f"\n  data:  {df.schema.simpleString()}"
+                        f"append partition_by {pb} != table layout {existing_pb}"
                     )
-                schema = _merge_schemas(existing, df.schema)
+                existing = StructType.fromJson(prev["schema"])
+                if [f.name for f in df.schema.fields] != [
+                    f.name for f in existing.fields
+                ] or any(
+                    a.dataType != b.dataType
+                    for a, b in zip(df.schema.fields, existing.fields)
+                ):
+                    if not merge_schema:
+                        raise ValueError(
+                            "append schema differs from table schema; pass "
+                            f"merge_schema=True to evolve.\n  table: {existing.simpleString()}"
+                            f"\n  data:  {df.schema.simpleString()}"
+                        )
+                    schema = _merge_schemas(existing, df.schema)
+            return prev_files, pb, schema
+
+        prev_files, partition_by, schema = prep()
         _dir, files = self._write_commit_dir(df, partition_by)
-        self._commit(
-            {
-                "operation": mode,
-                "files": prev_files + files,
-                "partition_by": partition_by or [],
-                "schema": json.loads(schema.json()),
-                "num_files": len(prev_files) + len(files),
-                "added_files": len(files),
-            }
-        )
-        return self.latest_version()  # type: ignore[return-value]
+        attempts = 0
+        while True:
+            try:
+                return self._commit(
+                    {
+                        "operation": mode,
+                        "files": prev_files + files,
+                        "partition_by": partition_by or [],
+                        "schema": json.loads(schema.json()),
+                        "num_files": len(prev_files) + len(files),
+                        "added_files": len(files),
+                    }
+                )
+            except ConcurrentWriteError:
+                attempts += 1
+                if attempts > max_retries:
+                    raise
+                new_prev, new_pb, schema = prep()  # re-validate vs winner
+                if (new_pb or []) != (partition_by or []):
+                    raise ConcurrentWriteError(
+                        "partition layout changed concurrently; data files "
+                        f"were written as {partition_by or []}, table is now "
+                        f"{new_pb or []}"
+                    ) from None
+                prev_files = new_prev
 
     # ------------------------------------------------------------------ #
     # read paths

@@ -644,3 +644,54 @@ def test_table_catalog_persists_across_sessions(spark, tmp_path, base_df):
     assert cat2.tables() == ["gold.clients"]
     with pytest.raises(KeyError):
         cat2.location("extern")
+
+
+def test_blind_append_retries_past_conflict(spark, tmp_path, base_df):
+    """Optimistic concurrency: a blind append that loses the version race
+    re-prepares against the winner's snapshot and retries (Delta
+    WriteSerializable — appends never conflict), keeping BOTH writers'
+    rows."""
+    from delta_lake_spark.tables import ConcurrentWriteError
+
+    t = ManagedTable(spark, str(tmp_path / "oc"))
+    t.write(base_df)  # 10 rows
+    t2 = ManagedTable(spark, str(tmp_path / "oc"))
+
+    orig = t._commit
+    raced = {"done": False}
+
+    def racing_commit(entry):
+        if not raced["done"]:
+            raced["done"] = True
+            # competitor lands an append between our prep and commit
+            t2.write(
+                spark.createDataFrame([Row(id=500, grp="z", val=0.5)]),
+                mode="append",
+            )
+            raise ConcurrentWriteError("simulated version race")
+        return orig(entry)
+
+    t._commit = racing_commit
+    v = t.write(
+        spark.createDataFrame([Row(id=600, grp="z", val=0.6)]), mode="append"
+    )
+    assert v == 2  # retried at the next version
+    ids = {r["id"] for r in t.read().collect()}
+    assert {500, 600}.issubset(ids) and len(ids) == 12  # nobody's rows lost
+
+    # a competing partition-layout change is NOT retryable: files were
+    # already laid out under the old layout
+    raced["done"] = False
+
+    def relayout_commit(entry):
+        if not raced["done"]:
+            raced["done"] = True
+            t2.write(t2.read(), mode="overwrite", partition_by=["grp"])
+            raise ConcurrentWriteError("simulated version race")
+        return orig(entry)
+
+    t._commit = relayout_commit
+    with pytest.raises(ConcurrentWriteError, match="partition layout"):
+        t.write(
+            spark.createDataFrame([Row(id=700, grp="z", val=0.7)]), mode="append"
+        )
