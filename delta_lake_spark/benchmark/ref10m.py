@@ -281,7 +281,11 @@ def ensure_data(
 
 _SCANS: list[tuple[str, list[tuple[str, str, Any]]]] = [
     # (name, scan filters) — the reference's three predicates (:8407-8424)
-    ("date_client", [("transaction_date", "=", "2023-01-15"), ("client_id", "=", 12345)]),
+    # client ids are generated in [100000, 100000+num_clients) — probe one
+    # inside the range so the scan actually reads data (a client outside
+    # the range prunes every file and times nothing); 112040 has rows on
+    # this date under the default (10M, 50K, seed=42) parameters
+    ("date_client", [("transaction_date", "=", "2023-01-15"), ("client_id", "=", 112040)]),
     ("suspicious", [("is_suspicious", "=", True)]),
     ("date_range_amount", [
         ("transaction_date", ">=", "2023-01-01"),
