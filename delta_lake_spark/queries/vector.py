@@ -261,6 +261,109 @@ def v04_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# v06 — multi-probe bucketed ANN: v04's IVF shape with nprobe=5.  Each query
+# probes its own coarse bucket PLUS the 4 buckets at Hamming distance 1
+# (one sign-bit flip each) — the standard multi-probe LSH recall fix for
+# queries near a hyperplane boundary, still scanning only 5/16 of the
+# corpus.  Buckets partition the candidates exactly, and the 5 probe keys
+# are distinct, so no candidate duplicates and no DISTINCT is needed: the
+# plan stays a single equi-join (probe_bucket = candidate_bucket) against
+# a broadcast query side — identical shape at 100x with more buckets.
+# ---------------------------------------------------------------------------
+@register(
+    "v06_multiprobe_ann",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket FROM embeddings),
+q AS (SELECT vec_id, e, xor(bucket, m.flip) AS probe
+      FROM v, (SELECT unnest([0, 1, 2, 4, 8]) AS flip) m
+      WHERE vec_id < 5)
+SELECT qid, vid, sim, rank FROM (
+  SELECT a.vec_id AS qid, b.vec_id AS vid, {_COS_SQL} AS sim,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank
+  FROM q a JOIN v b ON a.probe = b.bucket AND a.vec_id <> b.vec_id
+) t
+WHERE rank <= 10
+ORDER BY qid, rank
+""",
+)
+def v06_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def bucket(vec):
+        out = F.lit(0)
+        for j in range(4):
+            out = out + F.when(
+                F.element_at(vec, j + 1).cast("double") > 0, F.lit(2**j)
+            ).otherwise(F.lit(0))
+        return out
+
+    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").withColumn(
+        "bucket", bucket(F.col("embedding"))
+    )
+    probes = (
+        e.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            F.explode(
+                F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in (0, 1, 2, 4, 8)])
+            ).alias("probe"),
+        )
+    )
+    candidates = e.select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("cvec"),
+        F.col("bucket").alias("cbucket"),
+    )
+    joined = candidates.join(
+        F.broadcast(probes),
+        (F.col("probe") == F.col("cbucket")) & (F.col("qid") != F.col("vid")),
+    )
+    sims = joined.select(
+        "qid", "vid", cosine(as_double(F.col("qvec")), as_double(F.col("cvec"))).alias("sim")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vid")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "vid", "sim", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d11 — embedding-cosine near-dup DEDUP: v02's LSH candidate pipeline, then
+# the greedy keep-lowest-id rule (d09's text-side pattern applied to
+# vectors): any vector appearing as the higher id of a near-dup pair is
+# dropped, survivors carry forward.  One extra anti-join on vec_id beyond
+# v02 — no new shuffle shape, scales exactly as v02 does.
+# ---------------------------------------------------------------------------
+def _d11_oracle() -> str:
+    pairs = _v02_oracle().rsplit("SELECT c.id_a", 1)[0]  # CTE prefix (v, s, bands, cand)
+    cos = (
+        "list_dot_product(va.e, vb.e) / (sqrt(list_dot_product(va.e, va.e)) * "
+        "sqrt(list_dot_product(vb.e, vb.e)))"
+    )
+    return f"""{pairs.rstrip()},
+dups AS (SELECT DISTINCT c.id_b FROM cand c
+         JOIN v va ON va.vec_id = c.id_a
+         JOIN v vb ON vb.vec_id = c.id_b
+         WHERE {cos} > 0.4)
+SELECT v.vec_id, v.label FROM v
+WHERE v.vec_id NOT IN (SELECT id_b FROM dups)
+ORDER BY v.vec_id
+"""
+
+
+@register("d11_embedding_dedup_survivors", oracle=_d11_oracle())
+def d11_embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = v02_embedding_near_dups(spark, sf_dir)
+    dups = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").select("vec_id", "label")
+    return e.join(dups, "vec_id", "left_anti").orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
 # v05 — per-label centroid + dispersion via grouped applyInPandas (the
 # Arrow-grouped escape hatch; float reductions are deterministic through
 # in-group sorting but not SQL-expressible — rows-only check, like m02)

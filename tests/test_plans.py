@@ -96,3 +96,12 @@ def test_managed_table_mart_still_broadcasts(spark, tmp_path):
     n.write(table(spark, SF_SMOKE, "nation"))
     plan = executed_plan_of(client_stats_mart(o.read(), c.read(), n.read()))
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_v06_multiprobe_plan_is_equi_join(spark):
+    """v06 multi-probe ANN must stay a hash equi-join on the bucket key
+    (probe set explodes query-side only) — never a nested-loop scan of the
+    candidate corpus."""
+    plan = plan_of(QUERIES["v06_multiprobe_ann"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
