@@ -2,6 +2,7 @@
 
 from delta_lake_spark.tables.incremental import (
     anti_join_append,
+    apply_changes,
     high_water_mark,
     incremental_refresh,
     insert_only_merge,
@@ -16,5 +17,6 @@ __all__ = [
     "high_water_mark",
     "insert_only_merge",
     "anti_join_append",
+    "apply_changes",
     "incremental_refresh",
 ]

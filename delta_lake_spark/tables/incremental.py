@@ -64,6 +64,48 @@ def anti_join_append(
     return table.write(fresh, mode="append")
 
 
+def apply_changes(
+    target: ManagedTable,
+    source: ManagedTable,
+    keys: list[str],
+    last_version: int,
+) -> int:
+    """CDC propagation: replay the source's change feed since
+    ``last_version`` onto ``target`` so it mirrors the source snapshot —
+    the downstream-consumer half of the change feed (Delta CDF's
+    ``readChangeFeed`` + ``foreachBatch`` merge pattern, here as the
+    reference-style batch-incremental equivalent).
+
+    Uses ``changes(include_change_type=True)``: post-image rows upsert;
+    delete pre-images whose key was not re-inserted later in the range
+    merge with ``when_matched='delete'``.  Upserting a post-image twice is
+    idempotent, so retrying after a failure is safe (at-least-once
+    consumer contract).  Returns the source version now reflected; feed it
+    back as ``last_version`` on the next call.
+    """
+    upto = source.latest_version() or 0
+    if upto <= last_version:
+        return upto
+    ch = source.changes(
+        last_version, upto, include_change_type=True
+    ).persist()
+    try:
+        ins = ch.filter(F.col("_change_type") == "insert").drop("_change_type")
+        dels = (
+            ch.filter(F.col("_change_type") == "delete")
+            .drop("_change_type")
+            .join(ins.select(*keys).distinct(), keys, "left_anti")
+        )
+        target.merge(ins, keys)
+        if dels.limit(1).count():
+            target.merge(
+                dels, keys, when_matched="delete", when_not_matched="ignore"
+            )
+    finally:
+        ch.unpersist()
+    return upto
+
+
 def incremental_refresh(
     table: ManagedTable,
     source: DataFrame,

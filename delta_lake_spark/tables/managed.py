@@ -1092,22 +1092,41 @@ class ManagedTable:
         (``exceptAll`` over the rewritten scope only) come back tagged
         ``delete`` — these are pre-images, so an updated row appears as a
         ``delete`` pre-image plus an ``insert`` post-image, standard CDC
-        shape.  Pre-images require the removed files to still exist —
-        i.e. ``vacuum`` must not have reclaimed the range being read.
+        shape.  Pre-images (and insert images carried across a later
+        compaction) require the original files to still exist — i.e.
+        ``vacuum`` must not have reclaimed the range being read.
         """
         if to_version is None:
             to_version = self.latest_version() or 0
         target = self._entry(to_version)
-        live = {f["path"] for f in target["files"]}
-        added: dict[str, dict[str, Any]] = {}
+        # `current`: files added by non-compaction commits whose rows are
+        # still the latest image.  A later NON-compaction commit removing
+        # such a file post-images its surviving rows in its own adds, so
+        # the file drops out; a COMPACTION removing it preserves content
+        # (the original file stays readable until vacuum), so it stays —
+        # that is what makes a trailing OPTIMIZE emit nothing while the
+        # pre-compaction changes still surface.  The one ambiguous case:
+        # a non-compaction commit rewriting a compaction OUTPUT produced
+        # inside the range (file identity lost across the compaction) —
+        # degrade to the plain post-image diff vs the base snapshot, which
+        # is always sound but also surfaces rewritten-unchanged rows
+        # (idempotent consumers absorb them).
+        current: dict[str, dict[str, Any]] = {}
+        compaction_outputs: set[str] = set()
+        degraded = False
         delete_frames: list[DataFrame] = []
         for v in range(from_version + 1, to_version + 1):
             raw = self._raw_entry(v)
-            if raw.get("operation") in ("optimize", "zorder"):
-                continue
             add, removed = self._commit_diff(v)
+            if raw.get("operation") in ("optimize", "zorder"):
+                compaction_outputs.update(rec["path"] for rec in add)
+                continue
+            if any(p in compaction_outputs for p in removed):
+                degraded = True
+            for p in removed:
+                current.pop(p, None)
             for rec in add:
-                added[rec["path"]] = rec
+                current[rec["path"]] = rec
             if include_change_type and removed:
                 prev_entry = self._entry(v - 1)
                 rm_recs = [
@@ -1116,11 +1135,11 @@ class ManagedTable:
                 pre = self._read_files(prev_entry, rm_recs)
                 post = self._read_files(self._entry(v), add)
                 delete_frames.append(pre.exceptAll(post))
-        # A file added then rewritten later in the range would double-count
-        # its rows against the final post-image — keep only files still
-        # live in the target snapshot (their replacement files are also in
-        # the range and carry the surviving rows).
-        add_recs = [rec for p, rec in added.items() if p in live]
+        if degraded:
+            base = {f["path"] for f in self._entry(from_version)["files"]}
+            add_recs = [f for f in target["files"] if f["path"] not in base]
+        else:
+            add_recs = list(current.values())
         out = self._read_files(target, add_recs)
         if not include_change_type:
             return out

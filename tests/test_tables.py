@@ -695,3 +695,53 @@ def test_blind_append_retries_past_conflict(spark, tmp_path, base_df):
         t.write(
             spark.createDataFrame([Row(id=700, grp="z", val=0.7)]), mode="append"
         )
+
+
+def test_apply_changes_replicates_source(spark, tmp_path, base_df):
+    """CDC propagation: replaying the change feed (inserts + delete
+    pre-images) onto a downstream replica keeps it equal to the source
+    through append, upsert, delete, and compaction — the streaming-consumer
+    delete case from the CDF surface, end-to-end."""
+    from delta_lake_spark.tables import apply_changes
+
+    src = ManagedTable(spark, str(tmp_path / "cdc_src"))
+    dst = ManagedTable(spark, str(tmp_path / "cdc_dst"))
+    src.write(base_df)
+    dst.write(src.read())  # initial snapshot
+    seen = src.latest_version()
+
+    src.write(spark.createDataFrame([Row(id=100, grp="c", val=1.0)]), mode="append")
+    src.merge(spark.createDataFrame([Row(id=0, grp="a", val=-1.0)]), ["id"])
+    src.delete_where([("id", "=", 3)])
+    src.optimize()  # compaction must propagate nothing
+
+    seen = apply_changes(dst, src, ["id"], seen)
+    assert seen == src.latest_version()
+    assert rows(dst.read()) == rows(src.read())
+    assert {r["id"] for r in dst.read().collect()} == ({100} | set(range(10)) - {3})
+
+    # no-op when already caught up; idempotent on replay from an older cursor
+    assert apply_changes(dst, src, ["id"], seen) == seen
+    apply_changes(dst, src, ["id"], 0)
+    assert rows(dst.read()) == rows(src.read())
+
+
+def test_apply_changes_interleaved_compaction_degraded(spark, tmp_path, base_df):
+    """A non-compaction commit rewriting a compaction OUTPUT inside the
+    range loses file-level lineage; the feed degrades to a sound
+    post-image diff and CDC replication still converges."""
+    from delta_lake_spark.tables import apply_changes
+
+    src = ManagedTable(spark, str(tmp_path / "dg_src"))
+    dst = ManagedTable(spark, str(tmp_path / "dg_dst"))
+    src.write(base_df)
+    dst.write(src.read())
+    seen = src.latest_version()
+
+    src.write(spark.createDataFrame([Row(id=50, grp="c", val=5.5)]), mode="append")
+    src.optimize()  # mid-range compaction
+    src.delete_where([("id", "<", 2)])  # rewrites the compaction's output
+
+    seen = apply_changes(dst, src, ["id"], seen)
+    assert seen == src.latest_version()
+    assert rows(dst.read()) == rows(src.read())
