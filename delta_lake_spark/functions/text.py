@@ -64,6 +64,22 @@ def char_ngrams(text: Column | str, n: int = 3) -> Column:
     )
 
 
+def word_bigrams(text: Column | str) -> Column:
+    """Adjacent-token bigrams ("tok_i tok_i+1") as an array; <2 tokens -> [].
+
+    Built-in-only (sequence + transform + element_at) so the whole expression
+    stays in codegen.  The explicit <2 guard matters: Spark's sequence(1, 0)
+    yields a DESCENDING [1, 0], not an empty range.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    pairs = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
+    )
+    return F.when(n >= 2, pairs).otherwise(F.array().cast("array<string>"))
+
+
 def word_count_of(text: Column | str, word: str) -> Column:
     """Occurrences of a word (word-boundary regexp count, JVM-side)."""
     c = F.col(text) if isinstance(text, str) else text

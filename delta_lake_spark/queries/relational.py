@@ -884,3 +884,51 @@ def q32_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# q33 — FULL OUTER join reconciliation (completes the §2.3 join-type
+# surface: the reference uses left/inner/anti only, SURVEY notes the
+# engine should expose the rest).  Reconciles per-day order activity vs
+# per-day event activity; the two calendars barely overlap, so both
+# null-sides are exercised and zero-filled.  Scale shape: two one-shuffle
+# pre-aggregations, then a full-outer hash join on the (already reduced)
+# day keys — the aggregate-before-join form that keeps the outer join
+# small regardless of fact-table size.
+# ---------------------------------------------------------------------------
+@register(
+    "q33_activity_reconciliation",
+    oracle="""
+WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n_orders
+           FROM orders GROUP BY 1),
+e AS (SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events
+      FROM events GROUP BY 1)
+SELECT COALESCE(o.d, e.d) AS activity_date,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       COALESCE(e.n_events, 0) AS n_events,
+       (o.d IS NOT NULL AND e.d IS NOT NULL) AS both_active
+FROM o FULL OUTER JOIN e ON o.d = e.d
+ORDER BY activity_date
+""",
+)
+def q33_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d_o"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    e = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("d_e"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return (
+        o.join(e, o.d_o == e.d_e, "full_outer")
+        .select(
+            F.coalesce("d_o", "d_e").alias("activity_date"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            (F.col("d_o").isNotNull() & F.col("d_e").isNotNull()).alias("both_active"),
+        )
+        .orderBy("activity_date")
+    )

@@ -272,3 +272,99 @@ def t06_top_words_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counted.withColumn("rnk", rnk).filter(F.col("rnk") <= 3).orderBy("lang", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# t07 — Gopher-style repetition filters: per-document top-unigram and
+# top-bigram mass (basis points of the token stream) plus a keep/drop gate.
+# Highly repetitive documents (boilerplate, keyword spam) are the classic
+# pre-training noise these thresholds remove.
+#
+# Scale shape: explode -> two-level aggregate.  Token counts shuffle once on
+# (doc_id, gram) with map-side partial aggregation, then once on doc_id —
+# both keys are fine-grained, so the plan is skew-free and linear at 100 TB.
+# (A shuffle-free array-only variant exists — filter(toks, x == t) per
+# distinct t — but is O(len^2) per doc; explode+agg is the long-document-safe
+# path, so it is the one the engine ships.)
+# ---------------------------------------------------------------------------
+@register(
+    "t07_repetition_stats",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+uni AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT)   AS n_tokens,
+         COUNT(*)                 AS n_types,
+         CAST(MAX(c) AS BIGINT)   AS top_token_n
+  FROM (SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM d)
+        GROUP BY doc_id, tok)
+  GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n
+  FROM (SELECT doc_id, bg, COUNT(*) AS c
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(1, len(toks)),
+                                           i -> toks[i] || ' ' || toks[i+1])) AS bg
+              FROM d)
+        GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types, top_token_n, top_bigram_n,
+       CAST(FLOOR(top_token_n * 10000.0 / n_tokens) AS BIGINT)        AS top_token_bp,
+       CAST(FLOOR(top_bigram_n * 10000.0 / (n_tokens - 1)) AS BIGINT) AS top_bigram_bp,
+       (n_tokens >= 5
+        AND FLOOR(top_token_n * 10000.0 / n_tokens) < 3000
+        AND FLOOR(top_bigram_n * 10000.0 / (n_tokens - 1)) < 1200)    AS keep
+FROM uni JOIN bi USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def t07_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.text import tokens, word_bigrams
+
+    d = table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", tokens("text").alias("toks"), word_bigrams("text").alias("bgs")
+    )
+    uni = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.max("c").alias("top_token_n"),
+        )
+    )
+    bi = (
+        d.select("doc_id", F.explode("bgs").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"))
+    )
+    top_tok_bp = F.floor((F.col("top_token_n") * 10000) / F.col("n_tokens"))
+    top_bg_bp = F.floor((F.col("top_bigram_n") * 10000) / (F.col("n_tokens") - 1))
+    return (
+        uni.join(bi, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            "top_token_n",
+            "top_bigram_n",
+            top_tok_bp.alias("top_token_bp"),
+            top_bg_bp.alias("top_bigram_bp"),
+            (
+                (F.col("n_tokens") >= 5)
+                & (top_tok_bp < 3000)
+                & (top_bg_bp < 1200)
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
