@@ -220,3 +220,62 @@ def q27_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"RETURNS BIGINT RETURN timestampdiff(MICROSECOND, {EPOCH_NTZ}, t)"
     )
     return spark.sql(_Q27_SQL.format(epoch_us="epoch_us_wall"))
+
+
+# ---------------------------------------------------------------------------
+# q34 — binned range join (point-in-interval without a cartesian plan):
+# shipments landing inside the 7-day window after each 1995 urgent order.
+# The DuckDB oracle states the declarative non-equi form; the Spark plan
+# goes through ops.range_join.binned_range_join — bin the date axis, explode
+# intervals into overlapped bins, equi-join on bin, re-check exactly —
+# so the physical join is a partitioned hash join, not a BNLJ (asserted in
+# tests/test_plans.py).
+# ---------------------------------------------------------------------------
+@register(
+    "q34_shipments_after_urgent_orders",
+    oracle="""
+WITH i AS (
+  SELECT o_orderkey,
+         CAST(o_orderdate AS DATE)                  AS win_start,
+         CAST(o_orderdate AS DATE) + INTERVAL 7 DAY AS win_end
+  FROM orders
+  WHERE o_orderpriority = '1-URGENT' AND year(o_orderdate) = 1995
+)
+SELECT i.o_orderkey,
+       COUNT(*) AS n_shipments,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM i JOIN lineitem l
+  ON CAST(l.l_shipdate AS DATE) BETWEEN i.win_start AND i.win_end
+GROUP BY i.o_orderkey
+ORDER BY i.o_orderkey
+""",
+)
+def q34_shipments_after_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.ops.range_join import binned_range_join
+
+    intervals = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.year("o_orderdate") == 1995)
+        )
+        .select(
+            "o_orderkey",
+            F.unix_date(F.to_date("o_orderdate")).alias("win_start"),
+            (F.unix_date(F.to_date("o_orderdate")) + 7).alias("win_end"),
+        )
+    )
+    points = table(spark, sf_dir, "lineitem").select(
+        F.unix_date(F.to_date("l_shipdate")).alias("ship_day"), "l_quantity"
+    )
+    # bin width = interval length (8 days inclusive): each interval lands in
+    # at most 2 bins, each bin holds ~8 days of shipments.
+    joined = binned_range_join(points, intervals, "ship_day", "win_start", "win_end", 8)
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_shipments"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_qty"),
+        )
+        .orderBy("o_orderkey")
+    )

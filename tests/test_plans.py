@@ -105,3 +105,37 @@ def test_v06_multiprobe_plan_is_equi_join(spark):
     plan = plan_of(QUERIES["v06_multiprobe_ann"](spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q34_range_join_plan_is_equi_join(spark):
+    """The binned range join must plan as a partitioned equi-join on the bin
+    key — never a BroadcastNestedLoopJoin/cartesian over points x intervals
+    (the plan Spark produces for a naive non-equi range predicate)."""
+    plan = plan_of(QUERIES["q34_shipments_after_urgent_orders"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_binned_range_join_matches_naive(spark):
+    """Exact-equivalence check of the operator itself on a dense little
+    axis: binned result == naive non-equi join result, across bin widths
+    (1 = every interval replicated per day; 64 = most intervals one bin)."""
+    from delta_lake_spark.ops.range_join import binned_range_join
+
+    pts = spark.range(200).select(F.col("id").alias("p"))
+    iv = (
+        spark.range(40)
+        .select(
+            F.col("id").alias("iv_id"),
+            (F.col("id") * 5 - 3).alias("s"),
+            (F.col("id") * 5 + F.pmod("id", F.lit(11))).alias("e"),
+        )
+    )
+    naive = (
+        pts.join(iv, (F.col("p") >= F.col("s")) & (F.col("p") <= F.col("e")))
+        .select("p", "iv_id")
+    )
+    expected = sorted((r.p, r.iv_id) for r in naive.collect())
+    for width in (1, 4, 64):
+        got = binned_range_join(pts, iv, "p", "s", "e", width).select("p", "iv_id")
+        assert sorted((r.p, r.iv_id) for r in got.collect()) == expected
