@@ -7,6 +7,7 @@ from delta_lake_spark.io.readers import (
     read_json,
     read_parquet,
 )
+from delta_lake_spark.io.bucketed import colocated_join, write_bucketed
 from delta_lake_spark.io.writers import (
     write_csv,
     write_jdbc,
@@ -24,4 +25,6 @@ __all__ = [
     "write_csv",
     "write_single_csv",
     "write_jdbc",
+    "write_bucketed",
+    "colocated_join",
 ]

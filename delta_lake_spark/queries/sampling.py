@@ -1,0 +1,98 @@
+"""Deterministic-sampling queries over the documents table (training-data
+pipeline surface; see functions/sampling.py for why content-addressed
+sampling replaces df.sample at scale).
+
+Both queries are pure per-row map + (for s02) one shuffle on the stratum
+key — no collect, no driver-side randomness, reproducible on any cluster
+layout, and exactly replicable in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from delta_lake_spark.catalog import table
+from delta_lake_spark.functions.sampling import (
+    hash_bucket,
+    hash_bucket_sql,
+    keep_fraction,
+    split_assign,
+)
+from delta_lake_spark.queries.registry import register
+
+# Per-language keep rates in basis points of 10000 (stratified downsampling:
+# keep half the English corpus, a fifth of everything else).
+_RATES = {"en": 5000}
+_DEFAULT_RATE = 2000
+
+_RATE_SQL = (
+    "CASE WHEN lang = 'en' THEN 5000 ELSE 2000 END"
+)
+_SAMPLE_B = hash_bucket_sql("doc_id", "sample")
+_SPLIT_B = hash_bucket_sql("doc_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# s01 — stratified hash sampling + train/val/test split assignment.
+# Each document's fate is a pure function of doc_id: stable across re-runs,
+# partitionings, and engines.  Zero shuffles (orderBy is presentation-only).
+# ---------------------------------------------------------------------------
+@register(
+    "s01_hash_split_sample",
+    oracle=f"""
+SELECT doc_id, lang,
+       {_SAMPLE_B} AS sample_bucket,
+       CASE WHEN {_SPLIT_B} < 9000 THEN 'train'
+            WHEN {_SPLIT_B} < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+WHERE {_SAMPLE_B} < {_RATE_SQL}
+ORDER BY doc_id
+""",
+)
+def s01_hash_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", _RATES["en"]).otherwise(_DEFAULT_RATE)
+    return (
+        d.filter(keep_fraction("doc_id", rate, "sample"))
+        .select(
+            "doc_id",
+            "lang",
+            hash_bucket("doc_id", "sample").alias("sample_bucket"),
+            split_assign("doc_id").alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s02 — fixed-size stratified sample: exactly k docs per (lang, source)
+# stratum, chosen by hash order (deterministic "random" order with a doc_id
+# tie-break).  One shuffle on the stratum key; per-stratum state is a
+# row_number counter, so skewed strata cost sort-of-stratum, not memory.
+# ---------------------------------------------------------------------------
+@register(
+    "s02_fixed_size_stratified",
+    oracle=f"""
+SELECT lang, source, doc_id, rnk FROM (
+  SELECT lang, source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY {_SAMPLE_B}, doc_id) AS rnk
+  FROM documents
+)
+WHERE rnk <= 5
+ORDER BY lang, source, rnk
+""",
+)
+def s02_fixed_size_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        hash_bucket("doc_id", "sample"), "doc_id"
+    )
+    return (
+        d.select("lang", "source", "doc_id", F.row_number().over(w).alias("rnk"))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("lang", "source", "rnk")
+    )

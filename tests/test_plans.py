@@ -139,3 +139,28 @@ def test_binned_range_join_matches_naive(spark):
     for width in (1, 4, 64):
         got = binned_range_join(pts, iv, "p", "s", "e", width).select("p", "iv_id")
         assert sorted((r.p, r.iv_id) for r in got.collect()) == expected
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketed tables pay the join shuffle at write time: the later
+    orders x customer equi-join must read buckets aligned — SortMergeJoin
+    with zero Exchange — and results must equal the plain join's."""
+    from delta_lake_spark.io.bucketed import colocated_join, write_bucketed
+
+    o = table(spark, SF_SMOKE, "orders")
+    c = table(spark, SF_SMOKE, "customer")
+    write_bucketed(o, "b_orders", "o_custkey", 8, path=str(tmp_path / "o"))
+    write_bucketed(c, "b_cust", "c_custkey", 8, path=str(tmp_path / "c"))
+    try:
+        j = colocated_join(
+            spark, "b_orders", "b_cust", F.col("o_custkey") == F.col("c_custkey")
+        )
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert plan.count("Bucketed: true") == 2
+        plain = o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        assert j.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
