@@ -932,3 +932,63 @@ def q33_activity_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("activity_date")
     )
+
+
+# ---------------------------------------------------------------------------
+# q35 — correlated scalar subquery: orders priced at more than twice their
+# customer's average order.  Spark plans the correlated aggregate as a
+# de-correlated shuffle agg + join (no per-row re-execution) — exactly the
+# rewrite you want at scale; the identical SQL text runs on both engines.
+# ---------------------------------------------------------------------------
+_Q35_SQL = """
+SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 2 * (
+  SELECT FLOOR(CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+ORDER BY o_orderkey
+"""
+
+
+@register("q35_orders_above_customer_avg", oracle=_Q35_SQL)
+def q35_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q35_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q36 — unpivot/melt (the inverse of q17's pivot): wide per-segment metrics
+# to long (metric, value) rows.  Spark's native unpivot (Expand node — a
+# per-row flatMap, no shuffle); values pre-cast to a common double type.
+# ---------------------------------------------------------------------------
+@register(
+    "q36_unpivot_segment_metrics",
+    oracle="""
+WITH m AS (
+  SELECT c_mktsegment,
+         CAST(COUNT(*) AS DOUBLE)                                   AS n_cust,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)      AS total_bal
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, metric, value
+FROM m UNPIVOT (value FOR metric IN (n_cust, total_bal))
+ORDER BY c_mktsegment, metric
+""",
+)
+def q36_unpivot_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("double").alias("n_cust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+    return wide.unpivot(
+        ids=["c_mktsegment"],
+        values=["n_cust", "total_bal"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    ).orderBy("c_mktsegment", "metric")

@@ -81,3 +81,46 @@ def test_write_parquet_max_records_per_file(spark, tmp_path):
     files = [f for f in os.listdir(tmp_path / "p") if f.endswith(".parquet")]
     assert len(files) == 10
     assert spark.read.parquet(str(tmp_path / "p")).count() == 1000
+
+
+def test_postgres_ddl_from_schema(spark):
+    import pytest
+
+    from delta_lake_spark.io.serving import postgres_ddl
+
+    df = spark.sql(
+        """SELECT CAST(1 AS BIGINT) AS id, CAST(2.5 AS DECIMAL(15,2)) AS amount,
+                  'x' AS name, CAST('2023-01-01' AS DATE) AS d,
+                  CAST(true AS BOOLEAN) AS flag"""
+    )
+    ddl = postgres_ddl(df, "serving.tx", primary_key="id")
+    assert "CREATE TABLE IF NOT EXISTS serving.tx" in ddl
+    assert "id BIGINT" in ddl
+    assert "amount DECIMAL(15,2)" in ddl
+    assert "name TEXT" in ddl
+    assert "d DATE" in ddl
+    assert "flag BOOLEAN" in ddl
+    assert "PRIMARY KEY (id)" in ddl
+    # non-relational columns must fail loudly, not export garbage
+    with pytest.raises(TypeError, match="array<int>"):
+        postgres_ddl(spark.sql("SELECT array(1,2) AS a"), "t")
+
+
+def test_export_for_copy_bundle(spark, tmp_path):
+    from delta_lake_spark.io.serving import export_for_copy
+
+    src = table(spark, SF_SMOKE, "nation")
+    out = export_for_copy(src, str(tmp_path / "serve"), "nation", single_file=True)
+    with open(out["script"]) as fh:
+        script = fh.read()
+    assert script.startswith("CREATE TABLE IF NOT EXISTS nation")
+    assert "\\copy nation FROM" in script and "FORMAT csv, HEADER true" in script
+    # the extract must round-trip through the declared schema
+    back = (
+        spark.read.schema(src.schema).option("header", "true").csv(out["data"])
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+    multi = export_for_copy(src, str(tmp_path / "serve2"), "nation")
+    with open(multi["script"]) as fh:
+        assert fh.read().count("\\copy nation FROM") >= 1
