@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from typing import Any
@@ -1217,3 +1218,71 @@ class ManagedTable:
                     os.unlink(full)
                     deleted += 1
         return deleted
+
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE TO VERSION: re-commit an old snapshot's state as
+        the new head (Delta's ``RESTORE TABLE ... TO VERSION AS OF``).
+
+        Pure metadata — no data file moves or rewrites; history is
+        preserved (the restore is itself a new commit, and ``changes()``
+        surfaces the resulting add/remove diff to CDC consumers).  Fails
+        if the target snapshot's files were already vacuumed.
+        """
+        snap = self._entry(version)
+        missing = [
+            f["path"]
+            for f in snap["files"]
+            if not os.path.exists(os.path.join(self.path, f["path"]))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to version {version}: {len(missing)} data "
+                f"file(s) were vacuumed, e.g. {missing[0]}"
+            )
+        return self._commit(
+            {
+                "operation": "restore",
+                "restored_version": version,
+                "files": list(snap["files"]),
+                "partition_by": snap.get("partition_by") or [],
+                "schema": snap["schema"],
+                "num_files": len(snap["files"]),
+            }
+        )
+
+    def clone(self, dest_path: str, version: int | None = None) -> "ManagedTable":
+        """Shallow (zero-copy) clone: a new independent table whose data
+        files share storage with the source (Delta's ``SHALLOW CLONE``).
+
+        Data files are hard-linked (same inode, no bytes copied — the
+        local-FS analog of Delta's path-reference clone; on an object
+        store this would store source-absolute paths instead).  The clone
+        starts its own commit log at version 0, so later writes/merges/
+        vacuums on either side never affect the other: links keep shared
+        inodes alive until BOTH sides drop them.  O(files) metadata cost,
+        O(1) data cost — cheap dev/test copies of 100 TB tables.
+        """
+        snap = self._entry(version)
+        if os.path.exists(dest_path) and os.listdir(dest_path):
+            raise FileExistsError(f"clone destination not empty: {dest_path}")
+        dest = ManagedTable(self.spark, dest_path)
+        for f in snap["files"]:
+            src = os.path.join(self.path, f["path"])
+            dst = os.path.join(dest_path, f["path"])
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device: fall back to a real copy
+                shutil.copy2(src, dst)
+        dest._commit(
+            {
+                "operation": "clone",
+                "source": self.path,
+                "source_version": snap["version"],
+                "files": [dict(f) for f in snap["files"]],
+                "partition_by": snap.get("partition_by") or [],
+                "schema": snap["schema"],
+                "num_files": len(snap["files"]),
+            }
+        )
+        return dest

@@ -745,3 +745,50 @@ def test_apply_changes_interleaved_compaction_degraded(spark, tmp_path, base_df)
     seen = apply_changes(dst, src, ["id"], seen)
     assert seen == src.latest_version()
     assert rows(dst.read()) == rows(src.read())
+
+
+def test_restore_to_old_version(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "r"))
+    t.write(spark.range(10).withColumn("x", F.col("id") * 2))
+    t.write(spark.range(5).withColumn("x", F.col("id") * 3))  # v1 overwrite
+    v = t.restore(0)
+    assert v == 2
+    assert sorted(r.x for r in t.read().collect()) == [i * 2 for i in range(10)]
+    # restore is a real commit: history preserved, CDF diff visible
+    assert t.history()[0]["operation"] == "restore"
+    ch = t.changes(from_version=1)  # the restore commit's diff
+    assert ch.count() == 10
+    # time travel still sees the pre-restore state
+    assert t.read(version=1).count() == 5
+
+
+def test_restore_after_vacuum_fails(spark, tmp_path):
+    import pytest
+
+    t = ManagedTable(spark, str(tmp_path / "rv"))
+    t.write(spark.range(10))
+    t.write(spark.range(3))
+    assert t.vacuum() > 0  # drops v0's files
+    with pytest.raises(FileNotFoundError, match="vacuum"):
+        t.restore(0)
+
+
+def test_shallow_clone_is_independent(spark, tmp_path):
+    src = ManagedTable(spark, str(tmp_path / "src"))
+    src.write(spark.range(100).withColumn("part", F.pmod("id", F.lit(4))),
+              partition_by=["part"])
+    dst = src.clone(str(tmp_path / "dst"))
+    assert dst.read().count() == 100
+    assert dst._entry().get("partition_by") == ["part"]
+    # no data copied: every cloned parquet shares its inode with the source
+    import os as _os
+
+    for f in dst._entry()["files"]:
+        assert _os.stat(_os.path.join(dst.path, f["path"])).st_nlink >= 2
+    # diverge the clone; the source must not change
+    dst.write(spark.range(5), mode="overwrite")
+    assert src.read().count() == 100
+    # vacuum the source: the clone's (linked) files must survive
+    src.write(spark.range(1))
+    src.vacuum()
+    assert dst.read(version=0).count() == 100
