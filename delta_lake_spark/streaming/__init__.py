@@ -4,6 +4,7 @@ streaming dedup, foreachBatch merge sinks, stateful sessionization."""
 from delta_lake_spark.streaming.stateful import sessionize
 from delta_lake_spark.streaming.streams import (
     dedup_stream,
+    interval_join,
     file_stream,
     stream_merge_into,
     windowed_agg,
@@ -14,5 +15,6 @@ __all__ = [
     "windowed_agg",
     "dedup_stream",
     "stream_merge_into",
+    "interval_join",
     "sessionize",
 ]

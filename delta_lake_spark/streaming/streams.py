@@ -143,3 +143,41 @@ def stream_merge_into(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join on ``key`` within a time interval:
+    ``right_ts`` in [left_ts - lower, left_ts + upper].
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can size the join state and evict rows once they can
+    no longer match (unbounded stream-stream joins otherwise buffer
+    forever).  The micro-batch analog of the binned range join
+    (ops/range_join.py) — same idea, with the watermark as the bin expiry.
+
+    The right timestamp column is renamed ``<right_ts>_r`` (both survive
+    into the output for the caller to diff).
+    """
+    lname, rname = left_ts, right_ts + "_r"
+    l = as_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    r = (
+        as_event_time(right, right_ts)
+        .withColumnRenamed(right_ts, rname)
+        .withColumnRenamed(key, key + "_r")
+        .withWatermark(rname, watermark)
+    )
+    cond = (
+        (F.col(key) == F.col(key + "_r"))
+        & (F.col(rname) >= F.col(lname) - F.expr(f"INTERVAL {lower}"))
+        & (F.col(rname) <= F.col(lname) + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner").drop(key + "_r")

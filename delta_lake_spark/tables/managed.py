@@ -385,6 +385,12 @@ class ManagedTable:
             if latest is None
             else {f["path"]: f for f in self._entry(latest)["files"]}
         )
+        # CHECK constraints are table-level metadata: carry them across
+        # commits unless the committing operation sets them explicitly
+        if "constraints" not in entry and latest is not None:
+            carried = self._entry(latest).get("constraints")
+            if carried:
+                entry["constraints"] = carried
         new_paths = {f["path"] for f in new_files}
         entry["add"] = [f for f in new_files if prev.get(f["path"]) != f]
         entry["remove"] = sorted(p for p in prev if p not in new_paths)
@@ -506,6 +512,8 @@ class ManagedTable:
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
 
         requested_pb = partition_by
+        # CHECK constraints gate the incoming data before any files land
+        self._enforce_constraints(df, f"{mode} write")
 
         def prep() -> tuple[list[dict[str, Any]], list[str] | None, StructType]:
             prev_files: list[dict[str, Any]] = []
@@ -715,6 +723,10 @@ class ManagedTable:
         # persist FIRST so an expensive source (e.g. a recomputed mart) is
         # evaluated once, not once per consumer.
         src = source.select(*table_cols).persist()
+        # CHECK constraints gate the incoming source (update_set expressions
+        # are the caller's responsibility — enforcement covers inserted and
+        # whole-row-updated data, the Delta write-path scope)
+        self._enforce_constraints(src, "merge source")
         try:
             if prune:
                 # driver-side partition pruning over log metadata (small),
@@ -1286,3 +1298,74 @@ class ManagedTable:
             }
         )
         return dest
+
+    # ------------------------------------------------------------------ #
+    # CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT ... CHECK)
+    # ------------------------------------------------------------------ #
+
+    def constraints(self) -> dict[str, str]:
+        """Active CHECK constraints: {name: sql_predicate}."""
+        if self.latest_version() is None:
+            return {}
+        return dict(self._entry().get("constraints") or {})
+
+    def _enforce_constraints(self, df: DataFrame, context: str) -> None:
+        """Raise if any row of ``df`` violates an active constraint.
+
+        One filter+limit job per constraint over the INCOMING data only
+        (existing data was validated when the constraint was added) — the
+        Delta write-path behavior.  NULL predicate results count as
+        violations (a constraint must provably hold).
+        """
+        for name, expr in self.constraints().items():
+            bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1)
+            row = bad.collect()
+            if row:
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({expr}) violated by "
+                    f"{context} row: {row[0].asDict()}"
+                )
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """Add a CHECK constraint after validating the EXISTING data
+        satisfies it (Delta semantics: ADD CONSTRAINT scans the table and
+        fails if any current row violates).  Metadata-only commit."""
+        existing = self.constraints()
+        if name in existing:
+            raise ValueError(f"constraint {name!r} already exists")
+        bad = self.read().filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"cannot add CHECK constraint {name!r} ({expr}): existing "
+                f"row violates it: {bad[0].asDict()}"
+            )
+        snap = self._entry()
+        return self._commit(
+            {
+                "operation": "add_constraint",
+                "constraint": {name: expr},
+                "constraints": {**existing, name: expr},
+                "files": list(snap["files"]),
+                "partition_by": snap.get("partition_by") or [],
+                "schema": snap["schema"],
+                "num_files": len(snap["files"]),
+            }
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        existing = self.constraints()
+        if name not in existing:
+            raise ValueError(f"no such constraint: {name!r}")
+        existing.pop(name)
+        snap = self._entry()
+        return self._commit(
+            {
+                "operation": "drop_constraint",
+                "constraint": {name: None},
+                "constraints": existing,
+                "files": list(snap["files"]),
+                "partition_by": snap.get("partition_by") or [],
+                "schema": snap["schema"],
+                "num_files": len(snap["files"]),
+            }
+        )

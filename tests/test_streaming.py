@@ -166,3 +166,43 @@ def test_stream_managed_table_incrementally(spark, tmp_path):
     run_once()  # same checkpoint: only the new commit's files are read
     assert dst.read().count() == 80
     assert {r["id"] for r in dst.read().collect()} == set(range(80))
+
+
+def test_interval_join_matches_batch(spark, tmp_path, landing, events_batch):
+    from delta_lake_spark.streaming import interval_join
+
+    clicks = file_stream(spark, landing, events_batch.schema).filter(
+        F.col("event_type") == "click"
+    )
+    views = file_stream(spark, landing, events_batch.schema).filter(
+        F.col("event_type") == "view"
+    )
+    joined = interval_join(
+        clicks.select("user_id", "ts", F.col("event_id").alias("click_id")),
+        views.select("user_id", "ts", F.col("event_id").alias("view_id")),
+        key="user_id",
+        upper="30 minutes",
+        watermark="2 hours",
+    ).select("user_id", "click_id", "view_id")
+    t = ManagedTable(spark, str(tmp_path / "ij_tbl"))
+    q = stream_merge_into(
+        joined, t, ["click_id", "view_id"], str(tmp_path / "ckpt"),
+        insert_only=True, output_mode="append",
+    )
+    drain(q)
+    eb = events_batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    c = eb.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    v = eb.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("vts"),
+        F.col("event_id").alias("view_id"),
+    )
+    want = c.join(
+        v,
+        (F.col("user_id") == F.col("u2"))
+        & (F.col("vts") >= F.col("cts"))
+        & (F.col("vts") <= F.col("cts") + F.expr("INTERVAL 30 minutes")),
+    ).select("user_id", "click_id", "view_id")
+    assert sorted(map(tuple, t.read().select("user_id", "click_id", "view_id").collect())) == \
+        sorted(map(tuple, want.collect()))

@@ -792,3 +792,35 @@ def test_shallow_clone_is_independent(spark, tmp_path):
     src.write(spark.range(1))
     src.vacuum()
     assert dst.read(version=0).count() == 100
+
+
+def test_check_constraints(spark, tmp_path):
+    import pytest
+
+    t = ManagedTable(spark, str(tmp_path / "ck"))
+    t.write(spark.range(10).withColumn("amount", F.col("id") * 10))
+    t.add_constraint("amount_nonneg", "amount >= 0")
+    assert t.constraints() == {"amount_nonneg": "amount >= 0"}
+    # violating append fails before any commit
+    v = t.latest_version()
+    with pytest.raises(ValueError, match="amount_nonneg"):
+        t.write(spark.range(1).withColumn("amount", F.lit(-5).cast("long")), mode="append")
+    assert t.latest_version() == v
+    # conforming append passes; constraint survives the commit
+    t.write(spark.range(1).withColumn("amount", F.lit(7).cast("long")), mode="append")
+    assert t.constraints() == {"amount_nonneg": "amount >= 0"}
+    # NULL predicate results are violations (must provably hold)
+    with pytest.raises(ValueError, match="amount_nonneg"):
+        t.write(
+            spark.range(1).withColumn("amount", F.lit(None).cast("long")),
+            mode="append",
+        )
+    # merge source is gated too
+    with pytest.raises(ValueError, match="merge source"):
+        t.merge(spark.range(1).withColumn("amount", F.lit(-1).cast("long")), keys=["id"])
+    # adding a constraint the existing data violates fails
+    with pytest.raises(ValueError, match="existing"):
+        t.add_constraint("small", "amount < 50")
+    t.drop_constraint("amount_nonneg")
+    assert t.constraints() == {}
+    t.write(spark.range(1).withColumn("amount", F.lit(-5).cast("long")), mode="append")
