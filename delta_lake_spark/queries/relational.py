@@ -992,3 +992,37 @@ def q36_unpivot_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     ).orderBy("c_mktsegment", "metric")
+
+
+# ---------------------------------------------------------------------------
+# q37 — aggregate-then-max selection (TPC-H Q15 shape): best supplier(s) by
+# 1995-Q1 shipped revenue; the WHERE compares each group's aggregate to a
+# scalar subquery over the same aggregate (Catalyst evaluates the revenue
+# CTE once per consumer; ties surface all winners).  Shared SQL text runs
+# on both engines.
+# ---------------------------------------------------------------------------
+_Q37_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(8,4)))) * 100) AS DOUBLE) / 100
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+@register("q37_top_supplier_revenue", oracle=_Q37_SQL)
+def q37_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q37_SQL)

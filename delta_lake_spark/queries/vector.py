@@ -378,3 +378,76 @@ def v05_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "n", F.size("centroid").alias("dim"), "mean_dist", "max_dist")
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# v07 — ANN quality metric: recall@10 of the bucketed ANN paths against the
+# exact scan, per query.  Composes the v01 (exact), v04 (nprobe=1) and v06
+# (nprobe=5) plans and counts ground-truth hits — the measurement loop any
+# production ANN deployment runs to tune nprobe/bucket count.  Output is
+# integer hit counts out of 10 (hash-stable).
+# ---------------------------------------------------------------------------
+@register(
+    "v07_ann_recall",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket FROM embeddings),
+exact AS (
+  SELECT qid, vid FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS vid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank
+    FROM (SELECT * FROM v WHERE vec_id < 5) a
+    JOIN v b ON a.vec_id <> b.vec_id
+  ) t WHERE rank <= 10
+),
+ivf1 AS (
+  SELECT qid, vid FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS vid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank
+    FROM (SELECT * FROM v WHERE vec_id < 5) a
+    JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  ) t WHERE rank <= 10
+),
+ivf5 AS (
+  SELECT qid, vid FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS vid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank
+    FROM (SELECT vec_id, e, xor(bucket, m.flip) AS bucket
+          FROM v, (SELECT unnest([0, 1, 2, 4, 8]) AS flip) m
+          WHERE vec_id < 5) a
+    JOIN v b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+  ) t WHERE rank <= 10
+)
+SELECT e.qid,
+       COUNT(*)      AS n_exact,
+       COUNT(i1.vid) AS hits_nprobe1,
+       COUNT(i5.vid) AS hits_nprobe5
+FROM exact e
+LEFT JOIN ivf1 i1 ON i1.qid = e.qid AND i1.vid = e.vid
+LEFT JOIN ivf5 i5 ON i5.qid = e.qid AND i5.vid = e.vid
+GROUP BY e.qid
+ORDER BY e.qid
+""",
+)
+def v07_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = v01_cosine_topk(spark, sf_dir).select("qid", "vid")
+    ivf1 = v04_bucketed_ann(spark, sf_dir).select(
+        F.col("qid").alias("q1"), F.col("vid").alias("v1")
+    )
+    ivf5 = v06_multiprobe_ann(spark, sf_dir).select(
+        F.col("qid").alias("q5"), F.col("vid").alias("v5")
+    )
+    return (
+        exact.join(
+            ivf1, (F.col("qid") == F.col("q1")) & (F.col("vid") == F.col("v1")), "left"
+        )
+        .join(
+            ivf5, (F.col("qid") == F.col("q5")) & (F.col("vid") == F.col("v5")), "left"
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count("v1").alias("hits_nprobe1"),
+            F.count("v5").alias("hits_nprobe5"),
+        )
+        .orderBy("qid")
+    )
