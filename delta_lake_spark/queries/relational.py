@@ -1026,3 +1026,51 @@ def q37_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q37_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q38 — hierarchical aggregate rollup: monthly metrics RE-AGGREGATED from
+# the daily aggregate rather than rescanning the fact table (the hypertable
+# continuous-aggregate / rollup-reuse pattern: at 100 TB the daily mart is
+# ~1/1000th of the facts, so month/quarter/year views re-aggregate partials
+# instead of paying the full scan again).  Correctness hinges on mergeable
+# partials — decimal sums and counts compose exactly (sum of sums); the
+# oracle computes the same months STRAIGHT from the facts, proving the
+# two-level aggregation is lossless.  avg is re-derived from the partials
+# (sum/count), never averaged-of-averages.
+# ---------------------------------------------------------------------------
+@register(
+    "q38_monthly_rollup_from_daily",
+    oracle="""
+SELECT CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month,
+       COUNT(*)                                                     AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)     AS total_price,
+       FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) * 100) / 100                                AS avg_price
+FROM orders
+GROUP BY 1
+ORDER BY month
+""",
+)
+def q38_monthly_rollup_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).alias("price_sum"),  # exact partial
+        )
+    )
+    return (
+        daily.groupBy(F.trunc("day", "month").alias("month"))
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.sum("price_sum").cast("double").alias("total_price"),
+            (
+                F.floor(
+                    F.sum("price_sum").cast("double") / F.sum("n") * 100
+                ) / 100
+            ).alias("avg_price"),
+        )
+        .orderBy("month")
+    )
