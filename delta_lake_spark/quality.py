@@ -70,3 +70,56 @@ def reconcile_sums(
     b = df_b.agg(F.sum(F.col(col).cast(dec))).first()[0]
     if a != b:
         raise QualityError(f"sum({col}) mismatch: {a} != {b}")
+
+
+def split_by_expectations(
+    df: DataFrame, expectations: dict[str, Column | str]
+) -> tuple[DataFrame, DataFrame]:
+    """Expectations with quarantine (the DLT ``expect_or_drop`` pattern):
+    rows satisfying EVERY expectation flow on; violating rows come back as
+    a second frame tagged ``_failed_expectations`` (array of rule names)
+    for a quarantine sink — at pipeline scale, failing the whole job on one
+    bad row (assert_invariant) is often the wrong tradeoff vs routing bad
+    rows aside and reconciling counts.
+
+    NULL predicate results count as violations (an expectation must
+    provably hold).  One predicate evaluation per rule per row, all
+    JVM-side; the split is two complementary filters over the same scan —
+    with the input persisted by the caller, one pass each.
+    """
+    checks = {
+        name: F.coalesce(cond if isinstance(cond, Column) else F.expr(cond), F.lit(False))
+        for name, cond in expectations.items()
+    }
+    all_ok = F.lit(True)
+    for c in checks.values():
+        all_ok = all_ok & c
+    failed = F.filter(
+        F.array(
+            *[F.when(~c, F.lit(name)).otherwise(F.lit(None)) for name, c in checks.items()]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    good = df.filter(all_ok)
+    bad = df.filter(~all_ok).withColumn("_failed_expectations", failed)
+    return good, bad
+
+
+def expect_or_quarantine(
+    df: DataFrame,
+    expectations: dict[str, Column | str],
+    quarantine,
+) -> DataFrame:
+    """Route rows failing ``expectations`` into the ``quarantine`` managed
+    table (appended, with the ``_failed_expectations`` tag) and return the
+    clean rows for the caller's sink.  The returned frame must be consumed
+    AFTER this call returns (the quarantine append already ran)."""
+    good, bad = split_by_expectations(df, expectations)
+    if bad.limit(1).count():
+        from delta_lake_spark.tables import ManagedTable
+
+        if not ManagedTable.is_managed_table(quarantine.path):
+            quarantine.write(bad)
+        else:
+            quarantine.write(bad, mode="append")
+    return good

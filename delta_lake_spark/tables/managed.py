@@ -1369,3 +1369,30 @@ class ManagedTable:
                 "num_files": len(snap["files"]),
             }
         )
+
+    def merge_with_retry(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        max_retries: int = 3,
+        **merge_kwargs: Any,
+    ) -> int:
+        """Merge with optimistic-concurrency retry: on losing a version
+        race (:class:`ConcurrentWriteError`), re-run the WHOLE merge
+        against the new snapshot, up to ``max_retries`` times.
+
+        A full re-run — not a commit retry — because a competing commit
+        logically invalidates the merge's read snapshot (its anti-join and
+        pruning were computed against the old file list).  This is Delta's
+        documented conflict-resolution recipe for concurrent MERGE; blind
+        appends/overwrites already retry inside :meth:`write`.  Persisting
+        an expensive source before calling keeps retries cheap.
+        """
+        attempts = 0
+        while True:
+            try:
+                return self.merge(source, keys, **merge_kwargs)
+            except ConcurrentWriteError:
+                attempts += 1
+                if attempts > max_retries:
+                    raise

@@ -84,3 +84,31 @@ def test_two_phase_agg_matches_plain_agg(spark):
         F.max("x").alias("mx"),
     )
     assert _rowset(got) == _rowset(want)
+
+
+def test_split_by_expectations(spark):
+    from delta_lake_spark.quality import split_by_expectations
+
+    df = spark.range(10).withColumn(
+        "amount", F.when(F.col("id") < 7, F.col("id") * 10).otherwise(F.lit(None))
+    )
+    good, bad = split_by_expectations(
+        df, {"amount_set": "amount IS NOT NULL", "amount_small": "amount < 50"}
+    )
+    assert sorted(r.id for r in good.collect()) == [0, 1, 2, 3, 4]
+    got = {r.id: sorted(r._failed_expectations) for r in bad.collect()}
+    assert got[5] == ["amount_small"]
+    assert got[9] == ["amount_set", "amount_small"]  # null fails both
+
+
+def test_expect_or_quarantine_routes_bad_rows(spark, tmp_path):
+    from delta_lake_spark.quality import expect_or_quarantine
+    from delta_lake_spark.tables import ManagedTable
+
+    df = spark.range(10).withColumn("v", F.pmod("id", F.lit(3)))
+    q = ManagedTable(spark, str(tmp_path / "quarantine"))
+    good = expect_or_quarantine(df, {"v_nonzero": "v != 0"}, q)
+    assert good.count() == 6
+    qr = q.read()
+    assert qr.count() == 4
+    assert qr.filter(F.array_contains("_failed_expectations", "v_nonzero")).count() == 4

@@ -824,3 +824,44 @@ def test_check_constraints(spark, tmp_path):
     t.drop_constraint("amount_nonneg")
     assert t.constraints() == {}
     t.write(spark.range(1).withColumn("amount", F.lit(-5).cast("long")), mode="append")
+
+
+def test_merge_with_retry_survives_version_race(spark, tmp_path, monkeypatch):
+    import pytest
+
+    from delta_lake_spark.tables.managed import ConcurrentWriteError
+
+    t = ManagedTable(spark, str(tmp_path / "mr"))
+    t.write(spark.range(10).withColumn("v", F.lit(0).cast("long")))
+    src = spark.range(5, 15).withColumn("v", F.lit(1).cast("long"))
+
+    # first merge attempt loses the race (simulated competing commit);
+    # the retry re-reads the new snapshot and succeeds
+    real_commit = ManagedTable._commit
+    fails = {"left": 1}
+
+    def flaky_commit(self, entry):
+        if fails["left"] and entry.get("operation") == "merge":
+            fails["left"] -= 1
+            # a competitor appends and wins the version
+            real_commit(
+                self,
+                {
+                    "operation": "append",
+                    "files": self._entry()["files"],
+                    "partition_by": [],
+                    "schema": self._entry()["schema"],
+                },
+            )
+            raise ConcurrentWriteError("simulated race")
+        return real_commit(self, entry)
+
+    monkeypatch.setattr(ManagedTable, "_commit", flaky_commit)
+    t.merge_with_retry(src, ["id"])
+    got = {r.id: r.v for r in t.read().collect()}
+    assert len(got) == 15 and got[0] == 0 and got[14] == 1 and got[7] == 1
+
+    # exhausted retries re-raise
+    fails["left"] = 99
+    with pytest.raises(ConcurrentWriteError):
+        t.merge_with_retry(src, ["id"], max_retries=2)
