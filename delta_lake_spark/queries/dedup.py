@@ -212,3 +212,79 @@ def d10_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cluster_size"), F.max("id").alias("max_id"))
         .orderBy("component")
     )
+
+
+# ---------------------------------------------------------------------------
+# d12 — SimHash near-dup PAIRS via byte banding (completes d07, which only
+# computes signatures): the 32-bit simhash splits into 4 byte bands; docs
+# sharing any band byte become candidates (pigeonhole: any pair within
+# Hamming distance 3 shares at least one exact byte, so recall at the
+# classic <=3 threshold is 100%); exact Hamming distance verifies.  The
+# demo threshold is 8 (corpus has no planted near-dups, so <=3 would be
+# empty; the shape is what matters).  Same scale contract as d06: only
+# (id, band, key) equi-joins, never an all-pairs comparison.
+# ---------------------------------------------------------------------------
+_D12_THRESHOLD = 8
+
+
+@register(
+    "d12_simhash_near_pairs",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_distinct(regexp_split_to_array({_NORM_SQL}, '\\s+')), t -> {_H}) AS hs
+  FROM documents
+),
+bits AS (SELECT doc_id, {_BITSUMS} FROM toks),
+sigs AS (SELECT doc_id, CAST({_SIMHASH_EXPR} AS BIGINT) AS sig FROM bits),
+bands AS (
+  SELECT doc_id, sig, r.range AS band, (sig >> (r.range * 8)) & 255 AS key
+  FROM sigs, range(4) r
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, bit_count(xor(sa.sig, sb.sig)) AS hamming
+FROM cand c
+JOIN sigs sa ON sa.doc_id = c.id_a
+JOIN sigs sb ON sb.doc_id = c.id_b
+WHERE bit_count(xor(sa.sig, sb.sig)) <= {_D12_THRESHOLD}
+ORDER BY id_a, id_b
+""",
+)
+def d12_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    sigs = d.select("doc_id", simhash32("text").alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("band"),
+    ).withColumn("key", F.expr("shiftright(sig, band * 8) & 255"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("band").alias("band_a"), F.col("key").alias("key_a")
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("band").alias("band_b"), F.col("key").alias("key_b")
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_a") == F.col("band_b"))
+            & (F.col("key_a") == F.col("key_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _D12_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
