@@ -125,3 +125,54 @@ def decode_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, FRAME_FEATURES_SCHEMA)
+
+
+SAMPLED_FRAMES_SCHEMA = (
+    "doc_id BIGINT, frame_idx INT, frame_bytes INT, frame_sum BIGINT"
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_k: int = 4,
+    frame_bytes: int = 100,
+) -> DataFrame:
+    """Frame sampling: one OUTPUT ROW PER SAMPLED FRAME (every ``every_k``-th
+    fixed-size byte window of the payload) — the cardinality-EXPANDING
+    multimodal shape, vs ``decode_frames``'s one-row-per-item.
+
+    The expansion happens inside the ``mapInPandas`` generator, so memory
+    is bounded by (Arrow batch size x frames-per-item), never by the whole
+    partition's frames; downstream per-frame operators (dedup, embedding)
+    see an ordinary distributed DataFrame.  The per-frame "decode" is the
+    deterministic byte-sum stub (same contract as ``_fake_decode``: swap in
+    a real codec at this seam).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            sizes: list[int] = []
+            sums: list[int] = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                n_frames = len(b) // frame_bytes + 1
+                for i in range(0, n_frames, every_k):
+                    chunk = b[i * frame_bytes : (i + 1) * frame_bytes]
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    sizes.append(len(chunk))
+                    sums.append(sum(chunk))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_bytes": pd.Series(sizes, dtype="int32"),
+                    "frame_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, SAMPLED_FRAMES_SCHEMA)

@@ -69,3 +69,27 @@ def m02_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# m03 — frame sampling: the cardinality-expanding multimodal stage (one row
+# per sampled frame).  Rows-only like m02 (Arrow-batched python); the
+# differential unit test in test_pandas_ops.py checks the stub against a
+# pure-python recomputation.  Aggregated per doc bucket for schema
+# stability.
+# ---------------------------------------------------------------------------
+@register("m03_sampled_frames")
+def m03_sampled_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.multimodal import sample_frames
+
+    d = with_payload(table_parallel(spark, sf_dir, "documents", "doc_id"))
+    frames = sample_frames(d, every_k=4)
+    return (
+        frames.groupBy((F.col("doc_id") % 10).alias("doc_bucket"))
+        .agg(
+            F.count("*").alias("n_frames_sampled"),
+            F.sum("frame_sum").alias("sum_bytes"),
+            F.max("frame_idx").alias("max_frame_idx"),
+        )
+        .orderBy("doc_bucket")
+    )

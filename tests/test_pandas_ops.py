@@ -38,3 +38,24 @@ def test_label_centroids_match_numpy(spark):
         assert np.allclose(r["centroid"], centroid)
         assert abs(r["mean_dist"] - dists.mean()) < 1e-9
         assert abs(r["max_dist"] - dists.max()) < 1e-9
+
+
+def test_sample_frames_matches_python(spark):
+    from delta_lake_spark.catalog import table
+    from delta_lake_spark.functions.multimodal import sample_frames, with_payload
+    from tests.conftest import SF_SMOKE
+
+    d = with_payload(table(spark, SF_SMOKE, "documents")).filter(
+        F.col("doc_id") < 20
+    )
+    got = sorted(
+        map(tuple, sample_frames(d, every_k=4).collect())
+    )
+    want = []
+    for r in d.select("doc_id", "payload").collect():
+        b = bytes(r.payload)
+        n_frames = len(b) // 100 + 1
+        for i in range(0, n_frames, 4):
+            chunk = b[i * 100 : (i + 1) * 100]
+            want.append((r.doc_id, i, len(chunk), sum(chunk)))
+    assert got == sorted(want)

@@ -164,3 +164,11 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_d12_simhash_pairs_plan_is_equi_join(spark):
+    """d12 candidates come from byte-band equi-joins (the d06/v02 LSH
+    contract): no nested-loop/cartesian pair generation."""
+    plan = plan_of(QUERIES["d12_simhash_near_pairs"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
