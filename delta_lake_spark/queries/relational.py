@@ -1074,3 +1074,38 @@ def q38_monthly_rollup_from_daily(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# q40 — sketch accuracy property: HLL approx-distinct vs exact distinct.
+# The raw estimates are engine-specific (Spark HLL++ vs DuckDB's HLL) and
+# can never hash-match; what IS cross-engine checkable is the sketch
+# CONTRACT — each engine's estimate lands within the error bound of the
+# exact answer it computes itself.  Spark runs rsd=0.01 against a 5%
+# acceptance band, so the boolean is stable by a wide margin.  (q28 keeps
+# the raw-estimate surface as a rows-only entry.)
+# ---------------------------------------------------------------------------
+@register(
+    "q40_sketch_accuracy",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(DISTINCT o_custkey) AS n_exact,
+       (ABS(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
+        <= 0.05 * COUNT(DISTINCT o_custkey)) AS approx_within_5pct
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q40_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    exact = F.count_distinct("o_custkey")
+    approx = F.approx_count_distinct("o_custkey", rsd=0.01)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            exact.alias("n_exact"),
+            (F.abs(approx - exact) <= 0.05 * exact).alias("approx_within_5pct"),
+        )
+        .orderBy("o_orderpriority")
+    )

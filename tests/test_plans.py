@@ -172,3 +172,21 @@ def test_d12_simhash_pairs_plan_is_equi_join(spark):
     plan = plan_of(QUERIES["d12_simhash_near_pairs"](spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_aggregation_has_no_exchange(spark, tmp_path):
+    """Bucketing also serves aggregations: a groupBy on the bucket key
+    reads the pre-hashed layout and aggregates with ZERO Exchange — the
+    repeated-rollup pattern (same key aggregated by many queries) pays its
+    shuffle once at write time."""
+    from delta_lake_spark.io.bucketed import write_bucketed
+
+    o = table(spark, SF_SMOKE, "orders")
+    write_bucketed(o, "b_orders_agg", "o_custkey", 8, path=str(tmp_path / "oa"))
+    try:
+        agg = spark.table("b_orders_agg").groupBy("o_custkey").count()
+        plan = plan_of(agg)
+        assert "Exchange" not in plan
+        assert agg.count() == o.select("o_custkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders_agg")
