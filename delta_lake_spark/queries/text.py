@@ -410,3 +410,65 @@ def t08_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = d.select("doc_id", *counts)
     total = sum((F.col(n) for n in _PII_PATTERNS), F.lit(0))
     return out.withColumn("has_pii", total > 0).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t09 — token-budget packing: assign documents to training batches so each
+# batch holds ~BUDGET tokens (the sequence-packing step before tokenized
+# examples hit a context window).  Greedy-by-cumsum: within each lang
+# stream, running token total // budget = batch id — one window pass, no
+# iteration.  (Exact bin packing is NP-hard and order-dependent; streaming
+# cumsum packing is the standard scalable approximation, deterministic
+# given the doc_id order.)  Scale: one shuffle on lang, state = one running
+# sum per stream; at 100 TB you'd sub-partition the stream key (e.g.
+# lang x shard) to bound per-task order — same plan shape.
+# ---------------------------------------------------------------------------
+_T09_BUDGET = 2000
+
+
+@register(
+    "t09_token_budget_packing",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, len({_TOKENS_SQL}) AS n_tokens FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_tokens) / {_T09_BUDGET}) AS BIGINT) AS batch_id
+  FROM d
+)
+SELECT lang, batch_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens,
+       MIN(doc_id) AS first_doc
+FROM packed
+GROUP BY lang, batch_id
+ORDER BY lang, batch_id
+""",
+)
+def t09_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # batch = tokens BEFORE this doc // budget: a doc starting inside a
+    # batch joins it even if it overflows the budget (standard packing).
+    batch = F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _T09_BUDGET)
+    return (
+        d.withColumn("batch_id", batch)
+        .groupBy("lang", "batch_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("batch_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang", "batch_id")
+    )
