@@ -60,8 +60,24 @@ class MedallionPipeline:
             self._t("bronze", name).write(corpus_table(self.spark, self.sf_dir, name))
 
     def build_silver(self) -> None:
-        """Type/flag/enrich (reference cell 7)."""
-        orders = self.read("bronze", "orders")
+        """Type/flag/enrich (reference cell 7).
+
+        Bronze orders pass through DLT-style expectations on the way in:
+        rows violating hard invariants are routed to
+        ``silver/orders_quarantine`` (tagged with the failed rule names)
+        instead of failing the build or polluting the marts — count
+        reconciliation stays exact (kept + quarantined == bronze).
+        """
+        from delta_lake_spark.quality import expect_or_quarantine
+
+        orders = expect_or_quarantine(
+            self.read("bronze", "orders"),
+            {
+                "positive_price": "o_totalprice > 0",
+                "known_status": "o_orderstatus IN ('O', 'F', 'P')",
+            },
+            self._t("silver", "orders_quarantine"),
+        )
         silver_orders = (
             orders.withColumn("amount", F.col("o_totalprice").cast("decimal(18,2)"))
             .withColumn("order_year", F.year("o_orderdate"))

@@ -96,3 +96,50 @@ def s02_fixed_size_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .orderBy("lang", "source", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# s03 — source-temperature mixture: per-source keep rates (the "mixture
+# weights" step of a training-data recipe — upsample rare/high-quality
+# sources, downsample bulk ones).  Rates here derive from the source id
+# (mod-4 temperature ladder 100%/50%/25%/12.5%); in production the rate
+# column joins in from a weights table — identical plan shape (per-row
+# hash test, zero shuffles before the reporting aggregate).
+# ---------------------------------------------------------------------------
+_S03_RATES = [10000, 5000, 2500, 1250]
+_S03_RATE_SQL = (
+    "CASE (CAST(substr(source, 4) AS INT) % 4) "
+    + " ".join(f"WHEN {i} THEN {r}" for i, r in enumerate(_S03_RATES))
+    + " END"
+)
+
+
+@register(
+    "s03_source_mixture",
+    oracle=f"""
+SELECT source,
+       {_S03_RATE_SQL} AS rate_bp,
+       COUNT(*) AS n_total,
+       CAST(SUM(CASE WHEN {hash_bucket_sql("doc_id", "mix")} < {_S03_RATE_SQL}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def s03_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    rate = src_num % 4
+    for i, r in enumerate(_S03_RATES):
+        rate = F.when(src_num % 4 == i, r) if i == 0 else rate.when(src_num % 4 == i, r)
+    kept = keep_fraction("doc_id", rate, "mix")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.first(rate).alias("rate_bp"),
+            F.count("*").alias("n_total"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )

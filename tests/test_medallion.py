@@ -80,3 +80,32 @@ def test_incremental_refresh_matches_full_rebuild(spark, pipe):
     assert rowset(pipe.read("gold", "daily_metrics")) == rowset(
         daily_metrics_mart(merged_orders, rates)
     )
+
+
+def test_quarantine_catches_bad_bronze_rows(spark, tmp_path):
+    """A poisoned bronze orders row lands in silver/orders_quarantine (with
+    the failing rule names), never in silver or the marts; counts reconcile
+    exactly (kept + quarantined == bronze)."""
+    from delta_lake_spark.catalog import table as corpus_table
+    from delta_lake_spark.pipeline.medallion import MedallionPipeline
+    from delta_lake_spark.tables import ManagedTable
+
+    p = MedallionPipeline(spark, str(tmp_path / "lake"), SF_SMOKE)
+    p.build_bronze()
+    # poison one row: negative price + unknown status
+    bronze = p.read("bronze", "orders")
+    bad = bronze.limit(1).withColumn("o_totalprice", F.lit(-1.0)).withColumn(
+        "o_orderstatus", F.lit("X")
+    ).withColumn("o_orderkey", F.lit(-999).cast("long"))
+    p._t("bronze", "orders").write(bad, mode="append")
+    p.build_silver()
+
+    n_bronze = p.read("bronze", "orders").count()
+    n_silver = p.read("silver", "orders").count()
+    q = ManagedTable(spark, str(tmp_path / "lake" / "silver" / "orders_quarantine"))
+    qr = q.read()
+    assert qr.count() == 1
+    assert n_silver + qr.count() == n_bronze
+    row = qr.first()
+    assert sorted(row._failed_expectations) == ["known_status", "positive_price"]
+    assert p.read("silver", "orders").filter(F.col("o_orderkey") == -999).count() == 0
