@@ -1109,3 +1109,31 @@ def q40_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q41 — explicit GROUPING SETS (the general form behind q18's ROLLUP and
+# q24's CUBE): two independent 1-D breakdowns plus the grand total in ONE
+# scan — Spark plans a single Expand + aggregate, not three unioned scans.
+# GROUPING() flags disambiguate real NULL group keys from the roll-up rows.
+# Shared SQL text runs on both engines.
+# ---------------------------------------------------------------------------
+_Q41_SQL = """
+SELECT o_orderstatus,
+       o_orderpriority,
+       GROUPING(o_orderstatus)   AS g_status,
+       GROUPING(o_orderpriority) AS g_priority,
+       COUNT(*)                  AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+"""
+
+
+@register("q41_grouping_sets", oracle=_Q41_SQL)
+def q41_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_Q41_SQL)
