@@ -1137,3 +1137,89 @@ def q41_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_Q41_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q42 — RIGHT OUTER join (with q33's full outer this completes the
+# join-type surface SURVEY.md §2.3 calls for): every customer appears,
+# zero-filled when orderless.  Scale note: at 100x you'd write this as the
+# mirrored LEFT join (big table on the probe side); Catalyst produces the
+# same plan either way — the demo keeps the literal RIGHT form.
+# ---------------------------------------------------------------------------
+@register(
+    "q42_right_join_order_coverage",
+    oracle="""
+SELECT c.c_custkey,
+       c.c_mktsegment,
+       COUNT(o.o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+FROM orders o
+RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+ORDER BY c.c_custkey
+""",
+)
+def q42_right_join_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right_outer")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43 — bounded CROSS join: the (region x order-status) coverage matrix,
+# zero-filled via a left join back onto observed combinations.  The cross
+# join is deliberate and bounded (5 x 3 dimension rows) — the legitimate
+# cross-join use case (dimension scaffolding), never fact x fact.
+# ---------------------------------------------------------------------------
+@register(
+    "q43_coverage_matrix",
+    oracle="""
+WITH obs AS (
+  SELECT r.r_name, o.o_orderstatus, COUNT(*) AS n
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+  JOIN region r   ON n2.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, o.o_orderstatus
+),
+statuses AS (SELECT DISTINCT o_orderstatus FROM orders)
+SELECT r.r_name, s.o_orderstatus, COALESCE(obs.n, 0) AS n_orders
+FROM region r
+CROSS JOIN statuses s
+LEFT JOIN obs ON obs.r_name = r.r_name AND obs.o_orderstatus = s.o_orderstatus
+ORDER BY r.r_name, s.o_orderstatus
+""",
+)
+def q43_coverage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    obs = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    statuses = o.select("o_orderstatus").distinct()
+    grid = r.select("r_name").crossJoin(statuses)
+    return (
+        grid.join(obs, ["r_name", "o_orderstatus"], "left")
+        .select(
+            "r_name",
+            "o_orderstatus",
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("r_name", "o_orderstatus")
+    )
