@@ -38,6 +38,18 @@ HEADLINE = [
     "m02_frame_features",       # mapInPandas multimodal decode stub
 ]
 
+# Round-2+ operator families, timed separately (headline stays comparable)
+EXTENSIONS = [
+    "q34_shipments_after_urgent_orders",  # binned range join
+    "t07_repetition_stats",               # Gopher repetition filters
+    "t08_pii_scan",                       # PII regexp scan
+    "t09_token_budget_packing",           # sequence packing
+    "s01_hash_split_sample",              # content-addressed sampling
+    "d12_simhash_near_pairs",             # SimHash banded near-dup
+    "v07_ann_recall",                     # ANN recall metric
+    "q38_monthly_rollup_from_daily",      # rollup reuse
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,6 +87,19 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+
+    # Extension-family timings (round-2+ operators) — reported separately so
+    # the headline total stays comparable across BENCH_r{N} rounds.
+    ext: dict[str, float] = {}
+    for name in EXTENSIONS:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        ext[name] = round(min(first, time.perf_counter() - t0), 3)
+    payload["extensions"] = ext
+    payload["extensions_total_warm"] = round(sum(ext.values()), 3)
 
     # Reference-scale section (BASELINE.md is timed at 10-11M fact rows, not
     # sf0.1): the same marts + scan suite at the reference's own row count.
