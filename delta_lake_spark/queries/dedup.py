@@ -256,7 +256,10 @@ ORDER BY id_a, id_b
 )
 def d12_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table_parallel(spark, sf_dir, "documents", "doc_id")
-    sigs = d.select("doc_id", simhash32("text").alias("sig"))
+    # simhash32 is the expensive stage (32 bit-sum passes per doc); THREE
+    # consumers (banding + both verify joins) would recompute it — persist
+    # once (the d06 persisted-signatures pattern)
+    sigs = d.select("doc_id", simhash32("text").alias("sig")).persist()
     bands = sigs.select(
         "doc_id",
         "sig",

@@ -325,10 +325,27 @@ ORDER BY doc_id
 """,
 )
 def t07_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_lake_spark.functions.text import tokens, word_bigrams
+    from delta_lake_spark.functions.text import tokens
 
-    d = table_parallel(spark, sf_dir, "documents", "doc_id").select(
-        "doc_id", tokens("text").alias("toks"), word_bigrams("text").alias("bgs")
+    # tokenize ONCE and persist: the uni and bi branches both consume the
+    # split (the d06 persisted-signatures pattern) — without it each branch
+    # re-scans and re-splits the corpus.  Bigrams derive from the shared
+    # toks column, so the two branches are definitionally consistent.
+    n = F.size("toks")
+    bgs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat(
+                F.element_at("toks", i), F.lit(" "), F.element_at("toks", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = (
+        table_parallel(spark, sf_dir, "documents", "doc_id")
+        .select("doc_id", tokens("text").alias("toks"))
+        .withColumn("bgs", bgs)
+        .persist()
     )
     uni = (
         d.select("doc_id", F.explode("toks").alias("tok"))
