@@ -101,6 +101,61 @@ def main() -> None:
     payload["extensions"] = ext
     payload["extensions_total_warm"] = round(sum(ext.values()), 3)
 
+    # Bucketed-storage section (VERDICT r2 task 6): q30's lineitem⋈orders
+    # edge on bucketed tables — reports the one-time bucket-write cost next
+    # to the warm bucketed query so the break-even vs the headline q30 is
+    # visible.  Disable with SPARK_GRAFT_BUCKETED=0.
+    if os.environ.get("SPARK_GRAFT_BUCKETED", "1") != "0":
+        try:
+            from delta_lake_spark.benchmark.bucketed import run_bucketed_q30
+
+            payload["bucketed"] = run_bucketed_q30(
+                spark,
+                sf_dir,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchdata", "bucketed"),
+            )
+            payload["bucketed"]["q30_headline"] = times.get("q30_local_supplier_volume")
+        except Exception as exc:
+            payload["bucketed"] = {"error": f"{type(exc).__name__}: {exc}"}
+
+    # Scale-up section (VERDICT r2 task 4): the same headline queries on a
+    # deterministic 10x replication of sf0.1 ("sf1x", FK-consistent offset
+    # keys, permuted doc text — see benchmark/scaleup.py), with per-query
+    # scaling ratios vs this run's sf0.1 warm times.  Generated once and
+    # cached under benchdata/sf1x.  Disable with SPARK_GRAFT_SCALE=0.
+    if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
+        try:
+            from delta_lake_spark.benchmark.scaleup import generate_scaled_corpus
+
+            sf1x_dir = os.environ.get(
+                "SPARK_GRAFT_SCALE_DIR",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchdata", "sf1x"),
+            )
+            gen = generate_scaled_corpus(spark, sf_dir, sf1x_dir, copies=10)
+            sc_times: dict[str, float] = {}
+            for name in HEADLINE:
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf1x_dir).count()
+                first = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf1x_dir).count()
+                sc_times[name] = round(min(first, time.perf_counter() - t0), 3)
+                print(f"# sf1x {name}: warm {sc_times[name]:.3f}s", file=sys.stderr)
+            payload["scale_sf1x"] = {
+                **gen,
+                "queries": sc_times,
+                "total_warm": round(sum(sc_times.values()), 3),
+                "ratio_vs_sf0.1": {
+                    n: round(sc_times[n] / times[n], 2)
+                    for n in sc_times
+                    if times.get(n)
+                },
+            }
+        except Exception as exc:
+            payload["scale_sf1x"] = {"error": f"{type(exc).__name__}: {exc}"}
+
     # Reference-scale section (BASELINE.md is timed at 10-11M fact rows, not
     # sf0.1): the same marts + scan suite at the reference's own row count.
     # Data is generated once (seeded) and cached under benchdata/; repeat

@@ -24,13 +24,36 @@ TABLES = [
 ]
 
 
-# events.ts is TIMESTAMP(NANOS) in the corpus, which Spark 4 refuses to read
-# as a timestamp type.  An explicit BIGINT schema reads the raw INT64 nanos
-# without any session conf (the physical parquet type is INT64 either way).
+# events.ts has shipped as TIMESTAMP(NANOS) in some corpus generations
+# (which Spark 4 refuses to read as a timestamp type) and TIMESTAMP(MICROS,
+# unadjusted) in others (which Spark 4 reads natively as TIMESTAMP_NTZ).
+# The footer's logical-type timeUnit decides which path applies — sniffed
+# once per (sf_dir) from file metadata, never assumed.
 _EVENTS_RAW_SCHEMA = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
 )
+
+_EVENTS_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def _events_ts_unit(path: str) -> str:
+    """Time unit ('ns'/'us'/'ms'/'s') of events.ts from the parquet footer —
+    a driver-side metadata read of one column chunk, not a data scan."""
+    unit = _EVENTS_TS_UNIT_CACHE.get(path)
+    if unit is None:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        probe = path
+        if os.path.isdir(path):  # directory-style parquet (engine-written)
+            probe = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+        t = pq.ParquetFile(probe).schema_arrow.field("ts").type
+        unit = getattr(t, "unit", "us")
+        _EVENTS_TS_UNIT_CACHE[path] = unit
+    return unit
 
 # TIMESTAMP_NTZ epoch for wall-clock arithmetic (see epoch helpers below).
 EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
@@ -49,11 +72,20 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(f"{sf_dir}/{name}.parquet")
-        # integer ns->us division (double division would round at 2^53)
+        fpath = f"{sf_dir}/{name}.parquet"
+        # Raw INT64 read for every unit: immune to session confs that
+        # would otherwise decide the timestamp class (inferTimestampNTZ,
+        # timezone) — wall-clock NTZ semantics by construction.
+        to_us = {
+            # integer ns->us division (double division would round at 2^53)
+            "ns": F.expr("ts div 1000"),
+            "us": F.col("ts"),
+            "ms": F.col("ts") * 1000,
+            "s": F.col("ts") * 1_000_000,
+        }[_events_ts_unit(fpath)]
+        df = spark.read.schema(_EVENTS_RAW_SCHEMA).parquet(fpath)
         return df.withColumn(
-            "ts",
-            F.timestamp_add("MICROSECOND", F.expr("ts div 1000"), F.expr(EPOCH_NTZ)),
+            "ts", F.timestamp_add("MICROSECOND", to_us, F.expr(EPOCH_NTZ))
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -128,18 +128,33 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> Data
 
 def simhash32(text: Column | str) -> Column:
     """32-bit SimHash over the distinct token set (hash = polynomial-8).
-    Bit k of the result is 1 iff sum over tokens of (2*bit_k(h)-1) > 0."""
+    Bit k of the result is 1 iff sum over tokens of (2*bit_k(h)-1) > 0.
+
+    Single pass: ONE ``aggregate`` fold over the token-hash array carrying
+    an ``array<long>[32]`` of per-bit counters (each step zips the
+    accumulator with the bit-position constants), instead of 32 separate
+    folds — same per-bit integer sums (addition is associative and the
+    token order is unchanged), 32x less array traversal.
+    """
+    # bit positions 0..31 and place values 2^k, zipped against the
+    # 32-counter accumulator (Column constants — built per call, cheap)
+    bit_idx = F.array(*[F.lit(k) for k in range(32)])
+    pow2 = F.array(*[F.lit(1 << k).cast("long") for k in range(32)])
     toks = F.array_distinct(tokens(normalize_text(text)))
     hashes = F.transform(toks, shingle_hash)
-
-    def _bit_merge(k: int):
-        return lambda acc, h: acc + (F.shiftright(h, k).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    out = F.lit(0).cast("long")
-    for k in range(32):
-        bit_sum = F.aggregate(hashes, F.lit(0).cast("long"), _bit_merge(k))
-        out = out + F.when(bit_sum > 0, F.lit(2**k).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 32),
+        lambda acc, h: F.zip_with(
+            acc, bit_idx, lambda s, k: s + F.getbit(h, k) * 2 - 1
+        ),
+    )
+    weighted = F.zip_with(
+        sums,
+        pow2,
+        lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, x: a + x)
 
 
 def ngram_jaccard_pairs(

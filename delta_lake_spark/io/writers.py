@@ -79,8 +79,10 @@ def write_jdbc(
     silver.py:14-73; same 100K batching).  Executors write partitions in
     parallel — unlike the reference's single-process COPY.
 
-    Requires the JDBC driver jar on the Spark classpath; raises a clear
-    error otherwise (none is bundled in this environment).
+    Requires the JDBC driver jar on the Spark classpath.  Exercised at
+    runtime against embedded Apache Derby (on Spark's own classpath as the
+    Hive-metastore dependency) in tests/test_io.py; for PostgreSQL serving
+    pass the postgres driver jar + url, or use io.serving's COPY bundle.
     """
     writer = (
         df.write.format("jdbc")

@@ -59,26 +59,13 @@ class MedallionPipeline:
         for name in BRONZE_SOURCES:
             self._t("bronze", name).write(corpus_table(self.spark, self.sf_dir, name))
 
-    def build_silver(self) -> None:
-        """Type/flag/enrich (reference cell 7).
-
-        Bronze orders pass through DLT-style expectations on the way in:
-        rows violating hard invariants are routed to
-        ``silver/orders_quarantine`` (tagged with the failed rule names)
-        instead of failing the build or polluting the marts — count
-        reconciliation stays exact (kept + quarantined == bronze).
-        """
-        from delta_lake_spark.quality import expect_or_quarantine
-
-        orders = expect_or_quarantine(
-            self.read("bronze", "orders"),
-            {
-                "positive_price": "o_totalprice > 0",
-                "known_status": "o_orderstatus IN ('O', 'F', 'P')",
-            },
-            self._t("silver", "orders_quarantine"),
-        )
-        silver_orders = (
+    @staticmethod
+    def silver_orders_transform(orders: DataFrame) -> DataFrame:
+        """The Silver orders enrichment (decimal cast, year partition key,
+        suspicious-flag analog — deltalake.ipynb:947-954).  Pure column
+        expressions, so the same transform applies to a batch DataFrame, a
+        MERGE increment, or a streaming micro-batch unchanged."""
+        return (
             orders.withColumn("amount", F.col("o_totalprice").cast("decimal(18,2)"))
             .withColumn("order_year", F.year("o_orderdate"))
             .withColumn(
@@ -89,7 +76,34 @@ class MedallionPipeline:
                 & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
             )
         )
-        self._t("silver", "orders").write(silver_orders, partition_by=["order_year"])
+
+    def build_silver(self, include_orders: bool = True) -> None:
+        """Type/flag/enrich (reference cell 7).
+
+        Bronze orders pass through DLT-style expectations on the way in:
+        rows violating hard invariants are routed to
+        ``silver/orders_quarantine`` (tagged with the failed rule names)
+        instead of failing the build or polluting the marts — count
+        reconciliation stays exact (kept + quarantined == bronze).
+
+        ``include_orders=False`` builds only the dimension-side Silver
+        tables (customer/nation/rates) — the setup for a lake whose fact
+        table arrives exclusively through :meth:`stream_ingest_orders`.
+        """
+        from delta_lake_spark.quality import expect_or_quarantine
+
+        if include_orders:
+            orders = expect_or_quarantine(
+                self.read("bronze", "orders"),
+                {
+                    "positive_price": "o_totalprice > 0",
+                    "known_status": "o_orderstatus IN ('O', 'F', 'P')",
+                },
+                self._t("silver", "orders_quarantine"),
+            )
+            self._t("silver", "orders").write(
+                self.silver_orders_transform(orders), partition_by=["order_year"]
+            )
 
         lineitem = self.read("bronze", "lineitem")
         silver_lineitem = lineitem.withColumn(
@@ -170,21 +184,52 @@ class MedallionPipeline:
     def ingest_orders_increment(self, new_orders: DataFrame, n_batches: int = 1) -> None:
         """Upsert a new batch of orders into Silver (batched MERGE,
         deltalake.ipynb:2937-2946), then refresh Gold incrementally."""
-        silver = (
-            new_orders.withColumn("amount", F.col("o_totalprice").cast("decimal(18,2)"))
-            .withColumn("order_year", F.year("o_orderdate"))
-            .withColumn(
-                "is_priority_large",
-                (F.col("o_totalprice") > 200000)
-                & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
-            )
-        )
+        silver = self.silver_orders_transform(new_orders)
         t = self._t("silver", "orders")
         if n_batches <= 1:
             t.merge(silver, ["o_orderkey"])
         else:
             t.merge_in_batches(silver, ["o_orderkey"], n_batches)
         self.refresh_gold()
+
+    def stream_ingest_orders(
+        self, landing_glob: str, schema, checkpoint_dir: str
+    ):
+        """Streaming medallion: orders files land continuously, each
+        micro-batch runs the Silver transform, MERGEs into silver/orders
+        and refreshes the Gold marts — the Structured-Streaming form of the
+        reference's batch-incremental loop (deltalake.ipynb:2933-2946 merge,
+        :3227-3243 gold refresh), with exactly the same table state after
+        every batch.  ``availableNow`` drains what's landed then stops;
+        rerunning with the same checkpoint resumes where it left off.
+
+        Returns the StreamingQuery (caller awaits termination).
+        """
+        from delta_lake_spark.streaming.streams import file_stream
+
+        stream = file_stream(self.spark, landing_glob, schema, max_files_per_trigger=1)
+        silver_stream = self.silver_orders_transform(stream)
+        t = self._t("silver", "orders")
+
+        def upsert(batch: DataFrame, _batch_id: int) -> None:
+            if not ManagedTable.is_managed_table(t.path):
+                t.write(batch, partition_by=["order_year"])
+            else:
+                t.merge(batch, ["o_orderkey"])
+            if ManagedTable.is_managed_table(
+                os.path.join(self.root, "gold", "client_stats")
+            ):
+                self.refresh_gold()
+            else:
+                self.build_gold()
+
+        return (
+            silver_stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
 
     def refresh_gold(self) -> None:
         orders = self.read("silver", "orders")

@@ -109,3 +109,59 @@ def test_quarantine_catches_bad_bronze_rows(spark, tmp_path):
     row = qr.first()
     assert sorted(row._failed_expectations) == ["known_status", "positive_price"]
     assert p.read("silver", "orders").filter(F.col("o_orderkey") == -999).count() == 0
+
+
+def test_streaming_medallion_matches_batch_pipeline(spark, tmp_path):
+    """§2.9 end-to-end seam (VERDICT r2 task 7): a lake whose orders arrive
+    ONLY as a file stream (3 date-disjoint landing files → micro-batch
+    Silver transform → MERGE → per-batch Gold refresh) must end in exactly
+    the Gold state of the all-at-once batch pipeline — the streaming form
+    of test_incremental_refresh_matches_full_rebuild's invariant.
+
+    Date-disjoint landing files mirror how a daily mart's source actually
+    lands (whole days at a time); the anti-join date append — the
+    reference's own Gold refresh pattern (deltalake.ipynb:3227-3243) —
+    assumes exactly that.
+    """
+    from delta_lake_spark.catalog import table as corpus_table
+
+    # --- reference state: the ordinary batch pipeline over all orders
+    batch_pipe = MedallionPipeline(spark, str(tmp_path / "batch_lake"), SF_SMOKE)
+    batch_pipe.run(validate=False)
+
+    # --- streaming lake: dims batch-built, orders streamed in
+    stream_pipe = MedallionPipeline(spark, str(tmp_path / "stream_lake"), SF_SMOKE)
+    stream_pipe.build_bronze()
+    stream_pipe.build_silver(include_orders=False)
+
+    orders = corpus_table(spark, SF_SMOKE, "orders")
+    landing = tmp_path / "landing"
+    splits = [
+        F.col("o_orderdate") < "1995-01-01",
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01"),
+        F.col("o_orderdate") >= "1997-01-01",
+    ]
+    for i, cond in enumerate(splits):
+        orders.filter(cond).coalesce(1).write.parquet(str(landing / f"f{i}"))
+
+    q = stream_pipe.stream_ingest_orders(
+        str(landing) + "/*", orders.schema, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    assert rowset(stream_pipe.read("silver", "orders")) == rowset(
+        batch_pipe.read("silver", "orders")
+    )
+    for mart in ["client_stats", "daily_metrics"]:
+        assert rowset(stream_pipe.read("gold", mart)) == rowset(
+            batch_pipe.read("gold", mart)
+        ), mart
+
+    # drained stream + same checkpoint: nothing new to process, state unchanged
+    before = rowset(stream_pipe.read("gold", "client_stats"))
+    q2 = stream_pipe.stream_ingest_orders(
+        str(landing) + "/*", orders.schema, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert rowset(stream_pipe.read("gold", "client_stats")) == before

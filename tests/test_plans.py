@@ -190,3 +190,38 @@ def test_bucketed_aggregation_has_no_exchange(spark, tmp_path):
         assert agg.count() == o.select("o_custkey").distinct().count()
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders_agg")
+
+
+def test_q30_bucketed_join_exchange_free_and_equivalent(spark, tmp_path):
+    """The q30 lineitem⋈orders edge on bucketed storage (VERDICT r2 task 6):
+    the SortMergeJoin of the two bucketed facts must have NO Exchange on
+    either input, and the result must equal the unbucketed q30."""
+    from delta_lake_spark.benchmark.bucketed import (
+        prepare_bucketed_facts,
+        q30_bucketed,
+    )
+
+    prepare_bucketed_facts(spark, SF_SMOKE, str(tmp_path / "bk"))
+    try:
+        # the l⋈o edge in isolation: SortMergeJoin fed straight from the
+        # two bucketed scans — zero Exchange anywhere in the sub-plan
+        l = spark.table("bucketed_lineitem")
+        o = spark.table("bucketed_orders")
+        edge = l.hint("merge").join(o, l.l_orderkey == o.o_orderkey)
+        eplan = plan_of(edge)
+        assert "SortMergeJoin" in eplan
+        assert "Exchange" not in eplan, eplan
+        assert eplan.count("Bucketed: true") == 2
+        # the full q30 shape on the bucketed facts matches unbucketed q30
+        df = q30_bucketed(spark, SF_SMOKE)
+        assert "SortMergeJoin" in plan_of(df)
+        expect = sorted(
+            map(
+                tuple,
+                QUERIES["q30_local_supplier_volume"](spark, SF_SMOKE).collect(),
+            )
+        )
+        assert sorted(map(tuple, df.collect())) == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bucketed_orders")
