@@ -220,11 +220,15 @@ def d10_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sharing any band byte become candidates (pigeonhole: any pair within
 # Hamming distance 3 shares at least one exact byte, so recall at the
 # classic <=3 threshold is 100%); exact Hamming distance verifies.  The
-# demo threshold is 8 (corpus has no planted near-dups, so <=3 would be
-# empty; the shape is what matters).  Same scale contract as d06: only
-# (id, band, key) equi-joins, never an all-pairs comparison.
+# threshold is the classic 3 — exactly the regime the byte-band pigeonhole
+# guarantees full recall for.  (Earlier corpus generations had no planted
+# near-dups and used a loose demo threshold of 8; the current corpus has
+# real near-dup mass, where 8 admits ~36% of ALL pairs as candidates —
+# a recall-free regime no SimHash deployment would run at.)  Same scale
+# contract as d06: only (id, band, key) equi-joins, never an all-pairs
+# comparison.
 # ---------------------------------------------------------------------------
-_D12_THRESHOLD = 8
+_D12_THRESHOLD = 3
 
 
 @register(
