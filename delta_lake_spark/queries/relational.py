@@ -910,7 +910,10 @@ def q32_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(18,2)")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        # part scales with SF (~200K rows/SF) — no broadcast hint; AQE picks
+        # BHJ while the build side is under the threshold and falls back to
+        # SMJ at scale (same treatment as q29/q30's scaling dims).
+        l.join(p, l.l_partkey == p.p_partkey)
         .groupBy(F.year("l_shipdate").alias("ship_year"))
         .agg(
             F.floor(

@@ -34,3 +34,19 @@ def test_entry_smoke(spark):
 
     df = __spark_entry__.entry(spark)
     assert df.count() > 0
+
+
+def test_driver_window_pinned_to_registry():
+    """ADVICE r3: the curated first-50 window must never silently shrink —
+    every name must exist in the registry, carry an oracle, and the head of
+    queries()/oracle_sql() must be exactly the window."""
+    import __spark_entry__ as entry
+
+    assert len(entry.DRIVER_WINDOW) == 50
+    assert len(set(entry.DRIVER_WINDOW)) == 50
+    missing = [k for k in entry.DRIVER_WINDOW if k not in QUERIES]
+    assert not missing, f"window names absent from registry: {missing}"
+    no_oracle = [k for k in entry.DRIVER_WINDOW if k not in ORACLE]
+    assert not no_oracle, f"window names without an oracle: {no_oracle}"
+    assert list(entry.queries())[:50] == entry.DRIVER_WINDOW
+    assert list(entry.oracle_sql())[:50] == entry.DRIVER_WINDOW
