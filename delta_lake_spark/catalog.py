@@ -34,25 +34,46 @@ _EVENTS_RAW_SCHEMA = (
     "event_type STRING, value DOUBLE, props STRING"
 )
 
-_EVENTS_TS_UNIT_CACHE: dict[str, str] = {}
+_EVENTS_TS_UNIT_CACHE: dict[tuple[str, float], str] = {}
 
 
 def _events_ts_unit(path: str) -> str:
     """Time unit ('ns'/'us'/'ms'/'s') of events.ts from the parquet footer —
-    a driver-side metadata read of one column chunk, not a data scan."""
-    unit = _EVENTS_TS_UNIT_CACHE.get(path)
+    a driver-side metadata read of one column chunk, not a data scan.
+
+    Cached per (path, footer mtime) so an in-session regeneration of the
+    corpus invalidates the entry instead of serving a stale unit."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):  # directory-style parquet (engine-written)
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(
+                f"events table directory {path!r} contains no *.parquet files"
+            )
+        probe = parts[0]
+    if not os.path.exists(probe):
+        raise FileNotFoundError(f"events table not found at {probe!r}")
+    key = (path, os.path.getmtime(probe))
+    unit = _EVENTS_TS_UNIT_CACHE.get(key)
     if unit is None:
-        import glob
-        import os
-
-        import pyarrow.parquet as pq
-
-        probe = path
-        if os.path.isdir(path):  # directory-style parquet (engine-written)
-            probe = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
         t = pq.ParquetFile(probe).schema_arrow.field("ts").type
-        unit = getattr(t, "unit", "us")
-        _EVENTS_TS_UNIT_CACHE[path] = unit
+        if not pa.types.is_timestamp(t):
+            # A plain INT64 ts (no timestamp logical type) has no declared
+            # unit; silently assuming 'us' would shift every events-derived
+            # date by ~1000x for a raw-nanos corpus. Fail loudly instead.
+            raise TypeError(
+                f"events.ts in {probe!r} has parquet/Arrow type {t} — expected"
+                " a timestamp logical type carrying a time unit. Regenerate"
+                " the corpus or declare the unit explicitly."
+            )
+        unit = t.unit
+        _EVENTS_TS_UNIT_CACHE[key] = unit  # stale-mtime entries just linger
     return unit
 
 # TIMESTAMP_NTZ epoch for wall-clock arithmetic (see epoch helpers below).

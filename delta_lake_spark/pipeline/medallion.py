@@ -39,6 +39,15 @@ from delta_lake_spark.tables import ManagedTable, anti_join_append
 
 BRONZE_SOURCES = ["orders", "lineitem", "customer", "nation", "events"]
 
+# Hard invariants on raw orders — applied identically by the batch Silver
+# build AND every streaming micro-batch (ADVICE r3: the streaming path must
+# not bypass the quality gate or batch/stream parity only holds for clean
+# data).  Violating rows are quarantined, never ingested.
+ORDERS_EXPECTATIONS = {
+    "positive_price": "o_totalprice > 0",
+    "known_status": "o_orderstatus IN ('O', 'F', 'P')",
+}
+
 
 class MedallionPipeline:
     def __init__(self, spark: SparkSession, lake_root: str, sf_dir: str):
@@ -95,10 +104,7 @@ class MedallionPipeline:
         if include_orders:
             orders = expect_or_quarantine(
                 self.read("bronze", "orders"),
-                {
-                    "positive_price": "o_totalprice > 0",
-                    "known_status": "o_orderstatus IN ('O', 'F', 'P')",
-                },
+                ORDERS_EXPECTATIONS,
                 self._t("silver", "orders_quarantine"),
             )
             self._t("silver", "orders").write(
@@ -205,13 +211,20 @@ class MedallionPipeline:
 
         Returns the StreamingQuery (caller awaits termination).
         """
+        from delta_lake_spark.quality import expect_or_quarantine
         from delta_lake_spark.streaming.streams import file_stream
 
         stream = file_stream(self.spark, landing_glob, schema, max_files_per_trigger=1)
-        silver_stream = self.silver_orders_transform(stream)
         t = self._t("silver", "orders")
+        quarantine = self._t("silver", "orders_quarantine")
 
-        def upsert(batch: DataFrame, _batch_id: int) -> None:
+        def upsert(raw_batch: DataFrame, _batch_id: int) -> None:
+            # Same gate as build_silver, per micro-batch: bad rows go to
+            # silver/orders_quarantine (bronze shape + failed-rule tags),
+            # clean rows take the Silver transform — so batch/stream parity
+            # holds for dirty data too, not just clean corpora.
+            good = expect_or_quarantine(raw_batch, ORDERS_EXPECTATIONS, quarantine)
+            batch = self.silver_orders_transform(good)
             if not ManagedTable.is_managed_table(t.path):
                 t.write(batch, partition_by=["order_year"])
             else:
@@ -224,7 +237,7 @@ class MedallionPipeline:
                 self.build_gold()
 
         return (
-            silver_stream.writeStream.foreachBatch(upsert)
+            stream.writeStream.foreachBatch(upsert)
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("update")
             .trigger(availableNow=True)
@@ -248,4 +261,14 @@ class MedallionPipeline:
             self._t("gold", "daily_metrics"),
             daily_metrics_mart(orders, rates),
             ["date"],
+        )
+        # fraud_analysis: full rebuild — the mart is small (one row per
+        # (country, flag) cell) and its inputs include updated-in-place
+        # orders, so neither MERGE-by-key nor append-new-dates applies
+        # (ADVICE r3: refresh_gold previously skipped it, leaving the
+        # streaming path's fraud mart frozen at the first micro-batch).
+        self._t("gold", "fraud_analysis").write(
+            fraud_analysis_mart(
+                self.read("silver", "lineitem"), orders, customer, nation
+            )
         )

@@ -154,3 +154,43 @@ def test_write_jdbc_roundtrip_derby(spark, tmp_path):
     a = sorted(map(tuple, src.collect()))
     b = sorted(map(tuple, back.dropDuplicates(["n_nationkey"]).collect()))
     assert a == b
+
+
+def test_events_ts_unit_sniff_error_paths(tmp_path):
+    """ADVICE r3: a ts column with no timestamp logical type must raise (not
+    silently assume microseconds), and an empty directory must give a clear
+    message instead of a bare IndexError."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from delta_lake_spark.catalog import _events_ts_unit
+
+    # plain INT64 ts — no declared unit
+    raw = tmp_path / "raw.parquet"
+    pq.write_table(pa.table({"ts": pa.array([1, 2], type=pa.int64())}), raw)
+    with pytest.raises(TypeError, match="timestamp logical type"):
+        _events_ts_unit(str(raw))
+
+    # empty directory
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError, match="no \\*.parquet files"):
+        _events_ts_unit(str(empty))
+
+    # missing file
+    with pytest.raises(FileNotFoundError):
+        _events_ts_unit(str(tmp_path / "nope.parquet"))
+
+    # happy path still sniffs declared units, and regeneration invalidates
+    good = tmp_path / "good.parquet"
+    ts_us = pa.array([1, 2], type=pa.timestamp("us"))
+    pq.write_table(pa.table({"ts": ts_us}), good)
+    assert _events_ts_unit(str(good)) == "us"
+    import os
+    import time
+
+    ts_ns = pa.array([1, 2], type=pa.timestamp("ns"))
+    pq.write_table(pa.table({"ts": ts_ns}), good)
+    os.utime(good, (time.time() + 5, time.time() + 5))  # force mtime change
+    assert _events_ts_unit(str(good)) == "ns"

@@ -8,7 +8,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from delta_lake_spark.pipeline import MedallionPipeline
-from delta_lake_spark.pipeline.marts import client_stats_mart, daily_metrics_mart
+from delta_lake_spark.pipeline.marts import (
+    client_stats_mart,
+    daily_metrics_mart,
+    fraud_analysis_mart,
+)
 from delta_lake_spark.queries import QUERIES
 from tests.conftest import SF_SMOKE
 
@@ -79,6 +83,13 @@ def test_incremental_refresh_matches_full_rebuild(spark, pipe):
     )
     assert rowset(pipe.read("gold", "daily_metrics")) == rowset(
         daily_metrics_mart(merged_orders, rates)
+    )
+    # fraud mart must track the refreshed orders too (ADVICE r3: refresh_gold
+    # previously skipped it)
+    assert rowset(pipe.read("gold", "fraud_analysis")) == rowset(
+        fraud_analysis_mart(
+            pipe.read("silver", "lineitem"), merged_orders, customer, nation
+        )
     )
 
 
@@ -153,7 +164,7 @@ def test_streaming_medallion_matches_batch_pipeline(spark, tmp_path):
     assert rowset(stream_pipe.read("silver", "orders")) == rowset(
         batch_pipe.read("silver", "orders")
     )
-    for mart in ["client_stats", "daily_metrics"]:
+    for mart in ["client_stats", "daily_metrics", "fraud_analysis"]:
         assert rowset(stream_pipe.read("gold", mart)) == rowset(
             batch_pipe.read("gold", mart)
         ), mart
@@ -165,3 +176,53 @@ def test_streaming_medallion_matches_batch_pipeline(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert rowset(stream_pipe.read("gold", "client_stats")) == before
+
+
+def test_streaming_quarantines_bad_rows(spark, tmp_path):
+    """ADVICE r3: a bad row arriving via the STREAM (not batch bronze) must
+    be quarantined by the per-micro-batch gate, never reach silver/orders or
+    the marts — and the final state must equal a batch pipeline over only
+    the clean rows."""
+    from delta_lake_spark.catalog import table as corpus_table
+    from delta_lake_spark.tables import ManagedTable
+
+    stream_pipe = MedallionPipeline(spark, str(tmp_path / "lake"), SF_SMOKE)
+    stream_pipe.build_bronze()
+    stream_pipe.build_silver(include_orders=False)
+
+    orders = corpus_table(spark, SF_SMOKE, "orders")
+    poison = (
+        orders.limit(1)
+        .withColumn("o_orderkey", F.lit(-999).cast("long"))
+        .withColumn("o_totalprice", F.lit(-5.0))
+        .withColumn("o_orderstatus", F.lit("X"))
+    )
+    landing = tmp_path / "landing"
+    orders.coalesce(1).write.parquet(str(landing / "clean"))
+    poison.coalesce(1).write.parquet(str(landing / "dirty"))
+
+    q = stream_pipe.stream_ingest_orders(
+        str(landing) + "/*", orders.schema, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    silver = stream_pipe.read("silver", "orders")
+    assert silver.filter(F.col("o_orderkey") == -999).count() == 0
+    assert silver.count() == orders.count()
+
+    qt = ManagedTable(spark, str(tmp_path / "lake" / "silver" / "orders_quarantine"))
+    qr = qt.read()
+    assert qr.count() == 1
+    assert sorted(qr.first()._failed_expectations) == [
+        "known_status",
+        "positive_price",
+    ]
+
+    # gold marts reflect only clean rows (== straight-off-corpus marts)
+    got = rowset(stream_pipe.read("gold", "client_stats"))
+    want = rowset(QUERIES["q02_client_stats"](spark, SF_SMOKE))
+    assert got == want
+    got = rowset(stream_pipe.read("gold", "fraud_analysis"))
+    want = rowset(QUERIES["q04_fraud_analysis"](spark, SF_SMOKE))
+    assert got == want
