@@ -3,20 +3,27 @@
 from delta_lake_spark.tables.incremental import (
     anti_join_append,
     apply_changes,
+    external_source_refresh,
     high_water_mark,
     incremental_refresh,
     insert_only_merge,
 )
-from delta_lake_spark.tables.managed import ConcurrentWriteError, ManagedTable
+from delta_lake_spark.tables.managed import (
+    ConcurrentWriteError,
+    ManagedTable,
+    VacuumedVersionError,
+)
 from delta_lake_spark.tables.registry import TableCatalog
 
 __all__ = [
     "ManagedTable",
     "ConcurrentWriteError",
+    "VacuumedVersionError",
     "TableCatalog",
     "high_water_mark",
     "insert_only_merge",
     "anti_join_append",
     "apply_changes",
     "incremental_refresh",
+    "external_source_refresh",
 ]

@@ -106,6 +106,80 @@ def apply_changes(
     return upto
 
 
+def external_source_refresh(
+    spark,
+    bronze: ManagedTable,
+    silver: ManagedTable,
+    fetch_fn,
+    date_col: str = "date",
+    value_cols: list[str] | None = None,
+    schema=None,
+) -> dict:
+    """The reference's external-API top-up loop (deltalake.ipynb:1495-1588),
+    composed from the engine's incremental primitives with an injectable
+    fetcher:
+
+    1. **HWM read** — ``max(date_col)`` of the Silver snapshot (one scalar
+       to the driver); ``None`` for a fresh lake.
+    2. **Fetch** — ``fetch_fn(start)`` returns a pandas DataFrame of rows
+       with ``date_col >= start`` (``start`` is HWM + 1 day, or ``None`` to
+       mean "from the beginning").  In production this wraps the external
+       API (the reference uses yfinance); tests inject a canned fetcher —
+       the composition, not the HTTP call, is the operator.
+    3. **Bronze append, insert-only** — fetched rows cross the pandas→Spark
+       boundary (S5) and anti-join-append into Bronze keyed on
+       ``date_col``, so a sloppy fetcher returning overlapping windows
+       cannot duplicate rows and a re-run is a no-op (idempotent).
+    4. **Silver rebuild** — full date spine over Bronze's range, left join,
+       forward-fill each value column, day-over-day change columns,
+       overwrite Silver (the reference rebuilds the whole daily series; it
+       is bounded by calendar days, not fact rows, so "full" is tiny).
+
+    Returns ``{"hwm", "fetched", "appended", "rebuilt"}``.  Steps 3-4 are
+    skipped entirely when the fetch returns nothing new.
+    """
+    from datetime import timedelta
+
+    from delta_lake_spark.io.readers import from_pandas
+    from delta_lake_spark.ops.windows import date_spine, diff_cols, gap_fill
+
+    hwm = (
+        high_water_mark(silver, date_col)
+        if ManagedTable.is_managed_table(silver.path)
+        else None
+    )
+    start = None if hwm is None else hwm + timedelta(days=1)
+    pdf = fetch_fn(start)
+    out = {"hwm": hwm, "fetched": 0, "appended": 0, "rebuilt": False}
+    if pdf is None or len(pdf) == 0:
+        return out
+    out["fetched"] = len(pdf)
+
+    new_rows = from_pandas(spark, pdf, schema)
+    if ManagedTable.is_managed_table(bronze.path):
+        before = bronze.read().count()
+        anti_join_append(bronze, new_rows, [date_col])
+        out["appended"] = bronze.read().count() - before
+    else:
+        bronze.write(new_rows)
+        out["appended"] = out["fetched"]
+    if out["appended"] == 0:
+        return out
+
+    raw = bronze.read()
+    cols = value_cols or [c for c in raw.columns if c != date_col]
+    spine = date_spine(raw, date_col, alias=date_col)
+    series = spine.join(raw, date_col, "left")
+    # Global (unpartitioned) window is safe here by construction: the series
+    # has one row per calendar day — thousands of rows at most, not a fact
+    # table (same reasoning as the reference's daily rates series).
+    series = gap_fill(series, cols, order_by=[date_col])
+    series = diff_cols(series, cols, order_by=[date_col])
+    silver.write(series)
+    out["rebuilt"] = True
+    return out
+
+
 def incremental_refresh(
     table: ManagedTable,
     source: DataFrame,

@@ -865,3 +865,199 @@ def test_merge_with_retry_survives_version_race(spark, tmp_path, monkeypatch):
     fails["left"] = 99
     with pytest.raises(ConcurrentWriteError):
         t.merge_with_retry(src, ["id"], max_retries=2)
+
+
+def test_external_source_refresh_top_up_loop(spark, tmp_path):
+    """S5 workflow (deltalake.ipynb:1495-1588): HWM -> injectable fetch ->
+    pandas->Spark -> insert-only bronze append -> spine+ffill+lag silver
+    rebuild.  Three contracts: initial load builds a complete spine,
+    a top-up fetches only past-HWM rows and extends the spine, and a
+    re-run with nothing new is a full no-op (idempotent)."""
+    import datetime
+
+    import pandas as pd
+
+    from delta_lake_spark.tables import ManagedTable, external_source_refresh
+
+    d = datetime.date
+    # canned external source: daily rates with a weekend gap (6th-7th missing)
+    full = pd.DataFrame(
+        {
+            "date": [d(2024, 1, 1), d(2024, 1, 2), d(2024, 1, 3), d(2024, 1, 5),
+                     d(2024, 1, 8), d(2024, 1, 9)],
+            "usd": [90.1, 90.5, 91.0, 91.4, 92.0, 91.8],
+            "eur": [98.0, 98.2, 98.9, 99.5, 100.1, 99.9],
+        }
+    )
+    calls = []
+
+    def fetcher_upto(cutoff):
+        def fetch(start):
+            calls.append(start)
+            win = full[full["date"] <= cutoff]
+            if start is not None:
+                win = win[win["date"] >= start]
+            return win.reset_index(drop=True)
+        return fetch
+
+    bronze = ManagedTable(spark, str(tmp_path / "bronze"))
+    silver = ManagedTable(spark, str(tmp_path / "silver"))
+
+    # 1) initial load: everything through the 5th
+    r1 = external_source_refresh(
+        spark, bronze, silver, fetcher_upto(d(2024, 1, 5)), date_col="date"
+    )
+    assert calls[-1] is None and r1["hwm"] is None
+    assert r1["fetched"] == 4 and r1["appended"] == 4 and r1["rebuilt"]
+    s = silver.read().orderBy("date")
+    rows = s.collect()
+    assert [r.date for r in rows] == [d(2024, 1, 1 + i) for i in range(5)]  # spine
+    jan4 = next(r for r in rows if r.date == d(2024, 1, 4))
+    assert jan4.usd == 91.0 and jan4.eur == 98.9  # gap forward-filled
+    jan2 = next(r for r in rows if r.date == d(2024, 1, 2))
+    assert round(jan2.usd_change, 4) == 0.4  # lag delta
+
+    # 2) top-up: source now has rows through the 9th
+    r2 = external_source_refresh(
+        spark, bronze, silver, fetcher_upto(d(2024, 1, 9)), date_col="date"
+    )
+    assert calls[-1] == d(2024, 1, 6)  # fetch window starts at HWM + 1 day
+    assert r2["hwm"] == d(2024, 1, 5)
+    assert r2["fetched"] == 2 and r2["appended"] == 2 and r2["rebuilt"]
+    rows = silver.read().orderBy("date").collect()
+    assert len(rows) == 9  # spine extended to the 9th
+    jan7 = next(r for r in rows if r.date == d(2024, 1, 7))
+    assert jan7.usd == 91.4  # weekend forward-filled from the 5th
+
+    # 3) idempotent re-run: nothing past the HWM -> no append, no rebuild
+    bronze_v = bronze.latest_version()
+    silver_v = silver.latest_version()
+    r3 = external_source_refresh(
+        spark, bronze, silver, fetcher_upto(d(2024, 1, 9)), date_col="date"
+    )
+    assert r3["fetched"] == 0 and r3["appended"] == 0 and not r3["rebuilt"]
+    assert bronze.latest_version() == bronze_v
+    assert silver.latest_version() == silver_v
+
+    # 4) overlap-sloppy fetcher (ignores start, resends everything): the
+    # insert-only bronze append still dedups; silver state is unchanged
+    r4 = external_source_refresh(
+        spark, bronze, silver, lambda start: full, date_col="date"
+    )
+    assert r4["fetched"] == 6 and r4["appended"] == 0 and not r4["rebuilt"]
+    assert bronze.read().count() == 6
+
+
+def test_merge_partition_discovery_cap(spark, tmp_path, monkeypatch):
+    """VERDICT r3: the partition-pruning collect must be bounded — a merge
+    whose source touches an absurd number of distinct partition values
+    fails fast with a layout diagnosis instead of flooding the driver."""
+    import delta_lake_spark.tables.managed as managed
+    from delta_lake_spark.tables import ManagedTable
+
+    t = ManagedTable(spark, str(tmp_path / "capped"))
+    df = spark.range(20).withColumn("p", F.col("id") % 10).withColumn(
+        "v", F.lit(1)
+    )
+    t.write(df, partition_by=["p"])
+
+    monkeypatch.setattr(managed, "_PARTITION_DISCOVERY_CAP", 5)
+    src = spark.range(20).withColumn("p", F.col("id") % 10).withColumn(
+        "v", F.lit(2)
+    )
+    with pytest.raises(ValueError, match="distinct partition values"):
+        t.merge(src, ["id", "p"])
+
+    # under the cap: merge proceeds normally
+    small = src.filter(F.col("p") < 3)
+    t.merge(small, ["id", "p"])
+    assert t.read().filter(F.col("v") == 2).count() == small.count()
+
+
+def test_vacuum_time_travel_raises_clear_error(spark, tmp_path):
+    """VERDICT r3 #9: reading a vacuumed version raises VacuumedVersionError
+    at plan time (with remediation advice), not a Spark file-not-found
+    mid-execution; the head and restore-guard keep working."""
+    from delta_lake_spark.tables import ManagedTable, VacuumedVersionError
+
+    t = ManagedTable(spark, str(tmp_path / "tt"))
+    t.write(spark.range(10).withColumn("v", F.lit(1)))          # v0
+    t.write(spark.range(10).withColumn("v", F.lit(2)))          # v1 (overwrite)
+    assert t.read(version=0).first().v == 1  # time travel works pre-vacuum
+
+    deleted = t.vacuum(retain_hours=0.0)
+    assert deleted > 0
+
+    with pytest.raises(VacuumedVersionError, match="retain_hours"):
+        t.read(version=0)
+    with pytest.raises(VacuumedVersionError, match="version 0"):
+        t.scan([("v", "=", 1)], version=0)
+
+    # head unaffected; history metadata still present
+    assert t.read().first().v == 2
+    assert len(t.history()) >= 2
+
+
+def test_concurrent_writers_across_processes(spark, tmp_path):
+    """VERDICT r3 #5: the os.link commit protocol under REAL multi-process
+    contention — two separate JVMs run conflicting full-upsert merges on the
+    same 100 keys through merge_with_retry.  Contract: every version number
+    is committed exactly once (link is put-if-absent), no commit is lost
+    (1 seed + 6 merges = versions 0..6), retries converge, and the final
+    state is some serializable order of the merges (one writer's tag,
+    uniformly, on all rows)."""
+    import subprocess
+    import sys
+
+    from delta_lake_spark.tables import ManagedTable
+
+    path = str(tmp_path / "contended")
+    sync = tmp_path / "sync"
+    sync.mkdir()
+
+    t = ManagedTable(spark, path)
+    t.write(
+        spark.range(100)
+        .withColumn("v", F.lit("init"))
+        .withColumn("writer", F.lit("init"))
+    )  # v0
+
+    child = str(__import__("pathlib").Path(__file__).parent / "concurrent_writer_child.py")
+    n_merges = 3
+    procs = [
+        subprocess.Popen(
+            [sys.executable, child, path, str(sync), tag, str(n_merges)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for tag in ("A", "B")
+    ]
+    # barrier: wait for both children's Spark sessions, then release together
+    import time as _time
+
+    deadline = _time.time() + 180
+    while not all((sync / f"ready-{tag}").exists() for tag in ("A", "B")):
+        assert _time.time() < deadline, "children failed to initialize Spark"
+        for p in procs:
+            assert p.poll() is None, p.communicate()[1][-2000:]
+        _time.sleep(0.1)
+    (sync / "go").touch()
+
+    for p, tag in zip(procs, ("A", "B")):
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"writer {tag} failed:\n{err[-3000:]}"
+
+    # exactly-once versions, nothing lost: 0 (seed) + 2 writers x 3 merges
+    hist = t.history()
+    versions = [h["version"] for h in hist]
+    assert versions == list(range(2 * n_merges, -1, -1))
+    assert len(set(versions)) == len(versions)
+    assert sum(1 for h in hist if h["operation"] == "merge") == 2 * n_merges
+
+    # serializability: the last-committed merge's tag is on EVERY row
+    rows = t.read().collect()
+    assert len(rows) == 100
+    tags = {r.v for r in rows}
+    assert len(tags) == 1, f"torn final state: {tags}"
+    assert tags.pop() in {f"{w}:{n_merges - 1}" for w in ("A", "B")}
