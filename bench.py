@@ -79,17 +79,18 @@ def main() -> None:
         )
 
     total = round(sum(times.values()), 3)
+    # NOTE on key order: the headline keys (metric/value/queries) are added
+    # LAST, after every auxiliary section — the driver snapshot records a
+    # bounded tail of the output, and the tail of one long JSON line is its
+    # final keys (VERDICT r3 task 10: the r3 capture truncated the headline).
     payload = {
-        "metric": "headline_total_warm",
-        "value": total,
-        "unit": "sec",
-        "queries": times,
         "cold_total": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 
     # Extension-family timings (round-2+ operators) — reported separately so
-    # the headline total stays comparable across BENCH_r{N} rounds.
+    # the headline total stays comparable across BENCH_r{N} rounds.  Added to
+    # the payload at the END (tail-visibility note above).
     ext: dict[str, float] = {}
     for name in EXTENSIONS:
         t0 = time.perf_counter()
@@ -98,8 +99,6 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
         ext[name] = round(min(first, time.perf_counter() - t0), 3)
-    payload["extensions"] = ext
-    payload["extensions_total_warm"] = round(sum(ext.values()), 3)
 
     # Bucketed-storage section (VERDICT r2 task 6): q30's lineitem⋈orders
     # edge on bucketed tables — reports the one-time bucket-write cost next
@@ -156,6 +155,66 @@ def main() -> None:
         except Exception as exc:
             payload["scale_sf1x"] = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # Skewed-corpus section (VERDICT r3 task 6): salted join / two-phase agg
+    # vs plain plans on a power-law-skewed 50x events replication (~20% of
+    # rows on one key), results checksum-verified identical.  Disable with
+    # SPARK_GRAFT_SKEW=0.
+    if os.environ.get("SPARK_GRAFT_SKEW", "1") != "0":
+        try:
+            from delta_lake_spark.benchmark.skewbench import run_skew_bench
+
+            payload["skew"] = run_skew_bench(
+                spark,
+                sf_dir,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchdata", "skew"),
+            )
+        except Exception as exc:
+            payload["skew"] = {"error": f"{type(exc).__name__}: {exc}"}
+
+    # 100x-shape section (VERDICT r3 task 8): the 5 heaviest headline
+    # queries on a 100-copy FK-consistent corpus (~60M lineitem rows, ~1.5GB
+    # parquet — the single-node memory/disk ceiling is far above this, so no
+    # honesty caveat needed at this size).  Ratios vs this run's sf0.1 warm
+    # times; <=~100x time for 100x data = no superlinear blowup.  Disable
+    # with SPARK_GRAFT_SCALE100=0.
+    if os.environ.get("SPARK_GRAFT_SCALE100", "1") != "0":
+        try:
+            from delta_lake_spark.benchmark.scaleup import generate_scaled_corpus
+
+            sf10x_dir = os.environ.get(
+                "SPARK_GRAFT_SCALE100_DIR",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchdata", "sf10x"),
+            )
+            gen100 = generate_scaled_corpus(spark, sf_dir, sf10x_dir, copies=100)
+            heavy = [
+                "q30_local_supplier_volume",
+                "d06_minhash_lsh_pairs",
+                "t04_langid_confusion",
+                "q04_fraud_analysis",
+                "q11_top3_orders_per_customer",
+            ]
+            sc100: dict[str, float] = {}
+            for name in heavy:
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf10x_dir).count()
+                first = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf10x_dir).count()
+                sc100[name] = round(min(first, time.perf_counter() - t0), 3)
+                print(f"# sf10x {name}: warm {sc100[name]:.3f}s", file=sys.stderr)
+            payload["scale_100x"] = {
+                **gen100,
+                "queries": sc100,
+                "total_warm": round(sum(sc100.values()), 3),
+                "ratio_vs_sf0.1": {
+                    n: round(sc100[n] / times[n], 2) for n in sc100 if times.get(n)
+                },
+            }
+        except Exception as exc:
+            payload["scale_100x"] = {"error": f"{type(exc).__name__}: {exc}"}
+
     # Reference-scale section (BASELINE.md is timed at 10-11M fact rows, not
     # sf0.1): the same marts + scan suite at the reference's own row count.
     # Data is generated once (seeded) and cached under benchdata/; repeat
@@ -176,6 +235,14 @@ def main() -> None:
         except Exception as exc:  # keep the headline line parseable
             payload["ref10m"] = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # headline keys last (see NOTE above) so a bounded output tail always
+    # contains metric/value/queries
+    payload["extensions"] = ext
+    payload["extensions_total_warm"] = round(sum(ext.values()), 3)
+    payload["metric"] = "headline_total_warm"
+    payload["unit"] = "sec"
+    payload["queries"] = times
+    payload["value"] = total
     print(json.dumps(payload))
     spark.stop()
 

@@ -81,7 +81,12 @@ def generate_scaled_corpus(
     sf_dir swap).  Idempotent: skips generation when the marker exists."""
     marker = os.path.join(out_dir, "_SCALED_OK")
     if os.path.exists(marker):
-        return {"generated": False, "copies": copies}
+        # ADVICE r3: the skip path must verify the cached corpus was built
+        # with the SAME copy count — otherwise ratios get computed against a
+        # mislabeled corpus. Mismatch -> regenerate.
+        with open(marker) as fh:
+            if fh.read().strip() == f"copies={copies}":
+                return {"generated": False, "copies": copies}
     t0 = time.perf_counter()
     os.makedirs(out_dir, exist_ok=True)
 

@@ -260,9 +260,9 @@ ORDER BY id_a, id_b
 )
 def d12_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table_parallel(spark, sf_dir, "documents", "doc_id")
-    # simhash32 is the expensive stage (32 bit-sum passes per doc); THREE
-    # consumers (banding + both verify joins) would recompute it — persist
-    # once (the d06 persisted-signatures pattern)
+    # simhash32 is the expensive stage (32 bit-sum passes per doc); persist
+    # so both sides of the band self-join share one computation (the d06
+    # persisted-signatures pattern).
     sigs = d.select("doc_id", simhash32("text").alias("sig")).persist()
     bands = sigs.select(
         "doc_id",
@@ -270,28 +270,38 @@ def d12_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("band"),
     ).withColumn("key", F.expr("shiftright(sig, band * 8) & 255"))
     a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("band").alias("band_a"), F.col("key").alias("key_a")
+        F.col("doc_id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        F.col("band").alias("band_a"),
+        F.col("key").alias("key_a"),
     )
     b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("band").alias("band_b"), F.col("key").alias("key_b")
+        F.col("doc_id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("band").alias("band_b"),
+        F.col("key").alias("key_b"),
     )
-    cand = (
+    # Both signatures travel through the band join, so verification is an
+    # inline expression (no join back to sigs), and pair dedup is the
+    # first-matching-band trick — keep a collision only at the SMALLEST
+    # band where the two signatures agree — instead of a distinct() shuffle
+    # over the raw candidate stream (the r3 1.65s hot spot).  One shuffle
+    # total (the band self-join); everything after is row-local.
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    first_band = F.expr(
+        "NOT exists(filter(sequence(0, 3), x -> x < band_a), "
+        "b -> (shiftright(sig_a, CAST(b * 8 AS INT)) & 255) = "
+        "(shiftright(sig_b, CAST(b * 8 AS INT)) & 255))"
+    )
+    return (
         a.join(
             b,
             (F.col("band_a") == F.col("band_b"))
             & (F.col("key_a") == F.col("key_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= _D12_THRESHOLD)
+        .withColumn("hamming", hamming)
+        .filter((F.col("hamming") <= _D12_THRESHOLD) & first_band)
+        .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )

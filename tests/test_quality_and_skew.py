@@ -112,3 +112,21 @@ def test_expect_or_quarantine_routes_bad_rows(spark, tmp_path):
     qr = q.read()
     assert qr.count() == 4
     assert qr.filter(F.array_contains("_failed_expectations", "v_nonzero")).count() == 4
+
+
+def test_scaled_corpus_marker_tracks_copy_count(spark, tmp_path):
+    """ADVICE r3: generate_scaled_corpus must regenerate when called with a
+    different copy count instead of silently reusing the cached corpus."""
+    from delta_lake_spark.benchmark.scaleup import generate_scaled_corpus
+
+    out = str(tmp_path / "scaled")
+    base = "/root/testdata/sf0.001"
+    r1 = generate_scaled_corpus(spark, base, out, copies=2)
+    assert r1["generated"] and r1["copies"] == 2
+    r2 = generate_scaled_corpus(spark, base, out, copies=2)
+    assert not r2["generated"]  # cache hit on same count
+    r3 = generate_scaled_corpus(spark, base, out, copies=3)
+    assert r3["generated"] and r3["copies"] == 3  # count change regenerates
+    n_orders = spark.read.parquet(f"{out}/orders.parquet").count()
+    base_orders = spark.read.parquet(f"{base}/orders.parquet").count()
+    assert n_orders == 3 * base_orders
