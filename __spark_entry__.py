@@ -36,12 +36,12 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_WINDOW = [
     # extension-family representatives (r3-certified, kept for continuity)
     "d06_minhash_lsh_pairs",
+    "d10_dedup_clusters",  # oracle-backed in r4 (recursive-CTE closure) — first driver row
     "v02_embedding_near_dups",
     "m01_payload_metadata",
     "s01_hash_split_sample",
     "t01_dedup_exact",
     "t02_token_stats",
-    "t03_quality_scores",
     "t04_langid_confusion",
     # time series / windows / as-of
     "q09_date_spine_ffill",

@@ -193,10 +193,47 @@ def d09_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # d10 — transitive dedup clusters: connected components (iterative label
-# propagation) over the verified near-dup pairs.  Iterative — not
-# SQL-expressible without recursion, so rows-only checked.
+# propagation) over the verified near-dup pairs.  The Spark side is
+# iterative (label propagation to fixpoint); the oracle expresses the same
+# fixpoint as a DuckDB RECURSIVE CTE computing the reachability closure —
+# component = min reachable id, exactly the propagation invariant.  (Round 4:
+# upgraded from rows-only to a full hash-checked oracle; the closure is
+# O(cluster_size^2) per cluster, fine for an oracle because near-dup
+# clusters are tiny — the Spark side stays O(E) per round for scale.)
 # ---------------------------------------------------------------------------
-@register("d10_dedup_clusters")
+@register(
+    "d10_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE base AS ({_SHINGLES_SQL}),
+sigs AS (SELECT doc_id, sh, {_SIG_COLS} FROM base),
+banded AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN base x ON x.doc_id = id_a JOIN base y ON y.doc_id = id_b
+  WHERE CAST(FLOOR(len(list_intersect(x.sh, y.sh)) * 10000.0 /
+        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))) AS BIGINT)
+        >= 8000
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(src, node) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, MIN(src) AS component FROM reach GROUP BY node)
+SELECT component, COUNT(*) AS cluster_size, MAX(node) AS max_id
+FROM comp GROUP BY component ORDER BY component
+""",
+)
 def d10_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_spark.functions.dedup import connected_components
 
