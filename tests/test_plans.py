@@ -240,3 +240,12 @@ def test_q32_scaling_dim_unhinted_aqe_broadcasts(spark):
     assert "F.broadcast(" not in src  # no hard hint in source
     plan = executed_plan_of(QUERIES["q32_promo_revenue_share"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
+
+
+def test_q11_window_topk_uses_group_limit_pushdown(spark):
+    """q11's rank<=3 filter must plan as Partial+Final WindowGroupLimit —
+    map-side top-3 per key BEFORE the shuffle, so the exchanged volume is
+    O(3 x keys) not O(rows). This is the property that keeps the ranking
+    window sublinear at 100x (BENCH_r04 scale_100x)."""
+    plan = plan_of(QUERIES["q11_top3_orders_per_customer"](spark, SF_SMOKE))
+    assert "WindowGroupLimit" in plan
