@@ -693,8 +693,16 @@ class ManagedTable:
         matched_condition: "Column | str | None" = None,
         update_set: "dict[str, Column | str] | None" = None,
         not_matched_condition: "Column | str | None" = None,
+        merge_schema: bool = False,
     ) -> int:
         """Upsert ``source`` into the table on equality of ``keys``.
+
+        ``merge_schema=True`` is Delta's ``withSchemaEvolution()`` for the
+        add-column case: new source columns append to the table schema as
+        nullable (old files and untouched rows read back null); same-name
+        type conflicts raise; a source missing existing table columns is
+        still an error (evolution adds columns — it never silently nulls
+        updated rows' data).
 
         ``when_matched``: ``update_all`` (replace the whole row with the
         source row — Delta ``whenMatchedUpdateAll``), ``ignore``, or
@@ -753,7 +761,21 @@ class ManagedTable:
         entry = self._entry()
         partition_by: list[str] = entry.get("partition_by") or []
         prune = bool(partition_by) and all(c in keys for c in partition_by)
-        table_cols = [f.name for f in StructType.fromJson(entry["schema"]).fields]
+        existing_schema = StructType.fromJson(entry["schema"])
+        schema_json = entry["schema"]
+        if merge_schema:
+            # Delta withSchemaEvolution() analog, scoped like this table's
+            # append contract: NEW source columns are appended as nullable
+            # (carried-over files and non-matched target rows read back
+            # null); same-name type conflicts raise; a source MISSING table
+            # columns still errors below — evolution adds columns, it never
+            # silently drops data from updated rows.
+            evolved = _merge_schemas(existing_schema, source.schema)
+            if len(evolved.fields) != len(existing_schema.fields):
+                schema_json = evolved.jsonValue()
+            existing_schema = evolved
+        table_cols = [f.name for f in existing_schema.fields]
+        read_entry = {**entry, "schema": schema_json}
 
         # The source plan feeds every downstream consumer (the pruning
         # aggregate/distinct below plus both branches of the merge shape);
@@ -818,7 +840,7 @@ class ManagedTable:
                 keep_files, affected = [], []
                 for f in entry["files"]:
                     (affected if not filters or _file_may_match(f, filters) else keep_files).append(f)
-            target = self._read_files(entry, affected)
+            target = self._read_files(read_entry, affected)
 
             conditional = (
                 matched_condition is not None
@@ -831,7 +853,7 @@ class ManagedTable:
                     src,
                     keys,
                     table_cols,
-                    StructType.fromJson(entry["schema"]),
+                    existing_schema,
                     when_matched,
                     when_not_matched,
                     matched_condition,
@@ -858,7 +880,7 @@ class ManagedTable:
                 "operation": "merge",
                 "files": keep_files + files,
                 "partition_by": partition_by,
-                "schema": entry["schema"],
+                "schema": schema_json,
                 "num_files": len(keep_files) + len(files),
                 "added_files": len(files),
                 "pruned": prune,

@@ -1061,3 +1061,74 @@ def test_concurrent_writers_across_processes(spark, tmp_path):
     tags = {r.v for r in rows}
     assert len(tags) == 1, f"torn final state: {tags}"
     assert tags.pop() in {f"{w}:{n_merges - 1}" for w in ("A", "B")}
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """MERGE + merge_schema=True (Delta withSchemaEvolution, add-column
+    case): new source columns append as nullable, untouched rows and
+    carried-over files read back null, matched rows take source values;
+    old versions keep the old schema; conflicts and missing columns raise."""
+    from delta_lake_spark.tables import ManagedTable
+
+    t = ManagedTable(spark, str(tmp_path / "evo"))
+    base = spark.range(10).withColumn("v", F.lit("old"))
+    t.write(base, partition_by=None)
+
+    evolved_src = (
+        spark.range(5, 15)
+        .withColumn("v", F.lit("new"))
+        .withColumn("score", (F.col("id") * 10).cast("long"))
+    )
+
+    # without the flag: extra source columns are projected away, schema fixed
+    t.merge(evolved_src, ["id"])
+    assert t.schema().fieldNames() == ["id", "v"]
+
+    # with the flag: schema evolves
+    t.merge(evolved_src, ["id"], merge_schema=True)
+    assert t.schema().fieldNames() == ["id", "v", "score"]
+    rows = {r.id: r for r in t.read().collect()}
+    assert len(rows) == 15
+    assert rows[7].score == 70 and rows[7].v == "new"    # updated row
+    assert rows[14].score == 140                          # inserted row
+    assert rows[2].score is None and rows[2].v == "old"  # untouched: null fill
+    # time travel: pre-evolution version keeps the old schema
+    assert t.schema(version=1).fieldNames() == ["id", "v"]
+
+    # same-name type conflict still raises
+    bad = spark.range(3).withColumn("score", F.lit("not-a-number"))
+    with pytest.raises(ValueError, match="type conflict"):
+        t.merge(bad, ["id"], merge_schema=True)
+
+    # source missing an existing column: evolution never drops/nulls data
+    with pytest.raises(Exception):
+        t.merge(spark.range(3).withColumn("score", F.lit(1).cast("long")), ["id"],
+                merge_schema=True)
+
+
+def test_merge_schema_evolution_pruned_partitions(spark, tmp_path):
+    """Evolution + partition pruning: files in partitions the source never
+    touches carry over BY REFERENCE (old physical schema) and must read
+    back null for the new column under the evolved table schema."""
+    from delta_lake_spark.tables import ManagedTable
+
+    t = ManagedTable(spark, str(tmp_path / "evop"))
+    df = spark.range(20).withColumn("p", F.pmod("id", F.lit(4))).withColumn(
+        "v", F.lit("old")
+    )
+    t.write(df, partition_by=["p"])
+
+    src = (
+        spark.range(20)
+        .withColumn("p", F.pmod("id", F.lit(4)))
+        .filter(F.col("p") == 1)
+        .withColumn("v", F.lit("new"))
+        .withColumn("flag", F.lit(True))
+    )
+    t.merge(src, ["id", "p"], merge_schema=True)
+    d = t.detail()
+    assert t.schema().fieldNames() == ["id", "p", "v", "flag"]
+    out = {(r.id): r for r in t.read().collect()}
+    assert len(out) == 20
+    assert out[5].flag is True and out[5].v == "new"      # touched partition
+    assert out[4].flag is None and out[4].v == "old"      # carried-over file
