@@ -1220,8 +1220,16 @@ class ManagedTable:
                 rm_recs = [
                     f for f in prev_entry["files"] if f["path"] in set(removed)
                 ]
-                pre = self._read_files(prev_entry, rm_recs)
-                post = self._read_files(self._entry(v), add)
+                this_entry = self._entry(v)
+                # Pre-images are read under THIS commit's schema, not the
+                # previous one's: a schema-evolving merge would otherwise
+                # feed exceptAll two different column sets. Old files
+                # null-fill evolved columns (schema-on-read), which is also
+                # the correct CDC rendering of a pre-evolution pre-image.
+                pre = self._read_files(
+                    {**prev_entry, "schema": this_entry["schema"]}, rm_recs
+                )
+                post = self._read_files(this_entry, add)
                 delete_frames.append(pre.exceptAll(post))
         if degraded:
             base = {f["path"] for f in self._entry(from_version)["files"]}

@@ -1132,3 +1132,35 @@ def test_merge_schema_evolution_pruned_partitions(spark, tmp_path):
     assert len(out) == 20
     assert out[5].flag is True and out[5].v == "new"      # touched partition
     assert out[4].flag is None and out[4].v == "old"      # carried-over file
+
+
+def test_change_feed_across_schema_evolution(spark, tmp_path):
+    """changes(include_change_type=True) spanning a schema-evolving merge:
+    pre-images render under the evolved schema (new columns null), the
+    exceptAll diff stays well-typed, and apply_changes-style consumers see
+    the standard delete-preimage + insert-postimage pairs."""
+    from delta_lake_spark.tables import ManagedTable
+
+    t = ManagedTable(spark, str(tmp_path / "cdc_evo"))
+    t.write(spark.range(10).withColumn("v", F.lit("old")))                 # v0
+    src = (
+        spark.range(5, 12)
+        .withColumn("v", F.lit("new"))
+        .withColumn("score", (F.col("id") * 2).cast("long"))
+    )
+    t.merge(src, ["id"], merge_schema=True)                                 # v1
+
+    ch = t.changes(0, include_change_type=True)
+    assert set(ch.columns) == {"id", "v", "score", "_change_type"}
+    post = {r.id: r for r in ch.filter(F.col("_change_type") == "insert").collect()}
+    pre = {r.id: r for r in ch.filter(F.col("_change_type") == "delete").collect()}
+    # post-images: every merged row surfaces with the evolved column set
+    # (stats pruning may keep files for untouched ids out of the rewrite
+    # scope, so only ids 5-11 are guaranteed present)
+    for i in range(5, 12):
+        assert post[i].v == "new" and post[i].score == i * 2
+    # delete pre-images: the old images of the updated rows, rendered under
+    # the evolved schema with the new column null-filled
+    for i in range(5, 10):
+        assert pre[i].v == "old" and pre[i].score is None
+    assert set(pre) <= set(range(10))  # never a pre-image for fresh inserts
