@@ -96,7 +96,16 @@ def apply_changes(
             .drop("_change_type")
             .join(ins.select(*keys).distinct(), keys, "left_anti")
         )
-        target.merge(ins, keys)
+        # merge_schema=True: when the SOURCE table evolved inside the
+        # replayed range, the mirror evolves with it — without it the
+        # upsert would silently project the new columns away (CDC data
+        # loss), the exact failure mode evolution exists to prevent.
+        # A first-run consumer (no mirror yet) bootstraps with a plain
+        # write of the post-images.
+        if ManagedTable.is_managed_table(target.path):
+            target.merge(ins, keys, merge_schema=True)
+        else:
+            target.write(ins)
         if dels.limit(1).count():
             target.merge(
                 dels, keys, when_matched="delete", when_not_matched="ignore"

@@ -628,6 +628,21 @@ class ManagedTable:
                 "historical versions readable."
             )
 
+    def _require_files_exist(self, recs: list[dict[str, Any]], what: str) -> None:
+        """Clear VacuumedVersionError (not a mid-execution Spark
+        file-not-found) when a historical read needs vacuumed files."""
+        missing = [
+            f["path"]
+            for f in recs
+            if not os.path.exists(os.path.join(self.path, f["path"]))
+        ]
+        if missing:
+            raise VacuumedVersionError(
+                f"{what} needs {len(missing)} data file(s) removed by vacuum "
+                f"(e.g. {missing[0]}). Increase vacuum retain_hours to keep "
+                "the range readable."
+            )
+
     def to_df(self) -> DataFrame:
         return self.read()
 
@@ -1226,6 +1241,9 @@ class ManagedTable:
                 # feed exceptAll two different column sets. Old files
                 # null-fill evolved columns (schema-on-read), which is also
                 # the correct CDC rendering of a pre-evolution pre-image.
+                self._require_files_exist(
+                    rm_recs + list(add), f"change feed (pre-images at v{v})"
+                )
                 pre = self._read_files(
                     {**prev_entry, "schema": this_entry["schema"]}, rm_recs
                 )
@@ -1236,6 +1254,9 @@ class ManagedTable:
             add_recs = [f for f in target["files"] if f["path"] not in base]
         else:
             add_recs = list(current.values())
+        self._require_files_exist(
+            add_recs, f"change feed (versions {from_version + 1}..{to_version})"
+        )
         out = self._read_files(target, add_recs)
         if not include_change_type:
             return out

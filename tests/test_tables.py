@@ -1164,3 +1164,52 @@ def test_change_feed_across_schema_evolution(spark, tmp_path):
     for i in range(5, 10):
         assert pre[i].v == "old" and pre[i].score is None
     assert set(pre) <= set(range(10))  # never a pre-image for fresh inserts
+
+
+def test_apply_changes_propagates_schema_evolution(spark, tmp_path):
+    """CDC propagation across an evolution boundary: after the source table
+    gains a column via a schema-evolving merge, apply_changes must evolve
+    the mirror too (not silently project the new column away) and land the
+    exact source snapshot."""
+    from delta_lake_spark.tables import ManagedTable
+    from delta_lake_spark.tables.incremental import apply_changes
+
+    src_t = ManagedTable(spark, str(tmp_path / "src"))
+    mirror = ManagedTable(spark, str(tmp_path / "mirror"))
+
+    src_t.write(spark.range(8).withColumn("v", F.lit("a")))               # v0
+    last = apply_changes(mirror, src_t, ["id"], last_version=-1)
+    assert rows(mirror.read()) == rows(src_t.read())
+
+    evolved = (
+        spark.range(4, 10)
+        .withColumn("v", F.lit("b"))
+        .withColumn("score", (F.col("id") + 100).cast("long"))
+    )
+    src_t.merge(evolved, ["id"], merge_schema=True)                        # v1
+    last = apply_changes(mirror, src_t, ["id"], last_version=last)
+    assert mirror.schema().fieldNames() == ["id", "v", "score"]
+    assert rows(mirror.read()) == rows(src_t.read())
+    m = {r.id: r for r in mirror.read().collect()}
+    assert m[5].score == 105 and m[5].v == "b"
+    assert m[1].score is None and m[1].v == "a"
+
+
+def test_change_feed_vacuumed_range_raises(spark, tmp_path):
+    """Reading a change feed whose historical files were vacuumed raises
+    VacuumedVersionError with remediation advice, not a Spark
+    file-not-found mid-execution."""
+    from delta_lake_spark.tables import ManagedTable, VacuumedVersionError
+
+    t = ManagedTable(spark, str(tmp_path / "cdcv"))
+    t.write(spark.range(10).withColumn("v", F.lit(1)))      # v0
+    t.write(spark.range(10).withColumn("v", F.lit(2)))      # v1 overwrite
+    t.write(spark.range(10).withColumn("v", F.lit(3)))      # v2 overwrite
+    t.vacuum(retain_hours=0.0)                               # only v2 files live
+
+    with pytest.raises(VacuumedVersionError, match="change feed"):
+        t.changes(0, to_version=1).count()
+    with pytest.raises(VacuumedVersionError, match="retain_hours"):
+        t.changes(0, include_change_type=True).count()
+    # the still-live head range works
+    assert t.changes(1).count() == 10
