@@ -1213,3 +1213,23 @@ def test_change_feed_vacuumed_range_raises(spark, tmp_path):
         t.changes(0, include_change_type=True).count()
     # the still-live head range works
     assert t.changes(1).count() == 10
+
+
+def test_optimize_after_schema_evolution(spark, tmp_path):
+    """OPTIMIZE after a schema-evolving merge: compaction reads the mixed
+    old/new files under the evolved schema (null-filling the old ones),
+    rewrites them, and the result is unchanged row-for-row."""
+    from delta_lake_spark.tables import ManagedTable
+
+    t = ManagedTable(spark, str(tmp_path / "oevo"))
+    t.write(spark.range(10).withColumn("v", F.lit("old")))
+    src = (
+        spark.range(5, 12)
+        .withColumn("v", F.lit("new"))
+        .withColumn("score", (F.col("id") * 2).cast("long"))
+    )
+    t.merge(src, ["id"], merge_schema=True)
+    before = rows(t.read())
+    t.optimize()
+    assert rows(t.read()) == before
+    assert t.schema().fieldNames() == ["id", "v", "score"]
