@@ -1233,3 +1233,27 @@ def test_optimize_after_schema_evolution(spark, tmp_path):
     t.optimize()
     assert rows(t.read()) == before
     assert t.schema().fieldNames() == ["id", "v", "score"]
+
+
+def test_conditional_merge_with_schema_evolution(spark, tmp_path):
+    """Conditional clauses compose with merge_schema: condition-false
+    matched rows keep the target image (new column null), condition-true
+    rows update with the evolved column, inserts land regardless."""
+    from delta_lake_spark.tables import ManagedTable
+
+    t = ManagedTable(spark, str(tmp_path / "cevo"))
+    t.write(spark.range(6).withColumn("v", F.lit("old")))
+    src = (
+        spark.range(3, 9)
+        .withColumn("v", F.lit("new"))
+        .withColumn("score", (F.col("id") * 3).cast("long"))
+    )
+    t.merge(src, ["id"], matched_condition="s.id % 2 = 0", merge_schema=True)
+    got = {r.id: r for r in t.read().collect()}
+    assert len(got) == 9
+    assert got[4].v == "new" and got[4].score == 12      # condition true
+    assert got[3].v == "old" and got[3].score is None    # condition false
+    assert got[5].v == "old" and got[5].score is None
+    assert got[0].v == "old" and got[0].score is None    # untouched
+    for i in (6, 7, 8):                                   # inserts
+        assert got[i].v == "new" and got[i].score == i * 3
