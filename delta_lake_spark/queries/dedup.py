@@ -17,7 +17,9 @@ from delta_lake_spark.functions.dedup import (
     MINHASH_K,
     MINHASH_PRIME,
     minhash_candidate_pairs,
+    shingle_hash,
     simhash32,
+    token_shingles,
 )
 from delta_lake_spark.queries.registry import register
 from delta_lake_spark.queries.text import _NORM_SQL
@@ -341,4 +343,109 @@ def d12_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("hamming") <= _D12_THRESHOLD) & first_band)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d13 — benchmark decontamination scan (the GPT-3/PaLM-style n-gram overlap
+# check every serious training-data pipeline runs): for each document of a
+# held-out "benchmark" slice, find the corpus document sharing the most
+# distinct 5-token-gram hashes and report the overlap in basis points plus
+# a contaminated flag.  No reference counterpart — training-pipeline
+# extension operator (SURVEY.md §7.8 family).
+#
+# Scale shape: one O(tokens) map stage per side (normalize -> 5-gram ->
+# closed-form hash -> distinct), then a hash equi-join whose benchmark side
+# is broadcast — benchmark suites are bounded (thousands of docs) while the
+# corpus side streams through, exactly the asymmetric shape at 100 TB.  No
+# quadratic pairing: candidates exist only where an n-gram hash matches.
+# ---------------------------------------------------------------------------
+_D13_N = 5
+_D13_CONTAMINATED_BP = 2000
+
+_D13_GRAM = " || ' ' || ".join(f"toks[i+{j}]" for j in range(_D13_N))
+_D13_HS_SQL = f"""
+  SELECT doc_id,
+         list_distinct(list_transform(
+           list_distinct(list_transform(range(1, greatest(len(toks) - {_D13_N - 1}, 0) + 1),
+               i -> {_D13_GRAM})),
+           s -> {_hash_sql('s')})) AS hs
+  FROM (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS toks FROM documents)
+  WHERE len(toks) >= {_D13_N}
+"""
+
+
+@register(
+    "d13_contamination_scan",
+    oracle=f"""
+WITH hs AS ({_D13_HS_SQL}),
+bench_h AS (SELECT doc_id AS b_doc, unnest(hs) AS h FROM hs WHERE doc_id % 40 = 0),
+corpus_h AS (SELECT doc_id AS c_doc, unnest(hs) AS h FROM hs WHERE doc_id % 40 <> 0),
+ov AS (
+  SELECT b_doc, c_doc, COUNT(*) AS overlap
+  FROM bench_h JOIN corpus_h USING (h) GROUP BY 1, 2
+),
+sized AS (
+  SELECT o.b_doc, o.c_doc, o.overlap, len(hs.hs) AS n_grams
+  FROM ov o JOIN hs ON hs.doc_id = o.b_doc
+),
+ranked AS (
+  SELECT b_doc, c_doc, overlap, n_grams,
+         CAST(FLOOR(overlap * 10000.0 / n_grams) AS BIGINT) AS overlap_bp,
+         ROW_NUMBER() OVER (PARTITION BY b_doc ORDER BY overlap DESC, c_doc) AS rk
+  FROM sized
+)
+SELECT b_doc, c_doc, overlap, n_grams, overlap_bp,
+       overlap_bp >= {_D13_CONTAMINATED_BP} AS contaminated
+FROM ranked WHERE rk = 1
+ORDER BY b_doc
+""",
+)
+def d13_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= _D13_N
+    )
+    # distinct 5-gram hashes per doc — distinct AFTER hashing so a collision
+    # can't double-count an overlap (the oracle does the same)
+    hs = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(token_shingles("text", _D13_N), shingle_hash)
+        ).alias("hs"),
+    ).persist()  # two consumers (benchmark + corpus sides), one computation
+    bench = hs.filter(F.col("doc_id") % 40 == 0).select(
+        F.col("doc_id").alias("b_doc"),
+        F.size("hs").alias("n_grams"),
+        F.explode("hs").alias("h"),
+    )
+    corpus = hs.filter(F.col("doc_id") % 40 != 0).select(
+        F.col("doc_id").alias("c_doc"), F.explode("hs").alias("h")
+    )
+    # benchmark side broadcast: held-out suites are bounded by construction
+    # (like nation/region, NOT a scaling dim), so the hint is safe at 100x
+    ov = (
+        F.broadcast(bench)
+        .join(corpus, "h")
+        .groupBy("b_doc", "n_grams", "c_doc")
+        .agg(F.count("*").alias("overlap"))
+        .withColumn(
+            "overlap_bp",
+            F.floor(F.col("overlap") * 10000.0 / F.col("n_grams")).cast("long"),
+        )
+    )
+    w = Window.partitionBy("b_doc").orderBy(F.desc("overlap"), "c_doc")
+    return (
+        ov.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "b_doc",
+            "c_doc",
+            "overlap",
+            "n_grams",
+            "overlap_bp",
+            (F.col("overlap_bp") >= _D13_CONTAMINATED_BP).alias("contaminated"),
+        )
+        .orderBy("b_doc")
     )

@@ -249,3 +249,13 @@ def test_q11_window_topk_uses_group_limit_pushdown(spark):
     window sublinear at 100x (BENCH_r04 scale_100x)."""
     plan = plan_of(QUERIES["q11_top3_orders_per_customer"](spark, SF_SMOKE))
     assert "WindowGroupLimit" in plan
+
+
+def test_d13_contamination_plan_shape(spark):
+    """d13 must join benchmark and corpus n-gram hashes with a broadcast
+    hash equi-join (bounded benchmark side) — never a nested-loop pairing
+    of documents."""
+    plan = plan_of(QUERIES["d13_contamination_scan"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
