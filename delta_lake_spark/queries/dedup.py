@@ -449,3 +449,59 @@ def d13_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("b_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# t10 — n-gram novelty score: per document, the fraction (basis points) of
+# its distinct 5-gram hashes that occur in NO other document — the
+# corpus-level "how much of this doc is boilerplate" signal that
+# complements t07's within-document repetition stats.  Integer-only math
+# (counts and floor), so the oracle matches bit-for-bit.
+#
+# Scale shape: explode to (doc, gram-hash) pairs, one groupBy(hash) for
+# document frequency, join back, one groupBy(doc) — two shuffles over the
+# gram stream, the same O(tokens) shape as exact dedup; no pairing.
+# ---------------------------------------------------------------------------
+@register(
+    "t10_ngram_novelty",
+    oracle=f"""
+WITH hs AS ({_D13_HS_SQL}),
+grams AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+df AS (SELECT h, COUNT(*) AS df FROM grams GROUP BY h)
+SELECT g.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(FLOOR(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 10000.0
+            / COUNT(*)) AS BIGINT) AS novelty_bp
+FROM grams g JOIN df ON g.h = df.h
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+""",
+)
+def t10_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= _D13_N
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(token_shingles("text", _D13_N), shingle_hash)
+            )
+        ).alias("h"),
+    )
+    # grams are distinct per doc, so count(*) per hash IS document frequency
+    df = grams.groupBy("h").agg(F.count("*").alias("df"))
+    return (
+        grams.join(df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+        .withColumn(
+            "novelty_bp",
+            F.floor(F.col("n_unique") * 10000.0 / F.col("n_grams")).cast("long"),
+        )
+        .orderBy("doc_id")
+    )
