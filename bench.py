@@ -235,6 +235,18 @@ def main() -> None:
         except Exception as exc:  # keep the headline line parseable
             payload["ref10m"] = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # Round-4 additions timed separately so extensions_total_warm stays
+    # comparable across BENCH_r{N} rounds.
+    ext_r4: dict[str, float] = {}
+    for name in ("d13_contamination_scan", "t10_ngram_novelty"):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        ext_r4[name] = round(min(first, time.perf_counter() - t0), 3)
+    payload["extensions_r4"] = ext_r4
+
     # headline keys last (see NOTE above) so a bounded output tail always
     # contains metric/value/queries
     payload["extensions"] = ext

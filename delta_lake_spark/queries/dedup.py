@@ -482,26 +482,34 @@ def t10_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
         F.size(F.split(F.trim(F.col("text")), r"\s+")) >= _D13_N
     )
-    grams = d.select(
+    hs = d.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(token_shingles("text", _D13_N), shingle_hash)
-            )
-        ).alias("h"),
-    )
-    # grams are distinct per doc, so count(*) per hash IS document frequency
-    df = grams.groupBy("h").agg(F.count("*").alias("df"))
-    return (
-        grams.join(df, "h")
+        F.array_distinct(
+            F.transform(token_shingles("text", _D13_N), shingle_hash)
+        ).alias("hs"),
+    ).persist()  # two consumers (sizes + gram stream), hash once
+    sizes = hs.select("doc_id", F.size("hs").alias("n_grams"))
+    grams = hs.select("doc_id", F.explode("hs").alias("h"))
+    # grams are distinct per doc, so count(*) per hash IS document frequency,
+    # and a df=1 hash has exactly one owner — min(doc_id) recovers it.  This
+    # avoids joining the full gram stream back against the df table (the
+    # naive textbook plan): after the one big groupBy(h), only the df=1
+    # hashes (already reduced) flow into a per-doc count, then a doc-sized
+    # left join fills in docs with zero unique grams.
+    uniq = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("df"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("df") == 1)
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
-        )
+        .agg(F.count("*").alias("n_unique"))
+    )
+    return (
+        sizes.join(uniq, "doc_id", "left")
+        .withColumn("n_unique", F.coalesce("n_unique", F.lit(0)).cast("long"))
         .withColumn(
             "novelty_bp",
             F.floor(F.col("n_unique") * 10000.0 / F.col("n_grams")).cast("long"),
         )
+        .select("doc_id", "n_grams", "n_unique", "novelty_bp")
         .orderBy("doc_id")
     )
