@@ -143,3 +143,44 @@ def s03_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# s04 — length-weighted (importance) sampling: each document's keep
+# probability is proportional to its length, capped at 1 — the standard
+# tokens-proportional downsampling used when mixing corpora so that long
+# documents aren't under-represented per-token.  Per-ROW continuous weight
+# (vs s03's per-stratum rates); still content-addressed: the decision is a
+# pure function of (doc_id, weight), stable under repartition and identical
+# across engines.  Zero shuffles — a scan with two cheap column expressions.
+# ---------------------------------------------------------------------------
+_S04_CAP_CHARS = 2000  # docs at/above this length are always kept
+
+
+@register(
+    "s04_length_weighted_sample",
+    oracle=f"""
+SELECT doc_id, n_chars,
+       LEAST(n_chars * {10000 // _S04_CAP_CHARS}, 10000) AS weight_bp,
+       {hash_bucket_sql('doc_id', 'wsample')} AS bucket
+FROM documents
+WHERE {hash_bucket_sql('doc_id', 'wsample')}
+      < LEAST(n_chars * {10000 // _S04_CAP_CHARS}, 10000)
+ORDER BY doc_id
+""",
+)
+def s04_length_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    weight_bp = F.least(
+        F.col("n_chars") * (10000 // _S04_CAP_CHARS), F.lit(10000)
+    )
+    return (
+        d.filter(keep_fraction("doc_id", weight_bp, "wsample"))
+        .select(
+            "doc_id",
+            "n_chars",
+            weight_bp.alias("weight_bp"),
+            hash_bucket("doc_id", "wsample").alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )

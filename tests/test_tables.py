@@ -1257,3 +1257,28 @@ def test_conditional_merge_with_schema_evolution(spark, tmp_path):
     assert got[0].v == "old" and got[0].score is None    # untouched
     for i in (6, 7, 8):                                   # inserts
         assert got[i].v == "new" and got[i].score == i * 3
+
+
+def test_table_catalog_roundtrip_after_evolution(spark, tmp_path):
+    """TableCatalog registration survives a schema evolution: attach in the
+    same catalog after an evolving merge resolves the current (evolved)
+    snapshot."""
+    from delta_lake_spark.tables import ManagedTable, TableCatalog
+
+    t = ManagedTable(spark, str(tmp_path / "evocat"))
+    t.write(spark.range(5).withColumn("v", F.lit("a")))
+    cat = TableCatalog(str(tmp_path / "warehouse"))
+    cat.register("lake.evocat", t.path)
+
+    src = spark.range(3, 8).withColumn("v", F.lit("b")).withColumn(
+        "score", F.lit(7).cast("long")
+    )
+    t.merge(src, ["id"], merge_schema=True)
+
+    got = cat.read(spark, "lake.evocat")
+    assert set(got.columns) == {"id", "v", "score"}
+    assert got.count() == 8
+    cat.attach(spark, schema="lake")
+    assert set(spark.sql("SELECT * FROM lake_evocat").columns) == {
+        "id", "v", "score"
+    }
