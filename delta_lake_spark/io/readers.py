@@ -69,3 +69,10 @@ def from_rows(spark: SparkSession, rows: list, schema: Any) -> DataFrame:
     """S6 driver-side row source (deltalake.ipynb:296-300).  Only for
     small dimension/seed data — this serializes through the driver."""
     return spark.createDataFrame(rows, schema=schema)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (beyond-reference source format; Spark built-in).  Like
+    parquet, ORC is columnar and self-describing: column pruning and
+    predicate pushdown reach the scan the same way."""
+    return spark.read.orc(path)

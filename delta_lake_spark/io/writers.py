@@ -94,3 +94,17 @@ def write_jdbc(
     for k, v in properties.items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink (beyond-reference; Spark built-in) — for downstream systems
+    standardized on ORC (Hive/Trino warehouses)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -194,3 +194,27 @@ def test_events_ts_unit_sniff_error_paths(tmp_path):
     pq.write_table(pa.table({"ts": ts_ns}), good)
     os.utime(good, (time.time() + 5, time.time() + 5))  # force mtime change
     assert _events_ts_unit(str(good)) == "ns"
+
+
+def test_orc_roundtrip_with_partitioning_and_pushdown(spark, tmp_path):
+    """ORC source/sink (beyond-reference format): round-trip fidelity,
+    Hive-style partition recovery, and filters reaching the ORC scan."""
+    from delta_lake_spark.io import read_orc, write_orc
+
+    df = spark.range(100).withColumn("part", F.pmod("id", F.lit(4))).withColumn(
+        "val", (F.col("id") * 2).cast("double")
+    )
+    p = str(tmp_path / "orc")
+    write_orc(df, p, partition_by=["part"])
+    back = read_orc(spark, p)
+    assert back.count() == 100
+    assert sorted(tuple(r) for r in back.select("id", "part", "val").collect()) == \
+        sorted(tuple(r) for r in df.select("id", "part", "val").collect())
+    plan_df = back.filter(F.col("part") == 2).filter(F.col("id") > 10)
+    import contextlib, io as _io
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan_df.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan or "part#" in plan
+    assert plan_df.count() == back.filter("part = 2 AND id > 10").count()
