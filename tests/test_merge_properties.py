@@ -113,3 +113,66 @@ def test_conditional_merge_matches_model(spark, script):
         assert got == model
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+EVO_BATCH = st.lists(
+    st.tuples(
+        KEYS,
+        st.integers(min_value=-100, max_value=100),
+        st.integers(min_value=0, max_value=9),
+    ),
+    min_size=1,
+    max_size=5,
+    unique_by=lambda kvt: kvt[0],
+)
+EVO_OP = st.sampled_from(["upsert", "insert_only"])
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pre=st.lists(st.tuples(EVO_OP, EVO_BATCH), min_size=0, max_size=2),
+    post=st.lists(st.tuples(EVO_OP, EVO_BATCH), min_size=1, max_size=3),
+)
+def test_schema_evolution_merge_matches_model(spark, pre, post):
+    """Random merge sequences across a schema-evolution boundary: batches
+    before the boundary carry (id, val); from the boundary on they carry an
+    extra tag column with merge_schema=True.  The table must equal a dict
+    model where pre-evolution rows read back tag=NULL until overwritten."""
+    root = tempfile.mkdtemp(prefix="mt_eprop_")
+    try:
+        t = ManagedTable(spark, root)
+        t.write(spark.createDataFrame([(0, 0)], "id long, val long"))
+        model: dict[int, tuple[int, int | None]] = {0: (0, None)}
+        for op, batch in pre:
+            src = spark.createDataFrame(
+                [(k, v) for k, v, _t in batch], "id long, val long"
+            )
+            if op == "upsert":
+                t.merge(src, ["id"])
+                model.update({k: (v, None) for k, v, _t in batch})
+            else:
+                t.merge(src, ["id"], when_matched="ignore")
+                for k, v, _t in batch:
+                    model.setdefault(k, (v, None))
+        for op, batch in post:
+            src = spark.createDataFrame(
+                [(k, v, tg) for k, v, tg in batch], "id long, val long, tag long"
+            )
+            if op == "upsert":
+                t.merge(src, ["id"], merge_schema=True)
+                model.update({k: (v, tg) for k, v, tg in batch})
+            else:
+                t.merge(
+                    src, ["id"], when_matched="ignore", merge_schema=True
+                )
+                for k, v, tg in batch:
+                    model.setdefault(k, (v, tg))
+        assert t.schema().fieldNames() == ["id", "val", "tag"]
+        got = {r["id"]: (r["val"], r["tag"]) for r in t.read().collect()}
+        assert got == model
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
