@@ -48,6 +48,8 @@ EXTENSIONS = [
     "d12_simhash_near_pairs",             # SimHash banded near-dup
     "v07_ann_recall",                     # ANN recall metric
     "q38_monthly_rollup_from_daily",      # rollup reuse
+    "v08_quantized_ann",                  # int8 scalar-quantized ANN (r4)
+    "q39_exact_percentile_outliers",      # exact percentile + IQR fences (r4)
 ]
 
 

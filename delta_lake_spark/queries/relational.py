@@ -1262,3 +1262,55 @@ def q43_coverage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_name", "o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# q39 — exact percentiles + IQR outlier fences (engine extension; fills the
+# exact-quantile gap between q22's ntile buckets and q28's approx sketches).
+# Spark's `percentile` is the exact interpolated aggregate and is verified
+# bit-identical with DuckDB's quantile_cont on this corpus; fence arithmetic
+# is IEEE-deterministic on those bit-identical doubles, so the outlier
+# counts are hash-stable.  Scale note: exact percentile materializes each
+# group's values on the agg side — the 100-TB path is q28's
+# approx_percentile sketch; this operator is the small-group exact analysis
+# (5 segments here).  The stats frame (5 rows) broadcasts for the
+# outlier-count join.
+# ---------------------------------------------------------------------------
+@register(
+    "q39_exact_percentile_outliers",
+    oracle="""
+WITH stats AS (
+  SELECT c_mktsegment,
+         quantile_cont(c_acctbal, 0.25) AS q1,
+         quantile_cont(c_acctbal, 0.5)  AS med,
+         quantile_cont(c_acctbal, 0.75) AS q3,
+         COUNT(*) AS n_customers
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT s.c_mktsegment, s.q1, s.med, s.q3, s.n_customers,
+       COUNT(CASE WHEN c.c_acctbal < s.q1 - 1.5 * (s.q3 - s.q1)
+                    OR c.c_acctbal > s.q3 + 1.5 * (s.q3 - s.q1)
+                  THEN 1 END) AS n_outliers
+FROM stats s JOIN customer c ON c.c_mktsegment = s.c_mktsegment
+GROUP BY s.c_mktsegment, s.q1, s.med, s.q3, s.n_customers
+ORDER BY s.c_mktsegment
+""",
+)
+def q39_exact_percentile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    stats = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.25)").alias("q1"),
+        F.expr("percentile(c_acctbal, 0.5)").alias("med"),
+        F.expr("percentile(c_acctbal, 0.75)").alias("q3"),
+        F.count("*").alias("n_customers"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_outlier = (F.col("c_acctbal") < F.col("q1") - 1.5 * iqr) | (
+        F.col("c_acctbal") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        c.join(F.broadcast(stats), "c_mktsegment")
+        .groupBy("c_mktsegment", "q1", "med", "q3", "n_customers")
+        .agg(F.count(F.when(is_outlier, 1)).alias("n_outliers"))
+        .orderBy("c_mktsegment")
+    )

@@ -451,3 +451,90 @@ def v07_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# v08 — scalar-quantized (int8) ANN: normalize -> floor(v*127) int8 codes ->
+# integer-dot coarse scan (top-40 per query) -> exact-cosine re-rank of the
+# candidate set (top-10).  The production memory-reduction path: the coarse
+# scan touches 4x fewer bytes than float32 and stays in whole-stage codegen
+# as pure integer arithmetic; full-precision vectors are fetched by id
+# equi-join only for the 40-candidate re-rank.  At 100 TB this composes with
+# the v04 IVF buckets (quantized codes inside each bucket).
+# Reference analog: the ANN surface of SURVEY.md §7.8 (extension family).
+# ---------------------------------------------------------------------------
+_QUANT_C = 40  # coarse candidates per query before exact re-rank
+
+_Q_SQL = "list_transform(e, x -> CAST(FLOOR(x / sqrt(list_dot_product(e, e)) * 127.0) AS INT))"
+_QDOT_SQL = (
+    "CAST(list_dot_product(list_transform(a.q, x -> CAST(x AS DOUBLE)), "
+    "list_transform(b.q, x -> CAST(x AS DOUBLE))) AS BIGINT)"
+)
+
+
+@register(
+    "v08_quantized_ann",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT vec_id, e, {_Q_SQL} AS q FROM v),
+coarse AS (
+  SELECT qid, vid, qscore FROM (
+    SELECT qid, vid, qscore,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qscore DESC, vid) AS crank
+    FROM (
+      SELECT a.vec_id AS qid, b.vec_id AS vid, {_QDOT_SQL} AS qscore
+      FROM (SELECT * FROM n WHERE vec_id < 5) a
+      JOIN n b ON a.vec_id <> b.vec_id
+    ) raw
+  ) ranked WHERE crank <= {_QUANT_C}
+),
+rerank AS (
+  SELECT c.qid, c.vid, c.qscore,
+         list_dot_product(va.e, vb.e) / (sqrt(list_dot_product(va.e, va.e)) *
+         sqrt(list_dot_product(vb.e, vb.e))) AS sim
+  FROM coarse c
+  JOIN v va ON va.vec_id = c.qid
+  JOIN v vb ON vb.vec_id = c.vid
+)
+SELECT qid, vid, qscore, sim, rank FROM (
+  SELECT qid, vid, qscore, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rank
+  FROM rerank
+) t WHERE rank <= 10
+ORDER BY qid, rank
+""",
+)
+def v08_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from delta_lake_spark.functions.similarity import qdot, quantize_int8
+
+    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").select("vec_id", "embedding")
+    codes = e.select("vec_id", quantize_int8(F.col("embedding")).alias("q"))
+    queries = codes.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+    )
+    # Coarse stage: int8 codes only — the 4x-smaller scan.
+    coarse_w = Window.partitionBy("qid").orderBy(F.desc("qscore"), "vid")
+    coarse = (
+        codes.select(F.col("vec_id").alias("vid"), F.col("q").alias("cq"))
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("qid") != F.col("vid"))
+        .select("qid", "vid", qdot(F.col("qq"), F.col("cq")).alias("qscore"))
+        .withColumn("crank", F.row_number().over(coarse_w))
+        .filter(F.col("crank") <= _QUANT_C)
+        .drop("crank")
+    )
+    # Re-rank stage: fetch full-precision vectors for the candidate set only.
+    va = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    vb = e.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("cvec"))
+    rerank_w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vid")
+    return (
+        coarse.join(va, "qid")
+        .join(vb, "vid")
+        .withColumn("sim", cosine(as_double(F.col("qvec")), as_double(F.col("cvec"))))
+        .withColumn("rank", F.row_number().over(rerank_w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "vid", "qscore", "sim", "rank")
+        .orderBy("qid", "rank")
+    )

@@ -259,3 +259,21 @@ def test_d13_contamination_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_on_managed_table(spark, tmp_path):
+    """100-TB evidence: a selective dim filter must prune the partitioned
+    fact scan at RUNTIME (dynamic partition pruning), not just statically —
+    on a date/tenant-partitioned 100-TB table this is the difference between
+    scanning one partition and scanning them all."""
+    from delta_lake_spark.tables import ManagedTable
+
+    t = ManagedTable(spark, str(tmp_path / "dpp_fact"))
+    fact = spark.range(1000).withColumn("part", F.pmod("id", F.lit(10)))
+    t.write(fact, partition_by=["part"])
+    dim = spark.range(10).select(
+        F.col("id").alias("part"), (F.col("id") * 2).alias("attr")
+    )
+    joined = t.read().join(F.broadcast(dim.filter(F.col("attr") == 4)), "part")
+    plan = plan_of(joined)
+    assert "dynamicpruning" in plan.lower(), plan
