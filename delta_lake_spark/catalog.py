@@ -80,6 +80,34 @@ def _events_ts_unit(path: str) -> str:
 EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
+_SCAN_CACHE: dict[tuple[int, str, str, str, float], DataFrame] = {}
+
+
+def _scan_cached(spark: SparkSession, kind: str, sf_dir: str, name: str, build) -> DataFrame:
+    """Memoize resolved scans per (session, dir, table, file mtime).
+
+    DataFrames are immutable logical plans, so handing the same object back
+    is safe — and it removes a ~100 ms JVM schema-resolution round-trip from
+    EVERY query build (the corpus queries touch 1-6 tables each).  The mtime
+    key invalidates entries when a corpus file is regenerated in-session
+    (bench scale corpora); execution always re-lists data files anyway, the
+    cache only pins schema + the events ts-unit conversion.
+    """
+    import os
+
+    fpath = f"{sf_dir}/{name}.parquet"
+    try:
+        mtime = os.path.getmtime(fpath)
+    except OSError:
+        mtime = -1.0
+    key = (id(spark), kind, sf_dir, name, mtime)
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        df = build()
+        _SCAN_CACHE[key] = df
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan (SURVEY.md §2.1 S1).  Column pruning and predicate
     pushdown happen automatically once the caller selects/filters.
@@ -90,6 +118,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     under ANY session timezone, with no session-conf mutation (a reader must
     never silently change semantics for the rest of the session).
     """
+    return _scan_cached(spark, "plain", sf_dir, name, lambda: _table_uncached(spark, sf_dir, name))
+
+
+def _table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -137,10 +169,13 @@ def table_parallel(spark: SparkSession, sf_dir: str, name: str, key: str) -> Dat
     per-row compute — exactly the LLM-pipeline text operators.  Deterministic
     (hash partitioning on a key, not round-robin).
     """
-    par = spark.sparkContext.defaultParallelism
-    from pyspark.sql import functions as F
+    def build() -> DataFrame:
+        par = spark.sparkContext.defaultParallelism
+        from pyspark.sql import functions as F
 
-    return table(spark, sf_dir, name).repartition(par, F.col(key))
+        return table(spark, sf_dir, name).repartition(par, F.col(key))
+
+    return _scan_cached(spark, f"par-{key}", sf_dir, name, build)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -48,7 +48,15 @@ def shingle_hash(s: Column) -> Column:
 
 
 def token_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct n-token shingles (space-joined) of the normalized text."""
+    """Distinct n-token shingles (space-joined) of the normalized text.
+
+    A plain column name takes the single-``F.expr`` fast path (same
+    expression, one Py4J parse instead of hundreds of Column calls — see
+    dedup_sql.py)."""
+    if isinstance(text, str):
+        from delta_lake_spark.functions.dedup_sql import token_shingles_sql
+
+        return F.expr(token_shingles_sql(text, n))
     toks = tokens(normalize_text(text))
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     return F.array_distinct(
@@ -96,13 +104,29 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> Data
     Returns columns: id_a, id_b, inter_size, union_size, jaccard_bp
     (jaccard in basis points, floor(10000*|∩|/|∪|) — integer, oracle-stable).
     """
-    base = docs.select(
-        F.col(id_col).alias("_id"), token_shingles(F.col(text_col)).alias("_sh")
-    ).withColumn("_sig", minhash_signature(F.col("_sh")))
+    from delta_lake_spark.functions.dedup_sql import (
+        band_keys_sql,
+        hashed_shingles_sql,
+        minhash_sig_sql,
+        token_shingles_sql,
+    )
+
+    base = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.expr(token_shingles_sql(text_col)).alias("_sh"),
+        )
+        # hash each shingle ONCE to a materialized column, then take the 16
+        # permutation minima over the hashed array (identical values to
+        # minhash_signature; columnar form keeps the build to 3 expr parses)
+        .withColumn("_hs", F.expr(hashed_shingles_sql("_sh")))
+        .withColumn("_sig", F.expr(minhash_sig_sql("_hs")))
+        .drop("_hs")
+    )
     # materialize once: the shingle+signature computation is the expensive
     # map-side pass and feeds both sides of the bucket self-join.
     base = base.persist()
-    banded = base.select("_id", F.explode(band_keys(F.col("_sig"))).alias("_bk"))
+    banded = base.select("_id", F.explode(F.expr(band_keys_sql("_sig"))).alias("_bk"))
     a = banded.select(F.col("_bk").alias("_bka"), F.col("_id").alias("id_a"))
     b = banded.select(F.col("_bk").alias("_bkb"), F.col("_id").alias("id_b"))
     cand = (
@@ -136,6 +160,10 @@ def simhash32(text: Column | str) -> Column:
     folds — same per-bit integer sums (addition is associative and the
     token order is unchanged), 32x less array traversal.
     """
+    if isinstance(text, str):
+        from delta_lake_spark.functions.dedup_sql import simhash32_sql
+
+        return F.expr(simhash32_sql(text))
     # bit positions 0..31 and place values 2^k, zipped against the
     # 32-counter accumulator (Column constants — built per call, cheap)
     bit_idx = F.array(*[F.lit(k) for k in range(32)])
@@ -210,6 +238,10 @@ def winnow_fingerprints(text: Column | str, window: int = 4) -> Column:
     distinct minima of a rolling window over the in-order token-shingle
     hash sequence.  Robust to local edits — shared fingerprints localize
     near-duplicate regions; integer-only, oracle-reproducible."""
+    if isinstance(text, str):
+        from delta_lake_spark.functions.dedup_sql import winnow_sql
+
+        return F.expr(winnow_sql(text, window))
     hashes = F.transform(token_shingle_seq(text), shingle_hash)
     idx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(0)))
     return F.array_distinct(

@@ -67,11 +67,13 @@ def hyperplanes(dim: int, seed: int = 7) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(N_HYPERPLANES)]
 
 
-def hyperplane_signature(vec: Column, dim: int, seed: int = 7) -> Column:
+def hyperplane_signature(vec: Column | str, dim: int, seed: int = 7) -> Column:
     """Random-hyperplane LSH signature (bigint bitmask): bit i = 1 iff
     dot(vec, h_i) > 0 for N_HYPERPLANES fixed seeded hyperplanes.  The sign
     test is bit-stable across engines because ``dot`` folds strictly
     left-to-right in both."""
+    if isinstance(vec, str):
+        return F.expr(hyperplane_signature_sql(vec, dim, seed))
     v = as_double(vec)
     out = F.lit(0).cast("long")
     for i, plane in enumerate(hyperplanes(dim, seed)):
@@ -110,3 +112,23 @@ def qdot(a: Column, b: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def hyperplane_signature_sql(col: str, dim: int, seed: int = 7) -> str:
+    """SQL-text twin of ``hyperplane_signature`` (single ``F.expr`` parse vs
+    ~1,000 Py4J calls for 16 planes x 64 double literals — same rationale as
+    functions/dedup_sql.py).  Python float ``repr`` round-trips exactly
+    through Spark's double-literal parser, so the sign tests are
+    bit-identical with the Column builder and the DuckDB oracle."""
+    v = f"transform({col}, x -> CAST(x AS DOUBLE))"
+    terms = []
+    for i, plane in enumerate(hyperplanes(dim, seed)):
+        arr = "array(" + ", ".join(f"{x!r}D" for x in plane) + ")"
+        d = (
+            f"aggregate(zip_with({v}, {arr}, (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        terms.append(
+            f"CASE WHEN {d} > 0 THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    return "CAST(0 AS BIGINT) + " + " + ".join(terms)

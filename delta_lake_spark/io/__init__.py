@@ -9,6 +9,7 @@ from delta_lake_spark.io.readers import (
     read_parquet,
 )
 from delta_lake_spark.io.bucketed import colocated_join, write_bucketed
+from delta_lake_spark.io.npy_source import register_npy_source
 from delta_lake_spark.io.writers import (
     write_csv,
     write_jdbc,
@@ -31,4 +32,5 @@ __all__ = [
     "write_jdbc",
     "write_bucketed",
     "colocated_join",
+    "register_npy_source",
 ]

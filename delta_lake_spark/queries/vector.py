@@ -111,7 +111,7 @@ def v02_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "embedding"
     )
     sig = e.select(
-        "vec_id", hyperplane_signature(F.col("embedding"), dim=_EMB_DIM).alias("sig")
+        "vec_id", hyperplane_signature("embedding", dim=_EMB_DIM).alias("sig")
     )
     mask = (1 << _BAND_BITS) - 1
     bands = sig.select(
