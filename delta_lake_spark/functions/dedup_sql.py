@@ -83,14 +83,16 @@ def minhash_sig_sql(hashes: str) -> str:
     return f"array({mins})"
 
 
-def band_keys_sql(sig: str) -> str:
-    """Mirror of dedup.band_keys: array of (band, key) structs."""
-    n_bands = MINHASH_K // MINHASH_BAND_SIZE
+def band_keys_sql(sig: str, band_size: int = MINHASH_BAND_SIZE) -> str:
+    """Mirror of dedup.band_keys: array of (band, key) structs.  The
+    ``band_size`` knob trades candidate fan-out for recall (d14 measures
+    this empirically)."""
+    n_bands = MINHASH_K // band_size
     bands = []
     for b in range(n_bands):
         parts = ", ".join(
-            f"CAST(element_at({sig}, {b * MINHASH_BAND_SIZE + j + 1}) AS STRING)"
-            for j in range(MINHASH_BAND_SIZE)
+            f"CAST(element_at({sig}, {b * band_size + j + 1}) AS STRING)"
+            for j in range(band_size)
         )
         bands.append(f"named_struct('band', {b}, 'key', concat_ws('-', {parts}))")
     return f"array({', '.join(bands)})"

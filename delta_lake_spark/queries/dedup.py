@@ -513,3 +513,142 @@ def t10_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_grams", "n_unique", "novelty_bp")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# d14 — LSH band-tuning report: precision/recall/fan-out of the MinHash
+# candidate stage at three band configurations (8x2, 4x4, 2x8 over the same
+# 16-hash signatures) against exact-Jaccard ground truth.  The v07-analog
+# for the dedup family: before running corpus-scale dedup you pick (bands,
+# rows) from exactly this curve — more, narrower bands = higher recall but
+# more candidate pairs to verify; fewer, wider bands = cheap but can miss.
+# Ground truth is an exact quadratic pass — an EVAL operator run on a
+# bounded slice by design (like d08's re-rank); the production candidate
+# stage it tunes stays the banded equi-join.
+# ---------------------------------------------------------------------------
+_D14_TH = 5000  # truth threshold (jaccard basis points)
+_D14_CONFIGS = (2, 4, 8)  # band sizes (rows per band) over MINHASH_K=16
+
+
+def _d14_oracle() -> str:
+    def band_selects(bs: int) -> str:
+        return "\nUNION ALL\n".join(
+            "SELECT doc_id, {b} AS band, {key} AS key FROM sigs".format(
+                b=b,
+                key=" || '-' || ".join(f"s{b * bs + j}::VARCHAR" for j in range(bs)),
+            )
+            for b in range(MINHASH_K // bs)
+        )
+
+    per_config = "\nUNION ALL\n".join(
+        f"""
+SELECT {bs} AS band_size, {MINHASH_K // bs} AS n_bands,
+       (SELECT COUNT(*) FROM truth) AS n_truth,
+       (SELECT COUNT(*) FROM (
+          SELECT DISTINCT a.doc_id, b.doc_id FROM (
+            {band_selects(bs)}
+          ) a JOIN ({band_selects(bs)}) b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)) AS n_cand,
+       (SELECT COUNT(*) FROM (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM (
+            {band_selects(bs)}
+          ) a JOIN ({band_selects(bs)}) b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ) c JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b) AS n_hits
+"""
+        for bs in _D14_CONFIGS
+    )
+    return f"""
+WITH base AS ({_SHINGLES_SQL}),
+sigs AS (SELECT doc_id, sh, {_SIG_COLS} FROM base),
+truth AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM base x JOIN base y ON x.doc_id < y.doc_id
+  WHERE CAST(FLOOR(len(list_intersect(x.sh, y.sh)) * 10000.0 /
+        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))) AS BIGINT)
+        >= {_D14_TH}
+)
+SELECT band_size, n_bands, n_truth, n_cand, n_hits,
+       CAST(FLOOR(n_hits * 10000.0 / n_cand) AS BIGINT) AS precision_bp,
+       CAST(FLOOR(n_hits * 10000.0 / n_truth) AS BIGINT) AS recall_bp
+FROM ({per_config})
+ORDER BY band_size
+"""
+
+
+@register("d14_lsh_band_tuning", oracle=_d14_oracle())
+def d14_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.dedup_sql import (
+        band_keys_sql,
+        hashed_shingles_sql,
+        minhash_sig_sql,
+        token_shingles_sql,
+    )
+
+    docs = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
+    base = (
+        docs.select(
+            F.col("doc_id").alias("_id"), F.expr(token_shingles_sql("text")).alias("_sh")
+        )
+        .withColumn("_hs", F.expr(hashed_shingles_sql("_sh")))
+        .withColumn("_sig", F.expr(minhash_sig_sql("_hs")))
+        .drop("_hs")
+        .persist()
+    )
+    x = base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha"))
+    y = base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb"))
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
+    truth = (
+        x.join(y, F.col("id_a") < F.col("id_b"))
+        .filter(F.floor(inter * 10000 / union).cast("long") >= _D14_TH)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+
+    rows = []
+    for bs in _D14_CONFIGS:
+        banded = base.select(
+            "_id", F.explode(F.expr(band_keys_sql("_sig", bs))).alias("_bk")
+        )
+        a = banded.select(F.col("_bk").alias("_bka"), F.col("_id").alias("id_a"))
+        b = banded.select(F.col("_bk").alias("_bkb"), F.col("_id").alias("id_b"))
+        cand = (
+            a.join(b, (a._bka == b._bkb) & (a.id_a < b.id_b))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        hit = truth.withColumn("_hit", F.lit(1))
+        stats = (
+            cand.join(hit, ["id_a", "id_b"], "left")
+            .agg(
+                F.count("*").alias("n_cand"),
+                F.count("_hit").alias("n_hits"),
+            )
+            .select(
+                F.lit(bs).alias("band_size"),
+                F.lit(MINHASH_K // bs).alias("n_bands"),
+                "n_cand",
+                "n_hits",
+            )
+        )
+        rows.append(stats)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return (
+        out.crossJoin(n_truth)
+        .select(
+            "band_size",
+            "n_bands",
+            "n_truth",
+            "n_cand",
+            "n_hits",
+            F.floor(F.col("n_hits") * 10000 / F.col("n_cand")).cast("long").alias("precision_bp"),
+            F.floor(F.col("n_hits") * 10000 / F.col("n_truth")).cast("long").alias("recall_bp"),
+        )
+        .orderBy("band_size")
+    )
