@@ -1314,3 +1314,37 @@ def q39_exact_percentile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.when(is_outlier, 1)).alias("n_outliers"))
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q44 — relative-standing window functions: percent_rank + cume_dist of
+# customer balances within market segment (completes the ranking surface
+# next to q11 row_number/top-k and q22 ntile).  Both are single-shuffle
+# window functions; values are exact small-integer ratios, so the doubles
+# are bit-identical across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "q44_balance_standing",
+    oracle="""
+SELECT c_mktsegment, c_custkey, c_acctbal,
+       PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS pr,
+       CUME_DIST()    OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS cd
+FROM customer
+WHERE c_custkey < 300
+ORDER BY c_mktsegment, c_acctbal, c_custkey
+""",
+)
+def q44_balance_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 300)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_acctbal",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+    )

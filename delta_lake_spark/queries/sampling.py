@@ -184,3 +184,48 @@ def s04_length_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# s05 — per-source document cap (the "per-domain cap" of web-corpus
+# pipelines: no single crawl domain / data source may dominate the mix).
+# Within each source, keep the top-K documents by quality score with a
+# content-addressed tie-break (md5 of normalized text, then doc_id) so the
+# survivor set is stable under re-partitioning and re-crawls.  One windowed
+# rank per source partition — a single shuffle on source, the same plan at
+# 100 TB (hot sources are bounded by K, so no partition outgrows K rows
+# post-filter).
+# ---------------------------------------------------------------------------
+_S05_CAP = 15
+
+
+def _s05_oracle() -> str:
+    from delta_lake_spark.queries.text import _NORM_SQL, _QUALITY_SQL
+
+    return f"""
+SELECT source, doc_id, quality, rk FROM (
+  SELECT source, doc_id, {_QUALITY_SQL} AS quality,
+         ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY {_QUALITY_SQL} DESC, md5({_NORM_SQL}), doc_id) AS rk
+  FROM documents
+) t
+WHERE rk <= {_S05_CAP}
+ORDER BY source, rk
+"""
+
+
+@register("s05_per_source_cap", oracle=_s05_oracle())
+def s05_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.text import fingerprint, quality_score
+
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), fingerprint("text"), "doc_id"
+    )
+    return (
+        d.select("source", "doc_id", quality_score("text").alias("quality"), "text")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _S05_CAP)
+        .select("source", "doc_id", "quality", "rk")
+        .orderBy("source", "rk")
+    )

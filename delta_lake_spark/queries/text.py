@@ -489,3 +489,87 @@ def t09_token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "batch_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t11 — unusual-character-distribution score: integer chi-square distance
+# between each document's letter distribution (a-z over the normalized
+# text) and the corpus-wide letter distribution.  The "weird charset"
+# quality gate of web-corpus pipelines (mojibake, code dumps, non-prose),
+# kept integer-exact for cross-engine parity: counts are exact, shares are
+# floored basis points, and each per-letter term floors a double division
+# of exact integers — no logs, no transcendental libm drift.
+# Plan shape: one corpus-wide 26-count aggregate (1 row, broadcast) + a
+# per-row map pass — a single scan + scalar join at any scale.
+# ---------------------------------------------------------------------------
+_LETTERS = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _t11_obs_sql(norm: str) -> str:
+    counts = ", ".join(
+        f"CAST(length({norm}) - length(replace({norm}, '{ch}', '')) AS BIGINT)"
+        for ch in _LETTERS
+    )
+    return f"array({counts})"
+
+
+def _t11_oracle() -> str:
+    obs = _t11_obs_sql(_NORM_SQL)
+    tot = ", ".join(f"SUM(obs[{i + 1}])" for i in range(26))
+    return f"""
+WITH per_doc AS (SELECT doc_id, {obs.replace("array(", "list_value(")} AS obs FROM documents),
+with_n AS (SELECT doc_id, obs, CAST(list_sum(obs) AS BIGINT) AS n_doc FROM per_doc),
+corpus AS (SELECT list_value({tot}) AS tot, SUM(list_sum(obs)) AS n_tot FROM per_doc),
+bp AS (
+  SELECT doc_id, n_doc,
+         list_transform(range(1, 27), i -> CASE WHEN n_doc > 0
+             THEN CAST(FLOOR(obs[CAST(i AS INT)] * 10000.0 / n_doc) AS BIGINT)
+             ELSE 0 END) AS obs_bp,
+         list_transform(range(1, 27),
+             i -> CAST(FLOOR(tot[CAST(i AS INT)] * 10000.0 / n_tot) AS BIGINT)) AS exp_bp
+  FROM with_n, corpus
+)
+SELECT doc_id, n_doc AS n_letters,
+       CAST(list_sum(list_transform(range(1, 27), i ->
+           FLOOR(CAST((obs_bp[CAST(i AS INT)] - exp_bp[CAST(i AS INT)])
+                      * (obs_bp[CAST(i AS INT)] - exp_bp[CAST(i AS INT)]) AS DOUBLE)
+                 / GREATEST(exp_bp[CAST(i AS INT)], 1)))) AS BIGINT) AS chi2
+FROM bp
+ORDER BY doc_id
+"""
+
+
+@register("t11_char_distribution", oracle=_t11_oracle())
+def t11_char_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.dedup_sql import normalize_sql
+
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    per_doc = d.select(
+        "doc_id", F.expr(_t11_obs_sql(normalize_sql("text"))).alias("obs")
+    ).withColumn(
+        "n_doc", F.expr("aggregate(obs, CAST(0 AS BIGINT), (a, x) -> a + x)")
+    )
+    corpus = per_doc.agg(
+        *[F.sum(F.element_at("obs", i + 1)).alias(f"t{i}") for i in range(26)],
+        F.sum("n_doc").alias("n_tot"),
+    ).select(
+        F.array(*[F.col(f"t{i}") for i in range(26)]).alias("tot"), "n_tot"
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.col("n_doc").alias("n_letters"),
+            F.expr(
+                """
+CAST(aggregate(zip_with(
+    transform(obs, o -> CASE WHEN n_doc > 0
+        THEN CAST(FLOOR(o * 10000.0 / n_doc) AS BIGINT) ELSE CAST(0 AS BIGINT) END),
+    transform(tot, t -> CAST(FLOOR(t * 10000.0 / n_tot) AS BIGINT)),
+    (o, e) -> FLOOR(CAST((o - e) * (o - e) AS DOUBLE) / GREATEST(e, 1))),
+  CAST(0 AS DOUBLE), (a, x) -> a + x) AS BIGINT) AS chi2
+"""
+            ).alias("chi2"),
+        )
+        .orderBy("doc_id")
+    )
