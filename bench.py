@@ -240,7 +240,13 @@ def main() -> None:
     # Round-4 additions timed separately so extensions_total_warm stays
     # comparable across BENCH_r{N} rounds.
     ext_r4: dict[str, float] = {}
-    for name in ("d13_contamination_scan", "t10_ngram_novelty"):
+    for name in (
+        "d13_contamination_scan",
+        "t10_ngram_novelty",
+        "s05_per_source_cap",
+        "t11_char_distribution",
+        "q44_balance_standing",
+    ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
         first = time.perf_counter() - t0

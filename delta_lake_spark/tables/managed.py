@@ -1073,6 +1073,7 @@ class ManagedTable:
         target_file_bytes: int = 128 * 1024 * 1024,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
+        where: list[tuple[str, str, Any]] | None = None,
     ) -> int:
         """Compaction (Delta ``optimize().executeCompaction()``,
         deltalake.ipynb:1336-1338) and data clustering (``executeZOrderBy``,
@@ -1088,14 +1089,29 @@ class ManagedTable:
         gets selective per-file min/max stats, so filters on ANY of them
         skip files (the reference's measured 18-50% effect, :8354-8356) —
         the property linear sort only gives the leading column.
+
+        ``where``: scope the rewrite to a file subset (Delta
+        ``OPTIMIZE ... WHERE``) — same ``(col, op, literal)`` grammar as
+        :meth:`scan`, matched against partition values and footer stats.
+        Only possibly-matching files are read, rewritten, and replaced;
+        everything else carries over untouched.  At 100 TB this is the
+        difference between compacting yesterday's partition and rewriting
+        the whole table.
         """
         if sort_by and zorder_by:
             raise ValueError("pass sort_by OR zorder_by, not both")
         entry = self._entry()
         partition_by: list[str] = entry.get("partition_by") or []
-        total = sum(f["size"] for f in entry["files"]) or 1
+        if where:
+            untouched, live = self._split_files(entry, where)
+            if not live:
+                return self.latest_version()  # type: ignore[return-value]
+            df = self._read_files(entry, live)
+        else:
+            untouched, live = [], entry["files"]
+            df = self.read()
+        total = sum(f["size"] for f in live) or 1
         n_files = max(1, -(-total // target_file_bytes))
-        df = self.read()
         if zorder_by:
             from pyspark.sql.types import (
                 BooleanType,
@@ -1136,18 +1152,20 @@ class ManagedTable:
             df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_by])
             df = df.sortWithinPartitions(*sort_by)
         else:
-            df = df.coalesce(n_files) if n_files < len(entry["files"]) else df
+            df = df.coalesce(n_files) if n_files < len(live) else df
         _dir, files = self._write_commit_dir(df, partition_by or None)
+        all_files = untouched + files
         self._commit(
             {
                 "operation": "zorder" if (sort_by or zorder_by) else "optimize",
-                "files": files,
+                "files": all_files,
                 "partition_by": partition_by,
                 "schema": entry["schema"],
-                "num_files": len(files),
+                "num_files": len(all_files),
                 "added_files": len(files),
                 "sort_by": sort_by or [],
                 "zorder_by": zorder_by or [],
+                **({"where": [list(f) for f in where]} if where else {}),
             }
         )
         return self.latest_version()  # type: ignore[return-value]

@@ -1282,3 +1282,48 @@ def test_table_catalog_roundtrip_after_evolution(spark, tmp_path):
     assert set(spark.sql("SELECT * FROM lake_evocat").columns) == {
         "id", "v", "score"
     }
+
+
+def test_partition_scoped_optimize(spark, tmp_path):
+    """OPTIMIZE ... WHERE: only the targeted partition's files are
+    rewritten; every other partition's file paths carry over untouched and
+    the table content is byte-identical."""
+    t = ManagedTable(spark, str(tmp_path / "po"))
+    df = spark.range(300).withColumn("part", F.pmod("id", F.lit(3)))
+    t.write(df.repartition(4), partition_by=["part"])
+    t.write(df.repartition(4), mode="append", partition_by=["part"])
+
+    def files_by_part():
+        out = {}
+        for f in t._entry()["files"]:
+            out.setdefault(f["partition"]["part"], set()).add(f["path"])
+        return out
+
+    before = files_by_part()
+    assert len(before["1"]) >= 2  # multiple small files to compact
+    v = t.optimize(where=[("part", "=", 1)])
+    after = files_by_part()
+    assert after["0"] == before["0"] and after["2"] == before["2"]  # untouched
+    assert len(after["1"]) == 1  # compacted
+    assert after["1"].isdisjoint(before["1"])  # rewritten, not reused
+    assert t.read().count() == 600
+    assert (
+        t.read().groupBy("part").count().orderBy("part").collect()
+        == df.unionAll(df).groupBy("part").count().orderBy("part").collect()
+    )
+    hist = t.history()[0]
+    assert hist["operation"] == "optimize" and hist["version"] == v
+    # scoping by a filter that matches nothing is a no-op commit-wise
+    assert t.optimize(where=[("part", "=", 99)]) == v
+
+
+def test_partition_scoped_optimize_keeps_pruning(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "po2"))
+    df = spark.range(200).withColumn("part", F.pmod("id", F.lit(2)))
+    t.write(df.repartition(3), partition_by=["part"])
+    # tiny target size -> several id-sorted files inside the partition
+    t.optimize(where=[("part", "=", 0)], sort_by=["id"], target_file_bytes=1024)
+    live, total = t.pruned_file_count([("id", "<=", 10)])
+    assert live < total  # stats recorded on the rewritten files still skip
+    assert t.scan([("part", "=", 0), ("id", "<=", 10)]).count() == 6
+    assert t.scan([("part", "=", 0)]).count() == 100
