@@ -176,3 +176,59 @@ def test_schema_evolution_merge_matches_model(spark, pre, post):
         assert got == model
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Scoped-OPTIMIZE invariant: any sequence of partitioned writes/appends and
+# randomly-scoped optimize(where=...) calls leaves the table's CONTENT
+# identical to the same sequence without the optimizes (compaction must be
+# invisible to readers), and never touches files outside the scope.
+# --------------------------------------------------------------------------
+OPT_STEP = st.one_of(
+    st.tuples(st.just("append"), st.integers(min_value=1, max_value=30)),
+    st.tuples(st.just("optimize"), st.integers(min_value=0, max_value=3)),
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(script=st.lists(OPT_STEP, min_size=2, max_size=5))
+def test_scoped_optimize_preserves_content(spark, script):
+    import pyspark.sql.functions as F
+
+    root = tempfile.mkdtemp(prefix="mt_opt_")
+    try:
+        t = ManagedTable(spark, root)
+        model_rows = []  # (id, part) multiset the readers must always see
+        next_id = 0
+        for op, arg in script:
+            if op == "append":
+                df = (
+                    spark.range(next_id, next_id + arg)
+                    .withColumn("part", F.pmod("id", F.lit(4)))
+                    .repartition(2)
+                )
+                t.write(df, mode="append", partition_by=["part"])
+                model_rows += [(i, i % 4) for i in range(next_id, next_id + arg)]
+                next_id += arg
+            elif t.latest_version() is not None:
+                before = {
+                    f["path"]
+                    for f in t._entry()["files"]
+                    if f["partition"].get("part") != str(arg)
+                }
+                t.optimize(where=[("part", "=", arg)])
+                after = {
+                    f["path"]
+                    for f in t._entry()["files"]
+                    if f["partition"].get("part") != str(arg)
+                }
+                assert before == after  # out-of-scope files never touched
+            if t.latest_version() is not None:
+                got = sorted((r.id, r.part) for r in t.read().collect())
+                assert got == sorted(model_rows)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
