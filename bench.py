@@ -246,6 +246,7 @@ def main() -> None:
         "s05_per_source_cap",
         "t11_char_distribution",
         "q44_balance_standing",
+        "p01_curation_pipeline",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
