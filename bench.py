@@ -174,6 +174,22 @@ def main() -> None:
         except Exception as exc:
             payload["skew"] = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # Vector-index section (r4): the maintained partitioned ANN index vs a
+    # brute-force exact scan — build cost, probe latency at nprobe=1/5, and
+    # measured recall@10.  Disable with SPARK_GRAFT_VECTOR=0.
+    if os.environ.get("SPARK_GRAFT_VECTOR", "1") != "0":
+        try:
+            from delta_lake_spark.benchmark.vector_bench import run_vector_index
+
+            payload["vector_index"] = run_vector_index(
+                spark,
+                sf_dir,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchdata", "vector_index"),
+            )
+        except Exception as exc:
+            payload["vector_index"] = {"error": f"{type(exc).__name__}: {exc}"}
+
     # 100x-shape section (VERDICT r3 task 8): the 5 heaviest headline
     # queries on a 100-copy FK-consistent corpus (~60M lineitem rows, ~1.5GB
     # parquet — the single-node memory/disk ceiling is far above this, so no

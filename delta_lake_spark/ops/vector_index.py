@@ -98,13 +98,18 @@ class VectorIndex:
         probe-bucket collect is O(#queries * nprobe), driver-side by
         design, like any index lookup's key set).
 
-        nprobe=1 scans each query's own bucket; nprobe<=SIGN_DIMS+1 adds
-        the buckets at Hamming distance 1 (v06's multi-probe recall
-        recovery for vectors near a hyperplane boundary).
+        nprobe=1 scans each query's own bucket; larger values add buckets
+        in Hamming-distance order from the query's bucket (v06's
+        multi-probe recall recovery, extended to the full dial) — at
+        nprobe=2**SIGN_DIMS every bucket is probed and the result equals
+        the exact scan, so recall is a smooth latency trade ending at 1.0.
+        On an isotropic (clusterless) corpus small nprobe recall is
+        genuinely low — that is the data, not the index; real embedding
+        corpora cluster, which is what bucketing exploits.
         """
-        if not 1 <= nprobe <= SIGN_DIMS + 1:
-            raise ValueError(f"nprobe must be in [1, {SIGN_DIMS + 1}]")
-        flips = [0] + [2**j for j in range(nprobe - 1)]
+        if not 1 <= nprobe <= 2**SIGN_DIMS:
+            raise ValueError(f"nprobe must be in [1, {2**SIGN_DIMS}]")
+        flips = sorted(range(2**SIGN_DIMS), key=lambda f: (bin(f).count("1"), f))[:nprobe]
         q = queries.select(
             F.col(id_col).alias("qid"),
             sign_bucket(F.col(vec_col)).alias("qbucket"),
