@@ -2,6 +2,7 @@
 
 from delta_lake_spark.tables.incremental import (
     anti_join_append,
+    near_dedup_ingest,
     apply_changes,
     external_source_refresh,
     high_water_mark,
@@ -23,6 +24,7 @@ __all__ = [
     "high_water_mark",
     "insert_only_merge",
     "anti_join_append",
+    "near_dedup_ingest",
     "apply_changes",
     "incremental_refresh",
     "external_source_refresh",

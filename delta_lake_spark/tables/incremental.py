@@ -200,3 +200,114 @@ def incremental_refresh(
     if n_batches <= 1:
         return [table.merge(source, keys)]
     return table.merge_in_batches(source, keys, n_batches)
+
+
+def near_dedup_ingest(
+    table: ManagedTable,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard_bp: int = 8000,
+) -> int:
+    """Incremental near-duplicate-free ingest: append only the batch docs
+    that near-duplicate neither the EXISTING corpus nor a lower-id batch
+    doc (d09's one-pass greedy rule, applied incrementally).
+
+    The survivors table CARRIES its MinHash signature column (``_sig``,
+    16 ints/row) — new batches candidate-join against stored signatures,
+    so the existing corpus is never re-tokenized; exact-Jaccard
+    verification re-shingles only the candidate doc pairs.  Per batch the
+    cost is O(batch) map-side + band-bucket joins + O(candidates)
+    verification — the corpus-scale incremental dedup shape.
+
+    Invariants (tested): single-batch ingest == the batch ``near_dedup``;
+    re-ingest is a no-op; the table NEVER contains a verified near-dup
+    pair.  NOTE the greedy rule is order-dependent across batches (a doc
+    admitted yesterday keeps out today's near-dup, even if a global rerun
+    would have picked today's) — the standard streaming-dedup contract.
+
+    Docs with fewer than 3 tokens have no shingles and are excluded (route
+    them through :func:`insert_only_merge` on an exact fingerprint).
+    Returns the number of rows appended.
+    """
+    from delta_lake_spark.functions.dedup_sql import (
+        band_keys_sql,
+        hashed_shingles_sql,
+        minhash_sig_sql,
+        token_shingles_sql,
+    )
+
+    def sig_of(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("_sh", F.expr(token_shingles_sql(text_col)))
+            .withColumn("_hs", F.expr(hashed_shingles_sql("_sh")))
+            .withColumn("_sig", F.expr(minhash_sig_sql("_hs")))
+            .drop("_hs")
+        )
+
+    def bands_of(df: DataFrame, idc: str) -> DataFrame:
+        return df.select(
+            F.col(idc), F.explode(F.expr(band_keys_sql("_sig"))).alias("_bk")
+        )
+
+    def verified(cand: DataFrame, left: DataFrame, right: DataFrame) -> DataFrame:
+        """cand(_new, _old) pairs whose exact shingle-Jaccard clears the
+        threshold; shingles come from the (small) candidate sides only."""
+        pairs = cand.join(
+            left.select(F.col(id_col).alias("_new"), F.col("_sh").alias("_sha")), "_new"
+        ).join(
+            right.select(F.col(id_col).alias("_old"), F.col("_sh").alias("_shb")), "_old"
+        )
+        inter = F.size(F.array_intersect("_sha", "_shb"))
+        union = F.size("_sha") + F.size("_shb") - inter
+        return pairs.filter(
+            F.floor(inter * 10000 / union).cast("long") >= min_jaccard_bp
+        ).select("_new")
+
+    prepped = sig_of(
+        batch.filter(F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= 3)
+    ).persist()
+    empty = table.latest_version() is None
+    if not empty:
+        existing = table.read()
+        prepped_new = prepped.join(
+            existing.select(id_col), id_col, "left_anti"
+        ).persist()
+    else:
+        prepped_new = prepped
+    nb = bands_of(prepped_new, id_col)
+
+    losers = None
+    if not empty:
+        eb = bands_of(existing, id_col)
+        cand_ext = (
+            nb.alias("n")
+            .join(eb.alias("e"), F.col("n._bk") == F.col("e._bk"))
+            .select(
+                F.col(f"n.{id_col}").alias("_new"), F.col(f"e.{id_col}").alias("_old")
+            )
+            .dropDuplicates(["_new", "_old"])
+        )
+        ex_sh = existing.withColumn("_sh", F.expr(token_shingles_sql(text_col)))
+        losers = verified(cand_ext, prepped_new, ex_sh)
+    cand_int = (
+        nb.alias("a")
+        .join(
+            nb.alias("b"),
+            (F.col("a._bk") == F.col("b._bk"))
+            & (F.col(f"a.{id_col}") > F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("_new"), F.col(f"b.{id_col}").alias("_old"))
+        .dropDuplicates(["_new", "_old"])
+    )
+    int_losers = verified(cand_int, prepped_new, prepped_new)
+    losers = int_losers if losers is None else losers.unionByName(int_losers)
+
+    survivors = prepped_new.join(
+        losers.distinct().withColumnRenamed("_new", id_col), id_col, "left_anti"
+    ).drop("_sh")
+    n = survivors.count()
+    if n:
+        table.write(survivors, mode="append")
+    prepped.unpersist()
+    return n

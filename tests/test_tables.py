@@ -1327,3 +1327,46 @@ def test_partition_scoped_optimize_keeps_pruning(spark, tmp_path):
     assert live < total  # stats recorded on the rewritten files still skip
     assert t.scan([("part", "=", 0), ("id", "<=", 10)]).count() == 6
     assert t.scan([("part", "=", 0)]).count() == 100
+
+
+def test_near_dedup_ingest_incremental(spark, tmp_path):
+    """Incremental dedup ingest: batch-1 equals the batch near_dedup,
+    re-ingest is a no-op, a batch-2 near-dup of an admitted doc is kept
+    out, and the final table holds zero verified near-dup pairs."""
+    from delta_lake_spark.functions.dedup import minhash_candidate_pairs, near_dedup
+    from delta_lake_spark.tables.incremental import near_dedup_ingest
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
+    )
+    b1 = docs.filter("doc_id < 250")
+    t = ManagedTable(spark, str(tmp_path / "corpus"))
+
+    n1 = near_dedup_ingest(t, b1)
+    want = sorted(
+        r.doc_id for r in near_dedup(b1, "doc_id", "text", min_jaccard_bp=8000).collect()
+    )
+    got = sorted(r.doc_id for r in t.read().select("doc_id").collect())
+    assert got == want and n1 == len(want)
+
+    assert near_dedup_ingest(t, b1) == 0  # idempotent re-ingest
+    assert t.read().count() == n1
+
+    # batch 2: novel docs + a verbatim copy of an admitted batch-1 doc
+    survivor_id = got[0]
+    copy = (
+        b1.filter(F.col("doc_id") == survivor_id)
+        .select(F.lit(990_000).alias("doc_id"), "text")
+    )
+    b2 = docs.filter("doc_id >= 250").unionByName(copy)
+    near_dedup_ingest(t, b2)
+    final_ids = {r.doc_id for r in t.read().select("doc_id").collect()}
+    assert 990_000 not in final_ids  # near-dup of an admitted doc kept out
+
+    # the corpus invariant: no verified near-dup pair anywhere in the table
+    pairs = minhash_candidate_pairs(t.read(), "doc_id", "text").filter(
+        "jaccard_bp >= 8000"
+    )
+    assert pairs.count() == 0
