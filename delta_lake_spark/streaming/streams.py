@@ -181,3 +181,41 @@ def interval_join(
         & (F.col(rname) <= F.col(lname) + F.expr(f"INTERVAL {upper}"))
     )
     return l.join(r, cond, "inner").drop(key + "_r")
+
+
+def stream_dedup_ingest(
+    stream: DataFrame,
+    table: ManagedTable,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_jaccard_bp: int = 8000,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming corpus curation: each micro-batch of documents flows
+    through :func:`~delta_lake_spark.tables.incremental.near_dedup_ingest`
+    — batch docs near-duplicating the already-admitted corpus (or a
+    lower-id doc in the same micro-batch) are kept out; survivors append
+    with their MinHash signatures.
+
+    Replay safety: a replayed micro-batch re-ingests docs that are now
+    exact dups of themselves (Jaccard 10000) or already-present ids, so
+    restarts are no-ops — the effectively-once contract without a
+    transactional sink.
+    """
+    from delta_lake_spark.tables.incremental import near_dedup_ingest
+
+    def ingest(batch: DataFrame, _batch_id: int) -> None:
+        near_dedup_ingest(
+            table, batch, id_col=id_col, text_col=text_col,
+            min_jaccard_bp=min_jaccard_bp,
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -206,3 +206,42 @@ def test_interval_join_matches_batch(spark, tmp_path, landing, events_batch):
     ).select("user_id", "click_id", "view_id")
     assert sorted(map(tuple, t.read().select("user_id", "click_id", "view_id").collect())) == \
         sorted(map(tuple, want.collect()))
+
+
+def test_stream_dedup_ingest_matches_batch(spark, tmp_path):
+    """Streaming near-dedup ingest (foreachBatch over a file source) admits
+    exactly the docs the equivalent ordered batch ingests admit, and the
+    admitted corpus never holds a verified near-dup pair."""
+    from delta_lake_spark.functions.dedup import minhash_candidate_pairs
+    from delta_lake_spark.streaming.streams import file_stream, stream_dedup_ingest
+    from delta_lake_spark.tables import ManagedTable, near_dedup_ingest
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
+    )
+    landing = str(tmp_path / "landing")
+    docs.filter("doc_id < 250").coalesce(1).write.parquet(f"{landing}/b1")
+    docs.filter("doc_id >= 250").coalesce(1).write.parquet(f"{landing}/b2")
+
+    stream_t = ManagedTable(spark, str(tmp_path / "stream_corpus"))
+    src = file_stream(
+        spark, f"{landing}/*", docs.schema, max_files_per_trigger=1
+    )
+    q = stream_dedup_ingest(
+        src, stream_t, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    batch_t = ManagedTable(spark, str(tmp_path / "batch_corpus"))
+    near_dedup_ingest(batch_t, docs.filter("doc_id < 250"))
+    near_dedup_ingest(batch_t, docs.filter("doc_id >= 250"))
+
+    got = sorted(r.doc_id for r in stream_t.read().select("doc_id").collect())
+    want = sorted(r.doc_id for r in batch_t.read().select("doc_id").collect())
+    assert got == want
+    dups = minhash_candidate_pairs(stream_t.read(), "doc_id", "text").filter(
+        "jaccard_bp >= 8000"
+    )
+    assert dups.count() == 0
