@@ -538,3 +538,74 @@ def v08_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vid", "qscore", "sim", "rank")
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# v09 — distributed spherical k-means (semantic clustering): k=8 centroids
+# seeded from the lowest vec_ids, 2 Lloyd iterations, final assignment.
+# The corpus-shaping step of a training-data pipeline (topic bucketing /
+# SemDeDup-style cluster-then-dedup).  Scale shape: centroids (k rows) are
+# broadcast so assignment never shuffles the corpus; each update is ONE
+# shuffle with k*dim groups — constant reduce size at any corpus scale.
+# Determinism: dot folds are the bit-identical-with-DuckDB primitive,
+# centroid means are decimal-summed (order-independent) and rounded to 6
+# decimals before feeding the next iteration (see functions/clustering.py).
+# The oracle unrolls the same two iterations as CTE pairs.
+# ---------------------------------------------------------------------------
+_KM_K, _KM_ITERS = 8, 2
+
+
+def _v09_oracle(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _EMB_DIM) -> str:
+    def cos(v: str, c: str) -> str:
+        return (
+            f"list_dot_product({v}.e, {c}.c) / (sqrt(list_dot_product({v}.e, {v}.e))"
+            f" * sqrt(list_dot_product({c}.c, {c}.c)))"
+        )
+
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cl, e AS c FROM v WHERE vec_id < {k})",
+    ]
+    for it in range(1, iters + 1):
+        prev_c, a, c = f"c{it - 1}", f"a{it}", f"c{it}"
+        ctes.append(
+            f"""{a} AS (
+  SELECT vec_id, cl FROM (
+    SELECT v.vec_id, {prev_c}.cl,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {cos('v', prev_c)} DESC, {prev_c}.cl) AS rnk
+    FROM v CROSS JOIN {prev_c}) t
+  WHERE rnk = 1)"""
+        )
+        ctes.append(
+            f"""{c} AS (
+  SELECT cl, list(m ORDER BY i) AS c FROM (
+    SELECT {a}.cl, t.i,
+           ROUND(CAST(SUM(CAST(v.e[t.i] AS DECIMAL(20,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS m
+    FROM v JOIN {a} USING (vec_id) CROSS JOIN range(1, {dim + 1}) t(i)
+    GROUP BY {a}.cl, t.i) d
+  GROUP BY cl)"""
+        )
+    final_c = f"c{iters}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, cl, sim FROM (
+  SELECT v.vec_id, {final_c}.cl, {cos('v', final_c)} AS sim,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           ORDER BY {cos('v', final_c)} DESC, {final_c}.cl) AS rnk
+  FROM v CROSS JOIN {final_c}) t
+WHERE rnk = 1
+ORDER BY vec_id
+"""
+    )
+
+
+@register("v09_kmeans_clusters", oracle=_v09_oracle())
+def v09_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.clustering import spherical_kmeans
+
+    e = table_parallel(spark, sf_dir, "embeddings", "vec_id")
+    return spherical_kmeans(e, k=_KM_K, iters=_KM_ITERS).orderBy("vec_id")
