@@ -573,3 +573,71 @@ CAST(aggregate(zip_with(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t12 — TF-IDF distinctive terms per document: term frequency weighted by a
+# fixed-point inverse document frequency (idf_milli = floor(N*1000/df) —
+# integer math, so ranking is exactly deterministic across engines; the
+# float-log idf is a monotone cosmetic on top, deliberately left out of the
+# certified result).  The per-doc keyword-extraction step of a curation
+# pipeline (topic tagging, boilerplate spotting).
+#
+# Scale shape: the canonical inverted-index plan — token counts shuffle once
+# on (doc_id, term) with map-side partial agg, document frequency
+# re-aggregates the tf table on term (vocabulary-sized shuffle), the corpus
+# size joins in as a broadcast scalar, and the final top-3-per-doc is a
+# WindowGroupLimit-prunable ranking.  No collect, no UDF.
+# ---------------------------------------------------------------------------
+@register(
+    "t12_tfidf_top_terms",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, '\\s+')) AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS cnt
+  FROM toks WHERE length(w) >= 3
+  GROUP BY doc_id, w
+),
+dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.w AS term, tf.cnt, dfreq.df,
+         tf.cnt * ((n.n_docs * 1000) // dfreq.df) AS score
+  FROM tf JOIN dfreq USING (w) CROSS JOIN n
+)
+SELECT doc_id, term, cnt, df, score, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM scored) t
+WHERE rnk <= 3
+ORDER BY doc_id, rnk
+""",
+)
+def t12_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from delta_lake_spark.functions.text import normalize_text, tokens
+
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = d.select(
+        "doc_id", F.explode(tokens(normalize_text("text"))).alias("w")
+    ).filter(F.length("w") >= 3)
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.col("cnt") * F.expr("(n_docs * 1000) div df"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score"), "w")
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "cnt", "df", "score", "rnk")
+        .orderBy("doc_id", "rnk")
+    )

@@ -279,3 +279,68 @@ def q34_shipments_after_urgent_orders(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q45 — weekly retention cohorts over the event stream: users are cohorted by
+# the Monday of their first event week; each later active week contributes to
+# that cohort's retention row.  The classic product-analytics triangle matrix,
+# in pure integer/date math (NTZ weeks, basis-point integer division) so the
+# oracle is hash-exact.
+#
+# Scale shape: (user, week) activity dedups with one user-keyed shuffle, the
+# cohort min reuses the same key, and everything after the cohort join
+# aggregates on (cohort_week, weeks_since) — a group count bounded by
+# weeks^2/2 regardless of corpus size.  Cohort sizes join back via AQE
+# broadcast (weeks-count rows).
+# ---------------------------------------------------------------------------
+@register(
+    "q45_retention_cohorts",
+    oracle="""
+WITH ua AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+),
+cohort AS (SELECT user_id, MIN(wk) AS cohort_week FROM ua GROUP BY user_id),
+sizes AS (SELECT cohort_week, COUNT(*) AS cohort_n FROM cohort GROUP BY cohort_week),
+act AS (
+  SELECT c.cohort_week,
+         CAST((ua.wk - c.cohort_week) // 7 AS BIGINT) AS weeks_since,
+         COUNT(*) AS n_active
+  FROM ua JOIN cohort c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT act.cohort_week, act.weeks_since, act.n_active, sizes.cohort_n,
+       (act.n_active * 10000) // sizes.cohort_n AS retention_bp
+FROM act JOIN sizes USING (cohort_week)
+ORDER BY cohort_week, weeks_since
+""",
+)
+def q45_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    ua = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    cohort = ua.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(F.count("*").alias("cohort_n"))
+    act = (
+        ua.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.expr("CAST(datediff(wk, cohort_week) AS BIGINT) div 7").alias(
+                "weeks_since"
+            ),
+        )
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        act.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "n_active",
+            "cohort_n",
+            F.expr("(n_active * 10000) div cohort_n").alias("retention_bp"),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )
