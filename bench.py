@@ -50,6 +50,10 @@ EXTENSIONS = [
     "q38_monthly_rollup_from_daily",      # rollup reuse
     "v08_quantized_ann",                  # int8 scalar-quantized ANN (r4)
     "q39_exact_percentile_outliers",      # exact percentile + IQR fences (r4)
+    "v09_kmeans_clusters",                # distributed spherical k-means (r4)
+    "t12_tfidf_top_terms",                # TF-IDF inverted-index ranking (r4)
+    "q45_retention_cohorts",              # weekly retention triangle (r4)
+    "d15_semantic_dedup",                 # SemDeDup cluster-scoped dedup (r4)
 ]
 
 

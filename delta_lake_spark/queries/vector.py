@@ -555,13 +555,17 @@ def v08_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K, _KM_ITERS = 8, 2
 
 
-def _v09_oracle(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _EMB_DIM) -> str:
-    def cos(v: str, c: str) -> str:
-        return (
-            f"list_dot_product({v}.e, {c}.c) / (sqrt(list_dot_product({v}.e, {v}.e))"
-            f" * sqrt(list_dot_product({c}.c, {c}.c)))"
-        )
+def _km_cos(v: str, c: str) -> str:
+    return (
+        f"list_dot_product({v}.e, {c}.c) / (sqrt(list_dot_product({v}.e, {v}.e))"
+        f" * sqrt(list_dot_product({c}.c, {c}.c)))"
+    )
 
+
+def _km_ctes(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _EMB_DIM) -> tuple[list[str], str]:
+    """The unrolled Lloyd-iteration CTE chain shared by the v09 and d15
+    oracles; returns (ctes, name-of-final-centroid-CTE)."""
+    cos = _km_cos
     ctes = [
         "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
         f"c0 AS (SELECT vec_id AS cl, e AS c FROM v WHERE vec_id < {k})",
@@ -587,7 +591,12 @@ def _v09_oracle(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _EMB_DIM) -> 
     GROUP BY {a}.cl, t.i) d
   GROUP BY cl)"""
         )
-    final_c = f"c{iters}"
+    return ctes, f"c{iters}"
+
+
+def _v09_oracle() -> str:
+    ctes, final_c = _km_ctes()
+    cos = _km_cos
     return (
         "WITH "
         + ",\n".join(ctes)
@@ -609,3 +618,75 @@ def v09_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table_parallel(spark, sf_dir, "embeddings", "vec_id")
     return spherical_kmeans(e, k=_KM_K, iters=_KM_ITERS).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# d15 — SemDeDup semantic deduplication: exact cosine dedup scoped WITHIN the
+# v09 k-means clusters (Abbas et al. 2023's cluster-then-dedup recipe).  The
+# pair join is an EQUI-join on the cluster id — never corpus-cartesian — so
+# per-cluster work is (n/k)^2; at production scale k grows with the corpus to
+# hold cluster size constant (k ~ n/1000), keeping per-cluster cost flat
+# while clusters dedup in parallel.  The LSH path (v02/d11) is the
+# alternative when clustering isn't wanted; this one also yields the cluster
+# label for downstream cluster-balanced sampling.  Survivors = lowest id per
+# near-dup relation (drop the higher id of every >0.4-cosine in-cluster pair).
+# ---------------------------------------------------------------------------
+_SEM_THR = 0.4
+
+
+def _d15_oracle() -> str:
+    ctes, final_c = _km_ctes()
+    cos = _km_cos
+    pair_cos = (
+        "list_dot_product(va.e, vb.e) / (sqrt(list_dot_product(va.e, va.e))"
+        " * sqrt(list_dot_product(vb.e, vb.e)))"
+    )
+    ctes.append(
+        f"""fa AS (
+  SELECT vec_id, cl FROM (
+    SELECT v.vec_id, {final_c}.cl,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {cos('v', final_c)} DESC, {final_c}.cl) AS rnk
+    FROM v CROSS JOIN {final_c}) t
+  WHERE rnk = 1)"""
+    )
+    ctes.append(
+        f"""dups AS (
+  SELECT DISTINCT b.vec_id AS id_b
+  FROM fa a JOIN fa b ON a.cl = b.cl AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE {pair_cos} > {_SEM_THR})"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT fa.vec_id, fa.cl
+FROM fa LEFT JOIN dups ON fa.vec_id = dups.id_b
+WHERE dups.id_b IS NULL
+ORDER BY fa.vec_id
+"""
+    )
+
+
+@register("d15_semantic_dedup", oracle=_d15_oracle())
+def d15_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.clustering import spherical_kmeans
+
+    e = table_parallel(spark, sf_dir, "embeddings", "vec_id")
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    fa = spherical_kmeans(e, k=_KM_K, iters=_KM_ITERS).select("vec_id", "cl")
+    a = fa.select(F.col("vec_id").alias("id_a"), F.col("cl").alias("cl_a"))
+    b = fa.select(F.col("vec_id").alias("id_b"), F.col("cl").alias("cl_b"))
+    va = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    vb = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    dups = (
+        a.join(b, (F.col("cl_a") == F.col("cl_b")) & (F.col("id_a") < F.col("id_b")))
+        .join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(cosine(F.col("ea"), F.col("eb")) > _SEM_THR)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return fa.join(dups, "vec_id", "left_anti").orderBy("vec_id")
