@@ -676,7 +676,10 @@ def d15_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table_parallel(spark, sf_dir, "embeddings", "vec_id")
     v = e.select("vec_id", as_double(F.col("embedding")).alias("e"))
-    fa = spherical_kmeans(e, k=_KM_K, iters=_KM_ITERS).select("vec_id", "cl")
+    # fa is referenced three times (both pair sides + the anti-join left);
+    # persist so the Lloyd iterations run once, not per reference (the d06
+    # persisted-signatures pattern).
+    fa = spherical_kmeans(e, k=_KM_K, iters=_KM_ITERS).select("vec_id", "cl").persist()
     a = fa.select(F.col("vec_id").alias("id_a"), F.col("cl").alias("cl_a"))
     b = fa.select(F.col("vec_id").alias("id_b"), F.col("cl").alias("cl_b"))
     va = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
@@ -690,3 +693,68 @@ def d15_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return fa.join(dups, "vec_id", "left_anti").orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# s06 — cluster-balanced sampling: up to M representatives per v09 k-means
+# cluster, chosen content-addressed (md5 bucket of vec_id) so the sample is
+# stable under repartition/re-run and identical cross-engine.  The standard
+# companion to SemDeDup: balanced cluster coverage for curriculum mixing or
+# eval-set construction instead of frequency-biased uniform sampling.
+#
+# Scale shape: assignment never shuffles the corpus (broadcast centroids);
+# the candidate thinning is a shuffle-free hash filter (rate chosen so
+# ~M*safety rows per cluster survive), and only the thinned set hits the
+# per-cluster ranking window — so the window input is a small fraction of
+# the corpus and the cl-keyed skew of a full-corpus window never happens.
+# ---------------------------------------------------------------------------
+_S06_M, _S06_RATE_BP = 32, 2000
+
+
+def _s06_oracle() -> str:
+    from delta_lake_spark.functions.sampling import hash_bucket_sql
+
+    ctes, final_c = _km_ctes()
+    cos = _km_cos
+    bucket = hash_bucket_sql("vec_id", "s06")
+    ctes.append(
+        f"""fa AS (
+  SELECT vec_id, cl FROM (
+    SELECT v.vec_id, {final_c}.cl,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {cos('v', final_c)} DESC, {final_c}.cl) AS rnk
+    FROM v CROSS JOIN {final_c}) t
+  WHERE rnk = 1)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT cl, vec_id, rnk FROM (
+  SELECT cl, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY cl ORDER BY {bucket}, vec_id) AS rnk
+  FROM fa WHERE {bucket} < {_S06_RATE_BP}) t
+WHERE rnk <= {_S06_M}
+ORDER BY cl, rnk
+"""
+    )
+
+
+@register("s06_cluster_balanced_sample", oracle=_s06_oracle())
+def s06_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from delta_lake_spark.functions.clustering import spherical_kmeans
+    from delta_lake_spark.functions.sampling import hash_bucket
+
+    e = table_parallel(spark, sf_dir, "embeddings", "vec_id")
+    fa = spherical_kmeans(e, k=_KM_K, iters=_KM_ITERS).select("vec_id", "cl")
+    b = hash_bucket("vec_id", "s06")
+    thinned = fa.withColumn("b", b).filter(F.col("b") < _S06_RATE_BP)
+    rnk = F.row_number().over(Window.partitionBy("cl").orderBy("b", "vec_id"))
+    return (
+        thinned.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= _S06_M)
+        .select("cl", "vec_id", "rnk")
+        .orderBy("cl", "rnk")
+    )

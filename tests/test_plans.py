@@ -277,3 +277,21 @@ def test_dynamic_partition_pruning_on_managed_table(spark, tmp_path):
     joined = t.read().join(F.broadcast(dim.filter(F.col("attr") == 4)), "part")
     plan = plan_of(joined)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_d15_semdedup_pair_join_is_equi_join(spark):
+    """d15's in-cluster pair generation must equi-join on the cluster id —
+    the only nested-loop joins allowed are the k-row broadcast-centroid
+    assignments (3 of them: one per Lloyd iteration + the final assign);
+    the corpus itself must never cross-join."""
+    plan = plan_of(QUERIES["d15_semantic_dedup"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # every nested-loop join must be the broadcast-centroid assignment
+    # (k rows built right, Cross) — never a corpus-vs-corpus loop
+    for line in plan.splitlines():
+        # tree lines carry the join type; "(29) BroadcastNestedLoopJoin"
+        # detail-section headers don't and are skipped
+        if "BroadcastNestedLoopJoin" in line and not line.strip().startswith("("):
+            assert "Cross BuildRight" in line, line
+    # the in-cluster pair generation itself is a shuffled equi-join
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
