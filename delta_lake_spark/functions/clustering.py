@@ -8,12 +8,13 @@ beyond-reference extension in the SURVEY.md §7.8 family.
 
 Scale shape (the canonical Lloyd's-on-MapReduce plan):
 
-- centroids are k rows — always broadcast; assignment is a broadcast
-  nested-loop over k tiny rows per vector, embarrassingly parallel, no
-  shuffle of the corpus;
-- the centroid update is ONE shuffle per iteration, keyed by
-  (cluster, dim) — k*dim groups regardless of corpus size, so the reduce
-  side is constant-size even at 100 TB;
+- centroids collapse to ONE broadcast row carrying an array of (cl, c)
+  structs; assignment is a per-row fold over that array — map-only, the
+  corpus never shuffles for an assignment;
+- the centroid update is the iteration's ONLY shuffle, keyed by
+  (cluster, dim) with map-side partial aggregation — k*dim groups
+  regardless of corpus size, so the reduce side is constant-size even at
+  100 TB (assignment carries the vector through, so no join back);
 - iterations are a driver-side loop over DataFrame transformations (the
   corpus is never collected; only the k centroid rows move).
 
@@ -34,40 +35,61 @@ mean-of-members centroid needs no re-normalization for the argmax.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from delta_lake_spark.functions.similarity import as_double, cosine
 
 
-def assign_to_centroids(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment by cosine similarity.
+def assign_to_centroids(
+    vectors: DataFrame, centroids: DataFrame, keep_vec: bool = False
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine similarity — MAP-ONLY.
 
     ``vectors``: (vec_id, e: array<double>); ``centroids``: (cl, c).
     Returns (vec_id, cl, sim) with exactly one row per vector (ties on
     similarity break to the lower cluster id).
+
+    The k centroids collapse to a single broadcast row holding an array of
+    (cl, c) structs; each vector folds over that array to find its argmax
+    in one projection.  No shuffle touches the corpus — the naive
+    crossJoin + per-vec_id ranking window would re-shuffle n*k rows every
+    iteration, which is exactly the plan that dies at 100 TB.  The fold's
+    explicit better-than rule (higher sim, then lower cl) makes the result
+    independent of the array's collection order.
     """
-    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cl")
-    return (
-        vectors.crossJoin(F.broadcast(centroids))
-        .select("vec_id", "cl", cosine(F.col("e"), F.col("c")).alias("sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") == 1)
-        .drop("rank")
+    cents = F.broadcast(
+        centroids.agg(F.collect_list(F.struct("cl", "c")).alias("cents"))
     )
 
+    def better(acc, x):
+        sim = cosine(F.col("e"), x["c"])
+        wins = (sim > acc["sim"]) | ((sim == acc["sim"]) & (x["cl"] < acc["cl"]))
+        return F.when(
+            wins, F.struct(x["cl"].alias("cl"), sim.alias("sim"))
+        ).otherwise(acc)
 
-def update_centroids(vectors: DataFrame, assignment: DataFrame) -> DataFrame:
+    acc0 = F.struct(
+        F.lit(-1).cast("long").alias("cl"), F.lit(-2.0).alias("sim")
+    )
+    best = F.aggregate(F.col("cents"), acc0, better)
+    cols = ["vec_id", best["cl"].alias("cl"), best["sim"].alias("sim")]
+    if keep_vec:
+        cols.append(F.col("e"))
+    return vectors.crossJoin(cents).select(*cols)
+
+
+def update_centroids(assigned: DataFrame) -> DataFrame:
     """Per-cluster per-dimension mean, decimal-summed and rounded to 6
     decimals so the value is accumulation-order-independent.
 
-    One shuffle keyed by (cl, pos) — k*dim groups, constant-size reduce.
+    ``assigned``: (cl, e) — an assignment that kept its vector, so no join
+    back to the corpus is needed.  One shuffle keyed by (cl, pos) — k*dim
+    groups, constant-size reduce with map-side partials.
     """
-    member_dims = (
-        vectors.join(assignment.select("vec_id", "cl"), "vec_id")
-        .select("cl", F.posexplode("e").alias("pos", "val"))
-        .select("cl", "pos", F.col("val").cast("decimal(20,12)").alias("val"))
-    )
+    member_dims = assigned.select(
+        "cl", F.posexplode("e").alias("pos", "val")
+    ).select("cl", "pos", F.col("val").cast("decimal(20,12)").alias("val"))
     dim_means = member_dims.groupBy("cl", "pos").agg(
         F.round(F.sum("val").cast("double") / F.count("*"), 6).alias("m")
     )
@@ -99,6 +121,6 @@ def spherical_kmeans(
         F.col("vec_id").alias("cl"), F.col("e").alias("c")
     )
     for _ in range(iters):
-        assignment = assign_to_centroids(v, centroids)
-        centroids = update_centroids(v, assignment)
+        assigned = assign_to_centroids(v, centroids, keep_vec=True)
+        centroids = update_centroids(assigned)
     return assign_to_centroids(v, centroids)

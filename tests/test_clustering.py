@@ -62,7 +62,7 @@ def test_kmeans_assignment_is_argmax_of_final_centroids(spark):
         F.col("vec_id").alias("cl"), F.col("e").alias("c")
     )
     for _ in range(2):
-        cent = update_centroids(v, assign_to_centroids(v, cent))
+        cent = update_centroids(assign_to_centroids(v, cent, keep_vec=True))
     expected = {
         (r.vec_id, r.cl, round(r.sim, 9))
         for r in assign_to_centroids(v, cent).collect()
