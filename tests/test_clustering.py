@@ -72,3 +72,13 @@ def test_kmeans_assignment_is_argmax_of_final_centroids(spark):
         for r in spherical_kmeans(_toy(spark), k=2, iters=2).collect()
     }
     assert got == expected
+
+
+def test_kmeans_and_sample_invariant_under_repartition(spark):
+    """Content-addressed guarantee: cluster assignments (and therefore the
+    s06 sample) are pure functions of row content — reshuffling the input
+    into a different partitioning must not change a single row."""
+    base = _toy(spark)
+    a = {(r.vec_id, r.cl, r.sim) for r in spherical_kmeans(base.repartition(7), k=2, iters=2).collect()}
+    b = {(r.vec_id, r.cl, r.sim) for r in spherical_kmeans(base.repartition(3), k=2, iters=2).collect()}
+    assert a == b
