@@ -219,3 +219,44 @@ def stream_dedup_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_assign_clusters(
+    stream: DataFrame,
+    centroids: DataFrame,
+    table: ManagedTable,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming cluster assignment: tag arriving embeddings with their
+    nearest centroid (cosine argmax) and append to a managed table.
+
+    Because the map-only assignment (functions/clustering.py) is a pure
+    projection — the centroid set collapses to one broadcast row and each
+    vector folds to its argmax — this stream needs NO state store, NO
+    watermark, and NO shuffle; micro-batch latency is scan + project.
+    Centroids come from a batch :func:`spherical_kmeans` run (refresh them
+    periodically by restarting the stream); the stream itself never moves
+    them, matching the online-inference / offline-training split.
+    """
+    from delta_lake_spark.functions.clustering import assign_to_centroids
+    from delta_lake_spark.functions.similarity import as_double
+
+    cent = centroids.persist()
+
+    def write(batch: DataFrame, _batch_id: int) -> None:
+        v = batch.select(
+            F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("e")
+        )
+        table.write(assign_to_centroids(v, cent), mode="append")
+
+    writer = (
+        stream.writeStream.foreachBatch(write)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

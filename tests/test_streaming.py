@@ -245,3 +245,38 @@ def test_stream_dedup_ingest_matches_batch(spark, tmp_path):
         "jaccard_bp >= 8000"
     )
     assert dups.count() == 0
+
+
+def test_stream_assign_clusters_matches_batch(spark, tmp_path):
+    """Streaming cluster assignment (stateless map-only projection per
+    micro-batch) produces exactly the batch assignment of the same
+    vectors against the same frozen centroids."""
+    from delta_lake_spark.functions.clustering import (
+        assign_to_centroids,
+        spherical_kmeans,
+        update_centroids,
+    )
+    from delta_lake_spark.functions.similarity import as_double
+    from delta_lake_spark.streaming.streams import file_stream, stream_assign_clusters
+    from delta_lake_spark.tables import ManagedTable
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    # frozen centroids from a batch training run
+    v = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    cent = v.filter("vec_id < 4").selectExpr("vec_id AS cl", "e AS c")
+    cent = update_centroids(assign_to_centroids(v, cent, keep_vec=True))
+
+    landing = str(tmp_path / "landing")
+    emb.filter("vec_id % 2 = 0").coalesce(1).write.parquet(f"{landing}/b1")
+    emb.filter("vec_id % 2 = 1").coalesce(1).write.parquet(f"{landing}/b2")
+
+    t = ManagedTable(spark, str(tmp_path / "assigned"))
+    src = file_stream(spark, f"{landing}/*", emb.schema, max_files_per_trigger=1)
+    q = stream_assign_clusters(src, cent, t, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    got = {(r.vec_id, r.cl, r.sim) for r in t.read().collect()}
+    want = {(r.vec_id, r.cl, r.sim) for r in assign_to_centroids(v, cent).collect()}
+    assert got == want and len(got) == emb.count()
