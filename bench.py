@@ -54,6 +54,8 @@ EXTENSIONS = [
     "t12_tfidf_top_terms",                # TF-IDF inverted-index ranking (r4)
     "q45_retention_cohorts",              # weekly retention triangle (r4)
     "d15_semantic_dedup",                 # SemDeDup cluster-scoped dedup (r4)
+    "s06_cluster_balanced_sample",        # cluster-balanced sampling (r4)
+    "v10_cluster_quality",                # cluster-quality report (r4)
 ]
 
 

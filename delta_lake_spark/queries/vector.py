@@ -758,3 +758,62 @@ def s06_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cl", "vec_id", "rnk")
         .orderBy("cl", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# v10 — cluster-quality report: per-cluster population, mean and worst
+# cosine-to-centroid after the v09 run — the measurement loop that tunes k
+# and iteration count (the v07/d14 analog for clustering).  Mean follows the
+# registry decimal rule (exact decimal sum, double division, floor to 4dp);
+# min is a raw double (deterministic: same inputs, same fold).  One k-group
+# aggregate over the assignment — nothing here grows with corpus size
+# except the single map-side-combined shuffle.
+# ---------------------------------------------------------------------------
+def _v10_oracle() -> str:
+    ctes, final_c = _km_ctes()
+    cos = _km_cos
+    ctes.append(
+        f"""fa AS (
+  SELECT vec_id, cl, sim FROM (
+    SELECT v.vec_id, {final_c}.cl, {cos('v', final_c)} AS sim,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+             ORDER BY {cos('v', final_c)} DESC, {final_c}.cl) AS rnk
+    FROM v CROSS JOIN {final_c}) t
+  WHERE rnk = 1)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT cl, COUNT(*) AS n,
+       FLOOR(CAST(SUM(CAST(sim AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) * 10000) / 10000 AS mean_sim,
+       MIN(sim) AS worst_sim
+FROM fa
+GROUP BY cl
+ORDER BY cl
+"""
+    )
+
+
+@register("v10_cluster_quality", oracle=_v10_oracle())
+def v10_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.clustering import spherical_kmeans
+
+    e = table_parallel(spark, sf_dir, "embeddings", "vec_id")
+    fa = spherical_kmeans(e, k=_KM_K, iters=_KM_ITERS)
+    return (
+        fa.groupBy("cl")
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.floor(
+                    F.sum(F.col("sim").cast("decimal(18,9)")).cast("double")
+                    / F.count("*")
+                    * 10000
+                )
+                / 10000
+            ).alias("mean_sim"),
+            F.min("sim").alias("worst_sim"),
+        )
+        .orderBy("cl")
+    )
