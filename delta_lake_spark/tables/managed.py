@@ -49,6 +49,16 @@ Scale notes (100 TB / 1000 executors):
   (deltalake.ipynb:2937-2946) that fixed its 11M-row OOM (:2217): the source
   is split by ``pmod(hash(key), n)`` and merged in ``n`` sequential commits,
   bounding the shuffle/join working set of any single commit.
+- **Deletion vectors** (merge-on-read DML): ``delete_where`` /
+  ``update_where`` with ``mode="merge_on_read"`` never rewrite data files —
+  they commit a sidecar parquet of ``(file, row_index)`` pairs and attach it
+  to the affected file records; every read anti-joins the (tiny) DV side
+  back out.  A selective DELETE on a 100 TB table then costs one scan plus a
+  KB-scale write instead of rewriting every touched 128 MB file; OPTIMIZE /
+  ``purge_deletes`` later materializes the deletes off the read path.  This
+  is Delta's deletion-vector design with the roaring bitmap swapped for a
+  parquet position list (same asymptotics, Spark-native join instead of a
+  native bitmap kernel).
 """
 
 from __future__ import annotations
@@ -196,6 +206,19 @@ def _zvalue_expr(col_bounds: dict[str, tuple[Column, Any, Any]]) -> Column:
 # collect is metadata-sized for sane layouts (dates, countries, years); past
 # this the layout itself is the bug (VERDICT r3 "what's wrong" #2).
 _PARTITION_DISCOVERY_CAP = 10_000
+
+# Deletion-vector position lists: table-relative data-file path + the
+# parquet row index (``_metadata.row_index``) of each logically deleted row.
+_DV_FILE = "__dv_file"
+_DV_POS = "__dv_pos"
+_DV_SCHEMA = f"{_DV_FILE} string, {_DV_POS} bigint"
+# Anti-join build side is broadcast while the DV sidecars stay metadata-sized;
+# past this they flow through a regular (AQE-planned) join.
+_DV_BROADCAST_BYTES = 64 * 1024 * 1024
+
+
+def _rec_dvs(rec: dict[str, Any]) -> list[str]:
+    return list(rec.get("dvs") or ())
 
 
 def _hive_value_str(val: Any) -> str | None:
@@ -616,9 +639,10 @@ class ManagedTable:
         if version is None or version == self.latest_version():
             return
         missing = [
-            f["path"]
+            p
             for f in entry["files"]
-            if not os.path.exists(os.path.join(self.path, f["path"]))
+            for p in [f["path"], *_rec_dvs(f)]
+            if not os.path.exists(os.path.join(self.path, p))
         ]
         if missing:
             raise VacuumedVersionError(
@@ -632,9 +656,10 @@ class ManagedTable:
         """Clear VacuumedVersionError (not a mid-execution Spark
         file-not-found) when a historical read needs vacuumed files."""
         missing = [
-            f["path"]
+            p
             for f in recs
-            if not os.path.exists(os.path.join(self.path, f["path"]))
+            for p in [f["path"], *_rec_dvs(f)]
+            if not os.path.exists(os.path.join(self.path, p))
         ]
         if missing:
             raise VacuumedVersionError(
@@ -972,12 +997,34 @@ class ManagedTable:
             merged = merged.unionByName(ins.select(*table_cols))
         return merged
 
+    def _rel_path_expr(self) -> Column:
+        """``_metadata.file_path`` (a ``file:/abs/path`` URI) rendered as the
+        table-relative path the log records — the DV join key."""
+        absolute = F.regexp_replace(
+            F.col("_metadata.file_path"), "^file:/*", "/"
+        )
+        return F.replace(absolute, F.lit(self.path + os.sep), F.lit(""))
+
     def _read_files(
-        self, entry: dict[str, Any], files: list[dict[str, Any]]
+        self,
+        entry: dict[str, Any],
+        files: list[dict[str, Any]],
+        with_pos: bool = False,
     ) -> DataFrame:
+        """Union the file groups into one frame, subtracting any deletion
+        vectors attached to the records.  ``with_pos=True`` keeps the
+        ``(__dv_file, __dv_pos)`` row-identity columns on the output (used
+        by merge-on-read DML to address the surviving rows)."""
         schema = StructType.fromJson(entry["schema"])
+        dv_paths = sorted({dv for rec in files for dv in _rec_dvs(rec)})
+        need_pos = with_pos or bool(dv_paths)
         if not files:
-            return self.spark.createDataFrame([], schema)
+            out = self.spark.createDataFrame([], schema)
+            if with_pos:
+                out = out.withColumn(
+                    _DV_FILE, F.lit(None).cast("string")
+                ).withColumn(_DV_POS, F.lit(None).cast("bigint"))
+            return out
         groups: dict[str, list[str]] = {}
         for f in files:
             commit_dir = f["path"].split("/", 1)[0]
@@ -990,15 +1037,59 @@ class ManagedTable:
             .parquet(*paths)
             for commit_dir, paths in sorted(groups.items())
         ]
+        if need_pos:
+            # resolve the hidden _metadata struct per relation, BEFORE the
+            # union (unionByName has no file provenance to offer)
+            dfs = [
+                d.withColumn(_DV_FILE, self._rel_path_expr()).withColumn(
+                    _DV_POS, F.col("_metadata.row_index")
+                )
+                for d in dfs
+            ]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
+        if dv_paths:
+            dv = self.spark.read.schema(_DV_SCHEMA).parquet(
+                *[os.path.join(self.path, p) for p in dv_paths]
+            )
+            dv_bytes = 0
+            for p in dv_paths:
+                try:
+                    dv_bytes += os.path.getsize(os.path.join(self.path, p))
+                except OSError:
+                    dv_bytes = _DV_BROADCAST_BYTES  # unknown: don't force
+                    break
+            if dv_bytes < _DV_BROADCAST_BYTES:
+                dv = F.broadcast(dv)
+            out = out.join(dv, on=[_DV_FILE, _DV_POS], how="left_anti")
+        if need_pos and not with_pos:
+            out = out.drop(_DV_FILE, _DV_POS)
         return out
 
-    def delete_where(self, filters: list[tuple[str, str, Any]]) -> int:
+    def delete_where(
+        self,
+        filters: list[tuple[str, str, Any]],
+        mode: str = "copy_on_write",
+    ) -> int:
         """DML DELETE: remove rows matching all ``filters`` (same tuple
-        form as :meth:`scan`).  Files that provably contain no matching row
-        carry over by reference; only possibly-matched files rewrite."""
+        form as :meth:`scan`).
+
+        ``copy_on_write`` (default): files that provably contain no
+        matching row carry over by reference; only possibly-matched files
+        rewrite — read-optimal, write cost O(affected file bytes).
+
+        ``merge_on_read``: commit a deletion-vector sidecar instead of
+        rewriting anything — write cost O(matched rows), reads pay a small
+        anti-join until :meth:`purge_deletes` / :meth:`optimize`
+        materializes.  The right trade when deletes are selective and
+        frequent (GDPR erasure, late-data retraction) on files that are
+        large relative to the hit count.
+        """
+        if mode == "merge_on_read":
+            return self._dml_merge_on_read(filters, assignments=None)
+        if mode != "copy_on_write":
+            raise ValueError(f"bad delete mode: {mode!r}")
         entry = self._entry()
         partition_by: list[str] = entry.get("partition_by") or []
         keep_files, affected = self._split_files(entry, filters)
@@ -1017,11 +1108,149 @@ class ManagedTable:
         )
         return self.latest_version()  # type: ignore[return-value]
 
+    def _write_dv_dir(self, dv_df: DataFrame) -> list[str]:
+        """Distributed write of one commit's deletion-vector sidecar;
+        returns the table-relative parquet paths."""
+        latest = self.latest_version()
+        commit_dir = (
+            f"c{(0 if latest is None else latest + 1):06d}"
+            f"-dv-{uuid.uuid4().hex[:8]}"
+        )
+        out = os.path.join(self.path, commit_dir)
+        dv_df.write.mode("errorifexists").parquet(out)
+        return sorted(
+            os.path.relpath(os.path.join(dirpath, name), self.path)
+            for dirpath, _dirs, names in os.walk(out)
+            for name in names
+            if name.endswith(".parquet")
+        )
+
+    def _dml_merge_on_read(
+        self,
+        filters: list[tuple[str, str, Any]],
+        assignments: "dict[str, Column] | None",
+    ) -> int:
+        """Shared merge-on-read DELETE/UPDATE: DV the matched rows; for
+        UPDATE additionally append the reassigned images as new files."""
+        entry = self._entry()
+        schema = StructType.fromJson(entry["schema"])
+        clash = {_DV_FILE, _DV_POS} & {f.name for f in schema.fields}
+        if clash:
+            raise ValueError(
+                f"merge_on_read DML reserves column names {sorted(clash)}"
+            )
+        partition_by: list[str] = entry.get("partition_by") or []
+        keep_files, affected = self._split_files(entry, filters)
+        hits = (
+            self._read_files(entry, affected, with_pos=True)
+            .filter(_filters_expr(filters))
+            .persist()
+        )
+        try:
+            dv_paths = self._write_dv_dir(hits.select(_DV_FILE, _DV_POS))
+            # bounded collect: one row per affected FILE, never per row
+            counts = {
+                r[_DV_FILE]: r["cnt"]
+                for r in hits.groupBy(_DV_FILE)
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+            new_data_files: list[dict[str, Any]] = []
+            if assignments is not None:
+                updated = hits.drop(_DV_FILE, _DV_POS)
+                for col, expr in assignments.items():
+                    field = next(f for f in schema.fields if f.name == col)
+                    updated = updated.withColumn(
+                        col, expr.cast(field.dataType)
+                    )
+                _dir, new_data_files = self._write_commit_dir(
+                    updated, partition_by or None
+                )
+            recs = []
+            scope = []
+            for rec in affected:
+                cnt = counts.get(rec["path"])
+                if cnt:
+                    scope.append(rec["path"])
+                    recs.append(
+                        {
+                            **rec,
+                            "dvs": _rec_dvs(rec) + dv_paths,
+                            "dv_rows": rec.get("dv_rows", 0) + cnt,
+                        }
+                    )
+                else:
+                    recs.append(rec)
+            total = sum(counts.values())
+            all_files = keep_files + recs + new_data_files
+            self._commit(
+                {
+                    "operation": "delete" if assignments is None else "update",
+                    "mode": "merge_on_read",
+                    "dv_added": dv_paths,
+                    "dv_scope": scope,
+                    "files": all_files,
+                    "partition_by": partition_by,
+                    "schema": entry["schema"],
+                    "num_files": len(all_files),
+                    "added_files": len(new_data_files),
+                    "skipped_files": len(keep_files),
+                    "num_deleted_rows": total,
+                }
+            )
+        finally:
+            hits.unpersist()
+        return self.latest_version()  # type: ignore[return-value]
+
+    def purge_deletes(
+        self, target_file_bytes: int = 128 * 1024 * 1024
+    ) -> int:
+        """Materialize all deletion vectors: rewrite ONLY the files that
+        carry DVs (everything else is untouched metadata), dropping the
+        sidecars from the snapshot.  Logically content-preserving, so the
+        change feed treats it like compaction — it surfaces nothing."""
+        entry = self._entry()
+        partition_by: list[str] = entry.get("partition_by") or []
+        dirty = [f for f in entry["files"] if _rec_dvs(f)]
+        if not dirty:
+            return self.latest_version()  # type: ignore[return-value]
+        clean = [f for f in entry["files"] if not _rec_dvs(f)]
+        total = sum(f["size"] for f in dirty) or 1
+        n_files = max(1, -(-total // target_file_bytes))
+        df = self._read_files(entry, dirty)
+        if n_files < len(dirty):
+            df = df.coalesce(n_files)
+        _dir, files = self._write_commit_dir(df, partition_by or None)
+        all_files = clean + files
+        self._commit(
+            {
+                "operation": "optimize",
+                "purged_dv_rows": sum(f.get("dv_rows", 0) for f in dirty),
+                "files": all_files,
+                "partition_by": partition_by,
+                "schema": entry["schema"],
+                "num_files": len(all_files),
+                "added_files": len(files),
+            }
+        )
+        return self.latest_version()  # type: ignore[return-value]
+
     def update_where(
-        self, filters: list[tuple[str, str, Any]], assignments: dict[str, Column]
+        self,
+        filters: list[tuple[str, str, Any]],
+        assignments: dict[str, Column],
+        mode: str = "copy_on_write",
     ) -> int:
         """DML UPDATE: set ``assignments`` (col -> Column expression) on
-        rows matching all ``filters``; same file pruning as delete."""
+        rows matching all ``filters``; same file pruning as delete.
+
+        ``mode="merge_on_read"``: the old images are deletion-vectored and
+        the reassigned images append as new files — write cost O(matched
+        rows), not O(affected file bytes)."""
+        if mode == "merge_on_read":
+            return self._dml_merge_on_read(filters, assignments)
+        if mode != "copy_on_write":
+            raise ValueError(f"bad update mode: {mode!r}")
         entry = self._entry()
         partition_by: list[str] = entry.get("partition_by") or []
         keep_files, affected = self._split_files(entry, filters)
@@ -1248,6 +1477,33 @@ class ManagedTable:
                 current.pop(p, None)
             for rec in add:
                 current[rec["path"]] = rec
+            if (
+                include_change_type
+                and raw.get("mode") == "merge_on_read"
+                and raw.get("dv_scope")
+            ):
+                # merge-on-read DML removes no files — the pre-images are
+                # the rows its new deletion vectors subtract: read the
+                # scoped files as-of v-1 (old DVs) and as-of v (old+new
+                # DVs); the difference is exactly the newly deleted rows.
+                scope = set(raw["dv_scope"])
+                prev_entry = self._entry(v - 1)
+                this_entry = self._entry(v)
+                pre_recs = [
+                    f for f in prev_entry["files"] if f["path"] in scope
+                ]
+                post_recs = [
+                    f for f in this_entry["files"] if f["path"] in scope
+                ]
+                self._require_files_exist(
+                    pre_recs + post_recs,
+                    f"change feed (DV pre-images at v{v})",
+                )
+                pre = self._read_files(
+                    {**prev_entry, "schema": this_entry["schema"]}, pre_recs
+                )
+                post = self._read_files(this_entry, post_recs)
+                delete_frames.append(pre.exceptAll(post))
             if include_change_type and removed:
                 prev_entry = self._entry(v - 1)
                 rm_recs = [
@@ -1322,6 +1578,10 @@ class ManagedTable:
             "size_bytes": sum(f["size"] for f in e["files"]),
             "partition_columns": e.get("partition_by") or [],
             "schema": self.schema().simpleString(),
+            "num_deleted_rows": sum(f.get("dv_rows", 0) for f in e["files"]),
+            "num_dv_files": len(
+                {dv for f in e["files"] for dv in _rec_dvs(f)}
+            ),
         }
 
     def vacuum(self, retain_hours: float = 0.0) -> int:
@@ -1340,7 +1600,9 @@ class ManagedTable:
         live: set[str] = set()
         for v in self._versions():
             if v == latest or self._raw_entry(v)["timestamp"] >= cutoff:
-                live |= {f["path"] for f in self._entry(v)["files"]}
+                for f in self._entry(v)["files"]:
+                    live.add(f["path"])
+                    live.update(_rec_dvs(f))
         deleted = 0
         for dirpath, _dirs, names in os.walk(self.path):
             if _LOG_DIR in dirpath:
@@ -1364,9 +1626,10 @@ class ManagedTable:
         """
         snap = self._entry(version)
         missing = [
-            f["path"]
+            p
             for f in snap["files"]
-            if not os.path.exists(os.path.join(self.path, f["path"]))
+            for p in [f["path"], *_rec_dvs(f)]
+            if not os.path.exists(os.path.join(self.path, p))
         ]
         if missing:
             raise FileNotFoundError(
@@ -1400,9 +1663,12 @@ class ManagedTable:
         if os.path.exists(dest_path) and os.listdir(dest_path):
             raise FileExistsError(f"clone destination not empty: {dest_path}")
         dest = ManagedTable(self.spark, dest_path)
-        for f in snap["files"]:
-            src = os.path.join(self.path, f["path"])
-            dst = os.path.join(dest_path, f["path"])
+        to_link = {
+            p for f in snap["files"] for p in [f["path"], *_rec_dvs(f)]
+        }
+        for rel in sorted(to_link):
+            src = os.path.join(self.path, rel)
+            dst = os.path.join(dest_path, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             try:
                 os.link(src, dst)
