@@ -641,3 +641,257 @@ def t12_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("w").alias("term"), "cnt", "df", "score", "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# t13 — BM25 ranked retrieval: top-5 documents per query for a fixed query
+# set, scored with Okapi BM25 (k1=1.2, b=0.75) in pure integer fixed-point
+# so ranking and scores are bit-identical across engines.  Derivation: with
+# T = total corpus tokens and N = docs (avgdl = T/N), multiplying the BM25
+# term numerator and denominator through by 1e6*T clears every fraction:
+#   denom_scaled = tf*1e6*T + k1m*((1000-bm)*T + bm*dl*N)   (k1m=1200, bm=750)
+#   numer_scaled = tf*(k1m+1000)*1000*T
+#   term_factor_milli = (numer_scaled * 1000) div denom_scaled
+#   score = SUM(idf_milli * term_factor_milli), idf_milli = (N*1000) div df
+# Integer sums are order-independent — no float-accumulation flake.  (At
+# petabyte T the scaled products would need int128/double scoring; the
+# fixed-point form is the certified-determinism variant.)
+#
+# Scale shape: the search-engine retrieval plan — the tf/dl/df index tables
+# are the same one-shuffle inverted index as t12, the query set is a
+# handful of literal rows BROADCAST against the postings (only matching
+# postings survive the join, map-side), and the per-(query, doc) sum is a
+# shuffle over matched postings only.  The index tables are exactly what
+# an incremental pipeline would persist as managed tables.
+# ---------------------------------------------------------------------------
+_T13_QUERIES = [
+    (1, "spark merge batch"),
+    (2, "customer query table"),
+    (3, "vector stream window"),
+    (4, "fast scan filter"),
+    (5, "group sort hash"),
+]
+_T13_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _T13_QUERIES)
+
+
+@register(
+    "t13_bm25_search",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, '\\s+')) AS w
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf
+  FROM toks WHERE length(w) >= 3
+  GROUP BY doc_id, w
+),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_tokens FROM dl
+),
+dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+q(query_id, qtext) AS (VALUES {_T13_VALUES}),
+qterms AS (SELECT query_id, unnest(string_split(qtext, ' ')) AS w FROM q),
+posting AS (
+  SELECT qt.query_id, tf.doc_id, tf.tf, dl.dl, dfreq.df, s.n_docs, s.t_tokens
+  FROM tf
+  JOIN qterms qt USING (w)
+  JOIN dfreq USING (w)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+contrib AS (
+  SELECT query_id, doc_id,
+         ((n_docs * 1000) // df)
+         * ((tf * 2200 * 1000 * t_tokens * 1000)
+            // (tf * 1000000 * t_tokens
+                + 1200 * (250 * t_tokens + 750 * dl * n_docs))) AS c
+  FROM posting
+)
+SELECT query_id, doc_id, score, rnk FROM (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(SUM(c) AS BIGINT) DESC, doc_id) AS rnk
+  FROM contrib GROUP BY query_id, doc_id) t
+WHERE rnk <= 5
+ORDER BY query_id, rnk
+""",
+)
+def t13_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from delta_lake_spark.functions.text import normalize_text, tokens
+
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = d.select(
+        "doc_id", F.explode(tokens(normalize_text("text"))).alias("w")
+    ).filter(F.length("w") >= 3)
+    tf = toks.groupBy("doc_id", "w").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("t_tokens"),
+    )
+    dfreq = tf.groupBy("w").agg(F.count("*").cast("bigint").alias("df"))
+    qdf = spark.createDataFrame(_T13_QUERIES, ["query_id", "qtext"])
+    qterms = qdf.select(
+        "query_id", F.explode(F.split("qtext", " ")).alias("w")
+    )
+    # tiny per-(query, term) stats assembled first so the postings join is
+    # a single broadcast against the big tf table
+    qstats = (
+        qterms.join(dfreq, "w")
+        .crossJoin(stats)
+        .select("query_id", "w", "df", "n_docs", "t_tokens")
+    )
+    posting = tf.join(F.broadcast(qstats), "w").join(dl, "doc_id")
+    contrib = posting.withColumn(
+        "c",
+        F.expr("(n_docs * 1000) div df")
+        * F.expr(
+            "(tf * 2200 * 1000 * t_tokens * 1000) div "
+            "(tf * 1000000 * t_tokens"
+            " + 1200 * (250 * t_tokens + 750 * dl * n_docs))"
+        ),
+    )
+    score = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").cast("bigint").alias("score")
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    )
+    return (
+        score.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 5)
+        .select("query_id", "doc_id", "score", "rnk")
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t14 — sliding-window chunking (RAG / context-window prep): split each
+# document's token stream into overlapping chunks of _CHUNK_W tokens with
+# stride _CHUNK_S (16-token overlap), the standard pre-embedding /
+# pre-packing segmentation.  Output is the chunk inventory — offsets,
+# lengths, and an md5 fingerprint of each chunk's text (the join key for
+# downstream chunk-level dedup, d16).
+#
+# Scale shape: one generated-column explode per document (no shuffle at
+# all until a consumer aggregates) — sequence() + slice() are JVM
+# built-ins, so a 100 TB corpus chunks at scan speed.  Compare the UDTF
+# formulation: same semantics, but a Python worker per batch; this stays
+# in whole-stage codegen.
+# ---------------------------------------------------------------------------
+_CHUNK_W = 64
+_CHUNK_S = 48
+
+
+def _chunks_cte() -> str:
+    """Shared DuckDB CTE: one row per (doc, chunk)."""
+    return f"""
+toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS arr
+  FROM documents
+  WHERE length(trim(text)) > 0
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(s // {_CHUNK_S} AS BIGINT)          AS chunk_idx,
+         CAST(s AS BIGINT)                        AS start_tok,
+         CAST(len(list_slice(arr, s + 1, s + {_CHUNK_W})) AS BIGINT) AS n_tok,
+         md5(array_to_string(list_slice(arr, s + 1, s + {_CHUNK_W}), ' ')) AS fp
+  FROM toks, unnest(generate_series(0, len(arr) - 1, {_CHUNK_S})) AS g(s)
+)"""
+
+
+def _chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per (doc, chunk): the Spark twin of ``_chunks_cte``."""
+    from delta_lake_spark.functions.text import normalize_text, tokens
+
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    arr = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", tokens(normalize_text("text")).alias("arr")
+    )
+    starts = F.sequence(F.lit(0), F.size("arr") - 1, F.lit(_CHUNK_S))
+    chunk = F.slice("arr", F.col("s") + 1, _CHUNK_W)
+    return (
+        arr.select("doc_id", "arr", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / _CHUNK_S).cast("bigint").alias("chunk_idx"),
+            F.col("s").cast("bigint").alias("start_tok"),
+            F.size(chunk).cast("bigint").alias("n_tok"),
+            F.md5(F.concat_ws(" ", chunk)).alias("fp"),
+        )
+    )
+
+
+@register(
+    "t14_chunk_inventory",
+    oracle=f"""
+WITH {_chunks_cte()}
+SELECT doc_id, chunk_idx, start_tok, n_tok, fp
+FROM chunks
+ORDER BY doc_id, chunk_idx
+""",
+)
+def t14_chunk_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _chunk_frame(spark, sf_dir).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# d16 — chunk-level dedup (the paragraph/line-dedup of CCNet/RefinedWeb,
+# at chunk granularity since this corpus has no line structure): chunks
+# whose fingerprint recurs across documents, with occurrence counts and a
+# canonical owner (min doc_id, min chunk_idx within it) — the removal list
+# a curation pass would anti-join against.
+#
+# Scale shape: chunking is map-only (t14); the recurrence check is ONE
+# hash-shuffle on the 16-byte fingerprint with map-side partial agg —
+# the same one-shuffle shape as exact doc dedup (t01), at ~3x the row
+# count (stride 48 over ~130-token docs).
+# ---------------------------------------------------------------------------
+@register(
+    "d16_duplicate_chunks",
+    oracle=f"""
+WITH {_chunks_cte()}
+SELECT fp,
+       COUNT(*)                 AS n_occurrences,
+       COUNT(DISTINCT doc_id)   AS n_docs,
+       MIN(doc_id)              AS canonical_doc,
+       CAST(MIN(chunk_idx) FILTER (WHERE doc_id = (
+           SELECT MIN(c2.doc_id) FROM chunks c2 WHERE c2.fp = chunks.fp
+       )) AS BIGINT)            AS canonical_chunk
+FROM chunks
+GROUP BY fp
+HAVING COUNT(DISTINCT doc_id) > 1
+ORDER BY fp
+""",
+)
+def d16_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    chunks = _chunk_frame(spark, sf_dir)
+    # canonical chunk = min chunk_idx within the min-doc_id owner; one
+    # window pass over the chunk stream keyed by fp — no self-join
+    w = Window.partitionBy("fp")
+    flagged = chunks.withColumn("min_doc", F.min("doc_id").over(w))
+    return (
+        flagged.groupBy("fp")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.min(
+                F.when(F.col("doc_id") == F.col("min_doc"), F.col("chunk_idx"))
+            )
+            .cast("bigint")
+            .alias("canonical_chunk"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )
