@@ -14,9 +14,11 @@ from delta_lake_spark.tables.managed import (
     ManagedTable,
     VacuumedVersionError,
 )
+from delta_lake_spark.tables.matview import IncrementalAggView
 from delta_lake_spark.tables.registry import TableCatalog
 
 __all__ = [
+    "IncrementalAggView",
     "ManagedTable",
     "ConcurrentWriteError",
     "VacuumedVersionError",

@@ -1,0 +1,143 @@
+"""Incremental materialized aggregate views over managed tables.
+
+The reference rebuilds its Gold marts by re-aggregating Silver on every
+refresh (deltalake.ipynb:1273-1281 one-shot, :2933-2946 the incremental
+variant that still re-reads the changed window).  At 100 TB a mart refresh
+must cost O(changed rows), not O(base table): this module maintains a
+per-key partial-aggregate table (count + decimal sums — the abelian-group
+aggregates, so deletions subtract exactly) from the base table's
+:meth:`~delta_lake_spark.tables.managed.ManagedTable.signed_changes` net
+delta feed, the same algebra Delta Lake's own materialized views /
+Databricks' incremental view maintenance use.
+
+Refresh cost: one bounded read of the commits' rewritten scopes, one
+group-by at key cardinality, one MERGE into the view (file-stats pruned)
+plus a DELETE of zeroed keys.  Non-invertible aggregates (min/max/distinct)
+are out of scope by design — they need full or partial recompute; derive
+averages at read time as sum/count.
+
+Consistency: the view commit records the base version it reflects
+(``_view_state.json``, atomic rename); a refresh replays exactly
+``(last_refreshed, base_head]``, so crash-and-rerun re-derives the same
+delta and the MERGE/DELETE pair converges (re-running a completed refresh
+is a no-op because the recorded version already advanced).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_spark.tables.managed import ManagedTable
+
+_STATE_FILE = "_view_state.json"
+_DEC = "decimal(28,6)"
+
+
+class IncrementalAggView:
+    """A managed table of per-key aggregates over ``base``, refreshed
+    incrementally.
+
+    ``keys``: grouping columns (must be non-null in the base — MERGE
+    matches on key equality, and SQL equality never matches nulls).
+    ``sums``: ``{output_alias: source_column}`` decimal-exact sums.
+    A row count is always maintained as ``n``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: ManagedTable,
+        path: str,
+        keys: list[str],
+        sums: dict[str, str] | None = None,
+    ):
+        if not keys:
+            raise ValueError("at least one grouping key is required")
+        self.spark = spark
+        self.base = base
+        self.path = os.path.abspath(path)
+        self.keys = list(keys)
+        self.sums = dict(sums or {})
+        clash = set(self.sums) & set(self.keys) | ({"n"} & set(self.sums))
+        if clash or "n" in self.keys:
+            raise ValueError(f"alias collision: {sorted(clash | {'n'})}")
+        self.table = ManagedTable(spark, self.path)
+
+    # ------------------------------------------------------------------ #
+
+    def _state_path(self) -> str:
+        return os.path.join(self.path, _STATE_FILE)
+
+    def last_refreshed_version(self) -> int | None:
+        try:
+            with open(self._state_path()) as f:
+                return json.load(f)["base_version"]
+        except FileNotFoundError:
+            return None
+
+    def _record(self, base_version: int) -> None:
+        tmp = self._state_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"base_version": base_version}, f)
+        os.replace(tmp, self._state_path())  # atomic on POSIX
+
+    def _aggregate(self, df: DataFrame, signed: bool) -> DataFrame:
+        sign = F.col("_sign") if signed else F.lit(1)
+        zero = F.lit(0).cast(_DEC)
+        aggs = [F.sum(sign).cast("bigint").alias("n")] + [
+            # coalesce twice: null measure values contribute 0 (not a
+            # sum-poisoning null), and an all-null group still lands a 0
+            F.coalesce(
+                F.sum(
+                    sign.cast(_DEC)
+                    * F.coalesce(F.col(src).cast(_DEC), zero)
+                ),
+                zero,
+            )
+            .cast(_DEC)
+            .alias(alias)
+            for alias, src in self.sums.items()
+        ]
+        return df.groupBy(*self.keys).agg(*aggs)
+
+    # ------------------------------------------------------------------ #
+
+    def refresh(self) -> dict[str, Any]:
+        """Bring the view up to the base head.  Returns refresh stats."""
+        base_head = self.base.latest_version()
+        if base_head is None:
+            raise FileNotFoundError(f"base is not a table: {self.base.path}")
+        last = self.last_refreshed_version()
+        if last is None:
+            snap = self._aggregate(self.base.read(), signed=False)
+            self.table.write(snap, mode="overwrite")
+            self._record(base_head)
+            return {"mode": "full", "base_version": base_head}
+        if last >= base_head:
+            return {"mode": "noop", "base_version": last}
+        delta = self._aggregate(
+            self.base.signed_changes(last, base_head), signed=True
+        ).filter(
+            (F.col("n") != 0)
+            | F.greatest(
+                F.lit(False),
+                *[F.col(a) != 0 for a in self.sums] or [F.lit(False)],
+            )
+        )
+        # MERGE the delta in (t + s on match, insert new keys), then drop
+        # keys whose membership count reached zero — both file-pruned.
+        update_set = {"n": "t.n + s.n"} | {
+            a: f"t.{a} + s.{a}" for a in self.sums
+        }
+        self.table.merge(delta, keys=self.keys, update_set=update_set)
+        self.table.delete_where([("n", "<=", 0)])
+        self._record(base_head)
+        return {"mode": "incremental", "base_version": base_head, "from": last}
+
+    def read(self) -> DataFrame:
+        return self.table.read()
