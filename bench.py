@@ -261,6 +261,22 @@ def main() -> None:
 
     # Round-4 additions timed separately so extensions_total_warm stays
     # comparable across BENCH_r{N} rounds.
+    # Deletion-vector section: merge-on-read vs copy-on-write DELETE on a
+    # lineitem-backed managed table — write cost, read rent, purge cost,
+    # checksum-identical results.  Disable with SPARK_GRAFT_DV=0.
+    if os.environ.get("SPARK_GRAFT_DV", "1") != "0":
+        try:
+            from delta_lake_spark.benchmark.dvbench import run_dv_bench
+
+            payload["deletion_vectors"] = run_dv_bench(
+                spark,
+                sf_dir,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchdata", "dv"),
+            )
+        except Exception as exc:
+            payload["deletion_vectors"] = {"error": f"{type(exc).__name__}: {exc}"}
+
     ext_r4: dict[str, float] = {}
     for name in (
         "d13_contamination_scan",
@@ -269,6 +285,9 @@ def main() -> None:
         "t11_char_distribution",
         "q44_balance_standing",
         "p01_curation_pipeline",
+        "t13_bm25_search",
+        "t14_chunk_inventory",
+        "d16_duplicate_chunks",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
