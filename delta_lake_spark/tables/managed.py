@@ -153,6 +153,13 @@ def _file_may_match(
             or (op in (">", ">=") and hi < val)
         ):
             return False
+    # Bloom probe for point lookups (add_bloom_filters): "absent" is a
+    # proof, "present" only a maybe — exactly the stats contract
+    for col, op, val in filters:
+        blooms = f.get("bloom") or {}
+        if op == "=" and val is not None and col in blooms:
+            if not _bloom_probe(val, blooms[col]):
+                return False
     return True
 
 
@@ -219,6 +226,44 @@ _DV_BROADCAST_BYTES = 64 * 1024 * 1024
 
 def _rec_dvs(rec: dict[str, Any]) -> list[str]:
     return list(rec.get("dvs") or ())
+
+
+# Per-file Bloom filters (point-lookup data skipping).  min/max stats prune
+# range predicates but are useless for `=` on high-cardinality unclustered
+# columns (an id's range spans every file); a small per-file Bloom answers
+# "provably absent" for those.  Hash: position_s(v) = int(md5("{v}:{s}")
+# hex[:15], 16) % bits — md5 because Spark (JVM) and the driver-side Python
+# probe compute it bit-identically over the same string rendering.
+_BLOOM_WORD_MASK = (1 << 64) - 1
+
+
+def _bloom_probe(val: Any, meta: dict[str, Any]) -> bool:
+    """True if ``val`` MAY be present per the stored filter (driver-side
+    replica of the JVM hash used when the filter was built)."""
+    import hashlib
+
+    bits, hashes, words = meta["bits"], meta["hashes"], meta["words"]
+    for s in range(hashes):
+        h = (
+            int(
+                hashlib.md5(f"{val}:{s}".encode()).hexdigest()[:15], 16
+            )
+            % bits
+        )
+        if not (int(words.get(str(h // 64), 0)) >> (h % 64)) & 1:
+            return False
+    return True
+
+
+def _bloom_position_expr(col: str, seed: int, bits: int) -> Column:
+    """The JVM twin of ``_bloom_probe``'s hash, as a Column."""
+    rendered = F.concat_ws(
+        ":", F.col(col).cast("string"), F.lit(str(seed))
+    )
+    return F.pmod(
+        F.conv(F.substring(F.md5(rendered), 1, 15), 16, 10).cast("bigint"),
+        F.lit(bits),
+    )
 
 
 def _hive_value_str(val: Any) -> str | None:
@@ -1235,6 +1280,105 @@ class ManagedTable:
         )
         return self.latest_version()  # type: ignore[return-value]
 
+    def add_bloom_filters(
+        self,
+        cols: list[str],
+        bits: int | None = None,
+        hashes: int = 3,
+    ) -> int:
+        """Compute per-file Bloom filters for ``cols`` and commit them as
+        file metadata (Delta's ``delta.bloomFilter`` analog).
+
+        Point lookups (``scan([(col, "=", v)])``) then skip every file
+        whose filter proves absence — the data-skipping min/max stats
+        cannot give for high-cardinality unclustered columns, where each
+        file's [min, max] spans the whole domain.
+
+        Cost: one distributed pass over the table (hash + explode + a
+        (file, word)-keyed bit_or — map-side combined), then a
+        metadata-only commit; the collect is O(files x bits/64), never
+        O(rows).  ``bits`` defaults to ~10 bits per row of the largest
+        file (rounded up to a power of two, clamped to [4096, 2^20]) for
+        ~1% false-positive rate at 3 hashes.  Columns must be string /
+        integral / date so the JVM hash and the driver-side probe render
+        values identically.  Filters are per-file immutable metadata:
+        carried over by reference, dropped naturally when a rewrite
+        replaces the file (re-run after OPTIMIZE), still valid (a
+        superset) after merge-on-read deletes.
+        """
+        from pyspark.sql.types import DateType, IntegralType, StringType
+
+        entry = self._entry()
+        schema = StructType.fromJson(entry["schema"])
+        for c in cols:
+            dt = schema[c].dataType
+            if not isinstance(dt, (StringType, IntegralType, DateType)):
+                raise ValueError(
+                    f"bloom filter column {c!r} must be string/integral/"
+                    f"date, got {dt.simpleString()}"
+                )
+        files = entry["files"]
+        df = self._read_files(entry, files, with_pos=True)
+        if bits is None:
+            top = (
+                df.groupBy(_DV_FILE)
+                .count()
+                .agg(F.max("count"))
+                .first()[0]
+                or 1
+            )
+            bits = max(4096, min(1 << 20, 1 << (10 * top).bit_length()))
+        if bits % 64:
+            raise ValueError("bits must be a multiple of 64")
+        new_blooms: dict[str, dict[str, dict[str, Any]]] = {}
+        for c in cols:
+            positions = F.array(
+                *[_bloom_position_expr(c, s, bits) for s in range(hashes)]
+            )
+            words = (
+                df.select(
+                    F.col(_DV_FILE).alias("f"),
+                    F.explode(positions).alias("pos"),
+                )
+                .select(
+                    "f",
+                    (F.col("pos") / 64).cast("bigint").alias("w"),
+                    F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("m"),
+                )
+                .groupBy("f", "w")
+                .agg(F.bit_or("m").alias("word"))
+                .collect()
+            )
+            for r in words:
+                new_blooms.setdefault(r["f"], {}).setdefault(c, {})[
+                    str(r["w"])
+                ] = r["word"] & _BLOOM_WORD_MASK
+        recs = [
+            {
+                **rec,
+                "bloom": {
+                    **(rec.get("bloom") or {}),
+                    **{
+                        c: {"bits": bits, "hashes": hashes, "words": w}
+                        for c, w in new_blooms.get(rec["path"], {}).items()
+                    },
+                },
+            }
+            for rec in files
+        ]
+        self._commit(
+            {
+                "operation": "bloom",
+                "bloom_columns": list(cols),
+                "files": recs,
+                "partition_by": entry.get("partition_by") or [],
+                "schema": entry["schema"],
+                "num_files": len(recs),
+                "added_files": 0,
+            }
+        )
+        return self.latest_version()  # type: ignore[return-value]
+
     def update_where(
         self,
         filters: list[tuple[str, str, Any]],
@@ -1468,6 +1612,10 @@ class ManagedTable:
         for v in range(from_version + 1, to_version + 1):
             raw = self._raw_entry(v)
             add, removed = self._commit_diff(v)
+            if raw.get("operation") == "bloom":
+                # metadata-only: same paths, same content — nothing to
+                # surface, and no file-identity change to track
+                continue
             if raw.get("operation") in ("optimize", "zorder"):
                 compaction_outputs.update(rec["path"] for rec in add)
                 continue
@@ -1575,7 +1723,7 @@ class ManagedTable:
         minus_frames: list[DataFrame] = []
         for v in range(from_version + 1, to_version + 1):
             raw = self._raw_entry(v)
-            if raw.get("operation") in ("optimize", "zorder"):
+            if raw.get("operation") in ("optimize", "zorder", "bloom"):
                 continue
             add, removed = self._commit_diff(v)
             scope = {rec["path"] for rec in add} | set(removed)
