@@ -221,6 +221,50 @@ def stream_dedup_ingest(
     return writer.start()
 
 
+def stream_maintain_view(
+    stream: DataFrame,
+    base: ManagedTable,
+    view: "IncrementalAggView",
+    checkpoint_dir: str,
+    dedup_keys: list[str] | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Streaming materialized-view maintenance: each micro-batch appends to
+    the ``base`` table and then advances ``view`` incrementally from the
+    base's signed-change feed — continuous serving aggregates without ever
+    re-reading the base.
+
+    Per-batch cost is O(batch rows) + a key-pruned MERGE into the view;
+    the base's commit log (not streaming state) carries the exactly-what-
+    changed information, so the view also absorbs any OUT-OF-BAND batch
+    DML on the base (deletes, merges) at the next trigger — something a
+    pure streaming aggregation with a state store cannot do.
+
+    Replay safety: a replayed micro-batch re-appends rows (at-least-once
+    file source), which double-counts in a naive sum — so the append goes
+    through an anti-join on ``dedup_keys`` when provided, restoring the
+    effectively-once contract of the batch pipeline.
+    """
+    from delta_lake_spark.tables.incremental import anti_join_append
+    from delta_lake_spark.tables.matview import IncrementalAggView  # noqa: F401
+
+    def ingest(batch: DataFrame, _batch_id: int) -> None:
+        if dedup_keys and ManagedTable.is_managed_table(base.path):
+            anti_join_append(base, batch, dedup_keys)
+        else:  # first batch: nothing to dedup against yet
+            base.write(batch, mode="append")
+        view.refresh()
+
+    writer = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_assign_clusters(
     stream: DataFrame,
     centroids: DataFrame,

@@ -160,6 +160,45 @@ def test_matview_noop_refresh(spark, tmp_path, base):
     assert view.table.latest_version() == v  # no wasted commits
 
 
+def test_stream_maintain_view_matches_batch(spark, tmp_path):
+    """Streaming ingest with per-batch view maintenance: after the stream
+    drains, the view equals a from-scratch group-by of the base — and an
+    out-of-band batch DELETE on the base is absorbed by the next refresh,
+    which a state-store streaming aggregation could not see."""
+    from delta_lake_spark.streaming.streams import (
+        file_stream,
+        stream_maintain_view,
+    )
+
+    data = spark.createDataFrame(base_rows(30))
+    landing = str(tmp_path / "landing")
+    data.filter("id < 10").coalesce(1).write.parquet(f"{landing}/b1")
+    data.filter("id >= 10 and id < 20").coalesce(1).write.parquet(f"{landing}/b2")
+    data.filter("id >= 20").coalesce(1).write.parquet(f"{landing}/b3")
+
+    base_t = ManagedTable(spark, str(tmp_path / "base"))
+    view = IncrementalAggView(
+        spark, base_t, str(tmp_path / "view"), keys=["grp"],
+        sums={"amt_sum": "amt"},
+    )
+    src = file_stream(
+        spark, f"{landing}/*", data.schema, max_files_per_trigger=1
+    )
+    q = stream_maintain_view(
+        src, base_t, view, checkpoint_dir=str(tmp_path / "ckpt"),
+        dedup_keys=["id"],
+    )
+    q.awaitTermination(120)
+    assert base_t.read().count() == 30
+    assert_view_matches(view, base_t)
+
+    # out-of-band batch DML is picked up from the base's log, not stream state
+    base_t.delete_where([("grp", "=", "b")], mode="merge_on_read")
+    view.refresh()
+    assert_view_matches(view, base_t)
+    assert view.read().filter("grp = 'b'").count() == 0
+
+
 def test_matview_count_only(spark, tmp_path, base):
     view = IncrementalAggView(spark, base, str(tmp_path / "v"), keys=["grp"])
     view.refresh()
