@@ -463,12 +463,14 @@ class ManagedTable:
             if latest is None
             else {f["path"]: f for f in self._entry(latest)["files"]}
         )
-        # CHECK constraints are table-level metadata: carry them across
-        # commits unless the committing operation sets them explicitly
-        if "constraints" not in entry and latest is not None:
-            carried = self._entry(latest).get("constraints")
-            if carried:
-                entry["constraints"] = carried
+        # CHECK constraints / generated-column exprs / identity high-water
+        # are table-level metadata: carry them across commits unless the
+        # committing operation sets them explicitly
+        for meta_key in ("constraints", "generated", "identity"):
+            if meta_key not in entry and latest is not None:
+                carried = self._entry(latest).get(meta_key)
+                if carried:
+                    entry[meta_key] = carried
         new_paths = {f["path"] for f in new_files}
         entry["add"] = [f for f in new_files if prev.get(f["path"]) != f]
         entry["remove"] = sorted(p for p in prev if p not in new_paths)
@@ -591,6 +593,32 @@ class ManagedTable:
 
         requested_pb = partition_by
         # CHECK constraints gate the incoming data before any files land
+        # generated columns fill / validate and identity ids allocate
+        # BEFORE the schema check (a source legitimately omits them)
+        identity_update: dict[str, Any] | None = None
+        ident_cache: DataFrame | None = None
+        meta_extra: dict[str, Any] = {}
+        if self.latest_version() is not None:
+            cur = self._entry()
+            if mode == "append":
+                df, identity_update, ident_cache = (
+                    self._apply_write_metadata(df, cur)
+                )
+            else:
+                # overwrite replaces the schema: generated/identity
+                # metadata survives only for columns the new data keeps
+                meta_extra = {
+                    "generated": {
+                        c: e
+                        for c, e in (cur.get("generated") or {}).items()
+                        if c in df.columns
+                    },
+                    "identity": {
+                        c: v
+                        for c, v in (cur.get("identity") or {}).items()
+                        if c in df.columns
+                    },
+                }
         self._enforce_constraints(df, f"{mode} write")
 
         def prep() -> tuple[list[dict[str, Any]], list[str] | None, StructType]:
@@ -623,8 +651,12 @@ class ManagedTable:
                     schema = _merge_schemas(existing, df.schema)
             return prev_files, pb, schema
 
-        prev_files, partition_by, schema = prep()
-        _dir, files = self._write_commit_dir(df, partition_by)
+        try:
+            prev_files, partition_by, schema = prep()
+            _dir, files = self._write_commit_dir(df, partition_by)
+        finally:
+            if ident_cache is not None:
+                ident_cache.unpersist()
         attempts = 0
         while True:
             try:
@@ -636,12 +668,27 @@ class ManagedTable:
                         "schema": json.loads(schema.json()),
                         "num_files": len(prev_files) + len(files),
                         "added_files": len(files),
+                        **meta_extra,
+                        **(
+                            {"identity": identity_update}
+                            if identity_update
+                            else {}
+                        ),
                     }
                 )
             except ConcurrentWriteError:
                 attempts += 1
                 if attempts > max_retries:
                     raise
+                if identity_update is not None:
+                    # the losing writer's id range may overlap the
+                    # winner's allocation — identity makes appends
+                    # non-commutative, so the whole write must re-run
+                    raise ConcurrentWriteError(
+                        "concurrent write raced an identity-column "
+                        "allocation; re-run the write to allocate a fresh "
+                        "id range"
+                    ) from None
                 new_prev, new_pb, schema = prep()  # re-validate vs winner
                 if (new_pb or []) != (partition_by or []):
                     raise ConcurrentWriteError(
@@ -658,8 +705,40 @@ class ManagedTable:
     def schema(self, version: int | None = None) -> StructType:
         return StructType.fromJson(self._entry(version)["schema"])
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot scan (S3 analog); ``version`` gives time travel.
+    def version_at(self, timestamp: "float | str | Any") -> int:
+        """The version a ``TIMESTAMP AS OF`` read resolves to: the latest
+        commit at or before ``timestamp`` (epoch seconds, ISO string, or
+        datetime).  Raises if the timestamp predates the first commit —
+        Delta's behavior for an out-of-range timestamp."""
+        import datetime
+
+        if isinstance(timestamp, str):
+            timestamp = datetime.datetime.fromisoformat(timestamp)
+        if isinstance(timestamp, datetime.datetime):
+            if timestamp.tzinfo is None:
+                timestamp = timestamp.replace(
+                    tzinfo=datetime.timezone.utc
+                )
+            timestamp = timestamp.timestamp()
+        best: int | None = None
+        for v in self._versions():
+            if self._raw_entry(v)["timestamp"] <= timestamp:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no commit at or before {timestamp}; the table's first "
+                "commit is newer (Delta TIMESTAMP AS OF semantics)"
+            )
+        return best
+
+    def read(
+        self,
+        version: int | None = None,
+        timestamp: "float | str | Any | None" = None,
+    ) -> DataFrame:
+        """Snapshot scan (S3 analog); ``version`` gives time travel
+        (``VERSION AS OF``), ``timestamp`` resolves via :meth:`version_at`
+        (``TIMESTAMP AS OF``).
 
         Files are grouped by commit directory and each group is read with
         ``basePath`` pointing at its commit dir so Hive-style partition
@@ -671,6 +750,10 @@ class ManagedTable:
         snapshot's files were removed by :meth:`vacuum` — a clear verdict at
         plan time instead of a Spark file-not-found mid-execution.
         """
+        if timestamp is not None:
+            if version is not None:
+                raise ValueError("pass version OR timestamp, not both")
+            version = self.version_at(timestamp)
         entry = self._entry(version)
         self._check_time_travel_files(entry, version)
         return self._read_files(entry, entry["files"])
@@ -1976,6 +2059,156 @@ class ManagedTable:
                 "num_files": len(snap["files"]),
             }
         )
+
+    # ------------------------------------------------------------------ #
+    # generated + identity columns (Delta GENERATED ALWAYS AS (...) /
+    # GENERATED ... AS IDENTITY analogs)
+    # ------------------------------------------------------------------ #
+
+    def add_generated_column(self, col: str, expr: str) -> int:
+        """Declare ``col`` as a generated column: writes that omit it get
+        it computed as ``expr`` (a SQL expression over the other columns);
+        writes that supply it are validated against ``expr`` (null-safe
+        equality) and rejected on mismatch — Delta's generated-column
+        write contract.  ``col`` must already exist in the schema, and the
+        existing data must satisfy ``expr`` (checked with one scan)."""
+        entry = self._entry()
+        schema = StructType.fromJson(entry["schema"])
+        if not any(f.name == col for f in schema.fields):
+            raise ValueError(
+                f"generated column {col!r} must exist in the schema "
+                f"({schema.simpleString()})"
+            )
+        field = next(f for f in schema.fields if f.name == col)
+        probe = (
+            f"NOT ({col} <=> CAST(({expr}) AS "
+            f"{field.dataType.simpleString()}))"
+        )
+        if self.read().filter(F.expr(probe)).limit(1).count():
+            raise ValueError(
+                f"existing rows violate the generated expression for "
+                f"{col!r}: {expr}"
+            )
+        return self._commit(
+            {
+                "operation": "set_generated",
+                "generated": {**(entry.get("generated") or {}), col: expr},
+                "files": list(entry["files"]),
+                "partition_by": entry.get("partition_by") or [],
+                "schema": entry["schema"],
+                "num_files": len(entry["files"]),
+                "added_files": 0,
+            }
+        )
+
+    def add_identity_column(self, col: str, start: int = 1) -> int:
+        """Add a bigint identity column: appends that omit ``col`` get
+        monotonically increasing ids assigned from a table-level
+        high-water mark (gaps allowed across writes — Delta identity
+        semantics); appends that supply it pass through unchecked
+        (GENERATED BY DEFAULT).  Existing rows read back null.
+
+        Assignment is fully distributed: per-partition row counts (an
+        O(partitions) collect) become cumulative offsets, and each row's
+        id is offset + its row number WITHIN its partition — no global
+        sort, no single-partition window.  Identity makes concurrent
+        appends non-commutative, so a losing racer re-runs instead of
+        blind-retrying."""
+        from pyspark.sql.types import LongType, StructField
+
+        entry = self._entry()
+        schema = StructType.fromJson(entry["schema"])
+        if any(f.name == col for f in schema.fields):
+            raise ValueError(f"column {col!r} already exists")
+        if entry.get("identity"):
+            raise ValueError("one identity column per table")
+        new_schema = StructType(
+            schema.fields + [StructField(col, LongType(), True)]
+        )
+        return self._commit(
+            {
+                "operation": "set_identity",
+                "identity": {col: {"next": int(start)}},
+                "files": list(entry["files"]),
+                "partition_by": entry.get("partition_by") or [],
+                "schema": new_schema.jsonValue(),
+                "num_files": len(entry["files"]),
+                "added_files": 0,
+            }
+        )
+
+    def _apply_write_metadata(
+        self, df: DataFrame, entry: dict[str, Any]
+    ) -> tuple[DataFrame, dict[str, Any] | None, DataFrame | None]:
+        """Fill/validate generated columns and allocate identity ids for
+        one write.  Returns (df, updated identity metadata or None, the
+        persisted intermediate to unpersist after the write lands)."""
+        schema = StructType.fromJson(entry["schema"])
+        for col, expr in (entry.get("generated") or {}).items():
+            field = next(f for f in schema.fields if f.name == col)
+            typ = field.dataType.simpleString()
+            if col not in df.columns:
+                df = df.withColumn(
+                    col, F.expr(expr).cast(field.dataType)
+                )
+            elif df.filter(
+                F.expr(f"NOT ({col} <=> CAST(({expr}) AS {typ}))")
+            ).limit(1).count():
+                raise ValueError(
+                    f"supplied values for generated column {col!r} "
+                    f"disagree with its expression: {expr}"
+                )
+        identity = entry.get("identity") or {}
+        cache: DataFrame | None = None
+        new_meta: dict[str, Any] | None = None
+        for col, info in identity.items():
+            if col in df.columns:
+                continue  # caller-supplied ids (GENERATED BY DEFAULT)
+            df, cache, assigned = self._assign_identity(
+                df, col, int(info["next"])
+            )
+            new_meta = {**identity, col: {"next": int(info["next"]) + assigned}}
+        # a filled column lands at the end of the frame; restore the
+        # table's column order so the append schema check sees a match
+        names = [f.name for f in schema.fields]
+        if set(df.columns) == set(names) and df.columns != names:
+            df = df.select(*names)
+        return df, new_meta, cache
+
+    def _assign_identity(
+        self, df: DataFrame, col: str, start: int
+    ) -> tuple[DataFrame, DataFrame, int]:
+        from pyspark.sql.window import Window
+
+        tagged = (
+            df.withColumn("_iid_pid", F.spark_partition_id())
+            .withColumn("_iid_mono", F.monotonically_increasing_id())
+            .persist()
+        )
+        counts = sorted(
+            tagged.groupBy("_iid_pid").count().collect(),
+            key=lambda r: r["_iid_pid"],
+        )
+        acc = 0
+        pairs: list[Column] = []
+        for r in counts:
+            pairs += [F.lit(int(r["_iid_pid"])), F.lit(acc)]
+            acc += r["count"]
+        offsets = F.create_map(*pairs) if pairs else F.create_map()
+        w = Window.partitionBy("_iid_pid").orderBy("_iid_mono")
+        out = (
+            tagged.withColumn(
+                col,
+                (
+                    F.lit(start)
+                    + offsets[F.col("_iid_pid")]
+                    + F.row_number().over(w)
+                    - 1
+                ).cast("bigint"),
+            )
+            .drop("_iid_pid", "_iid_mono")
+        )
+        return out, tagged, acc
 
     def merge_with_retry(
         self,
