@@ -1560,12 +1560,27 @@ class ManagedTable:
         partition_by: list[str] = entry.get("partition_by") or []
         if where:
             untouched, live = self._split_files(entry, where)
-            if not live:
-                return self.latest_version()  # type: ignore[return-value]
-            df = self._read_files(entry, live)
         else:
             untouched, live = [], entry["files"]
-            df = self.read()
+        if not (sort_by or zorder_by):
+            # plain compaction is BIN-PACKING, not a table rewrite: a file
+            # already at/above target size (and carrying no deletion
+            # vectors to materialize) is right-sized — rewriting it at
+            # 100 TB is pure write amplification.  Delta OPTIMIZE skips
+            # such files too.  Clustering passes (sort/zorder) still
+            # rewrite their whole scope: layout is the point.
+            right_sized = [
+                f
+                for f in live
+                if f["size"] >= target_file_bytes and not _rec_dvs(f)
+            ]
+            if right_sized:
+                untouched = untouched + right_sized
+                keep = {f["path"] for f in right_sized}
+                live = [f for f in live if f["path"] not in keep]
+        if not live:
+            return self.latest_version()  # type: ignore[return-value]
+        df = self._read_files(entry, live)
         total = sum(f["size"] for f in live) or 1
         n_files = max(1, -(-total // target_file_bytes))
         if zorder_by:

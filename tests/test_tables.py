@@ -213,6 +213,21 @@ def test_optimize_compacts_and_sorts(spark, tmp_path):
     assert t.read().count() == 1000
 
 
+def test_optimize_bin_packs_only_undersized_files(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "bp"))
+    t.write(spark.range(1000).repartition(8))
+    before = {f["path"] for f in t._entry()["files"]}
+    v = t.latest_version()
+    # every file is already at/above a 1-byte target: provable no-op,
+    # no commit, no rewrite (100 TB tables must not rewrite good files)
+    assert t.optimize(target_file_bytes=1) == v
+    assert {f["path"] for f in t._entry()["files"]} == before
+    # a realistic target compacts the small files into one
+    t.optimize()
+    assert t.detail()["num_files"] == 1
+    assert t.read().count() == 1000
+
+
 def test_vacuum_drops_old_versions(spark, tmp_path, base_df):
     t = ManagedTable(spark, str(tmp_path / "v"))
     t.write(base_df)
