@@ -1348,3 +1348,131 @@ def q44_balance_standing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q46 — supplier-nation market share (TPC-H Q8 shape): for orders placed by
+# ASIA-region customers, each supplier nation's share of yearly revenue.
+# Two-level aggregation: exact decimal revenue per (year, supplier nation),
+# then a window total per year for the share — the agg-then-window pattern
+# that keeps both passes on the same (year) shuffle key.  Share is floored
+# to basis points per the cross-engine float rules (registry docstring).
+# Scale: facts shuffle once on the grouping key; the year-window input is
+# one row per (year, nation) — trivially small regardless of SF; nation/
+# region broadcast, customer/supplier AQE-decided (q29/q30 convention).
+# ---------------------------------------------------------------------------
+@register(
+    "q46_market_share",
+    oracle="""
+WITH rev AS (
+  SELECT EXTRACT(year FROM o.o_orderdate) AS order_year,
+         ns.n_name AS supplier_nation,
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(8,4))) AS volume
+  FROM customer c
+  JOIN nation nc  ON c.c_nationkey = nc.n_nationkey
+  JOIN region r   ON nc.n_regionkey = r.r_regionkey
+  JOIN orders o   ON o.o_custkey = c.c_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation ns  ON s.s_nationkey = ns.n_nationkey
+  WHERE r.r_name = 'ASIA'
+),
+per AS (
+  SELECT order_year, supplier_nation,
+         SUM(volume) AS vol, COUNT(*) AS n_items
+  FROM rev GROUP BY order_year, supplier_nation
+)
+SELECT order_year, supplier_nation,
+       CAST(FLOOR(CAST(vol AS DOUBLE)
+                  / CAST(SUM(vol) OVER (PARTITION BY order_year) AS DOUBLE)
+                  * 10000) AS BIGINT) AS share_bp,
+       n_items
+FROM per
+ORDER BY order_year, supplier_nation
+""",
+)
+def q46_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    nc = table(spark, sf_dir, "nation")
+    ns = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ns_nationkey"),
+        F.col("n_name").alias("supplier_nation"),
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
+    )
+    per = (
+        # customer/supplier scale with SF — AQE decides; nation/region are
+        # fixed dims, hints kept (q30 convention)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), c.c_nationkey == nc.n_nationkey)
+        .join(F.broadcast(r), nc.n_regionkey == r.r_regionkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), s.s_nationkey == F.col("ns_nationkey"))
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"), "supplier_nation"
+        )
+        .agg(F.sum(vol).alias("vol"), F.count("*").alias("n_items"))
+    )
+    w = Window.partitionBy("order_year")
+    share = F.floor(
+        F.col("vol").cast("double")
+        / F.sum("vol").over(w).cast("double")
+        * 10000
+    ).cast("bigint")
+    return (
+        per.select(
+            "order_year",
+            "supplier_nation",
+            share.alias("share_bp"),
+            "n_items",
+        )
+        .orderBy("order_year", "supplier_nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q47 — supplier breadth per part segment (TPC-H Q16 shape): how many
+# DISTINCT suppliers ship each (brand, type, size) bucket, excluding one
+# brand — the distinct-count-over-join shape (lineitem stands in for
+# partsupp; the corpus has no partsupp table).  Scale: the join output
+# projects only (brand, type, size, suppkey) before the distinct agg, so
+# the shuffle carries 4 narrow columns; Spark plans count(DISTINCT) as a
+# two-phase partial-distinct aggregate (no single-reducer bottleneck).
+# ---------------------------------------------------------------------------
+@register(
+    "q47_supplier_breadth",
+    oracle="""
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt,
+       COUNT(*) AS n_shipments
+FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#3' AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 20
+""",
+)
+def q47_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        # part scales with SF — no hard broadcast hint (q32 convention)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count("*").alias("n_shipments"),
+        )
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(20)
+    )

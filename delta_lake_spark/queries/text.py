@@ -895,3 +895,55 @@ def d16_duplicate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# t15 — PII redaction (the transform twin of the t08 detector): replace
+# every email / phone / IPv4 match with a typed placeholder and fingerprint
+# the redacted text.  Patterns apply in a fixed order (email, phone, ipv4)
+# so later passes never see spans an earlier pass consumed; both engines'
+# regexp engines produced span-identical matches for these patterns in t08
+# (count parity requires it), so the redacted strings hash-match too.
+# Scale: three regexp_replace passes, all JVM-side map work — no shuffle
+# until the final orderBy, which a real pipeline would drop (ordering here
+# is only for the deterministic oracle compare).
+# ---------------------------------------------------------------------------
+_REDACT = [
+    ("n_email", _PII_PATTERNS["n_email"], "[EMAIL]"),
+    ("n_phone", _PII_PATTERNS["n_phone"], "[PHONE]"),
+    ("n_ipv4", _PII_PATTERNS["n_ipv4"], "[IP]"),
+]
+
+
+@register(
+    "t15_pii_redaction",
+    oracle="""
+SELECT doc_id,
+       (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+        + len(regexp_extract_all(text, '(\\+?1[ -]?)?\\(?[0-9]{3}\\)?[ -]?[0-9]{3}[ -]?[0-9]{4}'))
+        + len(regexp_extract_all(text, '\\b(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}\\b'))) AS n_redacted,
+       md5(regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '(\\+?1[ -]?)?\\(?[0-9]{3}\\)?[ -]?[0-9]{3}[ -]?[0-9]{4}', '[PHONE]', 'g'),
+             '\\b(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1?[0-9]?[0-9])){3}\\b', '[IP]', 'g')) AS red_fp
+FROM documents
+ORDER BY doc_id
+""",
+)
+def t15_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    red = F.col("text")
+    total = F.lit(0).cast("long")
+    for _, pat, repl in _REDACT:
+        total = total + F.regexp_count("text", F.lit(pat)).cast("long")
+        red = F.regexp_replace(red, pat, repl.replace("$", "\\$"))
+    return (
+        d.select(
+            "doc_id",
+            total.alias("n_redacted"),
+            F.md5(red).alias("red_fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -817,3 +817,67 @@ def v10_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cl")
     )
+
+
+# ---------------------------------------------------------------------------
+# v11 — hard-negative mining (contrastive-training prep): for each query
+# vector, the top-5 most-similar vectors carrying a DIFFERENT label — the
+# embeddings most likely to confuse a contrastive or retrieval model, which
+# is exactly what in-batch-negative pipelines mine for.  Same asymmetric
+# shape as v01: the bounded query set broadcasts, the corpus side streams
+# through once, the label inequality rides the join condition so no
+# same-label pair is ever scored.  At 100 TB the query set stays bounded
+# (negatives are mined per training batch) and the scan parallelizes over
+# the corpus; for unbounded query sets the v04 bucketed-ANN path applies.
+# ---------------------------------------------------------------------------
+@register(
+    "v11_hard_negatives",
+    oracle=f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT qid, q_label, vid, n_label, sim, rank FROM (
+  SELECT a.vec_id AS qid, a.label AS q_label,
+         b.vec_id AS vid, b.label AS n_label, {_COS_SQL} AS sim,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank
+  FROM (SELECT * FROM v WHERE vec_id < 8) a
+  JOIN v b ON b.label <> a.label
+) t
+WHERE rank <= 5
+ORDER BY qid, rank
+""",
+)
+def v11_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qvec"),
+    )
+    cands = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        F.col("vec_id").alias("vid"),
+        F.col("label").alias("n_label"),
+        F.col("embedding").alias("cvec"),
+    )
+    sims = (
+        cands.join(
+            F.broadcast(queries), F.col("n_label") != F.col("q_label")
+        )
+        .select(
+            "qid",
+            "q_label",
+            "vid",
+            "n_label",
+            cosine(as_double(F.col("qvec")), as_double(F.col("cvec"))).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vid")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "q_label", "vid", "n_label", "sim", "rank")
+        .orderBy("qid", "rank")
+    )
