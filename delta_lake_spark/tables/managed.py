@@ -72,7 +72,7 @@ from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 _LOG_DIR = "_log"
 
@@ -307,19 +307,67 @@ def _filters_expr(filters: list[tuple[str, str, Any]]) -> "Column":
     return out
 
 
+def _widened_type(a: Any, b: Any) -> "Any | None":
+    """The common LOSSLESSLY-wider type of ``a``/``b`` under the Delta
+    type-widening lattice (byte→short→int→long, float→double,
+    byte/short/int→double, decimal precision growth at equal scale), or
+    None if the pair isn't widenable.  Widening is metadata-only here:
+    Spark's parquet reader upcasts narrow file types to the requested
+    wider schema natively (probed on 4.1), so old files never rewrite."""
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    if a == b:
+        return a
+    order = {ByteType: 0, ShortType: 1, IntegerType: 2, LongType: 3}
+    ra, rb = order.get(type(a)), order.get(type(b))
+    if ra is not None and rb is not None:
+        return a if ra >= rb else b
+    floats = {FloatType, DoubleType}
+    if type(a) in floats and type(b) in floats:
+        return DoubleType()
+    # integral (except long: lossy) -> double
+    for x, y in ((a, b), (b, a)):
+        if isinstance(x, DoubleType) and type(y) in (
+            ByteType,
+            ShortType,
+            IntegerType,
+        ):
+            return DoubleType()
+    if isinstance(a, DecimalType) and isinstance(b, DecimalType) and a.scale == b.scale:
+        return a if a.precision >= b.precision else b
+    return None
+
+
 def _merge_schemas(existing: "StructType", incoming: "StructType") -> "StructType":
     """Delta mergeSchema semantics: union of columns by name (existing
-    order first, new columns appended as nullable); same-name columns must
-    have identical types (no implicit widening)."""
+    order first, new columns appended as nullable); same-name columns
+    resolve to the common type under the lossless widening lattice
+    (``_widened_type``) — any other type conflict is rejected."""
     by_name = {f.name: f for f in incoming.fields}
+    widened: dict[str, Any] = {}
     for f in existing.fields:
         inc = by_name.get(f.name)
         if inc is not None and inc.dataType != f.dataType:
-            raise ValueError(
-                f"column {f.name!r} type conflict: table has "
-                f"{f.dataType.simpleString()}, data has {inc.dataType.simpleString()}"
-            )
-    merged = list(existing.fields)
+            wide = _widened_type(f.dataType, inc.dataType)
+            if wide is None:
+                raise ValueError(
+                    f"column {f.name!r} type conflict: table has "
+                    f"{f.dataType.simpleString()}, data has "
+                    f"{inc.dataType.simpleString()} (not a lossless widening)"
+                )
+            widened[f.name] = wide
+    merged = [
+        StructField(f.name, widened.get(f.name, f.dataType), f.nullable)
+        for f in existing.fields
+    ]
     seen = {f.name for f in existing.fields}
     merged += [f for f in incoming.fields if f.name not in seen]
     return StructType(merged)
@@ -466,7 +514,7 @@ class ManagedTable:
         # CHECK constraints / generated-column exprs / identity high-water
         # are table-level metadata: carry them across commits unless the
         # committing operation sets them explicitly
-        for meta_key in ("constraints", "generated", "identity"):
+        for meta_key in ("constraints", "generated", "identity", "column_mapping"):
             if meta_key not in entry and latest is not None:
                 carried = self._entry(latest).get(meta_key)
                 if carried:
@@ -516,12 +564,28 @@ class ManagedTable:
     # ------------------------------------------------------------------ #
 
     def _write_commit_dir(
-        self, df: DataFrame, partition_by: list[str] | None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None,
+        mapping: dict[str, str] | None = None,
     ) -> tuple[str, list[dict[str, Any]]]:
         """Write ``df`` into a fresh commit directory, return (dirname,
         file records).  Uses the stock distributed parquet writer; the
-        driver only walks the output dir for metadata."""
+        driver only walks the output dir for metadata.
+
+        ``df`` arrives with LOGICAL column names; when column mapping is
+        active (``mapping`` given, or looked up from the current snapshot)
+        the frame is renamed to physical names before writing so every data
+        file in the table agrees on physical naming."""
         latest = self.latest_version()
+        if mapping is None and latest is not None:
+            mapping = self._entry(latest).get("column_mapping")
+        if mapping:
+            df = df.select(
+                *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
+            )
+            if partition_by:
+                partition_by = [mapping.get(c, c) for c in partition_by]
         commit_dir = f"c{(0 if latest is None else latest + 1):06d}-{uuid.uuid4().hex[:8]}"
         out = os.path.join(self.path, commit_dir)
         writer = df.write.mode("errorifexists")
@@ -621,10 +685,18 @@ class ManagedTable:
                 }
         self._enforce_constraints(df, f"{mode} write")
 
-        def prep() -> tuple[list[dict[str, Any]], list[str] | None, StructType]:
+        def prep() -> tuple[
+            list[dict[str, Any]],
+            list[str] | None,
+            StructType,
+            dict[str, str] | None,
+        ]:
             prev_files: list[dict[str, Any]] = []
             pb = requested_pb
             schema = df.schema
+            cur_map: dict[str, str] | None = None
+            if self.latest_version() is not None:
+                cur_map = self._entry().get("column_mapping")
             if mode == "append" and self.latest_version() is not None:
                 prev = self._entry()
                 prev_files = prev["files"]
@@ -649,11 +721,31 @@ class ManagedTable:
                             f"\n  data:  {df.schema.simpleString()}"
                         )
                     schema = _merge_schemas(existing, df.schema)
-            return prev_files, pb, schema
+            new_map: dict[str, str] | None = None
+            if cur_map:
+                # column mapping active: carry physicals for known logicals;
+                # NEW columns get collision-free physical names (a physical
+                # ever used — including by dropped columns, kept as
+                # ``__dropped_*`` tombstones — must never be reused, or old
+                # files' stale bytes would resurface under the new column)
+                used = set(cur_map.values())
+                new_map = {
+                    k: v for k, v in cur_map.items() if k.startswith("__dropped_")
+                }
+                for f_ in schema.fields:
+                    c = f_.name
+                    p = cur_map.get(
+                        c, c if c not in used else f"col_{uuid.uuid4().hex[:8]}"
+                    )
+                    new_map[c] = p
+                    used.add(p)
+            return prev_files, pb, schema, new_map
 
         try:
-            prev_files, partition_by, schema = prep()
-            _dir, files = self._write_commit_dir(df, partition_by)
+            prev_files, partition_by, schema, write_map = prep()
+            _dir, files = self._write_commit_dir(
+                df, partition_by, mapping=write_map
+            )
         finally:
             if ident_cache is not None:
                 ident_cache.unpersist()
@@ -669,6 +761,11 @@ class ManagedTable:
                         "num_files": len(prev_files) + len(files),
                         "added_files": len(files),
                         **meta_extra,
+                        **(
+                            {"column_mapping": write_map}
+                            if write_map is not None
+                            else {}
+                        ),
                         **(
                             {"identity": identity_update}
                             if identity_update
@@ -689,7 +786,23 @@ class ManagedTable:
                         "allocation; re-run the write to allocate a fresh "
                         "id range"
                     ) from None
-                new_prev, new_pb, schema = prep()  # re-validate vs winner
+                new_prev, new_pb, schema, new_map = prep()  # re-validate vs winner
+                if write_map is not None or new_map is not None:
+                    stable = {
+                        k: v
+                        for k, v in (new_map or {}).items()
+                        if (write_map or {}).get(k) == v
+                    }
+                    if stable != (new_map or {}) or set(
+                        (write_map or {})
+                    ) - set(new_map or {}):
+                        # data files were written under OUR mapping; a
+                        # concurrent mapping change invalidates the layout
+                        raise ConcurrentWriteError(
+                            "column mapping changed concurrently; data "
+                            "files were written under the old mapping — "
+                            "re-run the write"
+                        ) from None
                 if (new_pb or []) != (partition_by or []):
                     raise ConcurrentWriteError(
                         "partition layout changed concurrently; data files "
@@ -824,6 +937,9 @@ class ManagedTable:
         """(provably-unmatched, possibly-matched) file split by footer
         stats + partition values — shared by scan/delete/update."""
         part_cols = set(entry.get("partition_by") or [])
+        # stats/bloom metadata is keyed by physical names; partition columns
+        # can never be renamed, so translating is safe for both checks
+        filters = self._phys_filters(entry, filters)
         skipped, live = [], []
         for f in entry["files"]:
             keep = _file_may_match(f, filters)
@@ -845,7 +961,8 @@ class ManagedTable:
         """(surviving, total) file counts for ``filters`` — the
         deterministic data-skipping metric used by tests/benchmarks."""
         entry = self._entry(version)
-        live = [f for f in entry["files"] if _file_may_match(f, filters)]
+        phys = self._phys_filters(entry, filters)
+        live = [f for f in entry["files"] if _file_may_match(f, phys)]
         return len(live), len(entry["files"])
 
     # ------------------------------------------------------------------ #
@@ -1004,7 +1121,8 @@ class ManagedTable:
                 for k in keys:
                     lo, hi = bounds_row[f"_lo_{k}"], bounds_row[f"_hi_{k}"]
                     if lo is not None:
-                        filters += [(k, ">=", lo), (k, "<=", hi)]
+                        pk = self._phys(entry, k)
+                        filters += [(pk, ">=", lo), (pk, "<=", hi)]
                 keep_files, affected = [], []
                 for f in entry["files"]:
                     (affected if not filters or _file_may_match(f, filters) else keep_files).append(f)
@@ -1133,6 +1251,27 @@ class ManagedTable:
         )
         return F.replace(absolute, F.lit(self.path + os.sep), F.lit(""))
 
+    def column_mapping(self, version: int | None = None) -> dict[str, str]:
+        """Logical -> physical column-name mapping (Delta column-mapping
+        analog).  Identity (empty dict) until the first :meth:`rename_column`
+        / :meth:`drop_column` enables mapping; afterwards data files keep
+        their original (physical) column names and only the mapping + logical
+        schema change — no file rewrites."""
+        return dict(self._entry(version).get("column_mapping") or {})
+
+    def _phys(self, entry: dict[str, Any], col: str) -> str:
+        return (entry.get("column_mapping") or {}).get(col, col)
+
+    def _phys_filters(
+        self, entry: dict[str, Any], filters: list[tuple[str, str, Any]]
+    ) -> list[tuple[str, str, Any]]:
+        """Translate filter column names logical -> physical so they match
+        per-file footer stats / bloom metadata (always keyed physical)."""
+        m = entry.get("column_mapping")
+        if not m:
+            return filters
+        return [(m.get(c, c), op, v) for c, op, v in filters]
+
     def _read_files(
         self,
         entry: dict[str, Any],
@@ -1142,12 +1281,27 @@ class ManagedTable:
         """Union the file groups into one frame, subtracting any deletion
         vectors attached to the records.  ``with_pos=True`` keeps the
         ``(__dv_file, __dv_pos)`` row-identity columns on the output (used
-        by merge-on-read DML to address the surviving rows)."""
-        schema = StructType.fromJson(entry["schema"])
+        by merge-on-read DML to address the surviving rows).
+
+        With column mapping active, files are read under their PHYSICAL
+        column names and aliased back to the logical schema at the end —
+        the rename/drop-without-rewrite contract."""
+        logical = StructType.fromJson(entry["schema"])
+        mapping = entry.get("column_mapping") or {}
+        schema = (
+            StructType(
+                [
+                    StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
+                    for f in logical.fields
+                ]
+            )
+            if mapping
+            else logical
+        )
         dv_paths = sorted({dv for rec in files for dv in _rec_dvs(rec)})
         need_pos = with_pos or bool(dv_paths)
         if not files:
-            out = self.spark.createDataFrame([], schema)
+            out = self.spark.createDataFrame([], logical)
             if with_pos:
                 out = out.withColumn(
                     _DV_FILE, F.lit(None).cast("string")
@@ -1193,6 +1347,16 @@ class ManagedTable:
             out = out.join(dv, on=[_DV_FILE, _DV_POS], how="left_anti")
         if need_pos and not with_pos:
             out = out.drop(_DV_FILE, _DV_POS)
+        if mapping:
+            # physical -> logical aliasing happens LAST so the _metadata
+            # provenance columns above resolved against the raw relations
+            keep = [
+                F.col(mapping.get(f.name, f.name)).alias(f.name)
+                for f in logical.fields
+            ]
+            if with_pos:
+                keep += [F.col(_DV_FILE), F.col(_DV_POS)]
+            out = out.select(*keep)
         return out
 
     def delete_where(
@@ -1433,9 +1597,11 @@ class ManagedTable:
                 .collect()
             )
             for r in words:
-                new_blooms.setdefault(r["f"], {}).setdefault(c, {})[
-                    str(r["w"])
-                ] = r["word"] & _BLOOM_WORD_MASK
+                # keyed by PHYSICAL name like footer stats, so probes via
+                # _phys_filters keep matching across renames
+                new_blooms.setdefault(r["f"], {}).setdefault(
+                    self._phys(entry, c), {}
+                )[str(r["w"])] = r["word"] & _BLOOM_WORD_MASK
         recs = [
             {
                 **rec,
@@ -1960,6 +2126,11 @@ class ManagedTable:
                 "files": list(snap["files"]),
                 "partition_by": snap.get("partition_by") or [],
                 "schema": snap["schema"],
+                # restore the mapping AS OF the restored version (even if
+                # empty) — letting _commit carry the NEWEST mapping under
+                # the old schema would mis-resolve physical names on the
+                # next mapping-aware append
+                "column_mapping": snap.get("column_mapping") or {},
                 "num_files": len(snap["files"]),
             }
         )
@@ -1999,6 +2170,7 @@ class ManagedTable:
                 "files": [dict(f) for f in snap["files"]],
                 "partition_by": snap.get("partition_by") or [],
                 "schema": snap["schema"],
+                "column_mapping": snap.get("column_mapping") or {},
                 "num_files": len(snap["files"]),
             }
         )
@@ -2072,6 +2244,113 @@ class ManagedTable:
                 "partition_by": snap.get("partition_by") or [],
                 "schema": snap["schema"],
                 "num_files": len(snap["files"]),
+            }
+        )
+
+    # ------------------------------------------------------------------ #
+    # column mapping (Delta ALTER TABLE RENAME/DROP COLUMN without file
+    # rewrites — delta.columnMapping.mode = 'name' analog)
+    # ------------------------------------------------------------------ #
+
+    def _check_column_unreferenced(self, entry: dict[str, Any], col: str) -> None:
+        """Refuse mapping changes for columns other table metadata is built
+        on — their expressions/layout are bound to the current name."""
+        import re as _re
+
+        if col in (entry.get("partition_by") or []):
+            raise ValueError(
+                f"cannot rename/drop partition column {col!r}: the Hive "
+                "directory layout is keyed by it"
+            )
+        for kind in ("generated", "identity"):
+            if col in (entry.get(kind) or {}):
+                raise ValueError(
+                    f"cannot rename/drop {kind} column {col!r}; drop the "
+                    f"{kind} metadata first"
+                )
+        word = _re.compile(rf"\b{_re.escape(col)}\b")
+        for name, expr in (entry.get("constraints") or {}).items():
+            if word.search(expr):
+                raise ValueError(
+                    f"cannot rename/drop column {col!r}: CHECK constraint "
+                    f"{name!r} ({expr}) references it"
+                )
+        for gcol, gexpr in (entry.get("generated") or {}).items():
+            if word.search(gexpr):
+                raise ValueError(
+                    f"cannot rename/drop column {col!r}: generated column "
+                    f"{gcol!r} ({gexpr}) is computed from it"
+                )
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column rename (Delta ``ALTER TABLE ... RENAME
+        COLUMN`` under column mapping): no data file is touched — files
+        keep the original PHYSICAL column name, the logical schema renames,
+        and the mapping records logical->physical.  At 100 TB a rename must
+        never be a table rewrite.  Earlier versions keep their own schema
+        and mapping, so time travel reads the pre-rename name."""
+        entry = self._entry()
+        schema = StructType.fromJson(entry["schema"])
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        self._check_column_unreferenced(entry, old)
+        mapping = dict(entry.get("column_mapping") or {})
+        phys = mapping.pop(old, old)
+        mapping[new] = phys
+        new_schema = StructType(
+            [
+                StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                for f in schema.fields
+            ]
+        )
+        return self._commit(
+            {
+                "operation": "rename_column",
+                "renamed": {old: new},
+                "files": list(entry["files"]),
+                "partition_by": entry.get("partition_by") or [],
+                "schema": json.loads(new_schema.json()),
+                "column_mapping": mapping,
+                "num_files": len(entry["files"]),
+                "added_files": 0,
+            }
+        )
+
+    def drop_column(self, col: str) -> int:
+        """Metadata-only column drop (Delta ``ALTER TABLE ... DROP
+        COLUMN`` under column mapping): the column leaves the logical
+        schema; data files keep its bytes until a rewrite (OPTIMIZE /
+        merge) naturally sheds them.  The physical name is retained as a
+        ``__dropped_*`` tombstone in the mapping so a later column of the
+        same name can never resurrect the stale bytes (it gets a fresh
+        physical name instead)."""
+        entry = self._entry()
+        schema = StructType.fromJson(entry["schema"])
+        names = [f.name for f in schema.fields]
+        if col not in names:
+            raise ValueError(f"no such column: {col!r}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        self._check_column_unreferenced(entry, col)
+        mapping = dict(entry.get("column_mapping") or {})
+        phys = mapping.pop(col, col)
+        mapping[f"__dropped_{uuid.uuid4().hex[:8]}"] = phys
+        new_schema = StructType(
+            [f for f in schema.fields if f.name != col]
+        )
+        return self._commit(
+            {
+                "operation": "drop_column",
+                "dropped": col,
+                "files": list(entry["files"]),
+                "partition_by": entry.get("partition_by") or [],
+                "schema": json.loads(new_schema.json()),
+                "column_mapping": mapping,
+                "num_files": len(entry["files"]),
+                "added_files": 0,
             }
         )
 

@@ -1385,3 +1385,158 @@ def test_near_dedup_ingest_incremental(spark, tmp_path):
         "jaccard_bp >= 8000"
     )
     assert pairs.count() == 0
+
+
+# --------------------------------------------------------------------- #
+# column mapping: rename/drop without rewrites (Delta columnMapping=name)
+# --------------------------------------------------------------------- #
+
+
+def test_rename_column_is_metadata_only(spark, tmp_path, base_df):
+    t = ManagedTable(spark, str(tmp_path / "cm"))
+    t.write(base_df)
+    before = {f["path"] for f in t._entry()["files"]}
+    v = t.rename_column("val", "amount")
+    assert {f["path"] for f in t._entry()["files"]} == before  # no rewrite
+    assert t._raw_entry(v)["add"] == [] and t._raw_entry(v)["remove"] == []
+    assert t.read().columns == ["id", "grp", "amount"]
+    assert t.read().agg({"amount": "sum"}).first()[0] == sum(range(10))
+    # time travel reads the pre-rename name
+    assert t.read(version=0).columns == ["id", "grp", "val"]
+    assert t.column_mapping() == {"amount": "val"}
+
+
+def test_rename_then_append_and_merge(spark, tmp_path, base_df):
+    from pyspark.sql import Row
+
+    t = ManagedTable(spark, str(tmp_path / "cm2"))
+    t.write(base_df)
+    t.rename_column("val", "amount")
+    t.write(
+        spark.createDataFrame([Row(id=100, grp="c", amount=5.0)]),
+        mode="append",
+    )
+    got = {r["id"]: r["amount"] for r in t.read().collect()}
+    assert got[100] == 5.0 and got[3] == 3.0 and len(got) == 11
+    # merge keyed on the RENAMED column's table: update one, insert one
+    t.merge(
+        spark.createDataFrame(
+            [Row(id=100, grp="c", amount=6.0), Row(id=101, grp="c", amount=7.0)]
+        ),
+        ["id"],
+    )
+    got = {r["id"]: r["amount"] for r in t.read().collect()}
+    assert got[100] == 6.0 and got[101] == 7.0 and len(got) == 12
+
+
+def test_rename_keeps_stats_pruning(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "cm3"))
+    t.write(spark.range(1000).selectExpr("id", "id % 10 AS bucket").repartitionByRange(4, "id"))
+    t.rename_column("id", "row_id")
+    live, total = t.pruned_file_count([("row_id", "<", 100)])
+    assert total == 4 and live < total  # footer stats still prune
+    assert t.scan([("row_id", "<", 100)]).count() == 100
+
+
+def test_drop_column_no_resurrection(spark, tmp_path, base_df):
+    from pyspark.sql import Row
+
+    t = ManagedTable(spark, str(tmp_path / "cm4"))
+    t.write(base_df)
+    before = {f["path"] for f in t._entry()["files"]}
+    t.drop_column("val")
+    assert {f["path"] for f in t._entry()["files"]} == before  # no rewrite
+    assert t.read().columns == ["id", "grp"]
+    # a NEW column with the dropped name must not resurrect old bytes
+    t.write(
+        spark.createDataFrame([Row(id=200, grp="z", val=9.0)]),
+        mode="append",
+        merge_schema=True,
+    )
+    rows = {r["id"]: r["val"] for r in t.read().collect()}
+    assert rows[200] == 9.0
+    assert all(rows[i] is None for i in range(10))  # old rows: null, not stale
+    # physical name diverged from the logical name for the re-added column
+    assert t.column_mapping()["val"] != "val"
+
+
+def test_rename_guards_referenced_columns(spark, tmp_path, base_df):
+    t = ManagedTable(spark, str(tmp_path / "cm5"))
+    t.write(base_df, partition_by=["grp"])
+    with pytest.raises(ValueError, match="partition column"):
+        t.rename_column("grp", "category")
+    t2 = ManagedTable(spark, str(tmp_path / "cm6"))
+    t2.write(base_df)
+    t2.add_constraint("val_pos", "val >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        t2.rename_column("val", "amount")
+    with pytest.raises(ValueError, match="constraint"):
+        t2.drop_column("val")
+    with pytest.raises(ValueError, match="already exists"):
+        t2.rename_column("id", "grp")
+    with pytest.raises(ValueError, match="no such column"):
+        t2.rename_column("nope", "x")
+
+
+def test_restore_and_clone_carry_mapping(spark, tmp_path, base_df):
+    from pyspark.sql import Row
+
+    t = ManagedTable(spark, str(tmp_path / "cm7"))
+    t.write(base_df)                      # v0
+    t.rename_column("val", "amount")      # v1
+    c = t.clone(str(tmp_path / "cm7_clone"))
+    assert c.read().columns == ["id", "grp", "amount"]
+    assert c.column_mapping() == {"amount": "val"}
+    t.restore(0)                          # back to pre-rename schema
+    assert t.read().columns == ["id", "grp", "val"]
+    # appends after restore resolve physical names correctly
+    t.write(spark.createDataFrame([Row(id=300, grp="r", val=1.5)]), mode="append")
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[300] == 1.5 and got[2] == 2.0
+
+
+def test_rename_survives_optimize_and_dml(spark, tmp_path, base_df):
+    t = ManagedTable(spark, str(tmp_path / "cm8"))
+    t.write(base_df.repartition(4))
+    t.rename_column("val", "amount")
+    t.delete_where([("amount", "<", 2.0)])
+    t.update_where([("amount", ">", 8.0)], {"amount": F.col("amount") + 0.5})
+    t.optimize()
+    got = sorted(r["amount"] for r in t.read().collect())
+    assert got == [2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.5]
+    # post-optimize files were rewritten under the same physical name:
+    # the mapping still resolves and a fresh table object agrees
+    t2 = ManagedTable(spark, t.path)
+    assert sorted(r["amount"] for r in t2.read().collect()) == got
+
+
+def test_append_type_widening(spark, tmp_path):
+    from pyspark.sql.types import DoubleType, LongType
+
+    t = ManagedTable(spark, str(tmp_path / "tw"))
+    t.write(spark.range(3).selectExpr("cast(id as int) AS id", "cast(id as float) AS x"))
+    # widen: incoming long/double promote the table schema, files stay put
+    t.write(
+        spark.range(3, 6).selectExpr("id", "cast(id as double) AS x"),
+        mode="append",
+        merge_schema=True,
+    )
+    sch = {f.name: f.dataType for f in t.schema().fields}
+    assert isinstance(sch["id"], LongType) and isinstance(sch["x"], DoubleType)
+    assert sorted(r["id"] for r in t.read().collect()) == [0, 1, 2, 3, 4, 5]
+    assert sorted(r["x"] for r in t.read().collect()) == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+    # narrower incoming into the (now wider) table also merges cleanly
+    t.write(
+        spark.range(6, 7).selectExpr("cast(id as int) AS id", "cast(id as float) AS x"),
+        mode="append",
+        merge_schema=True,
+    )
+    assert t.read().count() == 7
+    assert isinstance(t.schema()["id"].dataType, LongType)
+    # lossy pairs still rejected
+    with pytest.raises(ValueError, match="not a lossless widening"):
+        t.write(
+            spark.range(1).selectExpr("cast(id as string) AS id", "cast(id as double) AS x"),
+            mode="append",
+            merge_schema=True,
+        )
