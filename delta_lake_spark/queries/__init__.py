@@ -15,5 +15,6 @@ from delta_lake_spark.queries import dedup  # noqa: F401,E402
 from delta_lake_spark.queries import multimodal  # noqa: F401,E402
 from delta_lake_spark.queries import sampling  # noqa: F401,E402
 from delta_lake_spark.queries import curation  # noqa: F401,E402
+from delta_lake_spark.queries import tpch_gap  # noqa: F401,E402
 
 __all__ = ["QUERIES", "ORACLE"]

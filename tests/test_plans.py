@@ -295,3 +295,20 @@ def test_d15_semdedup_pair_join_is_equi_join(spark):
             assert "Cross BuildRight" in line, line
     # the in-cluster pair generation itself is a shuffled equi-join
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_q52_disjunctive_predicate_stays_equi_join(spark):
+    """Q19 shape: Catalyst must factor the common partkey equi-conjunct out
+    of the OR'd branches — the disjunction rides the hash join as a residual
+    filter, never degenerating to a nested-loop cross join."""
+    plan = plan_of(QUERIES["q52_disjunctive_revenue"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # the partkey equi-join survived factoring
+
+
+def test_q48_dual_role_nation_joins_broadcast(spark):
+    """Q7 shape: the nation dim joined twice (customer role + supplier role)
+    must broadcast both times — the fact never shuffles for a fixed dim."""
+    plan = executed_plan_of(QUERIES["q48_nation_trade_volume"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
