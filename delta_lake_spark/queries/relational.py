@@ -594,10 +594,16 @@ ORDER BY quartile
 """,
 )
 def q22_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    # Global NTILE over a table that SCALES with SF: the naive
+    # Window.orderBy (no partitionBy) funnels every customer through one
+    # task (plan_audit's global_funnel).  ops.ranking.global_ntile computes
+    # the identical bucketing via range-repartition + per-partition offsets
+    # — P-way parallel; the oracle is unchanged, proving the rewrite exact.
+    from delta_lake_spark.ops.ranking import global_ntile
+
+    c = table(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
     return (
-        table(spark, sf_dir, "customer")
-        .select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        global_ntile(c, 4, ["c_acctbal", "c_custkey"], out_col="quartile")
         .groupBy("quartile")
         .agg(
             F.count("*").alias("n"),
