@@ -56,6 +56,12 @@ EXTENSIONS = [
     "d15_semantic_dedup",                 # SemDeDup cluster-scoped dedup (r4)
     "s06_cluster_balanced_sample",        # cluster-balanced sampling (r4)
     "v10_cluster_quality",                # cluster-quality report (r4)
+    "q48_nation_trade_volume",            # TPC-H Q7 dual-role dim join (r4)
+    "q49_order_count_distribution",       # TPC-H Q13 outer-join distribution (r4)
+    "q51_large_orders",                   # TPC-H Q18 having-then-join-back (r4)
+    "q52_disjunctive_revenue",            # TPC-H Q19 OR'd join predicates (r4)
+    "q53_sole_return_suppliers",          # TPC-H Q21 multi-EXISTS rewrite (r4)
+    "q22_balance_quartiles",              # funnel-free global ntile (r4 rewrite)
 ]
 
 

@@ -14,10 +14,20 @@ from delta_lake_spark.tables.managed import (
     ManagedTable,
     VacuumedVersionError,
 )
+from delta_lake_spark.tables.delta_interop import (
+    DeltaProtocolError,
+    export_to_delta,
+    import_delta,
+    read_delta,
+)
 from delta_lake_spark.tables.matview import IncrementalAggView
 from delta_lake_spark.tables.registry import TableCatalog
 
 __all__ = [
+    "DeltaProtocolError",
+    "read_delta",
+    "import_delta",
+    "export_to_delta",
     "IncrementalAggView",
     "ManagedTable",
     "ConcurrentWriteError",
