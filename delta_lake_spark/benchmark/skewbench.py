@@ -45,16 +45,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from delta_lake_spark.catalog import table
-from delta_lake_spark.ops.skew import salted_join, two_phase_agg
+from delta_lake_spark.ops.skew import (
+    heavy_hitters,
+    hot_key_salted_join,
+    salted_join,
+    two_phase_agg,
+)
 
 _SEED = 42
 
 
 def _generate(
-    spark: SparkSession, base_dir: str, data_dir: str, copies: int, n_users: int
+    spark: SparkSession,
+    base_dir: str,
+    data_dir: str,
+    copies: int,
+    n_users: int,
+    exponent: int = 16,
 ) -> dict[str, Any]:
     marker = os.path.join(data_dir, "_SKEW_OK")
-    meta = {"copies": copies, "n_users": n_users}
+    meta = {"copies": copies, "n_users": n_users, "exponent": exponent}
     if os.path.exists(marker):
         with open(marker) as fh:
             if fh.read().strip() == repr(sorted(meta.items())):
@@ -64,13 +74,16 @@ def _generate(
 
     ev = table(spark, base_dir, "events")
     wide = ev.crossJoin(spark.range(copies).withColumnRenamed("id", "_copy"))
-    # power-law user id: P(user 0) = (1/n_users)^(1/8) ~ 0.25 for 2M users.
+    # power-law user id: P(user 0) = (1/n_users)^(1/exponent) — ~45% of all
+    # rows land on user 0 at exponent 16 / 300K users, a decisive straggler.
     # rand(seed) over a fixed repartition count keeps the draw deterministic.
     skewed = (
         wide.repartition(32, "event_id", "_copy")
         .withColumn(
             "user_id",
-            F.floor(F.lit(n_users) * F.pow(F.rand(_SEED), F.lit(8))).cast("long"),
+            F.floor(
+                F.lit(n_users) * F.pow(F.rand(_SEED), F.lit(exponent))
+            ).cast("long"),
         )
         .withColumn(
             "event_id",
@@ -165,12 +178,30 @@ def run_skew_bench(
         t_plain, sum_plain = _timed(lambda: _checksum(join_plain()))
         t_salt, sum_salt = _timed(lambda: _checksum(join_salted()))
 
+        # heavy-hitter-only salting: detection (sampled) timed separately —
+        # at scale it's amortized across runs on a drifting key distribution
+        t0 = time.perf_counter()
+        hot = heavy_hitters(ev, ["user_id"], min_share=0.01, sample_fraction=0.01)
+        out["hot_detect_sec"] = round(time.perf_counter() - t0, 3)
+        out["hot_detected_keys"] = len(hot)
+
+        def join_hot_salted() -> DataFrame:
+            return hot_key_salted_join(
+                ev, users, ["user_id"], hot_keys=hot, n_salts=16
+            ).select("user_id", "event_type", "value", "segment")
+
+        t_hot, sum_hot = _timed(lambda: _checksum(join_hot_salted()))
+
         out["join_plain_aqe_sec"] = t_aqe
         out["join_plain_noskewfix_sec"] = t_plain
         out["join_salted_sec"] = t_salt
-        out["join_results_match"] = sum_aqe == sum_plain == sum_salt
+        out["join_hot_salted_sec"] = t_hot
+        out["join_results_match"] = sum_aqe == sum_plain == sum_salt == sum_hot
         out["join_salted_speedup_vs_noskewfix"] = (
             round(t_plain / t_salt, 2) if t_salt else None
+        )
+        out["join_hot_salted_speedup_vs_noskewfix"] = (
+            round(t_plain / t_hot, 2) if t_hot else None
         )
 
         # decimal sums: exact and order-independent, so plain and two-phase

@@ -73,3 +73,93 @@ def two_phase_agg(
     salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
     partial = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(*partial_exprs)
     return partial.groupBy(*keys).agg(*final_exprs)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    on: Sequence[str],
+    min_share: float = 0.01,
+    top_k: int = 64,
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> list[tuple]:
+    """Key tuples holding more than ``min_share`` of the rows (capped at
+    ``top_k``).  With ``sample_fraction`` the scan runs on a Bernoulli
+    sample — at 100-TB scale a 1e-3 sample still sees every key above a
+    0.1% share thousands of times, so detection stays reliable while the
+    pass costs a fraction of a full scan."""
+    src = df.sample(sample_fraction, seed=seed) if sample_fraction else df
+    src = src.select(*on).persist()
+    try:
+        total = src.count()
+        if total == 0:
+            return []
+        rows = (
+            src.groupBy(*on)
+            .count()
+            .filter(F.col("count") > min_share * total)
+            .orderBy(F.desc("count"), *on)
+            .limit(top_k)
+            .collect()
+        )
+    finally:
+        src.unpersist()
+    return [tuple(r[k] for k in on) for r in rows]
+
+
+def hot_key_salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    hot_keys: Sequence[tuple] | None = None,
+    n_salts: int = 16,
+    how: str = "inner",
+    **detect_kwargs,
+) -> DataFrame:
+    """Heavy-hitter-only salted join — the shape :func:`salted_join` should
+    take at scale.  Salting EVERY key replicates the whole small side
+    ``n_salts`` times (the replication can cost more than the straggler it
+    removes, measured in BENCH skew sections); here only rows whose key is
+    a detected heavy hitter are salted, so:
+
+    - the large side takes ONE pass (a broadcast flag join, no re-scan),
+    - the small side replicates only its hot-key rows (O(n_salts * hot)),
+    - the long tail shuffles exactly as a plain join would.
+
+    ``hot_keys`` (tuples matching ``on``) can be passed explicitly — e.g.
+    from yesterday's :func:`heavy_hitters` run on a slowly-drifting key
+    distribution; otherwise detection runs on ``large`` with
+    ``detect_kwargs``.  With no hot keys the plan degenerates to the plain
+    join plus a metadata-sized broadcast.  inner/left only (the salt must
+    not invent or drop null-side rows)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"hot_key_salted_join supports inner/left, got {how!r}")
+    spark = large.sparkSession
+    if hot_keys is None:
+        hot_keys = heavy_hitters(large, on, **detect_kwargs)
+    schema = large.select(*on).schema
+    if hot_keys:
+        hot_df = spark.createDataFrame([tuple(k) for k in hot_keys], schema)
+    else:
+        hot_df = spark.createDataFrame([], schema)
+    hot_df = hot_df.withColumn("_hot", F.lit(1))
+
+    salt = F.when(
+        F.col("_hot").isNotNull(),
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
+    ).otherwise(F.lit(0))
+    salted_large = (
+        large.join(F.broadcast(hot_df), list(on), "left")
+        .withColumn("_salt", salt)
+        .drop("_hot")
+    )
+    fanout = F.when(
+        F.col("_hot").isNotNull(),
+        F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"),
+    ).otherwise(F.array(F.lit(0).cast("int")))
+    replicated_small = (
+        small.join(F.broadcast(hot_df), list(on), "left")
+        .withColumn("_salt", F.explode(fanout))
+        .drop("_hot")
+    )
+    return salted_large.join(replicated_small, [*on, "_salt"], how).drop("_salt")

@@ -7,7 +7,12 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from delta_lake_spark.catalog import table
-from delta_lake_spark.ops.skew import salted_join, two_phase_agg
+from delta_lake_spark.ops.skew import (
+    heavy_hitters,
+    hot_key_salted_join,
+    salted_join,
+    two_phase_agg,
+)
 from delta_lake_spark.quality import (
     QualityError,
     assert_count_equals,
@@ -130,3 +135,59 @@ def test_scaled_corpus_marker_tracks_copy_count(spark, tmp_path):
     n_orders = spark.read.parquet(f"{out}/orders.parquet").count()
     base_orders = spark.read.parquet(f"{base}/orders.parquet").count()
     assert n_orders == 3 * base_orders
+
+
+def _sym_diff_count(a, b):
+    return a.exceptAll(b).union(b.exceptAll(a)).count()
+
+
+def test_heavy_hitters_detects_hot_keys(spark):
+    # orders concentrated on one synthetic key: ~50% on key 0
+    o = table(spark, SF_SMOKE, "orders").withColumn(
+        "k", F.when(F.col("o_orderkey") % 2 == 0, 0).otherwise(F.col("o_orderkey"))
+    )
+    hot = heavy_hitters(o, ["k"], min_share=0.1)
+    assert hot == [(0,)]
+    # sampled detection still finds a 50%-share key
+    hot_sampled = heavy_hitters(o, ["k"], min_share=0.1, sample_fraction=0.2)
+    assert hot_sampled == [(0,)]
+    # nothing above an impossible share
+    assert heavy_hitters(o, ["k"], min_share=0.9) == []
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_hot_key_salted_join_matches_plain(spark, how):
+    o = table(spark, SF_SMOKE, "orders").withColumn(
+        "k", F.when(F.col("o_orderkey") % 2 == 0, 0).otherwise(F.col("o_orderkey"))
+    ).select("k", "o_totalprice")
+    # dim misses some keys so the left null side is exercised
+    dim = (
+        table(spark, SF_SMOKE, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .filter(F.col("k") % 3 != 1)
+        .withColumn("tag", F.concat(F.lit("t"), F.col("k")))
+        .union(spark.createDataFrame([(0, "t0")], "k long, tag string"))
+        .distinct()
+    )
+    plain = o.join(dim, "k", how)
+    # detection path (hot_keys=None) and explicit path must both match
+    auto = hot_key_salted_join(o, dim, ["k"], how=how, min_share=0.1)
+    explicit = hot_key_salted_join(o, dim, ["k"], hot_keys=[(0,)], how=how)
+    assert _sym_diff_count(plain, auto) == 0
+    assert _sym_diff_count(plain, explicit) == 0
+
+
+def test_hot_key_salted_join_no_hot_keys_degenerates(spark):
+    o = table(spark, SF_SMOKE, "orders").select("o_custkey", "o_totalprice")
+    c = table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = o.join(c, "o_custkey")
+    got = hot_key_salted_join(o, c, ["o_custkey"], hot_keys=[])
+    assert _sym_diff_count(plain, got) == 0
+
+
+def test_hot_key_salted_join_rejects_outer(spark):
+    o = table(spark, SF_SMOKE, "orders")
+    with pytest.raises(ValueError, match="inner/left"):
+        hot_key_salted_join(o, o, ["o_orderkey"], how="full")
