@@ -123,3 +123,63 @@ def expect_or_quarantine(
         else:
             quarantine.write(bad, mode="append")
     return good
+
+
+def profile(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """One-pass column profiler (ANALYZE-style table statistics): one output
+    row per column with null count, distinct count, and min/max.
+
+    All statistics come from a SINGLE wide aggregate over one scan — at
+    100 TB the profile costs one pass regardless of column count — then a
+    ``stack`` unpivot (rows = columns, metadata-sized).  Numeric columns
+    report ``min_num``/``max_num`` (doubles); everything else reports
+    ``min_str``/``max_str`` (strings) — split so timestamps/strings never
+    ride a lossy double cast.
+
+    ``exact_distinct=False`` (default) uses HLL++ ``approx_count_distinct``
+    — the scale-sane choice (exact distinct per column adds an Expand of
+    the input per column).  Flip it on for oracle-grade exactness on
+    small/medium tables.
+    """
+    from pyspark.sql.types import NumericType
+
+    names = cols or df.columns
+    types = dict(df.dtypes)
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    distinct_fn = F.count_distinct if exact_distinct else F.approx_count_distinct
+
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for c in names:
+        numeric = isinstance(fields[c], NumericType)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"__nulls_{c}"),
+            distinct_fn(F.col(c)).alias(f"__nd_{c}"),
+            (F.min(c).cast("double") if numeric else F.lit(None).cast("double")).alias(f"__minn_{c}"),
+            (F.max(c).cast("double") if numeric else F.lit(None).cast("double")).alias(f"__maxn_{c}"),
+            (F.lit(None).cast("string") if numeric else F.min(c).cast("string")).alias(f"__mins_{c}"),
+            (F.lit(None).cast("string") if numeric else F.max(c).cast("string")).alias(f"__maxs_{c}"),
+        ]
+    wide = df.agg(*aggs)
+
+    stack_args = []
+    for c in names:
+        stack_args += [
+            f"'{c}'", f"'{types[c]}'", f"`__nulls_{c}`", f"`__nd_{c}`",
+            f"`__minn_{c}`", f"`__maxn_{c}`", f"`__mins_{c}`", f"`__maxs_{c}`",
+        ]
+    stacked = wide.select(
+        F.col("__n_rows").alias("n_rows"),
+        F.expr(
+            f"stack({len(names)}, {', '.join(stack_args)}) AS "
+            "(column_name, data_type, n_nulls, n_distinct, "
+            "min_num, max_num, min_str, max_str)"
+        ),
+    )
+    return stacked.select(
+        "column_name", "data_type", "n_rows", "n_nulls", "n_distinct",
+        "min_num", "max_num", "min_str", "max_str",
+    ).orderBy("column_name")

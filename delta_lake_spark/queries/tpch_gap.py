@@ -404,3 +404,60 @@ def q54_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("partkey", "revenue")
         .orderBy(F.desc("revenue"), "partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q55 — one-pass table profile (ANALYZE-style statistics) over orders: the
+# quality.profile operator certified externally.  One wide aggregate in one
+# scan (nulls, exact distinct, typed min/max per column), stack-unpivoted to
+# a row per column.  The oracle spells the same statistics as one SELECT per
+# column UNION ALL'd — the semantics, minus the single-pass plan.
+# ---------------------------------------------------------------------------
+@register(
+    "q55_table_profile",
+    oracle="""
+SELECT * FROM (
+  SELECT 'o_custkey' AS column_name, 'bigint' AS data_type, COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(o_custkey) AS n_nulls,
+         COUNT(DISTINCT o_custkey) AS n_distinct,
+         CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
+         CAST(MAX(o_custkey) AS DOUBLE) AS max_num,
+         CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', 'timestamp_ntz', COUNT(*),
+         COUNT(*) - COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderkey', 'bigint', COUNT(*),
+         COUNT(*) - COUNT(o_orderkey), COUNT(DISTINCT o_orderkey),
+         CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', 'string', COUNT(*),
+         COUNT(*) - COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         MIN(o_orderpriority), MAX(o_orderpriority)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', 'string', COUNT(*),
+         COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+         CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         MIN(o_orderstatus), MAX(o_orderstatus)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', 'double', COUNT(*),
+         COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+         MIN(o_totalprice), MAX(o_totalprice),
+         CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+  FROM orders
+) ORDER BY column_name
+""",
+)
+def q55_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.quality import profile
+
+    return profile(table(spark, sf_dir, "orders"), exact_distinct=True)

@@ -21,9 +21,15 @@ from delta_lake_spark.tables.delta_interop import (
     read_delta,
 )
 from delta_lake_spark.tables.matview import IncrementalAggView
+from delta_lake_spark.tables.stream_source import (
+    ManagedTableStreamSource,
+    register_managed_stream_source,
+)
 from delta_lake_spark.tables.registry import TableCatalog
 
 __all__ = [
+    "ManagedTableStreamSource",
+    "register_managed_stream_source",
     "DeltaProtocolError",
     "read_delta",
     "import_delta",

@@ -1,0 +1,209 @@
+"""Structured-Streaming SOURCE over managed tables — the analog of Delta's
+streaming source (``spark.readStream.format("delta")``), built on Spark 4's
+Python DataSource streaming API.
+
+Offsets are TABLE VERSIONS: each micro-batch covers the commits in
+``(start.version, end.version]``, and the checkpointed offset makes delivery
+exactly-once across restarts — the commit log double-duties as the stream's
+write-ahead log, exactly how Delta's own source works.
+
+Semantics (Delta-parity):
+
+- Append commits stream their added files' rows.
+- OPTIMIZE / Z-order / bloom commits are data-unchanged and silently
+  skipped (Delta: ``dataChange=false``).
+- Any other change (removed files, rewritten files, deletion vectors) makes
+  the source RAISE by default — silently re-emitting rewritten rows would
+  corrupt downstream aggregates.  ``skipChangeCommits=true`` opts into
+  Delta's same-named behavior: those commits are skipped wholesale.
+- ``startingVersion`` begins the stream at a later commit (default: from
+  version 0, i.e. the full table then the tail).
+
+Scale notes: offset resolution and partition planning are driver-side log
+reads (O(commits in the batch), JSON metadata only); each added file becomes
+one input partition read executor-side via Arrow record batches, so a batch
+with K new files fans out K-wide.  Partition-column values are recovered
+from the Hive-style path components, typed per the table schema.
+
+Usage::
+
+    register_managed_stream_source(spark)
+    stream = (spark.readStream.format("managed_stream")
+              .option("path", table_path).load())
+
+Unsupported (clear errors, not silent misreads): column-mapped tables
+(physical-name indirection) and versions whose files were vacuumed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.parse
+from dataclasses import dataclass
+from typing import Any, Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+from delta_lake_spark.tables.managed import ManagedTable
+
+_SKIP_OPS = ("optimize", "zorder", "bloom")
+
+
+def _log_table(path: str) -> ManagedTable:
+    """A ManagedTable handle used ONLY for log/metadata reads (those paths
+    never touch the SparkSession, which does not exist inside the Python
+    data-source workers)."""
+    return ManagedTable(None, path)  # type: ignore[arg-type]
+
+
+@dataclass
+class _FileSlice(InputPartition):
+    file_path: str  # absolute parquet path
+    partition_values: tuple  # (col, raw-string-or-None) pairs, schema order
+
+
+class ManagedTableStreamReader(DataSourceStreamReader):
+    def __init__(self, schema: StructType, options: dict) -> None:
+        # Spark normalizes data-source option KEYS to lowercase before they
+        # reach Python — read them case-insensitively
+        opts = {k.lower(): v for k, v in options.items()}
+        self.path = opts.get("path")
+        if not self.path:
+            raise ValueError("managed_stream source requires a path option")
+        self.schema = schema
+        self.skip_change_commits = (
+            str(opts.get("skipchangecommits", "false")).lower() == "true"
+        )
+        self.starting_version = int(opts.get("startingversion", 0))
+        mt = _log_table(self.path)
+        mapping = mt.column_mapping()
+        if any(k != v for k, v in mapping.items()):
+            raise ValueError(
+                "managed_stream does not support column-mapped tables "
+                f"(mapping {mapping}); clone/purge to plain names first"
+            )
+
+    # ----- offsets --------------------------------------------------------
+
+    def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
+        return {"version": self.starting_version - 1}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        latest = _log_table(self.path).latest_version()
+        return {"version": latest if latest is not None else -1}
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the stream checkpoint; nothing to release
+
+    # ----- planning -------------------------------------------------------
+
+    def _appended_files(self, version: int) -> list[dict[str, Any]]:
+        """Added-file records of one commit IF it is stream-consumable;
+        [] for skipped commits; raise for change commits (unless opted out)."""
+        mt = _log_table(self.path)
+        raw = mt._raw_entry(version)
+        if raw.get("operation") in _SKIP_OPS:
+            return []  # dataChange=false analog
+        add, removed = mt._commit_diff(version)
+        prev_paths = (
+            {f["path"] for f in mt._entry(version - 1)["files"]}
+            if version > 0
+            else set()
+        )
+        rewrites = [f for f in add if f["path"] in prev_paths]
+        with_dvs = [f for f in add if f.get("dvs")]
+        if removed or rewrites or with_dvs:
+            if self.skip_change_commits:
+                return []
+            raise ValueError(
+                f"version {version} of {self.path} is not append-only "
+                f"({len(removed)} removed, {len(rewrites)} rewritten, "
+                f"{len(with_dvs)} with deletion vectors); set "
+                "skipChangeCommits=true to skip change commits, or stream "
+                "the change feed (ManagedTable.changes) instead"
+            )
+        return add
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        pcols = self._partition_cols()
+        out: list[InputPartition] = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            for rec in self._appended_files(v):
+                full = os.path.join(self.path, rec["path"])
+                if not os.path.exists(full):
+                    raise FileNotFoundError(
+                        f"streamed file {rec['path']!r} of version {v} is "
+                        "missing (vacuumed?); restart the stream from a "
+                        "later startingVersion"
+                    )
+                vals = _hive_values(rec["path"], pcols)
+                out.append(
+                    _FileSlice(full, tuple(zip(pcols, vals)))
+                )
+        return out
+
+    def _partition_cols(self) -> list[str]:
+        entry = _log_table(self.path)._entry()
+        return list(entry.get("partition_by") or [])
+
+    # ----- execution ------------------------------------------------------
+
+    def read(self, partition: _FileSlice) -> Iterator:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
+        tbl = pq.read_table(partition.file_path)
+        n = tbl.num_rows
+        cols = []
+        for field in target:
+            pv = dict(partition.partition_values)
+            if field.name in pv:
+                raw = pv[field.name]
+                col = pa.array([raw] * n, type=pa.string()).cast(field.type)
+            elif field.name in tbl.column_names:
+                col = tbl.column(field.name).cast(field.type)
+            else:  # schema-evolution: old file predates the column
+                col = pa.nulls(n, type=field.type)
+            cols.append(col)
+        out = pa.table(cols, schema=target)
+        yield from out.to_batches(max_chunksize=1 << 16)
+
+
+def _hive_values(rel_path: str, pcols: list[str]) -> list[str | None]:
+    found: dict[str, str | None] = {}
+    for comp in rel_path.split("/")[:-1]:
+        if "=" in comp:
+            k, _, v = comp.partition("=")
+            v = urllib.parse.unquote(v)
+            found[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+    return [found.get(c) for c in pcols]
+
+
+class ManagedTableStreamSource(DataSource):
+    """``spark.readStream.format("managed_stream")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "managed_stream"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("managed_stream source requires a path option")
+        return _log_table(path).schema()
+
+    def streamReader(self, schema: StructType) -> ManagedTableStreamReader:  # noqa: N802
+        return ManagedTableStreamReader(schema, dict(self.options))
+
+
+def register_managed_stream_source(spark) -> None:
+    spark.dataSource.register(ManagedTableStreamSource)

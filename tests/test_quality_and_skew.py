@@ -191,3 +191,25 @@ def test_hot_key_salted_join_rejects_outer(spark):
     o = table(spark, SF_SMOKE, "orders")
     with pytest.raises(ValueError, match="inner/left"):
         hot_key_salted_join(o, o, ["o_orderkey"], how="full")
+
+
+def test_profile_counts_nulls_and_types(spark):
+    from delta_lake_spark.quality import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, 2.5), (2, "b", 3.5), (None, "b", None)],
+        "k long, s string, v double",
+    )
+    rows = {r["column_name"]: r for r in profile(df, exact_distinct=True).collect()}
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_nulls"] == 1
+    assert rows["k"]["n_distinct"] == 2  # nulls not counted as distinct
+    assert rows["k"]["min_num"] == 1.0 and rows["k"]["max_num"] == 2.0
+    assert rows["k"]["min_str"] is None
+    assert rows["s"]["min_str"] == "a" and rows["s"]["max_str"] == "b"
+    assert rows["s"]["min_num"] is None
+    assert rows["v"]["n_nulls"] == 2 and rows["v"]["max_num"] == 3.5
+    # approx path: same shape, estimates exact at this cardinality
+    approx = {r["column_name"]: r for r in profile(df).collect()}
+    assert approx["k"]["n_distinct"] == 2
+    # column subset
+    assert profile(df, cols=["k"]).count() == 1
