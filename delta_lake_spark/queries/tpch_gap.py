@@ -461,3 +461,127 @@ def q55_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_spark.quality import profile
 
     return profile(table(spark, sf_dir, "orders"), exact_distinct=True)
+
+
+# ---------------------------------------------------------------------------
+# q56 — TPC-H Q9 shape (product-type profit): profit per supplier nation per
+# year over a star join (lineitem ⋈ part ⋈ supplier ⋈ nation).  The corpus
+# has no partsupp.ps_supplycost, so cost is modeled from the part's retail
+# price (60%) — the PLAN is the point: a fact joined to two scaling dims and
+# a broadcast dim, with a computed measure aggregated on (nation, year).
+# Scale: part/supplier joins are AQE-decided, nation broadcasts; one final
+# shuffle on the 2-key group.  Profit in exact decimal end-to-end.
+# ---------------------------------------------------------------------------
+@register(
+    "q56_product_profit",
+    oracle="""
+SELECT n.n_name AS nation,
+       EXTRACT(year FROM l.l_shipdate) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(8,4)))
+              - CAST(p.p_retailprice AS DECIMAL(18,2))
+                  * CAST(0.6 AS DECIMAL(8,4))
+                  * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_profit,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%5%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+""",
+)
+def q56_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%5%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(8,4)")
+    profit = _dec("l_extendedprice") * (
+        one - F.col("l_discount").cast("decimal(8,4)")
+    ) - _dec("p_retailprice") * F.lit(0.6).cast("decimal(8,4)") * _dec("l_quantity")
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(profit).cast("double").alias("sum_profit"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q57 — TPC-H Q2 shape (minimum-cost supplier): for each part in a segment,
+# the supplier(s) whose average sale price for that part is the MINIMUM —
+# the correlated-scalar-min + join-back ("argmin join") shape, rewritten
+# distributed: per-(part, supplier) aggregate, per-part min, equi-join the
+# min back (ties kept, as in Q2).  partsupp does not exist; the per-pair
+# average sale price from lineitem stands in for ps_supplycost.
+# Scale: both aggregates shuffle on l_partkey(+suppkey) — co-partitioned;
+# the min frame is part-cardinality and the join back is key-pruned.  The
+# averaged price is floored to whole cents (exact in both engines).
+# ---------------------------------------------------------------------------
+@register(
+    "q57_min_cost_supplier",
+    oracle="""
+WITH pair AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(FLOOR(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) * 100) AS BIGINT) AS avg_price_c
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT l_partkey, MIN(avg_price_c) AS min_price_c
+  FROM pair GROUP BY l_partkey
+)
+SELECT p.p_partkey, p.p_brand, s.s_name,
+       pair.avg_price_c AS price_c
+FROM pair
+JOIN best ON best.l_partkey = pair.l_partkey
+         AND pair.avg_price_c = best.min_price_c
+JOIN part p     ON p.p_partkey = pair.l_partkey
+JOIN supplier s ON s.s_suppkey = pair.l_suppkey
+WHERE p.p_type = 'PROMO' AND p.p_size <= 15
+ORDER BY price_c, p.p_partkey, s.s_name
+LIMIT 100
+""",
+)
+def q57_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    pair = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.floor(
+            F.sum(_dec("l_extendedprice")).cast("double") / F.count("*") * 100
+        ).alias("avg_price_c")
+    )
+    best = pair.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("avg_price_c").alias("min_price_c")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "PROMO") & (F.col("p_size") <= 15)
+    )
+    s = table(spark, sf_dir, "supplier")
+    return (
+        pair.join(
+            best,
+            (pair.l_partkey == F.col("b_partkey"))
+            & (pair.avg_price_c == F.col("min_price_c")),
+        )
+        .join(p, pair.l_partkey == p.p_partkey)
+        .join(s, pair.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("avg_price_c").alias("price_c"),
+        )
+        .orderBy("price_c", "p_partkey", "s_name")
+        .limit(100)
+    )
