@@ -23,12 +23,14 @@ from delta_lake_spark.tables.delta_interop import (
 from delta_lake_spark.tables.matview import IncrementalAggView
 from delta_lake_spark.tables.stream_source import (
     ManagedTableStreamSource,
+    ManagedTableStreamWriter,
     register_managed_stream_source,
 )
 from delta_lake_spark.tables.registry import TableCatalog
 
 __all__ = [
     "ManagedTableStreamSource",
+    "ManagedTableStreamWriter",
     "register_managed_stream_source",
     "DeltaProtocolError",
     "read_delta",

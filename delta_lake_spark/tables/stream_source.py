@@ -204,6 +204,166 @@ class ManagedTableStreamSource(DataSource):
     def streamReader(self, schema: StructType) -> ManagedTableStreamReader:  # noqa: N802
         return ManagedTableStreamReader(schema, dict(self.options))
 
+    def streamWriter(self, schema: StructType, overwrite: bool):  # noqa: N802
+        if overwrite:
+            raise ValueError(
+                "managed_stream sink is append-only (no complete/update "
+                "output mode); rebuild via batch write() instead"
+            )
+        return ManagedTableStreamWriter(schema, dict(self.options))
+
 
 def register_managed_stream_source(spark) -> None:
     spark.dataSource.register(ManagedTableStreamSource)
+
+
+# --------------------------------------------------------------------------
+# Streaming SINK: exactly-once appends into a managed table
+# --------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamWriter, WriterCommitMessage  # noqa: E402
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    rel_path: str
+    rows: int
+
+
+def _last_txn_batch(mt: ManagedTable, app: str) -> int | None:
+    """Newest committed batch id for ``app`` — Delta's ``txn`` action
+    analog.  Batch ids are monotonic per app (Structured Streaming replays
+    a batch only until its first successful commit), so the most recent
+    marker decides idempotence.  O(commits since that marker)."""
+    for v in sorted(mt._versions(), reverse=True):
+        txn = mt._raw_entry(v).get("txn")
+        if txn and txn.get("app") == app:
+            return int(txn.get("batch"))
+    return None
+
+
+class ManagedTableStreamWriter(DataSourceStreamWriter):
+    """``writeStream.format("managed_stream")`` — append-only exactly-once
+    sink.  Executors stage Arrow-written parquet shards under a per-batch
+    directory; the driver-side ``commit`` registers them in the table log
+    as ONE atomic commit stamped with ``{"txn": {app, batch}}``.  A
+    replayed micro-batch (failure between sink commit and checkpoint
+    advance) is detected by the txn stamp and skipped — the same
+    idempotent-writes contract as Delta's streaming sink.
+
+    Scope: append output mode on non-column-mapped tables; the incoming
+    schema must equal the table schema (names + types).  Partitioned
+    tables, expectations gating, and MERGE semantics belong to the
+    ``foreachBatch`` path (``streaming/streams.py``), which keeps the full
+    table API available per batch."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        opts = {k.lower(): v for k, v in options.items()}
+        self.path = opts.get("path")
+        if not self.path:
+            raise ValueError("managed_stream sink requires a path option")
+        self.app = opts.get("txnappid", "managed_stream")
+        self.schema = schema
+        mt = _log_table(self.path)
+        if mt.latest_version() is None:
+            raise ValueError(
+                f"managed_stream sink target {self.path!r} does not exist; "
+                "create it first (ManagedTable.write) so the schema and "
+                "layout are explicit"
+            )
+        entry = mt._entry()
+        if entry.get("partition_by"):
+            raise ValueError(
+                "managed_stream sink supports unpartitioned tables; use "
+                "streaming/streams.py foreachBatch for partitioned layouts"
+            )
+        mapping = mt.column_mapping()
+        if any(k != v for k, v in mapping.items()):
+            raise ValueError("managed_stream sink: column-mapped tables unsupported")
+        table_schema = mt.schema()
+        if [
+            (f.name, f.dataType) for f in schema.fields
+        ] != [(f.name, f.dataType) for f in table_schema.fields]:
+            raise ValueError(
+                "stream schema != table schema\n"
+                f"  stream: {schema.simpleString()}\n"
+                f"  table:  {table_schema.simpleString()}"
+            )
+        self.staging = os.path.join(self.path, "_streaming_staging")
+
+    # executor-side ---------------------------------------------------------
+    def write(self, iterator) -> _StagedFile:
+        import uuid as _uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        target = to_arrow_schema(self.schema)
+        rows = [r.asDict() for r in iterator]
+        os.makedirs(self.staging, exist_ok=True)
+        name = f"part-{_uuid.uuid4().hex}.parquet"
+        full = os.path.join(self.staging, name)
+        tbl = pa.Table.from_pylist(rows, schema=target)
+        pq.write_table(tbl, full)
+        return _StagedFile(os.path.join("_streaming_staging", name), len(rows))
+
+    # driver-side -----------------------------------------------------------
+    def commit(self, messages, batchId: int) -> None:  # noqa: N802
+        from delta_lake_spark.tables.managed import (
+            ConcurrentWriteError,
+            _footer_stats,
+        )
+
+        staged = [m for m in messages if m is not None]
+        mt = _log_table(self.path)
+        last = _last_txn_batch(mt, self.app)
+        if last is not None and batchId <= last:
+            # replayed batch: already durably committed — drop the re-staged
+            # files and keep the log unchanged (exactly-once)
+            for m in staged:
+                try:
+                    os.unlink(os.path.join(self.path, m.rel_path))
+                except FileNotFoundError:
+                    pass
+            return
+        records = [
+            {
+                "path": m.rel_path,
+                "size": os.path.getsize(os.path.join(self.path, m.rel_path)),
+                "partition": {},
+                "stats": _footer_stats(os.path.join(self.path, m.rel_path)),
+            }
+            for m in staged
+            if m.rows
+        ]
+        for _attempt in range(10):
+            entry = mt._entry()
+            try:
+                mt._commit(
+                    {
+                        "operation": "streaming_append",
+                        "files": entry["files"] + records,
+                        "partition_by": [],
+                        "schema": entry["schema"],
+                        "num_files": len(entry["files"]) + len(records),
+                        "added_files": len(records),
+                        "txn": {"app": self.app, "batch": int(batchId)},
+                    }
+                )
+                return
+            except ConcurrentWriteError:
+                mt._snap_cache.clear()
+                continue
+        raise ConcurrentWriteError(
+            f"streaming commit of batch {batchId} lost 10 races; giving up"
+        )
+
+    def abort(self, messages, batchId: int) -> None:  # noqa: N802
+        for m in messages:
+            if m is not None:
+                try:
+                    os.unlink(os.path.join(self.path, m.rel_path))
+                except FileNotFoundError:
+                    pass

@@ -118,3 +118,98 @@ def test_starting_version_and_schema_evolution_null_fill(spark, tmp_path):
     rows = {r["k"]: r["tag"] for r in got.collect()}
     # pre-evolution file null-fills the new column; evolved file carries it
     assert rows == {2: None, 3: "x"}
+
+
+# --------------------------------------------------------------------------
+# sink
+# --------------------------------------------------------------------------
+
+
+def _sink_drain(spark, src_path, dest_path, ckpt, **opts):
+    reader = spark.readStream.format("managed_stream").option("path", src_path)
+    w = (
+        reader.load()
+        .writeStream.format("managed_stream")
+        .option("path", dest_path)
+        .option("checkpointLocation", ckpt)
+    )
+    for k, v in opts.items():
+        w = w.option(k, v)
+    q = w.trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+
+def test_sink_table_to_table_exactly_once(spark, tmp_path):
+    src_p, dest_p, ckpt = (str(tmp_path / x) for x in ("src", "dest", "ck"))
+    src = ManagedTable(spark, src_p)
+    dest = ManagedTable(spark, dest_p)
+    src.write(spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"))
+    dest.write(src.read().limit(0))  # empty table, same schema
+
+    _sink_drain(spark, src_p, dest_p, ckpt)
+    assert sorted(r["k"] for r in dest.read().collect()) == [1, 2]
+
+    src.write(spark.createDataFrame([(3, "c")], "k long, s string"), mode="append")
+    _sink_drain(spark, src_p, dest_p, ckpt)
+    assert sorted(r["k"] for r in dest.read().collect()) == [1, 2, 3]
+    # no-op drain appends nothing and commits nothing new
+    v = dest.latest_version()
+    _sink_drain(spark, src_p, dest_p, ckpt)
+    assert dest.latest_version() == v
+    # the sink commits are real log entries with txn stamps
+    ops = [h["operation"] for h in dest.history()]
+    assert "streaming_append" in ops
+    # destination is itself a source: batch reads, time travel, the works
+    assert dest.read(version=v - 1).count() <= dest.read().count()
+
+
+def test_sink_replayed_batch_is_idempotent(spark, tmp_path):
+    from delta_lake_spark.tables.stream_source import ManagedTableStreamWriter
+
+    dest_p = str(tmp_path / "dest")
+    dest = ManagedTable(spark, dest_p)
+    dest.write(spark.createDataFrame([(0, "z")], "k long, s string"))
+
+    w = ManagedTableStreamWriter(dest.schema(), {"path": dest_p})
+    from pyspark.sql import Row
+
+    msg = w.write(iter([Row(k=1, s="a"), Row(k=2, s="b")]))
+    w.commit([msg], batchId=7)
+    assert sorted(r["k"] for r in dest.read().collect()) == [0, 1, 2]
+
+    # the SAME batch replayed (failure before checkpoint advance): staged
+    # again, committed again -> must be dropped, not duplicated
+    msg2 = w.write(iter([Row(k=1, s="a"), Row(k=2, s="b")]))
+    v = dest.latest_version()
+    w.commit([msg2], batchId=7)
+    assert dest.latest_version() == v
+    assert sorted(r["k"] for r in dest.read().collect()) == [0, 1, 2]
+    # a LATER batch still lands
+    msg3 = w.write(iter([Row(k=3, s="c")]))
+    w.commit([msg3], batchId=8)
+    assert sorted(r["k"] for r in dest.read().collect()) == [0, 1, 2, 3]
+
+
+def test_sink_guards(spark, tmp_path):
+    from delta_lake_spark.tables.stream_source import ManagedTableStreamWriter
+
+    from pyspark.sql.types import StructType as _ST
+
+    p = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="does not exist"):
+        ManagedTableStreamWriter(_ST(), {"path": p})
+    mt = ManagedTable(spark, p)
+    mt.write(
+        spark.createDataFrame([(1, "US")], "k long, c string"),
+        partition_by=["c"],
+    )
+    with pytest.raises(ValueError, match="unpartitioned"):
+        ManagedTableStreamWriter(mt.schema(), {"path": p})
+    p2 = str(tmp_path / "t2")
+    mt2 = ManagedTable(spark, p2)
+    mt2.write(spark.createDataFrame([(1,)], "k long"))
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    wrong = StructType([StructField("other", LongType())])
+    with pytest.raises(ValueError, match="stream schema != table schema"):
+        ManagedTableStreamWriter(wrong, {"path": p2})
