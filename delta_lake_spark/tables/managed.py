@@ -2087,13 +2087,23 @@ class ManagedTable:
                     live.add(f["path"])
                     live.update(_rec_dvs(f))
         deleted = 0
+        # in-flight streaming-sink shards: staged (written) BEFORE their
+        # batch's atomic log commit, so they are momentarily unreferenced —
+        # a vacuum racing a live micro-batch must not reap them.  Delta
+        # protects uncommitted files via the retention window; staging gets
+        # the same treatment with a one-hour floor (a micro-batch stages
+        # and commits within seconds).
+        staging_cutoff = time.time() - max(retain_hours, 1.0) * 3600.0
         for dirpath, _dirs, names in os.walk(self.path):
             if _LOG_DIR in dirpath:
                 continue
+            in_staging = "_streaming_staging" in dirpath
             for name in names:
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, self.path)
                 if name.endswith(".parquet") and rel not in live:
+                    if in_staging and os.path.getmtime(full) >= staging_cutoff:
+                        continue
                     os.unlink(full)
                     deleted += 1
         return deleted

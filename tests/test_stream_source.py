@@ -213,3 +213,39 @@ def test_sink_guards(spark, tmp_path):
     wrong = StructType([StructField("other", LongType())])
     with pytest.raises(ValueError, match="stream schema != table schema"):
         ManagedTableStreamWriter(wrong, {"path": p2})
+
+
+def test_vacuum_spares_inflight_staged_shards(spark, tmp_path):
+    """A vacuum racing a live micro-batch (files staged, log commit not yet
+    landed) must not reap the staged shards; abandoned stale shards (older
+    than the grace window) are still collected."""
+    import os
+    import time as _time
+
+    from pyspark.sql import Row
+
+    from delta_lake_spark.tables.stream_source import ManagedTableStreamWriter
+
+    p = str(tmp_path / "t")
+    mt = ManagedTable(spark, p)
+    mt.write(spark.createDataFrame([(0, "z")], "k long, s string"))
+
+    w = ManagedTableStreamWriter(mt.schema(), {"path": p})
+    msg = w.write(iter([Row(k=1, s="a")]))  # staged, NOT committed
+    staged_full = os.path.join(p, msg.rel_path)
+    assert os.path.exists(staged_full)
+
+    assert mt.vacuum() == 0  # fresh staged shard survives the default vacuum
+    assert os.path.exists(staged_full)
+
+    w.commit([msg], batchId=1)  # commit still lands afterwards
+    assert sorted(r["k"] for r in mt.read().collect()) == [0, 1]
+
+    # an ABANDONED shard (crashed writer, > grace window old) is collected
+    msg2 = w.write(iter([Row(k=9, s="x")]))
+    stale_full = os.path.join(p, msg2.rel_path)
+    old = _time.time() - 2 * 3600
+    os.utime(stale_full, (old, old))
+    assert mt.vacuum() == 1
+    assert not os.path.exists(stale_full)
+    assert sorted(r["k"] for r in mt.read().collect()) == [0, 1]
