@@ -62,6 +62,9 @@ EXTENSIONS = [
     "q52_disjunctive_revenue",            # TPC-H Q19 OR'd join predicates (r4)
     "q53_sole_return_suppliers",          # TPC-H Q21 multi-EXISTS rewrite (r4)
     "q22_balance_quartiles",              # funnel-free global ntile (r4 rewrite)
+    "q56_product_profit",                 # TPC-H Q9 star-join profit (r4)
+    "q57_min_cost_supplier",              # TPC-H Q2 argmin join (r4)
+    "q55_table_profile",                  # one-pass column profiler (r4)
 ]
 
 

@@ -452,8 +452,17 @@ class ManagedTable:
         in the current format, or a full snapshot for legacy/checkpoint
         entries.  Metadata-only consumers (``history``) use this to stay
         O(1) per version."""
-        with open(self._log_path(version)) as f:
-            return json.load(f)
+        try:
+            with open(self._log_path(version)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            vs = self._versions()
+            if vs and version < vs[0]:
+                raise VacuumedVersionError(
+                    f"version {version} of {self.path} was removed by "
+                    f"cleanup_log; earliest retained version is {vs[0]}"
+                ) from None
+            raise
 
     def _entry(self, version: int | None = None) -> dict[str, Any]:
         """The full snapshot at ``version``: the commit's metadata plus the
@@ -2107,6 +2116,44 @@ class ManagedTable:
                     os.unlink(full)
                     deleted += 1
         return deleted
+
+    def cleanup_log(self, retain_hours: float = 0.0) -> int:
+        """Delta's log-retention analog (``delta.logRetentionDuration``):
+        delete commit-log entries no snapshot reconstruction needs.
+
+        The deletion base is the NEWEST checkpoint whose commit is older
+        than ``retain_hours``: every entry and checkpoint strictly below it
+        goes (reconstruction of any version >= base reads the base
+        checkpoint + the tail, never the deleted prefix).  ``history()``
+        and time travel below the base stop working — a cleaned version
+        raises a descriptive error, not a file-not-found.  Returns the
+        number of log files removed.
+
+        Complements :meth:`vacuum` (data files) — together they bound the
+        table's metadata AND data footprint for long-lived tables with
+        millions of commits.  Caveat (same as Delta's txn retention): a
+        streaming sink's idempotence marker inside the deleted prefix is
+        forgotten — keep ``retain_hours`` above any stream's max downtime."""
+        cutoff = time.time() - retain_hours * 3600.0
+        base = None
+        for c in sorted(self._checkpoint_versions()):
+            if self._raw_entry(c)["timestamp"] < cutoff:
+                base = c
+        if base is None:
+            return 0
+        removed = 0
+        for v in self._versions():
+            if v < base:
+                os.unlink(self._log_path(v))
+                self._snap_cache.pop(v, None)
+                removed += 1
+        for c in self._checkpoint_versions():
+            if c < base:
+                os.unlink(
+                    os.path.join(self.path, _LOG_DIR, f"{c:08d}.checkpoint.json")
+                )
+                removed += 1
+        return removed
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE TO VERSION: re-commit an old snapshot's state as

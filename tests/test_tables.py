@@ -1540,3 +1540,32 @@ def test_append_type_widening(spark, tmp_path):
             mode="append",
             merge_schema=True,
         )
+
+
+def test_cleanup_log_bounds_metadata_and_keeps_reads(spark, tmp_path):
+    from delta_lake_spark.tables.managed import VacuumedVersionError
+
+    p = str(tmp_path / "t")
+    t = ManagedTable(spark, p)
+    t.write(spark.range(3).toDF("k"))
+    for i in range(24):  # versions 1..24 -> checkpoints at 10 and 20
+        t.write(spark.range(3).withColumn("k", F.col("id") + i).select("k"), mode="append")
+    assert t.latest_version() == 24
+
+    removed = t.cleanup_log()  # base = checkpoint 20
+    assert removed == 21  # entries 0..19 + checkpoint 10
+
+    # current reads, recent time travel, and history all still work
+    assert t.read().count() == 75
+    assert t.read(version=21).count() == 66
+    assert [h["version"] for h in t.history()] == list(range(24, 19, -1))
+    # appends keep working after cleanup
+    t.write(spark.range(1).toDF("k"), mode="append")
+    assert t.latest_version() == 25
+
+    # cleaned versions fail with a descriptive error, not a FileNotFoundError
+    with pytest.raises(VacuumedVersionError, match="cleanup_log"):
+        t.read(version=5)
+
+    # nothing below a checkpoint younger than the retention window moves
+    assert t.cleanup_log(retain_hours=1.0) == 0
