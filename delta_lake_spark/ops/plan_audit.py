@@ -109,7 +109,13 @@ def audit(df: DataFrame) -> list[Finding]:
     funnels = [
         c
         for c in _single_partition_consumers(plan)
+        # SortAggregate is an AGGREGATE (Spark's sort-based fallback when an
+        # agg buffer isn't hash-friendly, e.g. typed min/max structs) — a
+        # keyless final SortAggregate over SinglePartition is the same
+        # sees-only-partials final-aggregate shape as HashAggregate(keys=[])
+        # and is exempt; Sort/SortMergeJoin/Window consumers still flag.
         if c.startswith(("Window", "Sort", "WindowGroupLimit"))
+        and not c.startswith("SortAggregate")
     ]
     if funnels:
         findings.append(

@@ -229,3 +229,53 @@ def s05_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "quality", "rk")
         .orderBy("source", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# s07 — deterministic training-shard assignment: a seeded GLOBAL shuffle of
+# the corpus (order by md5 of the doc key — the content-addressed analog of
+# "shuffle the dataset once before training") packed into fixed-size shards
+# of 64 documents, yielding (doc_id, shard_id, pos) — the writer manifest a
+# training-data exporter needs for reproducible shard files.
+#
+# Scale shape: the global order is materialized by ops.ranking.
+# global_row_number (range repartition + per-partition offset prefix sums),
+# NOT a single-partition window — the ranking runs P-way parallel and the
+# pseudo-random md5 key makes the range partitions uniformly loaded, so the
+# plan survives a 100x corpus.  (Presentation ORDER BY is driver-side-only.)
+# ---------------------------------------------------------------------------
+_SHARD_DOCS = 64
+
+
+@register(
+    "s07_training_shards",
+    oracle=f"""
+SELECT doc_id,
+       CAST((rn - 1) // {_SHARD_DOCS} AS BIGINT) AS shard_id,
+       CAST((rn - 1) % {_SHARD_DOCS} AS BIGINT) AS pos
+FROM (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           ORDER BY md5('shard:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) t ORDER BY shard_id, pos
+""",
+)
+def s07_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.ops.ranking import global_row_number
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))).alias(
+            "_shuffle_key"
+        ),
+    )
+    ranked = global_row_number(d, ["_shuffle_key", "doc_id"], out_col="rn")
+    return (
+        ranked.select(
+            "doc_id",
+            F.expr(f"(rn - 1) div {_SHARD_DOCS}").cast("long").alias("shard_id"),
+            ((F.col("rn") - 1) % _SHARD_DOCS).cast("long").alias("pos"),
+        )
+        .orderBy("shard_id", "pos")
+    )

@@ -21,8 +21,10 @@ from delta_lake_spark.functions.text import (
     detect_language,
     fingerprint,
     punct_ratio,
+    normalize_text,
     quality_score,
     token_count,
+    tokens,
 )
 from delta_lake_spark.queries.registry import register
 
@@ -945,5 +947,64 @@ def t15_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             total.alias("n_redacted"),
             F.md5(red).alias("red_fp"),
         )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t16 — hashed-feature linear quality classifier (fastText-style inference):
+# each token hashes into one of 4096 feature buckets (engine-portable
+# md5-derived hash, functions/sampling.py idiom) whose weight is a fixed
+# integer in [-500, 500]; a document's score is the sum of its token
+# weights and the keep decision is score > 0 (sigmoid > 0.5).
+#
+# Scale shape: classifier INFERENCE is a pure per-row fold — the token
+# array never explodes into a row stream and nothing shuffles (the only
+# exchange is the presentation-order sort).  The weight "table" is a
+# closed-form function of the bucket id, which is how a real exported
+# linear model would ship: a broadcast map-literal lookup, not a join.
+# ---------------------------------------------------------------------------
+_CLF_BUCKETS = 4096
+_CLF_W_SQL = (
+    "((('0x' || substr(md5('clf:' || w), 1, 8))::BIGINT % 4096) % 1001 - 500)"
+)
+
+
+@register(
+    "t16_classifier_scores",
+    oracle=f"""
+SELECT doc_id, n_feats, score, score > 0 AS kept FROM (
+  SELECT d.doc_id,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM
+            (SELECT unnest(regexp_split_to_array({_NORM_SQL}, '\\s+')) AS w) tk
+          WHERE length(w) >= 3) AS n_feats,
+         (SELECT CAST(COALESCE(SUM({_CLF_W_SQL}), 0) AS BIGINT) FROM
+            (SELECT unnest(regexp_split_to_array({_NORM_SQL}, '\\s+')) AS w) tk
+          WHERE length(w) >= 3) AS score
+  FROM documents d
+) t ORDER BY doc_id
+""",
+)
+def t16_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+
+    def weight(w):
+        bucket = (
+            F.conv(F.substring(F.md5(F.concat(F.lit("clf:"), w)), 1, 8), 16, 10)
+            .cast("long")
+            % _CLF_BUCKETS
+        )
+        return bucket % 1001 - 500
+
+    feats = F.filter(tokens(normalize_text("text")), lambda w: F.length(w) >= 3)
+    return (
+        d.select(
+            "doc_id",
+            F.size(feats).cast("long").alias("n_feats"),
+            F.aggregate(
+                feats, F.lit(0).cast("long"), lambda acc, w: acc + weight(w)
+            ).alias("score"),
+        )
+        .withColumn("kept", F.col("score") > 0)
         .orderBy("doc_id")
     )

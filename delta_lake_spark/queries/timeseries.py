@@ -344,3 +344,94 @@ def q45_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+# ---------------------------------------------------------------------------
+# q58 — ordered funnel analysis (view -> click -> purchase): for each user,
+# the first view, the first click strictly after it, and the first purchase
+# strictly after that; reported as per-step user counts plus the exact
+# integer sum of seconds-from-first-view for converting users.
+#
+# Plan shape (the 100-TB funnel idiom): the three "first event after the
+# previous step" timestamps are CHAINED unpartitioned-frame window minima
+# over the SAME partitioning (user_id), so Catalyst plans ONE Exchange and
+# evaluates all three steps inside it — no self-joins, no per-step shuffle.
+# The per-user frame then collapses through an ordinary partial-aggregated
+# groupBy, and the 1-row global summary unpivots shuffle-free via stack().
+# ---------------------------------------------------------------------------
+@register(
+    "q58_conversion_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT step, users, sum_secs FROM (
+  SELECT 1 AS ord, 'view' AS step,
+         (SELECT COUNT(*) FROM s1) AS users,
+         CAST(0 AS BIGINT) AS sum_secs
+  UNION ALL
+  SELECT 2, 'click', (SELECT COUNT(*) FROM s2),
+         (SELECT CAST(COALESCE(SUM(date_diff('second', s1.t1, s2.t2)), 0) AS BIGINT)
+          FROM s2 JOIN s1 ON s2.user_id = s1.user_id)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3),
+         (SELECT CAST(COALESCE(SUM(date_diff('second', s1.t1, s3.t3)), 0) AS BIGINT)
+          FROM s3 JOIN s1 ON s3.user_id = s1.user_id)
+) t ORDER BY ord
+""",
+)
+def q58_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    stepped = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    stepped = stepped.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        stepped.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3"))
+    )
+    # floor-epoch-second differences match DuckDB date_diff('second', ...)
+    s2_secs = epoch_seconds(F.col("t2")) - epoch_seconds(F.col("t1"))
+    s3_secs = epoch_seconds(F.col("t3")) - epoch_seconds(F.col("t1"))
+    summary = per_user.agg(
+        F.count("t1").alias("u1"),
+        F.count("t2").alias("u2"),
+        F.count("t3").alias("u3"),
+        F.coalesce(
+            F.sum(F.when(F.col("t2").isNotNull(), s2_secs)), F.lit(0)
+        ).alias("sec2"),
+        F.coalesce(
+            F.sum(F.when(F.col("t3").isNotNull(), s3_secs)), F.lit(0)
+        ).alias("sec3"),
+    )
+    return summary.selectExpr(
+        "stack(3, 'view', u1, CAST(0 AS BIGINT),"
+        " 'click', u2, sec2, 'purchase', u3, sec3)"
+        " AS (step, users, sum_secs)"
+    )

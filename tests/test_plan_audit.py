@@ -72,6 +72,18 @@ def test_global_scalar_agg_not_flagged(spark):
     assert "global_funnel" not in codes(df)
 
 
+def test_sort_aggregate_final_agg_not_flagged(spark):
+    # typed min/max over a struct forces Spark's SortAggregate fallback for
+    # the keyless final aggregate — still the benign sees-only-partials
+    # shape, must not be mistaken for a Sort funnel
+    df = (
+        table(spark, SF_SMOKE, "orders")
+        .agg(F.min(F.struct("o_orderdate", "o_orderkey")).alias("first"))
+    )
+    plan_df = df
+    assert "global_funnel" not in codes(plan_df)
+
+
 def test_topk_not_flagged(spark):
     df = (
         table(spark, SF_SMOKE, "orders")
