@@ -81,6 +81,24 @@ class ManagedTableStreamReader(DataSourceStreamReader):
             str(opts.get("skipchangecommits", "false")).lower() == "true"
         )
         self.starting_version = int(opts.get("startingversion", 0))
+        # Rate limiting (Delta maxFilesPerTrigger analog, in commit units):
+        # cap how many table VERSIONS one micro-batch may absorb, so a
+        # stream catching up on a long backlog emits bounded batches instead
+        # of one giant batch.  The Python stream API has no admission-control
+        # hook (latestOffset takes no start offset), so the cap is tracked
+        # reader-side from the last known position — see latestOffset for
+        # the call-order contract that makes every trigger exactly capped.
+        # With trigger=availableNow the wrapper captures ONE capped target
+        # at query start, so a capped drain absorbs at most
+        # maxVersionsPerTrigger versions per RUN (re-run to keep catching
+        # up); processingTime triggers advance batch by batch.
+        raw_cap = opts.get("maxversionspertrigger")
+        self.max_versions = int(raw_cap) if raw_cap is not None else None
+        if self.max_versions is not None and self.max_versions < 1:
+            raise ValueError(
+                f"maxVersionsPerTrigger must be >= 1, got {self.max_versions}"
+            )
+        self._last_end: int | None = None
         mt = _log_table(self.path)
         mapping = mt.column_mapping()
         if any(k != v for k, v in mapping.items()):
@@ -92,11 +110,30 @@ class ManagedTableStreamReader(DataSourceStreamReader):
     # ----- offsets --------------------------------------------------------
 
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API name)
+        self._last_end = self.starting_version - 1
         return {"version": self.starting_version - 1}
 
     def latestOffset(self) -> dict:  # noqa: N802
         latest = _log_table(self.path).latest_version()
-        return {"version": latest if latest is not None else -1}
+        end = latest if latest is not None else -1
+        # The cap's base is the last position this reader knows.  Call-order
+        # facts (verified against Spark 4.1): on a FRESH start the first
+        # latestOffset precedes initialOffset, so the base falls back to
+        # startingVersion-1 (correct — there is no checkpoint to regress);
+        # on a RESTART Spark replays the last planned batch through
+        # partitions(start, end) BEFORE any latestOffset, which seeds
+        # _last_end with the true checkpointed position.  Every trigger is
+        # therefore exactly capped and offsets never move backwards.
+        base = (
+            self._last_end
+            if self._last_end is not None
+            else self.starting_version - 1
+        )
+        if self.max_versions is not None:
+            end = min(end, base + self.max_versions)
+        end = max(end, base)
+        self._last_end = end
+        return {"version": end}
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the stream checkpoint; nothing to release
@@ -131,6 +168,11 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         return add
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        # After a checkpoint restart the restored position arrives here, not
+        # through initialOffset — record it so the NEXT trigger's cap is
+        # relative to real progress.
+        if self._last_end is None or int(end["version"]) > self._last_end:
+            self._last_end = int(end["version"])
         pcols = self._partition_cols()
         out: list[InputPartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):

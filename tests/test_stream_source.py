@@ -249,3 +249,64 @@ def test_vacuum_spares_inflight_staged_shards(spark, tmp_path):
     assert mt.vacuum() == 1
     assert not os.path.exists(stale_full)
     assert sorted(r["k"] for r in mt.read().collect()) == [0, 1]
+
+
+def test_max_versions_per_trigger_bounds_batches(spark, tmp_path):
+    # 4 commits of backlog.  A capped processingTime stream must absorb ONE
+    # version per micro-batch (4 batches); a capped availableNow drain
+    # captures one bounded target per run.  Rows arrive exactly once.
+    import time
+
+    tp = str(tmp_path / "t")
+    mt = ManagedTable(spark, tp)
+    for i in range(4):
+        mt.write(
+            spark.createDataFrame([(i, float(i))], "k long, v double"),
+            mode="append" if i else "overwrite",
+        )
+
+    def n_batches(ckpt):
+        return len(
+            [f for f in os.listdir(os.path.join(ckpt, "offsets")) if f.isdigit()]
+        )
+
+    out1, ck1 = str(tmp_path / "o1"), str(tmp_path / "c1")
+    q = (
+        spark.readStream.format("managed_stream")
+        .option("path", tp)
+        .option("maxVersionsPerTrigger", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out1)
+        .option("checkpointLocation", ck1)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    for _ in range(100):
+        time.sleep(0.5)
+        try:
+            if spark.read.parquet(out1).count() >= 4:
+                break
+        except Exception:
+            pass
+    q.stop()
+    assert sorted(r["k"] for r in spark.read.parquet(out1).collect()) == [0, 1, 2, 3]
+    assert n_batches(ck1) == 4  # one version per micro-batch, fresh start included
+
+    # append 3 more and continue the SAME checkpoint with capped availableNow
+    # drains: each run absorbs exactly one version of backlog
+    for i in range(4, 7):
+        mt.write(
+            spark.createDataFrame([(i, float(i))], "k long, v double"),
+            mode="append",
+        )
+    for expect in (5, 6, 7):
+        got = _drain(spark, tp, out1, ck1, maxVersionsPerTrigger="1")
+        assert got.count() == expect  # exactly-once, one version per run
+    assert sorted(r["k"] for r in got.collect()) == list(range(7))
+
+    with pytest.raises(Exception, match="maxVersionsPerTrigger"):
+        _drain(
+            spark, tp, str(tmp_path / "o3"), str(tmp_path / "c3"),
+            maxVersionsPerTrigger="0",
+        )
