@@ -223,6 +223,17 @@ _DV_SCHEMA = f"{_DV_FILE} string, {_DV_POS} bigint"
 # past this they flow through a regular (AQE-planned) join.
 _DV_BROADCAST_BYTES = 64 * 1024 * 1024
 
+# Materialized Change-Data-Feed (Delta ``delta.enableChangeDataFeed``
+# analog): when the table property is on, partial-rewrite commits (DML
+# delete/update, MERGE) additionally write their EXACT changed rows —
+# tagged insert / delete / update_preimage / update_postimage — as
+# ``-cdc-`` sidecar parquet files recorded in the commit entry.  Appends
+# and overwrites need no sidecars (their change rows are implied by the
+# add/remove file actions, exactly as in Delta), so the storage overhead
+# is O(changed rows of partial rewrites) only.
+_CDC_COL = "_change_type"
+_CDC_VER = "_commit_version"
+
 
 def _rec_dvs(rec: dict[str, Any]) -> list[str]:
     return list(rec.get("dvs") or ())
@@ -523,7 +534,13 @@ class ManagedTable:
         # CHECK constraints / generated-column exprs / identity high-water
         # are table-level metadata: carry them across commits unless the
         # committing operation sets them explicitly
-        for meta_key in ("constraints", "generated", "identity", "column_mapping"):
+        for meta_key in (
+            "constraints",
+            "generated",
+            "identity",
+            "column_mapping",
+            "cdf",
+        ):
             if meta_key not in entry and latest is not None:
                 carried = self._entry(latest).get(meta_key)
                 if carried:
@@ -1167,12 +1184,29 @@ class ManagedTable:
                 matched = src.join(target, keys, "left_semi")
                 merged = matched.unionByName(target.join(src, keys, "left_anti"))
 
+            cdc_files = None
+            if self.cdf_enabled():
+                cdc_files = self._write_cdc_dir(
+                    self._merge_cdc(
+                        target,
+                        src,
+                        keys,
+                        table_cols,
+                        existing_schema,
+                        when_matched,
+                        when_not_matched,
+                        matched_condition,
+                        update_set,
+                        not_matched_condition,
+                    )
+                )
             _dir, files = self._write_commit_dir(merged, partition_by or None)
         finally:
             src.unpersist()
         self._commit(
             {
                 "operation": "merge",
+                **({"cdc_files": cdc_files} if cdc_files is not None else {}),
                 "files": keep_files + files,
                 "partition_by": partition_by,
                 "schema": schema_json,
@@ -1394,11 +1428,20 @@ class ManagedTable:
         entry = self._entry()
         partition_by: list[str] = entry.get("partition_by") or []
         keep_files, affected = self._split_files(entry, filters)
-        remaining = self._read_files(entry, affected).filter(~_filters_expr(filters))
+        scope = self._read_files(entry, affected)
+        remaining = scope.filter(~_filters_expr(filters))
+        cdc_files = None
+        if self.cdf_enabled():
+            cdc_files = self._write_cdc_dir(
+                scope.filter(_filters_expr(filters)).withColumn(
+                    _CDC_COL, F.lit("delete")
+                )
+            )
         _dir, files = self._write_commit_dir(remaining, partition_by or None)
         self._commit(
             {
                 "operation": "delete",
+                **({"cdc_files": cdc_files} if cdc_files is not None else {}),
                 "files": keep_files + files,
                 "partition_by": partition_by,
                 "schema": entry["schema"],
@@ -1457,6 +1500,8 @@ class ManagedTable:
                 .collect()
             }
             new_data_files: list[dict[str, Any]] = []
+            cdf_on = self.cdf_enabled()
+            cdc_files = None
             if assignments is not None:
                 updated = hits.drop(_DV_FILE, _DV_POS)
                 for col, expr in assignments.items():
@@ -1464,8 +1509,24 @@ class ManagedTable:
                     updated = updated.withColumn(
                         col, expr.cast(field.dataType)
                     )
+                if cdf_on:
+                    cdc_files = self._write_cdc_dir(
+                        hits.drop(_DV_FILE, _DV_POS)
+                        .withColumn(_CDC_COL, F.lit("update_preimage"))
+                        .unionByName(
+                            updated.withColumn(
+                                _CDC_COL, F.lit("update_postimage")
+                            )
+                        )
+                    )
                 _dir, new_data_files = self._write_commit_dir(
                     updated, partition_by or None
+                )
+            elif cdf_on:
+                cdc_files = self._write_cdc_dir(
+                    hits.drop(_DV_FILE, _DV_POS).withColumn(
+                        _CDC_COL, F.lit("delete")
+                    )
                 )
             recs = []
             scope = []
@@ -1487,6 +1548,7 @@ class ManagedTable:
             self._commit(
                 {
                     "operation": "delete" if assignments is None else "update",
+                    **({"cdc_files": cdc_files} if cdc_files is not None else {}),
                     "mode": "merge_on_read",
                     "dv_added": dv_paths,
                     "dv_scope": scope,
@@ -1659,6 +1721,18 @@ class ManagedTable:
         df = self._read_files(entry, affected)
         cond = _filters_expr(filters)
         schema = StructType.fromJson(entry["schema"])
+        cdc_files = None
+        if self.cdf_enabled():
+            pre = df.filter(cond)
+            post = pre
+            for col, expr in assignments.items():
+                field = next(f for f in schema.fields if f.name == col)
+                post = post.withColumn(col, expr.cast(field.dataType))
+            cdc_files = self._write_cdc_dir(
+                pre.withColumn(_CDC_COL, F.lit("update_preimage")).unionByName(
+                    post.withColumn(_CDC_COL, F.lit("update_postimage"))
+                )
+            )
         for col, expr in assignments.items():
             field = next(f for f in schema.fields if f.name == col)
             df = df.withColumn(
@@ -1668,6 +1742,7 @@ class ManagedTable:
         self._commit(
             {
                 "operation": "update",
+                **({"cdc_files": cdc_files} if cdc_files is not None else {}),
                 "files": keep_files + files,
                 "partition_by": partition_by,
                 "schema": entry["schema"],
@@ -2036,6 +2111,257 @@ class ManagedTable:
             )
         return out
 
+    # ------------------------------------------------------------------ #
+    # materialized Change Data Feed (delta.enableChangeDataFeed analog)
+    # ------------------------------------------------------------------ #
+
+    def cdf_enabled(self, version: int | None = None) -> bool:
+        """Whether the CDF table property is on (as of ``version``).
+        Metadata-only — safe in SparkSession-less contexts (stream
+        workers)."""
+        if self.latest_version() is None:
+            return False
+        return bool(self._entry(version).get("cdf"))
+
+    def enable_cdf(self) -> int:
+        """Turn on materialized change data (Delta ``ALTER TABLE ... SET
+        TBLPROPERTIES (delta.enableChangeDataFeed = true)``).  From the
+        NEXT commit on, DML delete/update and MERGE write their exact
+        changed rows as ``-cdc-`` sidecars; :meth:`change_feed` (and the
+        streaming source's ``readChangeFeed``) then serve exact per-commit
+        CDC without diff computation.  Commits from before the property
+        was set have no sidecars — ``change_feed`` refuses them
+        (``changes()`` remains the computed-diff fallback)."""
+        snap = self._entry()
+        schema = StructType.fromJson(snap["schema"])
+        clash = {_CDC_COL, _CDC_VER} & {f.name for f in schema.fields}
+        if clash:
+            raise ValueError(f"CDF reserves column names {sorted(clash)}")
+        return self._commit(
+            {
+                "operation": "set_cdf",
+                "cdf": True,
+                "files": list(snap["files"]),
+                "partition_by": snap.get("partition_by") or [],
+                "schema": snap["schema"],
+                "num_files": len(snap["files"]),
+            }
+        )
+
+    def disable_cdf(self) -> int:
+        snap = self._entry()
+        return self._commit(
+            {
+                "operation": "set_cdf",
+                "cdf": False,
+                "files": list(snap["files"]),
+                "partition_by": snap.get("partition_by") or [],
+                "schema": snap["schema"],
+                "num_files": len(snap["files"]),
+            }
+        )
+
+    def _write_cdc_dir(self, cdc_df: DataFrame) -> list[str]:
+        """Distributed write of one commit's change-data sidecar (all table
+        columns + ``_change_type``); returns table-relative parquet paths."""
+        latest = self.latest_version()
+        commit_dir = (
+            f"c{(0 if latest is None else latest + 1):06d}"
+            f"-cdc-{uuid.uuid4().hex[:8]}"
+        )
+        out = os.path.join(self.path, commit_dir)
+        cdc_df.write.mode("errorifexists").parquet(out)
+        return sorted(
+            os.path.relpath(os.path.join(dirpath, name), self.path)
+            for dirpath, _dirs, names in os.walk(out)
+            for name in names
+            if name.endswith(".parquet")
+        )
+
+    def _merge_cdc(
+        self,
+        target: DataFrame,
+        src: DataFrame,
+        keys: list[str],
+        table_cols: list[str],
+        schema: StructType,
+        when_matched: str,
+        when_not_matched: str,
+        matched_condition: "Column | str | None",
+        update_set: "dict[str, Column | str] | None",
+        not_matched_condition: "Column | str | None",
+    ) -> DataFrame:
+        """The exact CDC rows of one MERGE, mirroring the clause logic of
+        :meth:`_conditional_merge_plan`: matched-and-clause-applied rows
+        emit delete or update pre+post images, qualifying unmatched source
+        rows emit inserts.  Built on the same key equi-join family as the
+        merge itself (broadcast with a small source)."""
+
+        def as_col(e: "Column | str") -> Column:
+            return F.expr(e) if isinstance(e, str) else e
+
+        t, s = target.alias("t"), src.alias("s")
+        join_cond = None
+        for k in keys:
+            c = F.col(f"t.{k}") == F.col(f"s.{k}")
+            join_cond = c if join_cond is None else (join_cond & c)
+        matched = t.join(s, join_cond, "inner")
+        if matched_condition is not None:
+            matched = matched.filter(as_col(matched_condition))
+        t_cols = [F.col(f"t.{c}").alias(c) for c in table_cols]
+        s_cols = [
+            F.col(f"s.{c}").cast(schema[c].dataType).alias(c)
+            for c in table_cols
+        ]
+        frames: list[DataFrame] = []
+        if when_matched == "delete":
+            frames.append(
+                matched.select(*t_cols).withColumn(_CDC_COL, F.lit("delete"))
+            )
+        elif when_matched == "update_all" and update_set:
+            out_cols = [
+                (
+                    as_col(update_set[c]) if c in update_set else F.col(f"t.{c}")
+                ).cast(schema[c].dataType).alias(c)
+                for c in table_cols
+            ]
+            frames.append(
+                matched.select(*t_cols).withColumn(
+                    _CDC_COL, F.lit("update_preimage")
+                )
+            )
+            frames.append(
+                matched.select(*out_cols).withColumn(
+                    _CDC_COL, F.lit("update_postimage")
+                )
+            )
+        elif when_matched == "update_all":
+            frames.append(
+                matched.select(*t_cols).withColumn(
+                    _CDC_COL, F.lit("update_preimage")
+                )
+            )
+            frames.append(
+                matched.select(*s_cols).withColumn(
+                    _CDC_COL, F.lit("update_postimage")
+                )
+            )
+        # when_matched == "ignore": matched rows are untouched, no CDC
+        if when_not_matched == "insert_all":
+            ins = src.join(target, keys, "left_anti").alias("s")
+            if not_matched_condition is not None:
+                ins = ins.filter(as_col(not_matched_condition))
+            frames.append(
+                ins.select(*s_cols).withColumn(_CDC_COL, F.lit("insert"))
+            )
+        if not frames:
+            return (
+                src.limit(0)
+                .select(*s_cols)
+                .withColumn(_CDC_COL, F.lit("insert"))
+            )
+        out = frames[0]
+        for fdf in frames[1:]:
+            out = out.unionByName(fdf)
+        return out
+
+    def change_feed(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Exact Change-Data-Feed read over ``(from_version, to_version]``
+        (Delta ``spark.read.option("readChangeFeed", ...)`` /
+        ``table_changes`` analog): every row change tagged ``insert`` /
+        ``delete`` / ``update_preimage`` / ``update_postimage`` plus a
+        ``_commit_version`` column.
+
+        Append commits synthesize inserts from their add actions and
+        overwrites synthesize delete pre-images + inserts from their
+        remove/add actions (no sidecar storage, exactly as Delta);
+        delete/update/merge commits read the exact ``-cdc-`` sidecars
+        they materialized — which requires :meth:`enable_cdf` to have been
+        on when they ran.  Compaction / Z-order / bloom / metadata commits
+        surface nothing.  ``changes()`` remains the computed-diff feed for
+        tables without the property."""
+        if to_version is None:
+            to_version = self.latest_version() or 0
+        frames: list[DataFrame] = []
+        for v in range(from_version + 1, to_version + 1):
+            raw = self._raw_entry(v)
+            op = raw.get("operation")
+            add = raw.get("add") or []
+            removed = raw.get("remove") or []
+            if op in ("optimize", "zorder", "bloom") or not (add or removed):
+                continue
+            entry_v = self._entry(v)
+            ver = F.lit(v).cast("long")
+            if op in ("append", "streaming_append", "clone"):
+                self._require_files_exist(add, f"change feed (inserts at v{v})")
+                frames.append(
+                    self._read_files(entry_v, add)
+                    .withColumn(_CDC_COL, F.lit("insert"))
+                    .withColumn(_CDC_VER, ver)
+                )
+            elif op == "overwrite":
+                if v > 0 and removed:
+                    prev = self._entry(v - 1)
+                    rm_recs = [
+                        f for f in prev["files"] if f["path"] in set(removed)
+                    ]
+                    self._require_files_exist(
+                        rm_recs, f"change feed (overwrite pre-images at v{v})"
+                    )
+                    frames.append(
+                        self._read_files(
+                            {**prev, "schema": entry_v["schema"]}, rm_recs
+                        )
+                        .withColumn(_CDC_COL, F.lit("delete"))
+                        .withColumn(_CDC_VER, ver)
+                    )
+                self._require_files_exist(add, f"change feed (inserts at v{v})")
+                frames.append(
+                    self._read_files(entry_v, add)
+                    .withColumn(_CDC_COL, F.lit("insert"))
+                    .withColumn(_CDC_VER, ver)
+                )
+            elif op in ("delete", "update", "merge"):
+                cdc = raw.get("cdc_files")
+                if cdc is None:
+                    raise ValueError(
+                        f"version {v} ({op}) carries no materialized change "
+                        "data — enable_cdf() must be on when DML runs; use "
+                        "changes() for computed CDC over this range"
+                    )
+                missing = [
+                    p for p in cdc
+                    if not os.path.exists(os.path.join(self.path, p))
+                ]
+                if missing:
+                    raise VacuumedVersionError(
+                        f"change-data files of version {v} were vacuumed: "
+                        f"{missing[:3]}{'...' if len(missing) > 3 else ''}"
+                    )
+                if cdc:
+                    frames.append(
+                        self.spark.read.parquet(
+                            *[os.path.join(self.path, p) for p in cdc]
+                        ).withColumn(_CDC_VER, ver)
+                    )
+            else:
+                raise ValueError(
+                    f"change_feed does not cover operation {op!r} (v{v}); "
+                    "use changes() for the computed diff"
+                )
+        base = (
+            self._read_files(self._entry(to_version), [])
+            .withColumn(_CDC_COL, F.lit("insert"))
+            .withColumn(_CDC_VER, F.lit(0).cast("long"))
+            .limit(0)
+        )
+        out = base
+        for fdf in frames:
+            out = out.unionByName(fdf, allowMissingColumns=True)
+        return out
+
     def create_view(self, name: str, version: int | None = None) -> None:
         """Register the (time-travel) snapshot for ``spark.sql`` access —
         the engine's analog of the reference's
@@ -2095,6 +2421,9 @@ class ManagedTable:
                 for f in self._entry(v)["files"]:
                     live.add(f["path"])
                     live.update(_rec_dvs(f))
+                # change-data sidecars live exactly as long as their commit
+                # is within the CDF-readable retention window
+                live.update(self._raw_entry(v).get("cdc_files") or [])
         deleted = 0
         # in-flight streaming-sink shards: staged (written) BEFORE their
         # batch's atomic log commit, so they are momentarily unreferenced —

@@ -50,7 +50,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StructType
 
-from delta_lake_spark.tables.managed import ManagedTable
+from delta_lake_spark.tables.managed import _CDC_COL, _CDC_VER, ManagedTable
 
 _SKIP_OPS = ("optimize", "zorder", "bloom")
 
@@ -66,6 +66,11 @@ def _log_table(path: str) -> ManagedTable:
 class _FileSlice(InputPartition):
     file_path: str  # absolute parquet path
     partition_values: tuple  # (col, raw-string-or-None) pairs, schema order
+    # CDF-mode fields: a literal change type stamped onto every row of the
+    # file (None = the file carries its own _change_type column, i.e. a
+    # -cdc- sidecar) and the commit version the slice belongs to.
+    change_type: "str | None" = None
+    commit_version: "int | None" = None
 
 
 class ManagedTableStreamReader(DataSourceStreamReader):
@@ -92,6 +97,15 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         # at query start, so a capped drain absorbs at most
         # maxVersionsPerTrigger versions per RUN (re-run to keep catching
         # up); processingTime triggers advance batch by batch.
+        self.read_cdf = (
+            str(opts.get("readchangefeed", "false")).lower() == "true"
+        )
+        if self.read_cdf and self.skip_change_commits:
+            raise ValueError(
+                "readChangeFeed and skipChangeCommits are mutually "
+                "exclusive: the change feed REPORTS changes, it never "
+                "skips them"
+            )
         raw_cap = opts.get("maxversionspertrigger")
         self.max_versions = int(raw_cap) if raw_cap is not None else None
         if self.max_versions is not None and self.max_versions < 1:
@@ -173,6 +187,10 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         # relative to real progress.
         if self._last_end is None or int(end["version"]) > self._last_end:
             self._last_end = int(end["version"])
+        if self.read_cdf:
+            return self._cdf_partitions(
+                int(start["version"]), int(end["version"])
+            )
         pcols = self._partition_cols()
         out: list[InputPartition] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
@@ -187,6 +205,69 @@ class ManagedTableStreamReader(DataSourceStreamReader):
                 vals = _hive_values(rec["path"], pcols)
                 out.append(
                     _FileSlice(full, tuple(zip(pcols, vals)))
+                )
+        return out
+
+    def _cdf_partitions(self, start: int, end: int) -> Sequence[InputPartition]:
+        """CDF-mode planning (readChangeFeed=true): appends/overwrites
+        synthesize insert / delete slices from the commit's add/remove
+        actions; delete/update/merge commits stream their exact -cdc-
+        sidecars (which requires enable_cdf() to have been on when they
+        ran).  Metadata-only — mirrors ManagedTable.change_feed."""
+        mt = _log_table(self.path)
+        pcols = self._partition_cols()
+        out: list[InputPartition] = []
+
+        def file_slice(rec: dict, ctype: str, v: int) -> _FileSlice:
+            full = os.path.join(self.path, rec["path"])
+            if not os.path.exists(full):
+                raise FileNotFoundError(
+                    f"change-feed file {rec['path']!r} of version {v} is "
+                    "missing (vacuumed?); restart from a later "
+                    "startingVersion"
+                )
+            vals = _hive_values(rec["path"], pcols)
+            return _FileSlice(full, tuple(zip(pcols, vals)), ctype, v)
+
+        for v in range(start + 1, end + 1):
+            raw = mt._raw_entry(v)
+            op = raw.get("operation")
+            add = raw.get("add") or []
+            removed = raw.get("remove") or []
+            if op in _SKIP_OPS or not (add or removed):
+                continue
+            if op in ("append", "streaming_append", "clone"):
+                out.extend(file_slice(rec, "insert", v) for rec in add)
+            elif op == "overwrite":
+                if v > 0 and removed:
+                    prev = mt._entry(v - 1)
+                    rm = set(removed)
+                    out.extend(
+                        file_slice(rec, "delete", v)
+                        for rec in prev["files"]
+                        if rec["path"] in rm
+                    )
+                out.extend(file_slice(rec, "insert", v) for rec in add)
+            elif op in ("delete", "update", "merge"):
+                cdc = raw.get("cdc_files")
+                if cdc is None:
+                    raise ValueError(
+                        f"version {v} ({op}) of {self.path} carries no "
+                        "materialized change data — enable_cdf() must be on "
+                        "when DML runs for readChangeFeed streams"
+                    )
+                for p in cdc:
+                    full = os.path.join(self.path, p)
+                    if not os.path.exists(full):
+                        raise FileNotFoundError(
+                            f"change-data file {p!r} of version {v} was "
+                            "vacuumed; restart from a later startingVersion"
+                        )
+                    out.append(_FileSlice(full, (), None, v))
+            else:
+                raise ValueError(
+                    f"readChangeFeed does not cover operation {op!r} "
+                    f"(version {v} of {self.path})"
                 )
         return out
 
@@ -208,7 +289,15 @@ class ManagedTableStreamReader(DataSourceStreamReader):
         cols = []
         for field in target:
             pv = dict(partition.partition_values)
-            if field.name in pv:
+            if field.name == _CDC_COL and partition.change_type is not None:
+                col = pa.array([partition.change_type] * n, type=pa.string()).cast(
+                    field.type
+                )
+            elif field.name == _CDC_VER and partition.commit_version is not None:
+                col = pa.array(
+                    [partition.commit_version] * n, type=pa.int64()
+                ).cast(field.type)
+            elif field.name in pv:
                 raw = pv[field.name]
                 col = pa.array([raw] * n, type=pa.string()).cast(field.type)
             elif field.name in tbl.column_names:
@@ -238,10 +327,22 @@ class ManagedTableStreamSource(DataSource):
         return "managed_stream"
 
     def schema(self) -> StructType:
-        path = self.options.get("path")
+        from pyspark.sql.types import LongType, StringType, StructField
+
+        opts = {k.lower(): v for k, v in self.options.items()}
+        path = opts.get("path")
         if not path:
             raise ValueError("managed_stream source requires a path option")
-        return _log_table(path).schema()
+        base = _log_table(path).schema()
+        if str(opts.get("readchangefeed", "false")).lower() == "true":
+            return StructType(
+                list(base.fields)
+                + [
+                    StructField(_CDC_COL, StringType()),
+                    StructField(_CDC_VER, LongType()),
+                ]
+            )
+        return base
 
     def streamReader(self, schema: StructType) -> ManagedTableStreamReader:  # noqa: N802
         return ManagedTableStreamReader(schema, dict(self.options))
