@@ -234,6 +234,16 @@ _DV_BROADCAST_BYTES = 64 * 1024 * 1024
 _CDC_COL = "_change_type"
 _CDC_VER = "_commit_version"
 
+# Row tracking (Delta ``delta.enableRowTracking`` analog): every physical
+# row owns a STABLE id that survives compaction, clustering, and DML
+# rewrites.  Fresh rows get ``base_row_id + row_index`` from their file's
+# commit-assigned base (no storage cost); a rewrite that moves rows into
+# new files MATERIALIZES the ids as a physical ``_row_id`` column in the
+# rewritten parquet (null entries = genuinely new rows, which draw fresh
+# ids from the new file's base) — exactly Delta's fresh/materialized
+# two-tier design.
+_ROW_ID = "_row_id"
+
 
 def _rec_dvs(rec: dict[str, Any]) -> list[str]:
     return list(rec.get("dvs") or ())
@@ -540,6 +550,8 @@ class ManagedTable:
             "identity",
             "column_mapping",
             "cdf",
+            "row_tracking",
+            "row_id_hwm",
         ):
             if meta_key not in entry and latest is not None:
                 carried = self._entry(latest).get(meta_key)
@@ -548,6 +560,26 @@ class ManagedTable:
         new_paths = {f["path"] for f in new_files}
         entry["add"] = [f for f in new_files if prev.get(f["path"]) != f]
         entry["remove"] = sorted(p for p in prev if p not in new_paths)
+        rt_assigned: list[dict[str, Any]] = []
+        if entry.get("row_tracking"):
+            # assign each NEW file its fresh-row-id base from the table's
+            # monotone high-water mark (one footer num_rows metadata read
+            # per added file; a re-recorded file — e.g. gaining a DV —
+            # keeps the base it already owns).  Assignments roll back on a
+            # lost commit race: the retry re-carries the WINNER's hwm and
+            # must re-assign, never reuse a stale range.
+            import pyarrow.parquet as pq
+
+            hwm = int(entry.get("row_id_hwm") or 0)
+            for rec in entry["add"]:
+                if "base_row_id" in rec:
+                    continue
+                rec["base_row_id"] = hwm
+                rt_assigned.append(rec)
+                hwm += pq.ParquetFile(
+                    os.path.join(self.path, rec["path"])
+                ).metadata.num_rows
+            entry["row_id_hwm"] = hwm
         entry["version"] = version
         entry["timestamp"] = time.time()
         final = self._log_path(version)
@@ -560,6 +592,8 @@ class ManagedTable:
         try:
             os.link(tmp, final)
         except FileExistsError:
+            for rec in rt_assigned:
+                rec.pop("base_row_id", None)
             raise ConcurrentWriteError(
                 f"version {version} already committed"
             ) from None
@@ -1087,12 +1121,18 @@ class ManagedTable:
             existing_schema = evolved
         table_cols = [f.name for f in existing_schema.fields]
         read_entry = {**entry, "schema": schema_json}
+        row_tracked = bool(entry.get("row_tracking"))
 
         # The source plan feeds every downstream consumer (the pruning
         # aggregate/distinct below plus both branches of the merge shape);
         # persist FIRST so an expensive source (e.g. a recomputed mart) is
         # evaluated once, not once per consumer.
-        src = source.select(*table_cols).persist()
+        src = source.select(*table_cols)
+        if row_tracked:
+            # source rows are id-less: inserts draw fresh ids from their
+            # new file's base; matched updates take the target's id below
+            src = src.withColumn(_ROW_ID, F.lit(None).cast("long"))
+        src = src.persist()
         # CHECK constraints gate the incoming source (update_set expressions
         # are the caller's responsibility — enforcement covers inserted and
         # whole-row-updated data, the Delta write-path scope)
@@ -1152,14 +1192,18 @@ class ManagedTable:
                 keep_files, affected = [], []
                 for f in entry["files"]:
                     (affected if not filters or _file_may_match(f, filters) else keep_files).append(f)
-            target = self._read_files(read_entry, affected)
+            target = (
+                self._read_files_tracked(read_entry, affected)
+                if row_tracked
+                else self._read_files(read_entry, affected)
+            )
 
             conditional = (
                 matched_condition is not None
                 or update_set
                 or not_matched_condition is not None
             )
-            if conditional:
+            if conditional or (row_tracked and when_matched == "update_all"):
                 merged = self._conditional_merge_plan(
                     target,
                     src,
@@ -1171,6 +1215,7 @@ class ManagedTable:
                     matched_condition,
                     update_set,
                     not_matched_condition,
+                    row_tracked=row_tracked,
                 )
             elif when_matched == "update_all" and when_not_matched == "insert_all":
                 merged = src.unionByName(target.join(src, keys, "left_anti"))
@@ -1230,6 +1275,7 @@ class ManagedTable:
         matched_condition: "Column | str | None",
         update_set: "dict[str, Column | str] | None",
         not_matched_condition: "Column | str | None",
+        row_tracked: bool = False,
     ) -> DataFrame:
         """General merge shape for conditional clauses: an inner join pairs
         matched rows (aliased ``t``/``s`` so clause expressions can
@@ -1237,6 +1283,10 @@ class ManagedTable:
         second left-anti produces inserts.  Still one equi-join family on
         the merge keys — with a small source Spark broadcasts it, same as
         the unconditional fast paths.
+
+        ``row_tracked``: both frames carry ``_row_id`` (target real, source
+        null); matched rows keep the TARGET's id through update/keep, and
+        inserts stay null so the new file's base assigns them fresh ids.
 
         Unlike the unconditional ``update_all`` path (which replaces all
         rows of a key with the single source row), duplicate target keys
@@ -1260,10 +1310,11 @@ class ManagedTable:
             join_cond = c if join_cond is None else (join_cond & c)
         matched = t.join(s, join_cond, "inner")
         t_cols = [F.col(f"t.{c}").alias(c) for c in table_cols]
+        rid = [F.col(f"t.{_ROW_ID}").alias(_ROW_ID)] if row_tracked else []
         if when_matched == "delete":
-            kept = matched.filter(~cond).select(*t_cols)
+            kept = matched.filter(~cond).select(*t_cols, *rid)
         elif when_matched == "ignore":
-            kept = matched.select(*t_cols)
+            kept = matched.select(*t_cols, *rid)
         else:  # update_all or partial update_set
             out_cols = []
             for c in table_cols:
@@ -1277,13 +1328,14 @@ class ManagedTable:
                 out_cols.append(
                     F.when(cond, new_v).otherwise(F.col(f"t.{c}")).alias(c)
                 )
-            kept = matched.select(*out_cols)
+            kept = matched.select(*out_cols, *rid)
         merged = target.join(src, keys, "left_anti").unionByName(kept)
         if when_not_matched == "insert_all":
             ins = src.join(target, keys, "left_anti").alias("s")
             if not_matched_condition is not None:
                 ins = ins.filter(as_col(not_matched_condition))
-            merged = merged.unionByName(ins.select(*table_cols))
+            ins_cols = table_cols + ([_ROW_ID] if row_tracked else [])
+            merged = merged.unionByName(ins.select(*ins_cols))
         return merged
 
     def _rel_path_expr(self) -> Column:
@@ -1320,11 +1372,16 @@ class ManagedTable:
         entry: dict[str, Any],
         files: list[dict[str, Any]],
         with_pos: bool = False,
+        extra_fields: "list[StructField] | None" = None,
     ) -> DataFrame:
         """Union the file groups into one frame, subtracting any deletion
         vectors attached to the records.  ``with_pos=True`` keeps the
         ``(__dv_file, __dv_pos)`` row-identity columns on the output (used
         by merge-on-read DML to address the surviving rows).
+
+        ``extra_fields``: reserved PHYSICAL columns read verbatim alongside
+        the logical schema (files lacking them null-fill) — used for the
+        materialized ``_row_id`` column of row tracking.
 
         With column mapping active, files are read under their PHYSICAL
         column names and aliased back to the logical schema at the end —
@@ -1341,10 +1398,17 @@ class ManagedTable:
             if mapping
             else logical
         )
+        if extra_fields:
+            schema = StructType(list(schema.fields) + list(extra_fields))
         dv_paths = sorted({dv for rec in files for dv in _rec_dvs(rec)})
         need_pos = with_pos or bool(dv_paths)
         if not files:
-            out = self.spark.createDataFrame([], logical)
+            empty_schema = (
+                StructType(list(logical.fields) + list(extra_fields))
+                if extra_fields
+                else logical
+            )
+            out = self.spark.createDataFrame([], empty_schema)
             if with_pos:
                 out = out.withColumn(
                     _DV_FILE, F.lit(None).cast("string")
@@ -1397,6 +1461,8 @@ class ManagedTable:
                 F.col(mapping.get(f.name, f.name)).alias(f.name)
                 for f in logical.fields
             ]
+            if extra_fields:
+                keep += [F.col(f.name) for f in extra_fields]
             if with_pos:
                 keep += [F.col(_DV_FILE), F.col(_DV_POS)]
             out = out.select(*keep)
@@ -1428,14 +1494,18 @@ class ManagedTable:
         entry = self._entry()
         partition_by: list[str] = entry.get("partition_by") or []
         keep_files, affected = self._split_files(entry, filters)
-        scope = self._read_files(entry, affected)
+        scope = (
+            self._read_files_tracked(entry, affected)
+            if entry.get("row_tracking")
+            else self._read_files(entry, affected)
+        )
         remaining = scope.filter(~_filters_expr(filters))
         cdc_files = None
         if self.cdf_enabled():
             cdc_files = self._write_cdc_dir(
-                scope.filter(_filters_expr(filters)).withColumn(
-                    _CDC_COL, F.lit("delete")
-                )
+                scope.filter(_filters_expr(filters))
+                .drop(_ROW_ID)
+                .withColumn(_CDC_COL, F.lit("delete"))
             )
         _dir, files = self._write_commit_dir(remaining, partition_by or None)
         self._commit(
@@ -1485,8 +1555,13 @@ class ManagedTable:
             )
         partition_by: list[str] = entry.get("partition_by") or []
         keep_files, affected = self._split_files(entry, filters)
+        row_tracked = bool(entry.get("row_tracking"))
         hits = (
-            self._read_files(entry, affected, with_pos=True)
+            (
+                self._read_files_tracked(entry, affected, with_pos=True)
+                if row_tracked
+                else self._read_files(entry, affected, with_pos=True)
+            )
             .filter(_filters_expr(filters))
             .persist()
         )
@@ -1503,6 +1578,9 @@ class ManagedTable:
             cdf_on = self.cdf_enabled()
             cdc_files = None
             if assignments is not None:
+                # row tracking: the reassigned images carry their original
+                # ids as a materialized column, so an updated row's id
+                # survives the move into the new files
                 updated = hits.drop(_DV_FILE, _DV_POS)
                 for col, expr in assignments.items():
                     field = next(f for f in schema.fields if f.name == col)
@@ -1511,10 +1589,10 @@ class ManagedTable:
                     )
                 if cdf_on:
                     cdc_files = self._write_cdc_dir(
-                        hits.drop(_DV_FILE, _DV_POS)
+                        hits.drop(_DV_FILE, _DV_POS, _ROW_ID)
                         .withColumn(_CDC_COL, F.lit("update_preimage"))
                         .unionByName(
-                            updated.withColumn(
+                            updated.drop(_ROW_ID).withColumn(
                                 _CDC_COL, F.lit("update_postimage")
                             )
                         )
@@ -1524,7 +1602,7 @@ class ManagedTable:
                 )
             elif cdf_on:
                 cdc_files = self._write_cdc_dir(
-                    hits.drop(_DV_FILE, _DV_POS).withColumn(
+                    hits.drop(_DV_FILE, _DV_POS, _ROW_ID).withColumn(
                         _CDC_COL, F.lit("delete")
                     )
                 )
@@ -1580,7 +1658,11 @@ class ManagedTable:
         clean = [f for f in entry["files"] if not _rec_dvs(f)]
         total = sum(f["size"] for f in dirty) or 1
         n_files = max(1, -(-total // target_file_bytes))
-        df = self._read_files(entry, dirty)
+        df = (
+            self._read_files_tracked(entry, dirty)
+            if entry.get("row_tracking")
+            else self._read_files(entry, dirty)
+        )
         if n_files < len(dirty):
             df = df.coalesce(n_files)
         _dir, files = self._write_commit_dir(df, partition_by or None)
@@ -1718,12 +1800,16 @@ class ManagedTable:
         entry = self._entry()
         partition_by: list[str] = entry.get("partition_by") or []
         keep_files, affected = self._split_files(entry, filters)
-        df = self._read_files(entry, affected)
+        df = (
+            self._read_files_tracked(entry, affected)
+            if entry.get("row_tracking")
+            else self._read_files(entry, affected)
+        )
         cond = _filters_expr(filters)
         schema = StructType.fromJson(entry["schema"])
         cdc_files = None
         if self.cdf_enabled():
-            pre = df.filter(cond)
+            pre = df.filter(cond).drop(_ROW_ID)
             post = pre
             for col, expr in assignments.items():
                 field = next(f for f in schema.fields if f.name == col)
@@ -1830,7 +1916,11 @@ class ManagedTable:
                 live = [f for f in live if f["path"] not in keep]
         if not live:
             return self.latest_version()  # type: ignore[return-value]
-        df = self._read_files(entry, live)
+        df = (
+            self._read_files_tracked(entry, live)
+            if entry.get("row_tracking")
+            else self._read_files(entry, live)
+        )
         total = sum(f["size"] for f in live) or 1
         n_files = max(1, -(-total // target_file_bytes))
         if zorder_by:
@@ -2256,7 +2346,8 @@ class ManagedTable:
             )
         if not frames:
             return (
-                src.limit(0)
+                src.alias("s")
+                .limit(0)
                 .select(*s_cols)
                 .withColumn(_CDC_COL, F.lit("insert"))
             )
@@ -2361,6 +2452,112 @@ class ManagedTable:
         for fdf in frames:
             out = out.unionByName(fdf, allowMissingColumns=True)
         return out
+
+    # ------------------------------------------------------------------ #
+    # row tracking (delta.enableRowTracking analog)
+    # ------------------------------------------------------------------ #
+
+    def row_tracking_enabled(self, version: int | None = None) -> bool:
+        if self.latest_version() is None:
+            return False
+        return bool(self._entry(version).get("row_tracking"))
+
+    def enable_row_tracking(self) -> int:
+        """Turn on stable row ids (Delta ``delta.enableRowTracking``).
+        Backfills a ``base_row_id`` for every EXISTING file (metadata-only:
+        one footer num_rows read per file, no data rewrite); from then on
+        every commit assigns new files their base, and rewrites materialize
+        ids so they survive compaction, clustering, and DML.  Read them
+        with :meth:`read_with_row_ids`."""
+        import pyarrow.parquet as pq
+
+        snap = self._entry()
+        schema = StructType.fromJson(snap["schema"])
+        if _ROW_ID in {f.name for f in schema.fields}:
+            raise ValueError(f"row tracking reserves column name {_ROW_ID!r}")
+        hwm = 0
+        files = []
+        for rec in snap["files"]:
+            rec = dict(rec)
+            if "base_row_id" not in rec:
+                rec["base_row_id"] = hwm
+                hwm += pq.ParquetFile(
+                    os.path.join(self.path, rec["path"])
+                ).metadata.num_rows
+            else:  # re-enable after disable: keep existing bases
+                hwm = max(
+                    hwm,
+                    rec["base_row_id"]
+                    + pq.ParquetFile(
+                        os.path.join(self.path, rec["path"])
+                    ).metadata.num_rows,
+                )
+            files.append(rec)
+        return self._commit(
+            {
+                "operation": "set_row_tracking",
+                "row_tracking": True,
+                "row_id_hwm": max(hwm, int(snap.get("row_id_hwm") or 0)),
+                "files": files,
+                "partition_by": snap.get("partition_by") or [],
+                "schema": snap["schema"],
+                "num_files": len(files),
+            }
+        )
+
+    def _read_files_tracked(
+        self,
+        entry: dict[str, Any],
+        files: list[dict[str, Any]],
+        with_pos: bool = False,
+    ) -> DataFrame:
+        """Rows of ``files`` with the stable ``_row_id`` column resolved:
+        the materialized value when the file carries one (a rewrite
+        output), else ``base_row_id + row_index`` (a fresh file).  The
+        base lookup is a broadcast join against a files-count-sized frame;
+        merge-on-read deletes keep surviving rows' original indexes, so
+        ids hold with no special casing."""
+        from pyspark.sql.types import LongType, StructField
+
+        missing = [f["path"] for f in files if "base_row_id" not in f]
+        if missing:
+            raise ValueError(
+                f"files without a row-id base (written before "
+                f"enable_row_tracking?): {missing[:3]}"
+            )
+        df = self._read_files(
+            entry,
+            files,
+            with_pos=True,
+            extra_fields=[StructField(_ROW_ID, LongType())],
+        )
+        if not files:
+            return df if with_pos else df.drop(_DV_FILE, _DV_POS)
+        base = self.spark.createDataFrame(
+            [(f["path"], int(f["base_row_id"])) for f in files],
+            f"`{_DV_FILE}` string, `_rt_base` long",
+        )
+        out = (
+            df.join(F.broadcast(base), _DV_FILE, "left")
+            .withColumn(
+                _ROW_ID,
+                F.coalesce(F.col(_ROW_ID), F.col("_rt_base") + F.col(_DV_POS)),
+            )
+            .drop("_rt_base")
+        )
+        return out if with_pos else out.drop(_DV_FILE, _DV_POS)
+
+    def read_with_row_ids(self, version: int | None = None) -> DataFrame:
+        """Snapshot read (time-travel capable) with the stable ``_row_id``
+        column appended."""
+        entry = self._entry(version)
+        if not entry.get("row_tracking"):
+            raise ValueError(
+                "row tracking is not enabled (as of this version); call "
+                "enable_row_tracking() first"
+            )
+        self._check_time_travel_files(entry, version)
+        return self._read_files_tracked(entry, entry["files"])
 
     def create_view(self, name: str, version: int | None = None) -> None:
         """Register the (time-travel) snapshot for ``spark.sql`` access —
