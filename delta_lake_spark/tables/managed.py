@@ -552,6 +552,8 @@ class ManagedTable:
             "cdf",
             "row_tracking",
             "row_id_hwm",
+            "auto_compact",
+            "optimize_write",
         ):
             if meta_key not in entry and latest is not None:
                 carried = self._entry(latest).get(meta_key)
@@ -688,6 +690,7 @@ class ManagedTable:
         partition_by: list[str] | None = None,
         merge_schema: bool = False,
         max_retries: int = 10,
+        optimize_write: "bool | None" = None,
     ) -> int:
         """Delta-sink analog: ``overwrite`` (K2) / ``append`` (K4), with
         optional ``partitionBy`` (K3).  Returns the committed version.
@@ -803,6 +806,16 @@ class ManagedTable:
 
         try:
             prev_files, partition_by, schema, write_map = prep()
+            if optimize_write is None and self.latest_version() is not None:
+                optimize_write = bool(self._entry().get("optimize_write"))
+            if optimize_write and partition_by:
+                # Delta optimizeWrite analog: shuffle rows to their target
+                # partition BEFORE the write so each partition value lands
+                # in one task -> one right-sized file per partition per
+                # commit, instead of one shard per upstream task per
+                # partition (the small-file explosion); AQE coalesces the
+                # exchange to sensible sizes
+                df = df.repartition(*[F.col(c) for c in partition_by])
             _dir, files = self._write_commit_dir(
                 df, partition_by, mapping=write_map
             )
@@ -812,7 +825,7 @@ class ManagedTable:
         attempts = 0
         while True:
             try:
-                return self._commit(
+                version = self._commit(
                     {
                         "operation": mode,
                         "files": prev_files + files,
@@ -870,6 +883,12 @@ class ManagedTable:
                         f"{new_pb or []}"
                     ) from None
                 prev_files = new_prev
+            else:
+                # post-commit maintenance runs OUTSIDE the retry guard: the
+                # write is durable, and a compaction losing its own race
+                # must never re-run the append
+                self._maybe_auto_compact(files)
+                return version
 
     # ------------------------------------------------------------------ #
     # read paths
@@ -2558,6 +2577,94 @@ class ManagedTable:
             )
         self._check_time_travel_files(entry, version)
         return self._read_files_tracked(entry, entry["files"])
+
+    # ------------------------------------------------------------------ #
+    # auto-compaction / optimized writes (delta.autoOptimize analog)
+    # ------------------------------------------------------------------ #
+
+    def set_auto_compact(
+        self,
+        min_files: int = 8,
+        min_file_bytes: int = 32 * 1024 * 1024,
+        enabled: bool = True,
+    ) -> int:
+        """Table property: after each batch write, any partition this
+        commit touched (the whole table when unpartitioned) that has
+        accumulated ``min_files`` or more data files smaller than
+        ``min_file_bytes`` is compacted in place with a partition-scoped
+        OPTIMIZE (Delta ``delta.autoOptimize.autoCompact``).  Solves the
+        streaming/micro-append small-file problem without a scheduled
+        maintenance job; the compaction commit is ``optimize``-tagged, so
+        change feeds and streams ignore it."""
+        if min_files < 2:
+            raise ValueError(f"min_files must be >= 2, got {min_files}")
+        snap = self._entry()
+        return self._commit(
+            {
+                "operation": "set_auto_compact",
+                "auto_compact": (
+                    {"min_files": min_files, "min_file_bytes": min_file_bytes}
+                    if enabled
+                    else False
+                ),
+                "files": list(snap["files"]),
+                "partition_by": snap.get("partition_by") or [],
+                "schema": snap["schema"],
+                "num_files": len(snap["files"]),
+            }
+        )
+
+    def set_optimize_write(self, enabled: bool = True) -> int:
+        """Table property (Delta ``delta.autoOptimize.optimizeWrite``):
+        partitioned writes shuffle rows to their target partition first, so
+        each partition value lands as one right-sized file per commit
+        instead of one shard per upstream task."""
+        snap = self._entry()
+        return self._commit(
+            {
+                "operation": "set_optimize_write",
+                "optimize_write": enabled,
+                "files": list(snap["files"]),
+                "partition_by": snap.get("partition_by") or [],
+                "schema": snap["schema"],
+                "num_files": len(snap["files"]),
+            }
+        )
+
+    def _maybe_auto_compact(self, new_files: list[dict[str, Any]]) -> None:
+        """Post-write hook: partition-scoped compaction of every touched
+        partition that crossed the small-file threshold.  Best-effort — a
+        lost compaction race is silently skipped (the data write itself is
+        already durable), exactly Delta's auto-compact contract."""
+        entry = self._entry()
+        cfg = entry.get("auto_compact")
+        if not cfg:
+            return
+        min_files = int(cfg["min_files"])
+        min_bytes = int(cfg["min_file_bytes"])
+        pcols = entry.get("partition_by") or []
+        touched = {tuple(sorted((f.get("partition") or {}).items())) for f in new_files}
+        for part in touched:
+            part_d = dict(part)
+            in_scope = [
+                f
+                for f in entry["files"]
+                if all((f.get("partition") or {}).get(k) == v for k, v in part)
+            ]
+            small = [f for f in in_scope if f["size"] < min_bytes]
+            if len(small) < min_files:
+                continue
+            where = [
+                (k, "=", _dir_value_str(v))
+                for k, v in part_d.items()
+                if k in pcols and _dir_value_str(v) is not None
+            ]
+            try:
+                self.optimize(
+                    target_file_bytes=max(min_bytes, 1), where=where or None
+                )
+            except ConcurrentWriteError:
+                return  # another writer advanced the table; their problem now
 
     def create_view(self, name: str, version: int | None = None) -> None:
         """Register the (time-travel) snapshot for ``spark.sql`` access —
