@@ -1482,3 +1482,87 @@ def q47_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q60 — Pearson correlation matrix per return flag, computed EXACTLY across
+# engines: built-in corr() is a floating-point reduction whose result
+# depends on accumulation order, so instead the five raw moments are
+# decimal sums (exact, order-independent) and the final r is one double
+# expression over those exact moments — bit-identical in Spark and DuckDB.
+# Plan shape: ONE partial-aggregated groupBy scan, no window, no second
+# pass; at 100 TB this is the only shape a corr matrix should have.
+# ---------------------------------------------------------------------------
+_Q60_DEC = "DECIMAL(18,2)"
+
+
+def _q60_r_sql(x: str, y: str) -> str:
+    return (
+        f"ROUND((nd * CAST(s{x}{y} AS DOUBLE) - CAST(s{x} AS DOUBLE) * CAST(s{y} AS DOUBLE)) / "
+        f"SQRT((nd * CAST(s{x}{x} AS DOUBLE) - CAST(s{x} AS DOUBLE) * CAST(s{x} AS DOUBLE)) * "
+        f"(nd * CAST(s{y}{y} AS DOUBLE) - CAST(s{y} AS DOUBLE) * CAST(s{y} AS DOUBLE))), 6)"
+    )
+
+
+@register(
+    "q60_correlation_matrix",
+    oracle=f"""
+SELECT l_returnflag, n,
+       {_q60_r_sql('q', 'p')} AS r_qty_price,
+       {_q60_r_sql('q', 'd')} AS r_qty_disc,
+       {_q60_r_sql('p', 'd')} AS r_price_disc
+FROM (
+  SELECT l_returnflag, COUNT(*) AS n, CAST(COUNT(*) AS DOUBLE) AS nd,
+         SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd,
+         SUM(q*q) AS sqq, SUM(p*p) AS spp, SUM(d*d) AS sdd,
+         SUM(q*p) AS sqp, SUM(q*d) AS sqd, SUM(p*d) AS spd
+  FROM (
+    SELECT l_returnflag,
+           CAST(l_quantity AS {_Q60_DEC}) AS q,
+           CAST(l_extendedprice AS {_Q60_DEC}) AS p,
+           CAST(l_discount AS {_Q60_DEC}) AS d
+    FROM lineitem
+  ) raw GROUP BY l_returnflag
+) m ORDER BY l_returnflag
+""",
+)
+def q60_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,2)").alias("q"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
+        F.col("l_discount").cast("decimal(18,2)").alias("d"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.count("*").cast("double").alias("nd"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("p") * F.col("d")).alias("spd"),
+    )
+
+    def r(x: str, y: str):
+        nd = F.col("nd")
+        sx, sy = F.col(f"s{x}").cast("double"), F.col(f"s{y}").cast("double")
+        sxy = F.col(f"s{x}{y}").cast("double")
+        sxx = F.col(f"s{x}{x}").cast("double")
+        syy = F.col(f"s{y}{y}").cast("double")
+        return F.round(
+            (nd * sxy - sx * sy)
+            / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+            6,
+        )
+
+    return m.select(
+        "l_returnflag",
+        "n",
+        r("q", "p").alias("r_qty_price"),
+        r("q", "d").alias("r_qty_disc"),
+        r("p", "d").alias("r_price_disc"),
+    ).orderBy("l_returnflag")

@@ -435,3 +435,55 @@ def q58_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'click', u2, sec2, 'purchase', u3, sec3)"
         " AS (step, users, sum_secs)"
     )
+
+
+# ---------------------------------------------------------------------------
+# q59 — daily OHLC bars: per (event_type, day) the opening value (first by
+# ts), high, low, close (last by ts), and tick count — the classic
+# market-data resample (the reference's currency-rate domain, FIXTURES §3).
+#
+# Plan shape: BOTH row_number windows (asc for open, desc for close) share
+# the (event_type, day) partitioning, so Catalyst plans ONE Exchange; the
+# final groupBy reuses it.  Ties on ts break by event_id, so open/close are
+# engine-independent.
+# ---------------------------------------------------------------------------
+@register(
+    "q59_daily_ohlc",
+    oracle="""
+SELECT event_type, d, open, high, low, close, n_ticks FROM (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         FIRST_VALUE(value) OVER (
+           PARTITION BY event_type, CAST(ts AS DATE)
+           ORDER BY ts, event_id) AS open,
+         MAX(value) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS high,
+         MIN(value) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS low,
+         FIRST_VALUE(value) OVER (
+           PARTITION BY event_type, CAST(ts AS DATE)
+           ORDER BY ts DESC, event_id DESC) AS close,
+         COUNT(*) OVER (PARTITION BY event_type, CAST(ts AS DATE)) AS n_ticks,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type, CAST(ts AS DATE)
+           ORDER BY ts, event_id) AS rn
+  FROM events
+) t WHERE rn = 1
+ORDER BY event_type, d
+""",
+)
+def q59_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"), "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("event_type", "d")
+    asc = w.orderBy("ts", "event_id")
+    desc = w.orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("open", F.first("value").over(asc))
+        .withColumn("high", F.max("value").over(w))
+        .withColumn("low", F.min("value").over(w))
+        .withColumn("close", F.first("value").over(desc))
+        .withColumn("n_ticks", F.count("*").over(w))
+        .withColumn("rn", F.row_number().over(asc))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "d", "open", "high", "low", "close", "n_ticks")
+        .orderBy("event_type", "d")
+    )

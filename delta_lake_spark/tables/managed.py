@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -436,6 +437,99 @@ class ManagedTable:
         if not cls.is_managed_table(path):
             raise FileNotFoundError(f"not a managed table: {path}")
         return cls(spark, path)
+
+    @classmethod
+    def convert_from_parquet(
+        cls,
+        spark: SparkSession,
+        path: str,
+        partition_schema: "dict[str, str] | None" = None,
+    ) -> "ManagedTable":
+        """``CONVERT TO DELTA`` analog: register an existing plain-parquet
+        directory (flat or Hive-partitioned) as a managed table IN PLACE —
+        no data rewrite, just a v0 commit whose file records point at the
+        existing files (with footer stats collected for data skipping).
+        Partition columns and the schema are inferred exactly as a parquet
+        read would; subsequent appends/DML/OPTIMIZE write normal commit
+        dirs alongside, and vacuum reclaims converted files once rewrites
+        retire them — the standard migration path from a raw parquet lake.
+
+        ``partition_schema`` (``{col: ddl_type}``) pins partition-column
+        types — Hive directory values are ambiguous (``p=1`` could be int
+        or string), which is why Delta's CONVERT takes an explicit
+        PARTITIONED BY clause; unlisted columns keep Spark's inference.
+        """
+        if cls.is_managed_table(path):
+            raise ValueError(f"already a managed table: {path}")
+        found: list[tuple[str, dict[str, str]]] = []
+        for dirpath, _dirs, names in os.walk(path):
+            if _LOG_DIR in dirpath:
+                continue
+            partition: dict[str, str] = {}
+            for seg in os.path.relpath(dirpath, path).split(os.sep):
+                if "=" in seg:
+                    k, _, v = seg.partition("=")
+                    partition[k] = v
+            for name in names:
+                if name.endswith(".parquet"):
+                    found.append((os.path.join(dirpath, name), partition))
+        if not found:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        key_sets = {tuple(sorted(p)) for _f, p in found}
+        if len(key_sets) != 1:
+            raise ValueError(
+                f"inconsistent Hive partition layouts under {path}: "
+                f"{sorted(key_sets)}"
+            )
+        partition_by = list(key_sets.pop())
+        # schema exactly as a parquet scan infers it (typed partition cols)
+        schema = spark.read.option("basePath", path).parquet(path).schema
+        if partition_schema:
+            unknown = set(partition_schema) - set(partition_by)
+            if unknown:
+                raise ValueError(
+                    f"partition_schema names non-partition columns: "
+                    f"{sorted(unknown)} (partitions: {partition_by})"
+                )
+            from pyspark.sql.types import _parse_datatype_string
+
+            schema = StructType(
+                [
+                    StructField(
+                        f.name,
+                        _parse_datatype_string(partition_schema[f.name])
+                        if f.name in partition_schema
+                        else f.dataType,
+                        f.nullable,
+                    )
+                    for f in schema.fields
+                ]
+            )
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(32, len(found))) as pool:
+            stats = list(pool.map(lambda fp: _footer_stats(fp[0]), found))
+        files = [
+            {
+                "path": os.path.relpath(full, path),
+                "size": os.path.getsize(full),
+                "partition": partition,
+                "stats": st,
+            }
+            for (full, partition), st in zip(found, stats)
+        ]
+        mt = cls(spark, path)
+        mt._commit(
+            {
+                "operation": "convert",
+                "files": files,
+                "partition_by": partition_by,
+                "schema": json.loads(schema.json()),
+                "num_files": len(files),
+                "added_files": len(files),
+            }
+        )
+        return mt
 
     # ------------------------------------------------------------------ #
     # log handling
@@ -1038,10 +1132,11 @@ class ManagedTable:
         self, filters: list[tuple[str, str, Any]], version: int | None = None
     ) -> tuple[int, int]:
         """(surviving, total) file counts for ``filters`` — the
-        deterministic data-skipping metric used by tests/benchmarks."""
+        deterministic data-skipping metric used by tests/benchmarks.
+        Counts every pruning source a scan/DML uses: footer stats, bloom
+        filters, AND partition values (same split as :meth:`scan`)."""
         entry = self._entry(version)
-        phys = self._phys_filters(entry, filters)
-        live = [f for f in entry["files"] if _file_may_match(f, phys)]
+        _skipped, live = self._split_files(entry, filters)
         return len(live), len(entry["files"])
 
     # ------------------------------------------------------------------ #
@@ -1435,7 +1530,12 @@ class ManagedTable:
             return out
         groups: dict[str, list[str]] = {}
         for f in files:
-            commit_dir = f["path"].split("/", 1)[0]
+            first = f["path"].split("/", 1)[0]
+            # commit-dir files resolve Hive partition dirs relative to
+            # their commit dir; CONVERTed files (registered in place by
+            # convert_from_parquet, no c######- prefix) resolve relative
+            # to the table root
+            commit_dir = first if re.match(r"^c\d{6}-", first) else ""
             groups.setdefault(commit_dir, []).append(
                 os.path.join(self.path, f["path"])
             )
