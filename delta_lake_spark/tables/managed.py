@@ -2504,7 +2504,7 @@ class ManagedTable:
                 continue
             entry_v = self._entry(v)
             ver = F.lit(v).cast("long")
-            if op in ("append", "streaming_append", "clone"):
+            if op in ("append", "streaming_append", "clone", "convert"):
                 self._require_files_exist(add, f"change feed (inserts at v{v})")
                 frames.append(
                     self._read_files(entry_v, add)

@@ -236,7 +236,7 @@ class ManagedTableStreamReader(DataSourceStreamReader):
             removed = raw.get("remove") or []
             if op in _SKIP_OPS or not (add or removed):
                 continue
-            if op in ("append", "streaming_append", "clone"):
+            if op in ("append", "streaming_append", "clone", "convert"):
                 out.extend(file_slice(rec, "insert", v) for rec in add)
             elif op == "overwrite":
                 if v > 0 and removed:

@@ -84,3 +84,19 @@ def test_convert_flat_unpartitioned(spark, tmp_path):
     # stats-based skipping works on converted footers
     kept, total = mt.pruned_file_count([("k", "=", -1)])
     assert kept == 0 and total >= 1
+
+
+def test_converted_table_feeds_cdf(spark, tmp_path):
+    path = str(tmp_path / "raw")
+    spark.range(5).toDF("k").write.parquet(path)
+    mt = ManagedTable.convert_from_parquet(spark, path)
+    mt.enable_cdf()
+    mt.delete_where([("k", "=", 1)])
+    rows = sorted(
+        (r._commit_version, r._change_type, r.k)
+        for r in mt.change_feed(-1).collect()
+    )
+    assert rows == [
+        (0, "insert", 0), (0, "insert", 1), (0, "insert", 2),
+        (0, "insert", 3), (0, "insert", 4), (2, "delete", 1),
+    ]
