@@ -1585,6 +1585,16 @@ class ManagedTable:
             if with_pos:
                 keep += [F.col(_DV_FILE), F.col(_DV_POS)]
             out = out.select(*keep)
+        else:
+            # parquet scans surface Hive partition columns LAST regardless
+            # of the requested schema order — re-select so every snapshot
+            # read returns the table's logical column order
+            keep2 = [F.col(f.name) for f in logical.fields]
+            if extra_fields:
+                keep2 += [F.col(f.name) for f in extra_fields]
+            if with_pos:
+                keep2 += [F.col(_DV_FILE), F.col(_DV_POS)]
+            out = out.select(*keep2)
         return out
 
     def delete_where(

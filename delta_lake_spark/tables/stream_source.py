@@ -369,8 +369,8 @@ from pyspark.sql.datasource import DataSourceStreamWriter, WriterCommitMessage  
 
 @dataclass
 class _StagedFile(WriterCommitMessage):
-    rel_path: str
-    rows: int
+    # one message per task; each entry is (table-relative path, row count)
+    files: "list[tuple[str, int]]"
 
 
 def _last_txn_batch(mt: ManagedTable, app: str) -> int | None:
@@ -396,9 +396,11 @@ class ManagedTableStreamWriter(DataSourceStreamWriter):
 
     Scope: append output mode on non-column-mapped tables; the incoming
     schema must equal the table schema (names + types).  Partitioned
-    tables, expectations gating, and MERGE semantics belong to the
-    ``foreachBatch`` path (``streaming/streams.py``), which keeps the full
-    table API available per batch."""
+    targets stage Hive-layout shards (one file per partition value per
+    task — partition columns live in the directory name, not the file,
+    exactly like batch writes).  Expectations gating and MERGE semantics
+    belong to the ``foreachBatch`` path (``streaming/streams.py``), which
+    keeps the full table API available per batch."""
 
     def __init__(self, schema: StructType, options: dict) -> None:
         opts = {k.lower(): v for k, v in options.items()}
@@ -415,11 +417,7 @@ class ManagedTableStreamWriter(DataSourceStreamWriter):
                 "layout are explicit"
             )
         entry = mt._entry()
-        if entry.get("partition_by"):
-            raise ValueError(
-                "managed_stream sink supports unpartitioned tables; use "
-                "streaming/streams.py foreachBatch for partitioned layouts"
-            )
+        self.partition_by: list[str] = entry.get("partition_by") or []
         mapping = mt.column_mapping()
         if any(k != v for k, v in mapping.items()):
             raise ValueError("managed_stream sink: column-mapped tables unsupported")
@@ -443,14 +441,37 @@ class ManagedTableStreamWriter(DataSourceStreamWriter):
 
         from pyspark.sql.pandas.types import to_arrow_schema
 
-        target = to_arrow_schema(self.schema)
-        rows = [r.asDict() for r in iterator]
-        os.makedirs(self.staging, exist_ok=True)
-        name = f"part-{_uuid.uuid4().hex}.parquet"
-        full = os.path.join(self.staging, name)
-        tbl = pa.Table.from_pylist(rows, schema=target)
-        pq.write_table(tbl, full)
-        return _StagedFile(os.path.join("_streaming_staging", name), len(rows))
+        pcols = self.partition_by
+        data_fields = [f for f in self.schema.fields if f.name not in pcols]
+        target = to_arrow_schema(StructType(data_fields))
+
+        def hive_dir(row: dict) -> str:
+            segs = []
+            for c in pcols:
+                v = row[c]
+                segs.append(
+                    f"{c}=__HIVE_DEFAULT_PARTITION__"
+                    if v is None
+                    else f"{c}={urllib.parse.quote(str(v), safe='')}"
+                )
+            return "/".join(segs)
+
+        groups: dict[str, list[dict]] = {}
+        for r in iterator:
+            d = r.asDict()
+            groups.setdefault(hive_dir(d) if pcols else "", []).append(
+                {k: v for k, v in d.items() if k not in pcols} if pcols else d
+            )
+        staged: list[tuple[str, int]] = []
+        for sub, rows in groups.items() or {"": []}.items():
+            out_dir = os.path.join(self.staging, sub) if sub else self.staging
+            os.makedirs(out_dir, exist_ok=True)
+            name = f"part-{_uuid.uuid4().hex}.parquet"
+            pq.write_table(pa.Table.from_pylist(rows, schema=target),
+                           os.path.join(out_dir, name))
+            rel = os.path.join("_streaming_staging", sub, name) if sub else                 os.path.join("_streaming_staging", name)
+            staged.append((rel, len(rows)))
+        return _StagedFile(staged)
 
     # driver-side -----------------------------------------------------------
     def commit(self, messages, batchId: int) -> None:  # noqa: N802
@@ -459,27 +480,37 @@ class ManagedTableStreamWriter(DataSourceStreamWriter):
             _footer_stats,
         )
 
-        staged = [m for m in messages if m is not None]
+        staged = [
+            f for m in messages if m is not None for f in m.files
+        ]
         mt = _log_table(self.path)
         last = _last_txn_batch(mt, self.app)
         if last is not None and batchId <= last:
             # replayed batch: already durably committed — drop the re-staged
             # files and keep the log unchanged (exactly-once)
-            for m in staged:
+            for rel, _rows in staged:
                 try:
-                    os.unlink(os.path.join(self.path, m.rel_path))
+                    os.unlink(os.path.join(self.path, rel))
                 except FileNotFoundError:
                     pass
             return
+        pcols = self.partition_by
         records = [
             {
-                "path": m.rel_path,
-                "size": os.path.getsize(os.path.join(self.path, m.rel_path)),
-                "partition": {},
-                "stats": _footer_stats(os.path.join(self.path, m.rel_path)),
+                "path": rel,
+                "size": os.path.getsize(os.path.join(self.path, rel)),
+                # raw (still-encoded) dir values, matching batch-write
+                # records — decoding happens at prune/read time
+                "partition": {
+                    k: v
+                    for seg in rel.split("/")[:-1]
+                    if "=" in seg
+                    for k, _, v in [seg.partition("=")]
+                },
+                "stats": _footer_stats(os.path.join(self.path, rel)),
             }
-            for m in staged
-            if m.rows
+            for rel, rows in staged
+            if rows
         ]
         for _attempt in range(10):
             entry = mt._entry()
@@ -488,7 +519,7 @@ class ManagedTableStreamWriter(DataSourceStreamWriter):
                     {
                         "operation": "streaming_append",
                         "files": entry["files"] + records,
-                        "partition_by": [],
+                        "partition_by": self.partition_by,
                         "schema": entry["schema"],
                         "num_files": len(entry["files"]) + len(records),
                         "added_files": len(records),

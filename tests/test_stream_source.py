@@ -198,13 +198,6 @@ def test_sink_guards(spark, tmp_path):
     p = str(tmp_path / "t")
     with pytest.raises(ValueError, match="does not exist"):
         ManagedTableStreamWriter(_ST(), {"path": p})
-    mt = ManagedTable(spark, p)
-    mt.write(
-        spark.createDataFrame([(1, "US")], "k long, c string"),
-        partition_by=["c"],
-    )
-    with pytest.raises(ValueError, match="unpartitioned"):
-        ManagedTableStreamWriter(mt.schema(), {"path": p})
     p2 = str(tmp_path / "t2")
     mt2 = ManagedTable(spark, p2)
     mt2.write(spark.createDataFrame([(1,)], "k long"))
@@ -232,7 +225,7 @@ def test_vacuum_spares_inflight_staged_shards(spark, tmp_path):
 
     w = ManagedTableStreamWriter(mt.schema(), {"path": p})
     msg = w.write(iter([Row(k=1, s="a")]))  # staged, NOT committed
-    staged_full = os.path.join(p, msg.rel_path)
+    staged_full = os.path.join(p, msg.files[0][0])
     assert os.path.exists(staged_full)
 
     assert mt.vacuum() == 0  # fresh staged shard survives the default vacuum
@@ -243,7 +236,7 @@ def test_vacuum_spares_inflight_staged_shards(spark, tmp_path):
 
     # an ABANDONED shard (crashed writer, > grace window old) is collected
     msg2 = w.write(iter([Row(k=9, s="x")]))
-    stale_full = os.path.join(p, msg2.rel_path)
+    stale_full = os.path.join(p, msg2.files[0][0])
     old = _time.time() - 2 * 3600
     os.utime(stale_full, (old, old))
     assert mt.vacuum() == 1
@@ -310,3 +303,59 @@ def test_max_versions_per_trigger_bounds_batches(spark, tmp_path):
             spark, tp, str(tmp_path / "o3"), str(tmp_path / "c3"),
             maxVersionsPerTrigger="0",
         )
+
+
+def test_partitioned_sink_exactly_once_with_null_partition(spark, tmp_path):
+    src, tgt, ck = (str(tmp_path / x) for x in ("s", "t", "c"))
+    smt = ManagedTable(spark, src)
+    smt.write(
+        spark.createDataFrame(
+            [(1, "US", 1.0), (2, "DE", 2.0)], "k long, country string, v double"
+        )
+    )
+    tmt = ManagedTable(spark, tgt)
+    tmt.write(
+        spark.createDataFrame([], "k long, country string, v double"),
+        partition_by=["country"],
+    )
+
+    def drain():
+        q = (
+            spark.readStream.format("managed_stream")
+            .option("path", src)
+            .load()
+            .writeStream.format("managed_stream")
+            .option("path", tgt)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    assert sorted((r.k, r.country) for r in tmt.read().collect()) == [
+        (1, "US"),
+        (2, "DE"),
+    ]
+    smt.write(
+        spark.createDataFrame(
+            [(3, "US", 3.0), (4, None, 4.0)], "k long, country string, v double"
+        ),
+        mode="append",
+    )
+    drain()
+    rows = sorted(
+        (r.k, r.country, r.v) for r in tmt.read().collect()
+    )
+    assert rows == [(1, "US", 1.0), (2, "DE", 2.0), (3, "US", 3.0), (4, None, 4.0)]
+    # partition pruning works off the streamed records (2 of 4 files US)
+    kept, total = tmt.pruned_file_count([("country", "=", "US")])
+    assert kept < total
+    # third drain: nothing new (exactly-once), and the layout survives a
+    # later OPTIMIZE of the streamed Hive-staged files
+    drain()
+    assert tmt.read().count() == 4
+    tmt.optimize()
+    assert sorted(
+        (r.k, r.country, r.v) for r in tmt.read().collect()
+    ) == rows
