@@ -558,6 +558,17 @@ class ManagedTable:
             if f.endswith(".checkpoint.json")
         )
 
+    def last_txn_batch(self, app: str) -> int | None:
+        """Newest committed batch id for ``app`` (Delta ``txn`` action
+        analog) — the idempotent-writes marker shared by the streaming sink
+        and batch ``txn_app``/``txn_batch`` writes.  Metadata-only;
+        O(commits since that marker)."""
+        for v in sorted(self._versions(), reverse=True):
+            txn = self._raw_entry(v).get("txn")
+            if txn and txn.get("app") == app:
+                return int(txn.get("batch"))
+        return None
+
     def latest_version(self) -> int | None:
         vs = self._versions()
         return vs[-1] if vs else None
@@ -785,6 +796,8 @@ class ManagedTable:
         merge_schema: bool = False,
         max_retries: int = 10,
         optimize_write: "bool | None" = None,
+        txn_app: str | None = None,
+        txn_batch: int | None = None,
     ) -> int:
         """Delta-sink analog: ``overwrite`` (K2) / ``append`` (K4), with
         optional ``partitionBy`` (K3).  Returns the committed version.
@@ -840,6 +853,15 @@ class ManagedTable:
                         if c in df.columns
                     },
                 }
+        if (txn_app is None) != (txn_batch is None):
+            raise ValueError("txn_app and txn_batch must be passed together")
+        if txn_app is not None:
+            # Delta txnAppId/txnVersion analog: a replayed foreachBatch
+            # write (same app, batch id <= the committed marker) is a
+            # no-op — checked BEFORE any data is written
+            last = self.last_txn_batch(txn_app)
+            if last is not None and txn_batch <= last:
+                return self.latest_version()  # type: ignore[return-value]
         self._enforce_constraints(df, f"{mode} write")
 
         def prep() -> tuple[
@@ -922,6 +944,11 @@ class ManagedTable:
                 version = self._commit(
                     {
                         "operation": mode,
+                        **(
+                            {"txn": {"app": txn_app, "batch": int(txn_batch)}}
+                            if txn_app is not None
+                            else {}
+                        ),
                         "files": prev_files + files,
                         "partition_by": partition_by or [],
                         "schema": json.loads(schema.json()),
@@ -953,6 +980,12 @@ class ManagedTable:
                         "allocation; re-run the write to allocate a fresh "
                         "id range"
                     ) from None
+                if txn_app is not None:
+                    last = self.last_txn_batch(txn_app)
+                    if last is not None and txn_batch <= last:
+                        # the RACING writer was our own replay twin: its
+                        # commit already carries this batch — drop ours
+                        return self.latest_version()  # type: ignore[return-value]
                 new_prev, new_pb, schema, new_map = prep()  # re-validate vs winner
                 if write_map is not None or new_map is not None:
                     stable = {
@@ -1153,8 +1186,15 @@ class ManagedTable:
         update_set: "dict[str, Column | str] | None" = None,
         not_matched_condition: "Column | str | None" = None,
         merge_schema: bool = False,
+        txn_app: str | None = None,
+        txn_batch: int | None = None,
     ) -> int:
         """Upsert ``source`` into the table on equality of ``keys``.
+
+        ``txn_app``/``txn_batch``: Delta txnAppId/txnVersion analog — a
+        replayed foreachBatch merge (same app, batch id <= the committed
+        marker) is a no-op, which makes even non-idempotent clause
+        expressions (e.g. ``update_set={"v": "t.v + s.v"}``) replay-safe.
 
         ``merge_schema=True`` is Delta's ``withSchemaEvolution()`` for the
         add-column case: new source columns append to the table schema as
@@ -1217,6 +1257,12 @@ class ManagedTable:
                 raise ValueError(f"update_set cannot assign merge keys: {bad_keys}")
         if matched_condition is not None and when_matched == "ignore":
             raise ValueError("matched_condition with when_matched='ignore' is a no-op")
+        if (txn_app is None) != (txn_batch is None):
+            raise ValueError("txn_app and txn_batch must be passed together")
+        if txn_app is not None:
+            last = self.last_txn_batch(txn_app)
+            if last is not None and txn_batch <= last:
+                return self.latest_version()  # type: ignore[return-value]
         entry = self._entry()
         partition_by: list[str] = entry.get("partition_by") or []
         prune = bool(partition_by) and all(c in keys for c in partition_by)
@@ -1365,6 +1411,11 @@ class ManagedTable:
         self._commit(
             {
                 "operation": "merge",
+                **(
+                    {"txn": {"app": txn_app, "batch": int(txn_batch)}}
+                    if txn_app is not None
+                    else {}
+                ),
                 **({"cdc_files": cdc_files} if cdc_files is not None else {}),
                 "files": keep_files + files,
                 "partition_by": partition_by,

@@ -374,15 +374,9 @@ class _StagedFile(WriterCommitMessage):
 
 
 def _last_txn_batch(mt: ManagedTable, app: str) -> int | None:
-    """Newest committed batch id for ``app`` — Delta's ``txn`` action
-    analog.  Batch ids are monotonic per app (Structured Streaming replays
-    a batch only until its first successful commit), so the most recent
-    marker decides idempotence.  O(commits since that marker)."""
-    for v in sorted(mt._versions(), reverse=True):
-        txn = mt._raw_entry(v).get("txn")
-        if txn and txn.get("app") == app:
-            return int(txn.get("batch"))
-    return None
+    """Newest committed batch id for ``app`` — shared with batch
+    txn-marked writes (ManagedTable.last_txn_batch)."""
+    return mt.last_txn_batch(app)
 
 
 class ManagedTableStreamWriter(DataSourceStreamWriter):

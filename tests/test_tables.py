@@ -1569,3 +1569,50 @@ def test_cleanup_log_bounds_metadata_and_keeps_reads(spark, tmp_path):
 
     # nothing below a checkpoint younger than the retention window moves
     assert t.cleanup_log(retain_hours=1.0) == 0
+
+
+def test_txn_marked_writes_and_merge_are_replay_safe(spark, tmp_path):
+    # Delta txnAppId/txnVersion analog: a replayed foreachBatch write or
+    # merge (same app, batch <= marker) is a no-op.
+    from delta_lake_spark.tables.managed import ManagedTable
+    from pyspark.sql import functions as F
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    app = "job-42"
+    t.write(
+        spark.createDataFrame([(2, 2.0)], "k long, v double"),
+        mode="append", txn_app=app, txn_batch=7,
+    )
+    v_after = t.latest_version()
+    # replay: same batch id -> dropped, no new version, no duplicate rows
+    t.write(
+        spark.createDataFrame([(2, 2.0)], "k long, v double"),
+        mode="append", txn_app=app, txn_batch=7,
+    )
+    assert t.latest_version() == v_after
+    assert t.read().count() == 2
+    # next batch flows
+    t.write(
+        spark.createDataFrame([(3, 3.0)], "k long, v double"),
+        mode="append", txn_app=app, txn_batch=8,
+    )
+    assert t.read().count() == 3
+    # a DIFFERENT app is independent
+    t.write(
+        spark.createDataFrame([(4, 4.0)], "k long, v double"),
+        mode="append", txn_app="other", txn_batch=1,
+    )
+    assert t.read().count() == 4
+
+    # non-idempotent merge expression (t.v + s.v) made replay-safe
+    src = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    t.merge(src, ["k"], update_set={"v": "t.v + s.v"},
+            txn_app=app, txn_batch=9)
+    t.merge(src, ["k"], update_set={"v": "t.v + s.v"},
+            txn_app=app, txn_batch=9)  # replay: must NOT double-apply
+    assert {r.k: r.v for r in t.read().collect()}[1] == 11.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="together"):
+        t.write(src, mode="append", txn_app=app)
