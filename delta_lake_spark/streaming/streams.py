@@ -25,6 +25,8 @@ rewrite.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -120,18 +122,26 @@ def stream_merge_into(
     (``foreachBatch`` — the Delta canonical incremental-sink recipe; the
     batch analog is deltalake.ipynb:2933-2946).
 
-    Idempotent merges make micro-batch replay after restart harmless.
+    Replay safety is belt-and-braces: upsert merges are idempotent by
+    construction, AND every batch carries a txn marker (Delta
+    txnAppId/txnVersion analog, keyed by the checkpoint dir) so a replayed
+    micro-batch is dropped before any work — the contract that stays safe
+    even if a caller later swaps in non-idempotent merge expressions.
     ``available_now=True`` drains everything currently in the source then
     stops — the streaming equivalent of one reference incremental run.
     """
+    txn_app = f"stream_merge_into:{os.path.abspath(checkpoint_dir)}"
 
-    def upsert(batch: DataFrame, _batch_id: int) -> None:
+    def upsert(batch: DataFrame, batch_id: int) -> None:
         if not ManagedTable.is_managed_table(table.path):
             table.write(batch)
         elif insert_only:
-            table.merge(batch, keys, when_matched="ignore")
+            table.merge(
+                batch, keys, when_matched="ignore",
+                txn_app=txn_app, txn_batch=batch_id,
+            )
         else:
-            table.merge(batch, keys)
+            table.merge(batch, keys, txn_app=txn_app, txn_batch=batch_id)
 
     if output_mode is None:
         output_mode = "append" if insert_only else "update"
