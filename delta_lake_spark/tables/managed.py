@@ -169,9 +169,16 @@ _Z_BITS = 16
 
 def _z_numeric(col: str, dtype: Any) -> Column:
     """Numeric view of a z-orderable column (dates -> days since epoch,
-    timestamps -> seconds since epoch, booleans -> 0/1, numerics ->
-    double)."""
-    from pyspark.sql.types import BooleanType, DateType, TimestampType
+    timestamps -> seconds since epoch, booleans -> 0/1, strings -> the
+    first 6 utf-8 bytes as a big-endian integer (zero-padded, so the
+    projection is monotone in lexicographic order and exact in a double's
+    53-bit mantissa), numerics -> double)."""
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        StringType,
+        TimestampType,
+    )
 
     c = F.col(col)
     if isinstance(dtype, DateType):
@@ -180,7 +187,24 @@ def _z_numeric(col: str, dtype: Any) -> Column:
         return F.unix_timestamp(c).cast("double")
     if isinstance(dtype, BooleanType):
         return c.cast("int").cast("double")
+    if isinstance(dtype, StringType):
+        return _z_string(col, 0)
     return c.cast("double")
+
+
+def _z_string(col: str, skip_bytes: int) -> Column:
+    """Order-preserving numeric projection of a string: utf-8 bytes
+    ``skip_bytes+1 .. skip_bytes+6`` as a big-endian integer (zero-padded —
+    monotone in lexicographic order, exact in a double's 53-bit mantissa).
+    ``skip_bytes`` strips the column's GLOBAL common prefix (min/max-
+    derived), so keys like ``user-0042`` cluster on their distinguishing
+    tail instead of collapsing onto the shared literal."""
+    prefix = F.rpad(
+        F.substring(F.col(col).cast("binary"), skip_bytes + 1, 6),
+        6,
+        F.lit(b"\x00"),
+    )
+    return F.conv(F.hex(prefix), 16, 10).cast("double")
 
 
 def _zvalue_expr(col_bounds: dict[str, tuple[Column, Any, Any]]) -> Column:
@@ -2114,15 +2138,36 @@ class ManagedTable:
             numeric: dict[str, Column] = {}
             for c in zorder_by:
                 dt = df.schema[c].dataType
+                from pyspark.sql.types import StringType
+
                 if not isinstance(
-                    dt, (NumericType, DateType, TimestampType, BooleanType)
+                    dt,
+                    (NumericType, DateType, TimestampType, BooleanType,
+                     StringType),
                 ):
                     raise ValueError(
-                        f"zorder_by needs numeric/date/timestamp/boolean "
-                        f"columns; {c!r} is {dt.simpleString()} "
-                        f"(use sort_by for strings)"
+                        f"zorder_by needs numeric/date/timestamp/boolean/"
+                        f"string columns; {c!r} is {dt.simpleString()}"
                     )
                 numeric[c] = _z_numeric(c, dt)
+            str_cols = [
+                c
+                for c in zorder_by
+                if isinstance(df.schema[c].dataType, StringType)
+            ]
+            if str_cols:
+                # strip each string column's global common prefix before
+                # projecting: one tiny min/max agg, then the projection
+                # clusters on the bytes that actually distinguish keys
+                mm = df.agg(
+                    *[F.min(c).alias(f"_mn_{c}") for c in str_cols],
+                    *[F.max(c).alias(f"_mx_{c}") for c in str_cols],
+                ).first()
+                for c in str_cols:
+                    lo_s = (mm[f"_mn_{c}"] or "").encode("utf-8")
+                    hi_s = (mm[f"_mx_{c}"] or "").encode("utf-8")
+                    skip = len(os.path.commonprefix([lo_s, hi_s]))
+                    numeric[c] = _z_string(c, skip)
             bounds = df.agg(
                 *[F.min(numeric[c]).alias(f"_lo_{c}") for c in zorder_by],
                 *[F.max(numeric[c]).alias(f"_hi_{c}") for c in zorder_by],

@@ -451,10 +451,12 @@ def test_zorder_on_date_column(spark, tmp_path):
     assert s < total / 2
     got = t.scan([("d", "<=", datetime.date(2020, 3, 1))]).count()
     assert got == df.filter(F.col("d") <= "2020-03-01").count()
+    # strings are now z-orderable (prefix-stripped byte projection);
+    # a constant string column degrades gracefully (span 0 -> bucket 0)
     t2 = ManagedTable(spark, str(tmp_path / "zs"))
     t2.write(df.withColumn("s", F.lit("x")))
-    with pytest.raises(ValueError, match="zorder_by needs"):
-        t2.optimize(zorder_by=["s"])
+    t2.optimize(zorder_by=["s", "d"], target_file_bytes=8 * 1024)
+    assert t2.read().count() == 5000
 
 
 def test_zorder_four_columns_no_sign_bit(spark, tmp_path):
@@ -1616,3 +1618,33 @@ def test_txn_marked_writes_and_merge_are_replay_safe(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="together"):
         t.write(src, mode="append", txn_app=app)
+
+
+def test_zorder_string_column_prunes_point_lookups(spark, tmp_path):
+    # string keys share a long literal prefix ("user-0..."), which the
+    # z-projection must strip — otherwise every value collapses onto the
+    # same 6 leading bytes and nothing clusters
+    from delta_lake_spark.tables.managed import ManagedTable
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.range(20000).selectExpr(
+        "id",
+        "concat('user-', lpad(CAST(pmod(id*2654435761, 1000) AS STRING), 4, '0')) AS name",
+        "CAST(pmod(id*40503, 500) AS INT) AS x",
+    )
+    t.write(df.repartition(16))
+    before = sorted(map(tuple, t.read().collect()))
+    t.optimize(zorder_by=["name", "x"], target_file_bytes=64 * 1024)
+    assert sorted(map(tuple, t.read().collect())) == before
+    live_s, total = t.pruned_file_count([("name", "=", "user-0042")])
+    live_n, _ = t.pruned_file_count([("x", "=", 321)])
+    assert total >= 4
+    assert live_s < total  # string dimension skips files
+    assert live_n < total  # numeric dimension still skips files
+    # unsupported types still rejected clearly
+    import pytest as _pytest
+
+    t2 = ManagedTable(spark, str(tmp_path / "u"))
+    t2.write(spark.range(4).selectExpr("id", "array(id) AS a"))
+    with _pytest.raises(ValueError, match="zorder_by needs"):
+        t2.optimize(zorder_by=["a"])
