@@ -487,3 +487,54 @@ def q59_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "d", "open", "high", "low", "close", "n_ticks")
         .orderBy("event_type", "d")
     )
+
+
+# ---------------------------------------------------------------------------
+# q61 — event transition matrix (behavioral Markov counts): for each user's
+# time-ordered event stream, count (previous event_type -> event_type)
+# transitions corpus-wide and report each transition's share of its source
+# state's outgoing edges (integer basis points — engine-exact).
+#
+# Plan shape: ONE lag window over user_id ordering feeds a partial-
+# aggregated groupBy — the canonical clickstream-analytics shape; nothing
+# quadratic, state space bounded by (#event_types)^2.
+# ---------------------------------------------------------------------------
+@register(
+    "q61_event_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+cnt AS (
+  SELECT prev_type, event_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, event_type, n,
+       CAST((n * 10000) // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS share_bp
+FROM cnt
+ORDER BY prev_type, event_type
+""",
+)
+def q61_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    cnt = seq.groupBy("prev_type", "event_type").agg(F.count("*").alias("n"))
+    share = Window.partitionBy("prev_type")
+    return (
+        cnt.withColumn(
+            "share_bp",
+            F.expr("n * 10000 div SUM(n) OVER (PARTITION BY prev_type)"),
+        )
+        .select("prev_type", "event_type", "n", "share_bp")
+        .orderBy("prev_type", "event_type")
+    )
