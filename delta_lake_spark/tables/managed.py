@@ -2896,6 +2896,22 @@ class ManagedTable:
             )
         return out
 
+    def properties(self, version: int | None = None) -> dict[str, Any]:
+        """``SHOW TBLPROPERTIES`` analog: every table-level property the
+        engine carries across commits, in one introspectable dict."""
+        e = self._entry(version)
+        return {
+            "cdf": bool(e.get("cdf")),
+            "row_tracking": bool(e.get("row_tracking")),
+            "auto_compact": e.get("auto_compact") or False,
+            "optimize_write": bool(e.get("optimize_write")),
+            "column_mapping": dict(e.get("column_mapping") or {}),
+            "constraints": dict(e.get("constraints") or {}),
+            "generated_columns": dict(e.get("generated") or {}),
+            "identity_columns": dict(e.get("identity") or {}),
+            "partition_by": list(e.get("partition_by") or []),
+        }
+
     def detail(self) -> dict[str, Any]:
         """``DESCRIBE DETAIL`` analog (deltalake.ipynb:8607-8613)."""
         e = self._entry()

@@ -1648,3 +1648,26 @@ def test_zorder_string_column_prunes_point_lookups(spark, tmp_path):
     t2.write(spark.range(4).selectExpr("id", "array(id) AS a"))
     with _pytest.raises(ValueError, match="zorder_by needs"):
         t2.optimize(zorder_by=["a"])
+
+
+def test_properties_reports_carried_table_state(spark, tmp_path):
+    from delta_lake_spark.tables.managed import ManagedTable
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(
+        spark.createDataFrame([(1, "a", 1.0)], "k long, p string, v double"),
+        partition_by=["p"],
+    )
+    assert t.properties()["cdf"] is False
+    t.enable_cdf()
+    t.enable_row_tracking()
+    t.set_auto_compact(min_files=5)
+    t.set_optimize_write(True)
+    t.add_constraint("v_pos", "v > 0")
+    props = t.properties()
+    assert props["cdf"] and props["row_tracking"] and props["optimize_write"]
+    assert props["auto_compact"]["min_files"] == 5
+    assert props["constraints"] == {"v_pos": "v > 0"}
+    assert props["partition_by"] == ["p"]
+    # properties are versioned like everything else
+    assert t.properties(version=0)["cdf"] is False
