@@ -538,3 +538,111 @@ def q61_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("prev_type", "event_type", "n", "share_bp")
         .orderBy("prev_type", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q62 — feature drift monitoring (PSI): Population Stability Index of the
+# `value` distribution per event_type, first half of the corpus window
+# (reference) vs the second (current) — the standard production check that
+# a feature's distribution hasn't shifted under a trained model.  Counts
+# are exact integers over a FIXED bucket grid (materialized spine, so
+# empty buckets participate via add-one smoothing); the PSI double is
+# computed from those exact counts with an identical expression in both
+# engines and rounded to 6 dp.
+#
+# Plan shape: one partial-aggregated groupBy over the fact, joined to a
+# literal 10-bucket spine — no window, no second scan; PSI per feature is
+# a 10-term fold.  At 100 TB this is one shuffle of (type, window, bucket)
+# triples.
+# ---------------------------------------------------------------------------
+_Q62_SPLIT = "2024-01-16"
+_Q62_BUCKETS = 10
+
+
+@register(
+    "q62_feature_drift",
+    oracle=f"""
+WITH counts AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '{_Q62_SPLIT} 00:00:00' THEN 'ref' ELSE 'cur' END AS win,
+         LEAST(CAST(FLOOR(value / 50) AS BIGINT), {_Q62_BUCKETS - 1}) AS b,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+spine AS (
+  SELECT t.event_type, gs.b
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT UNNEST(generate_series(0, {_Q62_BUCKETS - 1})) AS b) gs
+),
+filled AS (
+  SELECT s.event_type, s.b,
+         COALESCE(r.n, 0) AS n_ref, COALESCE(c.n, 0) AS n_cur
+  FROM spine s
+  LEFT JOIN counts r ON r.event_type = s.event_type AND r.b = s.b AND r.win = 'ref'
+  LEFT JOIN counts c ON c.event_type = s.event_type AND c.b = s.b AND c.win = 'cur'
+),
+totals AS (
+  SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur
+  FROM filled GROUP BY event_type
+),
+terms AS (
+  SELECT f.event_type, t.t_ref, t.t_cur,
+         (CAST(f.n_ref + 1 AS DOUBLE) / CAST(t.t_ref + {_Q62_BUCKETS} AS DOUBLE)
+          - CAST(f.n_cur + 1 AS DOUBLE) / CAST(t.t_cur + {_Q62_BUCKETS} AS DOUBLE))
+         * LN((CAST(f.n_ref + 1 AS DOUBLE) / CAST(t.t_ref + {_Q62_BUCKETS} AS DOUBLE))
+              / (CAST(f.n_cur + 1 AS DOUBLE) / CAST(t.t_cur + {_Q62_BUCKETS} AS DOUBLE)))
+           AS term
+  FROM filled f JOIN totals t USING (event_type)
+)
+SELECT event_type, CAST(MAX(t_ref) AS BIGINT) AS n_ref,
+       CAST(MAX(t_cur) AS BIGINT) AS n_cur,
+       ROUND(SUM(term), 6) AS psi
+FROM terms GROUP BY event_type ORDER BY event_type
+""",
+)
+def q62_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    b = F.least(
+        F.floor(F.col("value") / 50).cast("long"), F.lit(_Q62_BUCKETS - 1)
+    )
+    win = F.when(F.col("ts") < _Q62_SPLIT, "ref").otherwise("cur")
+    counts = (
+        e.select("event_type", win.alias("win"), b.alias("b"))
+        .groupBy("event_type", "win", "b")
+        .agg(F.count("*").alias("n"))
+    )
+    spine = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(_Q62_BUCKETS).select(F.col("id").alias("b"))
+        )
+    )
+    ref = counts.filter(F.col("win") == "ref").select(
+        "event_type", "b", F.col("n").alias("n_ref")
+    )
+    cur = counts.filter(F.col("win") == "cur").select(
+        "event_type", "b", F.col("n").alias("n_cur")
+    )
+    filled = (
+        spine.join(ref, ["event_type", "b"], "left")
+        .join(cur, ["event_type", "b"], "left")
+        .fillna(0, ["n_ref", "n_cur"])
+    )
+    w = Window.partitionBy("event_type")
+    p = (F.col("n_ref") + 1).cast("double") / (
+        F.sum("n_ref").over(w) + _Q62_BUCKETS
+    ).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / (
+        F.sum("n_cur").over(w) + _Q62_BUCKETS
+    ).cast("double")
+    return (
+        filled.withColumn("term", (p - q) * F.log(p / q))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_ref").cast("long").alias("n_ref"),
+            F.sum("n_cur").cast("long").alias("n_cur"),
+            F.round(F.sum("term"), 6).alias("psi"),
+        )
+        .orderBy("event_type")
+    )
