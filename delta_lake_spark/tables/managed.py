@@ -683,6 +683,7 @@ class ManagedTable:
             "row_id_hwm",
             "auto_compact",
             "optimize_write",
+            "stats",
         ):
             if meta_key not in entry and latest is not None:
                 carried = self._entry(latest).get(meta_key)
@@ -2910,6 +2911,7 @@ class ManagedTable:
             "generated_columns": dict(e.get("generated") or {}),
             "identity_columns": dict(e.get("identity") or {}),
             "partition_by": list(e.get("partition_by") or []),
+            "stats_as_of_version": (e.get("stats") or {}).get("as_of_version"),
         }
 
     def detail(self) -> dict[str, Any]:
@@ -2927,6 +2929,71 @@ class ManagedTable:
                 {dv for f in e["files"] for dv in _rec_dvs(f)}
             ),
         }
+
+    def analyze(
+        self, cols: list[str] | None = None, exact_distinct: bool = True
+    ) -> int:
+        """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` analog:
+        one distributed pass (quality.profile — a single wide aggregate,
+        one scan regardless of column count) computes live row count plus
+        per-column null count / NDV / min / max, committed as a
+        METADATA-ONLY log entry (no data files touched, invisible to
+        change feeds and streaming sources, like bloom commits).
+
+        The stats dict records ``as_of_version`` so readers can judge
+        staleness; it is carried across subsequent commits until the next
+        ``analyze`` refreshes it.  ``exact_distinct=False`` switches NDV
+        to HLL++ ``approx_count_distinct`` — the 100-TB-sane default for
+        very wide tables (stats feed planning heuristics, which tolerate
+        approximate NDV; Spark's own ANALYZE collects approximate NDV).
+
+        Reads are DV-aware (merge-on-read deletes excluded), so
+        ``n_rows`` is the live row count, matching what queries see.
+        """
+        from delta_lake_spark.quality import profile as profile_columns
+
+        snap = self._entry()
+        rows = profile_columns(
+            self.read(), cols=cols, exact_distinct=exact_distinct
+        ).collect()  # metadata-sized: one row per profiled column
+        stats = {
+            "as_of_version": snap["version"],
+            "n_rows": int(rows[0]["n_rows"]) if rows else 0,
+            "size_bytes": sum(f["size"] for f in snap["files"]),
+            "exact_distinct": bool(exact_distinct),
+            "columns": {
+                r["column_name"]: {
+                    "data_type": r["data_type"],
+                    "n_nulls": int(r["n_nulls"]),
+                    "n_distinct": int(r["n_distinct"]),
+                    "min": r["min_num"] if r["min_num"] is not None else r["min_str"],
+                    "max": r["max_num"] if r["max_num"] is not None else r["max_str"],
+                }
+                for r in rows
+            },
+        }
+        return self._commit(
+            {
+                "operation": "analyze",
+                "stats": stats,
+                "files": list(snap["files"]),
+                "partition_by": snap.get("partition_by") or [],
+                "schema": snap["schema"],
+                "num_files": len(snap["files"]),
+            }
+        )
+
+    def statistics(self, version: int | None = None) -> dict[str, Any] | None:
+        """Table statistics from the most recent ``analyze()`` at or before
+        ``version`` (carried through the log), or None if never analyzed.
+        Adds ``commits_since_analyze`` so planners can judge staleness."""
+        e = self._entry(version)
+        s = e.get("stats")
+        if not s:
+            return None
+        out = dict(s)
+        out["commits_since_analyze"] = e["version"] - s["as_of_version"]
+        return out
 
     def vacuum(self, retain_hours: float = 0.0) -> int:
         """Delete data files referenced by no retained snapshot.
