@@ -1008,3 +1008,64 @@ def t16_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("kept", F.col("score") > 0)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t17 — BPE merge-pair frequencies (one iteration of byte-pair-encoding
+# tokenizer training): normalize -> word stream -> collapse to the VOCABULARY
+# (word, freq) -- the shuffle that matters, because it shrinks a 100-TB token
+# stream to vocabulary size -- then explode each distinct word's adjacent
+# character pairs weighted by word frequency and keep the top 50 pairs.
+# That two-level shape (corpus -> vocab -> pairs) is exactly how real BPE
+# trainers scale: pair counting runs over distinct words, never the corpus.
+#
+# Scale shape: one word-keyed shuffle with map-side partial aggregation,
+# then a pair-keyed aggregate whose input is vocabulary-sized and whose
+# output is bounded by the alphabet squared (<= 36^2 keys); the top-50 is
+# TakeOrderedAndProject, not a global sort.
+# ---------------------------------------------------------------------------
+@register(
+    "t17_bpe_pair_counts",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS w FROM documents
+),
+vocab AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM words WHERE length(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT w, freq, substr(w, CAST(i AS INTEGER), 2) AS pair
+  FROM (SELECT w, freq, unnest(range(1, length(w))) AS i FROM vocab)
+)
+SELECT pair,
+       CAST(SUM(freq) AS BIGINT)       AS n_occurrences,
+       CAST(COUNT(DISTINCT w) AS BIGINT) AS n_words
+FROM pairs
+GROUP BY pair
+ORDER BY n_occurrences DESC, pair
+LIMIT 50
+""",
+)
+def t17_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    words = d.select(
+        F.explode(F.split(normalize_text("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = vocab.select(
+        "w",
+        "freq",
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").alias("n_occurrences"),
+            F.count_distinct("w").alias("n_words"),
+        )
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(50)
+    )

@@ -646,3 +646,78 @@ def q62_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q63 — event co-occurrence lift (market-basket affinity over the event
+# stream): for each unordered pair of event types, how many distinct users
+# performed both, and the lift vs independence
+# (P(a,b) / (P(a)P(b)) = n_ab * n_users / (n_a * n_b)), reported in exact
+# integer milli-units so both engines agree bit-for-bit.
+#
+# Plan shape: the fact collapses FIRST to distinct (user, type) — one
+# dedup shuffle, output bounded by users x type-vocabulary — then a
+# user-keyed self-equi-join whose per-user fan-out is capped by the type
+# vocabulary (never quadratic in events).  Type totals and the user count
+# are broadcast (fixed-size dims, q29/q30 hint convention).
+# ---------------------------------------------------------------------------
+@register(
+    "q63_event_cooccurrence",
+    oracle="""
+WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM u GROUP BY event_type
+),
+nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM u),
+p AS (
+  SELECT a.event_type AS et_a, b.event_type AS et_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM u a JOIN u b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.et_a, p.et_b, p.n_ab, ta.n_t AS n_a, tb.n_t AS n_b, nu.n_users,
+       CAST((p.n_ab * nu.n_users * 1000) // (ta.n_t * tb.n_t) AS BIGINT)
+         AS lift_milli
+FROM p
+CROSS JOIN nu
+JOIN tot ta ON ta.event_type = p.et_a
+JOIN tot tb ON tb.event_type = p.et_b
+ORDER BY et_a, et_b
+""",
+)
+def q63_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    u = e.select("user_id", "event_type").distinct()
+    tot = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    nu = u.agg(F.count_distinct("user_id").alias("n_users"))
+    pairs = (
+        u.alias("a")
+        .join(
+            u.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("et_a"),
+            F.col("b.event_type").alias("et_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(tot.select(F.col("event_type").alias("et_a"), F.col("n_t").alias("n_a"))),
+            "et_a",
+        )
+        .join(
+            F.broadcast(tot.select(F.col("event_type").alias("et_b"), F.col("n_t").alias("n_b"))),
+            "et_b",
+        )
+        .crossJoin(F.broadcast(nu))
+        .withColumn(
+            "lift_milli",
+            F.expr("CAST((n_ab * n_users * 1000) DIV (n_a * n_b) AS BIGINT)"),
+        )
+        .select("et_a", "et_b", "n_ab", "n_a", "n_b", "n_users", "lift_milli")
+        .orderBy("et_a", "et_b")
+    )
