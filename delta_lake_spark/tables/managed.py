@@ -684,6 +684,7 @@ class ManagedTable:
             "auto_compact",
             "optimize_write",
             "stats",
+            "clustering_by",
         ):
             if meta_key not in entry and latest is not None:
                 carried = self._entry(latest).get(meta_key)
@@ -2065,12 +2066,63 @@ class ManagedTable:
     # maintenance (M1-M4)
     # ------------------------------------------------------------------ #
 
+    def set_clustering(self, cols: list[str] | None) -> int:
+        """Liquid-clustering analog (Delta ``CLUSTER BY``): declare the
+        table's clustering columns ONCE; every subsequent plain
+        :meth:`optimize` call then clusters INCREMENTALLY — only files
+        not yet clustered under the current column set (new appends,
+        merge/DML output, DV-carrying files) are Z-ordered and tagged;
+        files already carrying the tag carry over by reference.
+
+        Why this matters at 100 TB: a classic ``optimize(zorder_by=...)``
+        is a whole-table rewrite every time, so clustering debt grows
+        with table size.  With declared clustering the rewrite cost of a
+        maintenance pass is O(new data since the last pass), like Delta's
+        liquid clustering.  The trade-off is also Delta's: each pass
+        clusters the NEW files among themselves (bounds computed over the
+        candidates), so old and new clusters interleave at file
+        granularity until a ``optimize(full=True)`` re-clusters the whole
+        table.  Data skipping still works throughout — it reads per-file
+        min/max stats, which every pass produces.
+
+        Composes with auto-compact: ``set_auto_compact`` + declared
+        clustering gives cluster-on-write (each write's partitions are
+        incrementally clustered once they cross the small-file
+        threshold).  ``cols=None`` clears the declaration.  Metadata-only
+        commit; rewriting a clustered file through merge/DML drops its
+        tag, which is exactly what re-queues it for the next pass.
+        """
+        snap = self._entry()
+        cols = list(cols or [])
+        if cols:
+            names = {f.name for f in self.schema().fields}
+            missing = [c for c in cols if c not in names]
+            if missing:
+                raise ValueError(
+                    f"clustering column(s) {missing} not in table schema"
+                )
+        return self._commit(
+            {
+                "operation": "set_clustering",
+                "clustering_by": cols,
+                "files": list(snap["files"]),
+                "partition_by": snap.get("partition_by") or [],
+                "schema": snap["schema"],
+                "num_files": len(snap["files"]),
+            }
+        )
+
+    def clustering(self) -> list[str]:
+        """The declared clustering columns (empty if none)."""
+        return list(self._entry().get("clustering_by") or [])
+
     def optimize(
         self,
         target_file_bytes: int = 128 * 1024 * 1024,
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         where: list[tuple[str, str, Any]] | None = None,
+        full: bool = False,
     ) -> int:
         """Compaction (Delta ``optimize().executeCompaction()``,
         deltalake.ipynb:1336-1338) and data clustering (``executeZOrderBy``,
@@ -2094,6 +2146,11 @@ class ManagedTable:
         everything else carries over untouched.  At 100 TB this is the
         difference between compacting yesterday's partition and rewriting
         the whole table.
+
+        With clustering declared via :meth:`set_clustering`, a plain
+        ``optimize()`` performs an INCREMENTAL clustering pass over the
+        not-yet-clustered files only (see ``set_clustering``);
+        ``full=True`` forces the whole scope through the rewrite.
         """
         if sort_by and zorder_by:
             raise ValueError("pass sort_by OR zorder_by, not both")
@@ -2103,6 +2160,22 @@ class ManagedTable:
             untouched, live = self._split_files(entry, where)
         else:
             untouched, live = [], entry["files"]
+        clustering: list[str] = entry.get("clustering_by") or []
+        cluster_key = ",".join(clustering)
+        if clustering and not (sort_by or zorder_by):
+            zorder_by = list(clustering)
+            if not full:
+                # liquid-style incremental pass: files already tagged with
+                # the CURRENT clustering key (and carrying no DVs to
+                # materialize) are done — carry them over by reference
+                already = [
+                    f
+                    for f in live
+                    if f.get("clustered") == cluster_key and not _rec_dvs(f)
+                ]
+                keep = {f["path"] for f in already}
+                untouched = untouched + already
+                live = [f for f in live if f["path"] not in keep]
         if not (sort_by or zorder_by):
             # plain compaction is BIN-PACKING, not a table rewrite: a file
             # already at/above target size (and carrying no deletion
@@ -2191,6 +2264,12 @@ class ManagedTable:
         else:
             df = df.coalesce(n_files) if n_files < len(live) else df
         _dir, files = self._write_commit_dir(df, partition_by or None)
+        if clustering and zorder_by == clustering:
+            # mark the rewrite's output as clustered under the current key
+            # so the next incremental pass skips it (a later merge/DML
+            # rewrite produces untagged records, re-queueing those rows)
+            for rec in files:
+                rec["clustered"] = cluster_key
         all_files = untouched + files
         self._commit(
             {
@@ -2912,6 +2991,7 @@ class ManagedTable:
             "identity_columns": dict(e.get("identity") or {}),
             "partition_by": list(e.get("partition_by") or []),
             "stats_as_of_version": (e.get("stats") or {}).get("as_of_version"),
+            "clustering_by": list(e.get("clustering_by") or []),
         }
 
     def detail(self) -> dict[str, Any]:
@@ -3240,6 +3320,11 @@ class ManagedTable:
             raise ValueError(
                 f"cannot rename/drop partition column {col!r}: the Hive "
                 "directory layout is keyed by it"
+            )
+        if col in (entry.get("clustering_by") or []):
+            raise ValueError(
+                f"cannot rename/drop clustering column {col!r}; clear it "
+                "with set_clustering first"
             )
         for kind in ("generated", "identity"):
             if col in (entry.get(kind) or {}):

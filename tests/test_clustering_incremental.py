@@ -1,0 +1,142 @@
+"""Liquid-clustering analog: set_clustering + incremental optimize()."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from delta_lake_spark.tables.managed import ManagedTable
+
+
+def _batch(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .withColumn("k", (F.col("id") * 37) % 1000)
+        .withColumn("v", F.col("id") % 7)
+        .repartition(4)
+    )
+
+
+def _tags(t):
+    return {f["path"]: f.get("clustered") for f in t._entry()["files"]}
+
+
+def test_incremental_pass_skips_already_clustered_files(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(_batch(spark, 0, 10_000))
+    t.set_clustering(["k"])
+    assert t.clustering() == ["k"]
+    t.optimize(target_file_bytes=64 * 1024)
+    tags = _tags(t)
+    assert tags and all(v == "k" for v in tags.values())
+    clustered_paths = set(tags)
+
+    # append new data: its files are untagged → only they rewrite next pass
+    t.write(_batch(spark, 10_000, 12_000), mode="append")
+    tags2 = _tags(t)
+    assert {p for p, v in tags2.items() if v == "k"} == clustered_paths
+    t.optimize(target_file_bytes=64 * 1024)
+    tags3 = _tags(t)
+    assert all(v == "k" for v in tags3.values())
+    # the first pass's output carried over by reference, not rewritten
+    assert clustered_paths <= set(tags3)
+    # results identical to the raw data
+    assert t.read().count() == 12_000
+
+    # fully clustered table → incremental pass is a metadata no-op
+    v = t.latest_version()
+    assert t.optimize(target_file_bytes=64 * 1024) == v
+
+
+def test_incremental_clustering_produces_skipping_stats(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(_batch(spark, 0, 50_000))
+    t.set_clustering(["k"])
+    t.optimize(target_file_bytes=64 * 1024)
+    surviving, total = t.pruned_file_count([("k", "=", 37)])
+    assert surviving < total  # clustered layout skips files on k
+
+
+def test_full_pass_reclusters_everything(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(_batch(spark, 0, 5_000))
+    t.set_clustering(["k"])
+    t.optimize(target_file_bytes=64 * 1024)
+    before = set(_tags(t))
+    t.optimize(target_file_bytes=64 * 1024, full=True)
+    after = set(_tags(t))
+    assert before.isdisjoint(after)  # every file rewritten
+    assert all(v == "k" for v in _tags(t).values())
+
+
+def test_changing_clustering_key_requeues_all_files(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(_batch(spark, 0, 5_000))
+    t.set_clustering(["k"])
+    t.optimize(target_file_bytes=64 * 1024)
+    old = set(_tags(t))
+    t.set_clustering(["v"])
+    t.optimize(target_file_bytes=64 * 1024)
+    tags = _tags(t)
+    assert set(tags).isdisjoint(old)  # old-key files all rewritten
+    assert all(v == "v" for v in tags.values())
+
+
+def test_merge_output_requeues_only_rewritten_files(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(_batch(spark, 0, 20_000))
+    t.set_clustering(["k"])
+    t.optimize(target_file_bytes=64 * 1024)
+    # merge keyed on the clustering column: stats pruning leaves high-k
+    # files untouched (tags intact), low-k files rewrite (tags dropped)
+    src = spark.range(0, 50).select(
+        (F.col("id") + 1_000_000).alias("id"),
+        F.col("id").alias("k"),
+        F.lit(99).alias("v"),
+    )
+    t.merge(src, ["k"])
+    tags = _tags(t)
+    untagged = [p for p, v in tags.items() if v != "k"]
+    tagged = [p for p, v in tags.items() if v == "k"]
+    assert untagged and tagged  # merge rewrote a subset; rest kept tags
+    t.optimize(target_file_bytes=64 * 1024)
+    assert all(v == "k" for v in _tags(t).values())
+    assert t.read().filter(F.col("v") == 99).count() >= 50
+
+
+def test_explicit_zorder_args_still_win(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(_batch(spark, 0, 2_000))
+    t.set_clustering(["k"])
+    # explicit different zorder: a full-scope rewrite on other columns,
+    # which must NOT tag files as clustered-by-k
+    t.optimize(zorder_by=["v"], target_file_bytes=64 * 1024)
+    assert all(v is None for v in _tags(t).values())
+
+
+def test_clustering_guard_rails(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(_batch(spark, 0, 100))
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.set_clustering(["nope"])
+    t.set_clustering(["k"])
+    assert t.properties()["clustering_by"] == ["k"]
+    with pytest.raises(ValueError, match="clustering column"):
+        t.rename_column("k", "key")
+    t.set_clustering(None)
+    assert t.clustering() == []
+    t.rename_column("k", "key")  # allowed once cleared
+
+
+def test_cluster_on_write_via_auto_compact(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(_batch(spark, 0, 5_000))
+    t.set_clustering(["k"])
+    t.optimize(target_file_bytes=64 * 1024)
+    t.set_auto_compact(min_files=2, min_file_bytes=64 * 1024)
+    t.write(_batch(spark, 5_000, 5_500), mode="append")
+    # auto-compact's plain optimize() ran as an incremental clustering
+    # pass: everything ends up tagged without an explicit maintenance call
+    assert all(v == "k" for v in _tags(t).values())
+    assert t.read().count() == 5_500
