@@ -85,3 +85,96 @@ def p01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# p02 — training-batch packing pipeline as ONE oracle-checked query:
+#
+#     sliding-window chunking (t14's 64-token / stride-48 chunker)
+#     -> chunk-level dedup (keep each fingerprint's canonical occurrence —
+#        the APPLY step of d16's report)
+#     -> content-addressed stream assignment (16 parallel pack streams)
+#     -> token-budget packing (t09's windowed-cumsum greedy packer)
+#     -> per-pack manifest (chunks, distinct docs, token fill)
+#
+# This is the export half of the LLM-data story (p01 is the curation half):
+# the manifest rows are exactly what a shard writer consumes.  Plan shape:
+# chunking is map-only; dedup is one fp-keyed window; packing is one
+# cumsum window per stream (16 independent streams bound per-task state —
+# at 100 TB you raise the stream count, same plan); the final agg is
+# pack-count-sized.
+# ---------------------------------------------------------------------------
+_P02_BUDGET = 512
+_P02_STREAMS = 16
+
+
+def _p02_oracle() -> str:
+    from delta_lake_spark.functions.sampling import hash_bucket_sql
+    from delta_lake_spark.queries.text import _chunks_cte
+
+    stream_sql = f"({hash_bucket_sql('doc_id', 'pack')} % {_P02_STREAMS})"
+    return f"""
+WITH {_chunks_cte()},
+canon AS (
+  SELECT doc_id, chunk_idx, n_tok FROM (
+    SELECT doc_id, chunk_idx, n_tok,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, chunk_idx) AS rn
+    FROM chunks) t WHERE rn = 1
+),
+streamed AS (
+  SELECT doc_id, chunk_idx, n_tok, CAST({stream_sql} AS BIGINT) AS stream
+  FROM canon
+),
+packed AS (
+  SELECT stream, doc_id, n_tok,
+         CAST(((SUM(n_tok) OVER (PARTITION BY stream ORDER BY doc_id, chunk_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - n_tok)
+              // {_P02_BUDGET} AS BIGINT) AS pack_id
+  FROM streamed
+)
+SELECT stream, pack_id,
+       CAST(COUNT(*) AS BIGINT)              AS n_chunks,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT)             AS pack_tokens
+FROM packed GROUP BY stream, pack_id ORDER BY stream, pack_id
+"""
+
+
+@register("p02_packing_pipeline", oracle=_p02_oracle())
+def p02_packing_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from delta_lake_spark.functions.sampling import hash_bucket
+    from delta_lake_spark.queries.text import _chunk_frame
+
+    chunks = _chunk_frame(spark, sf_dir)
+    w = Window.partitionBy("fp").orderBy("doc_id", "chunk_idx")
+    canon = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "chunk_idx", "n_tok")
+    )
+    streamed = canon.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tok",
+        (hash_bucket("doc_id", "pack") % _P02_STREAMS).alias("stream"),
+    )
+    packed = streamed.withColumn(
+        "pack_id",
+        F.expr(
+            "CAST(((SUM(n_tok) OVER (PARTITION BY stream "
+            "ORDER BY doc_id, chunk_idx "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - n_tok) "
+            f"DIV {_P02_BUDGET} AS BIGINT)"
+        ),
+    )
+    return (
+        packed.groupBy("stream", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("pack_tokens"),
+        )
+        .orderBy("stream", "pack_id")
+    )
