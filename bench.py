@@ -297,6 +297,9 @@ def main() -> None:
         "t13_bm25_search",
         "t14_chunk_inventory",
         "d16_duplicate_chunks",
+        "t17_bpe_pair_counts",
+        "q63_event_cooccurrence",
+        "p02_packing_pipeline",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
