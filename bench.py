@@ -286,6 +286,22 @@ def main() -> None:
         except Exception as exc:
             payload["deletion_vectors"] = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # Incremental-clustering section: liquid-style maintenance pass after a
+    # 5% append vs a forced full re-cluster, plus the data-skipping proof
+    # that survives the incremental pass.  Disable with SPARK_GRAFT_CLUSTER=0.
+    if os.environ.get("SPARK_GRAFT_CLUSTER", "1") != "0":
+        try:
+            from delta_lake_spark.benchmark.clusterbench import run_cluster_bench
+
+            payload["clustering"] = run_cluster_bench(
+                spark,
+                sf_dir,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchdata", "clustering"),
+            )
+        except Exception as exc:
+            payload["clustering"] = {"error": f"{type(exc).__name__}: {exc}"}
+
     ext_r4: dict[str, float] = {}
     for name in (
         "d13_contamination_scan",
