@@ -1078,11 +1078,12 @@ class ManagedTable:
 
     def read(
         self,
-        version: int | None = None,
+        version: "int | str | None" = None,
         timestamp: "float | str | Any | None" = None,
     ) -> DataFrame:
         """Snapshot scan (S3 analog); ``version`` gives time travel
-        (``VERSION AS OF``), ``timestamp`` resolves via :meth:`version_at`
+        (``VERSION AS OF`` — an int, or a tag name from :meth:`tag`),
+        ``timestamp`` resolves via :meth:`version_at`
         (``TIMESTAMP AS OF``).
 
         Files are grouped by commit directory and each group is read with
@@ -1099,6 +1100,7 @@ class ManagedTable:
             if version is not None:
                 raise ValueError("pass version OR timestamp, not both")
             version = self.version_at(timestamp)
+        version = self._resolve_version(version)
         entry = self._entry(version)
         self._check_time_travel_files(entry, version)
         return self._read_files(entry, entry["files"])
@@ -3075,6 +3077,77 @@ class ManagedTable:
         out["commits_since_analyze"] = e["version"] - s["as_of_version"]
         return out
 
+    # ------------------------------------------------------------------ #
+    # snapshot tags (Iceberg-style named refs): a tag pins a version by
+    # name — reads resolve it, and BOTH retention paths honor it (vacuum
+    # keeps a tagged snapshot's data files; cleanup_log keeps the log
+    # prefix a tagged version needs).  Tags are log-side metadata files,
+    # not commits: tagging is O(1) and invisible to readers/streams.
+    # ------------------------------------------------------------------ #
+
+    _TAG_NAME = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,127}$")
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``version`` (default: latest) under ``name``.  Fails if the
+        name exists (delete_tag first — tags don't silently move) or the
+        version was already removed by :meth:`cleanup_log`."""
+        if not self._TAG_NAME.match(name):
+            raise ValueError(
+                f"invalid tag name {name!r}: use letters/digits/._- "
+                "(max 128 chars)"
+            )
+        v = self.latest_version() if version is None else int(version)
+        if v is None:
+            raise ValueError("cannot tag an empty table")
+        if not os.path.exists(self._log_path(v)):
+            raise ValueError(
+                f"version {v} does not exist (or its log entry was "
+                "removed by cleanup_log)"
+            )
+        refs = os.path.join(self.path, _LOG_DIR, "refs")
+        os.makedirs(refs, exist_ok=True)
+        final = os.path.join(refs, f"{name}.json")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "version": v, "timestamp": time.time()}, f)
+        try:
+            os.link(tmp, final)  # put-if-absent, same protocol as commits
+        except FileExistsError:
+            raise ValueError(f"tag {name!r} already exists") from None
+        finally:
+            os.unlink(tmp)
+        return v
+
+    def tags(self) -> dict[str, int]:
+        """All tags as ``{name: version}``."""
+        refs = os.path.join(self.path, _LOG_DIR, "refs")
+        if not os.path.isdir(refs):
+            return {}
+        out: dict[str, int] = {}
+        for fn in sorted(os.listdir(refs)):
+            if fn.endswith(".json") and ".tmp-" not in fn:
+                with open(os.path.join(refs, fn)) as f:
+                    rec = json.load(f)
+                out[rec["name"]] = int(rec["version"])
+        return out
+
+    def delete_tag(self, name: str) -> None:
+        refs = os.path.join(self.path, _LOG_DIR, "refs", f"{name}.json")
+        if not os.path.exists(refs):
+            raise KeyError(f"no such tag: {name!r}")
+        os.unlink(refs)
+
+    def _resolve_version(self, version: "int | str | None") -> int | None:
+        """Resolve a tag name to its pinned version (ints/None pass through)."""
+        if isinstance(version, str):
+            t = self.tags()
+            if version not in t:
+                raise KeyError(
+                    f"no such tag: {version!r} (known: {sorted(t) or 'none'})"
+                )
+            return t[version]
+        return version
+
     def vacuum(self, retain_hours: float = 0.0) -> int:
         """Delete data files referenced by no retained snapshot.
 
@@ -3088,9 +3161,14 @@ class ManagedTable:
         """
         cutoff = time.time() - retain_hours * 3600.0
         latest = self.latest_version()
+        tagged = set(self.tags().values())
         live: set[str] = set()
         for v in self._versions():
-            if v == latest or self._raw_entry(v)["timestamp"] >= cutoff:
+            if (
+                v == latest
+                or v in tagged
+                or self._raw_entry(v)["timestamp"] >= cutoff
+            ):
                 for f in self._entry(v)["files"]:
                     live.add(f["path"])
                     live.update(_rec_dvs(f))
@@ -3138,8 +3216,13 @@ class ManagedTable:
         forgotten — keep ``retain_hours`` above any stream's max downtime."""
         cutoff = time.time() - retain_hours * 3600.0
         base = None
+        min_tag = min(self.tags().values(), default=None)
         for c in sorted(self._checkpoint_versions()):
-            if self._raw_entry(c)["timestamp"] < cutoff:
+            if self._raw_entry(c)["timestamp"] < cutoff and (
+                min_tag is None or c <= min_tag
+            ):
+                # never clean past the oldest tagged version: its
+                # reconstruction needs the base checkpoint + tail
                 base = c
         if base is None:
             return 0
