@@ -3077,6 +3077,45 @@ class ManagedTable:
         out["commits_since_analyze"] = e["version"] - s["as_of_version"]
         return out
 
+    def set_partitioning(self, cols: list[str] | None) -> int:
+        """Iceberg-style PARTITION EVOLUTION: change the partition spec
+        for FUTURE writes without rewriting any history.
+
+        Existing files keep their old Hive layout and still prune by
+        their recorded per-file partition values and footer stats;
+        subsequent appends, merge/DML rewrite output, OPTIMIZE passes,
+        and streaming-sink commits adopt the new spec — so the table
+        migrates to the new layout incrementally, exactly as fast as its
+        data naturally rewrites (or in one shot via ``optimize(full=True)``
+        with clustering / a plain compaction).
+
+        Why this matters at 100 TB: the classic Delta answer to "we
+        partitioned by day but need country" is a full-table rewrite.
+        Evolution makes the spec a metadata flip: reads already union
+        per-commit file groups under an explicit schema, so mixed layouts
+        coexist; a filter on the NEW spec prunes new files by partition
+        value and old files by column stats, converging as data churns.
+
+        Metadata-only commit (invisible to change feeds and streams).
+        """
+        snap = self._entry()
+        cols = list(cols or [])
+        names = {f.name for f in self.schema().fields}
+        missing = [c for c in cols if c not in names]
+        if missing:
+            raise ValueError(
+                f"partition column(s) {missing} not in table schema"
+            )
+        return self._commit(
+            {
+                "operation": "set_partitioning",
+                "files": list(snap["files"]),
+                "partition_by": cols,
+                "schema": snap["schema"],
+                "num_files": len(snap["files"]),
+            }
+        )
+
     # ------------------------------------------------------------------ #
     # snapshot tags (Iceberg-style named refs): a tag pins a version by
     # name — reads resolve it, and BOTH retention paths honor it (vacuum
