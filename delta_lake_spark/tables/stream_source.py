@@ -415,6 +415,20 @@ class ManagedTableStreamWriter(DataSourceStreamWriter):
         mapping = mt.column_mapping()
         if any(k != v for k, v in mapping.items()):
             raise ValueError("managed_stream sink: column-mapped tables unsupported")
+        # CHECK constraints, generated-column validation, and identity
+        # allocation all run as Spark jobs / log metadata updates inside
+        # the batch write path — the sink's executor-staged shards cannot
+        # evaluate them, so admitting rows here would silently bypass the
+        # table's guarantees (a constraint exists to NEVER admit a bad
+        # row).  Route such tables to the foreachBatch path, which uses
+        # the full table API per micro-batch.
+        for kind in ("constraints", "generated", "identity"):
+            if entry.get(kind):
+                raise ValueError(
+                    f"managed_stream sink: target has {kind} metadata, "
+                    "which the append sink cannot enforce; stream with "
+                    "foreachBatch + ManagedTable.write/merge instead"
+                )
         table_schema = mt.schema()
         if [
             (f.name, f.dataType) for f in schema.fields

@@ -206,6 +206,22 @@ def test_sink_guards(spark, tmp_path):
     wrong = StructType([StructField("other", LongType())])
     with pytest.raises(ValueError, match="stream schema != table schema"):
         ManagedTableStreamWriter(wrong, {"path": p2})
+    # tables whose write path runs Spark-side enforcement (constraints /
+    # generated validation / identity allocation) are rejected — the
+    # executor-staged sink cannot evaluate them, and admitting rows would
+    # silently void the table's guarantees
+    right = mt2.schema()
+    mt2.add_constraint("k_pos", "k > 0")
+    with pytest.raises(ValueError, match="constraints metadata"):
+        ManagedTableStreamWriter(right, {"path": p2})
+    mt2.drop_constraint("k_pos")
+    ManagedTableStreamWriter(right, {"path": p2})  # clean again → accepted
+    p3 = str(tmp_path / "t3")
+    mt3 = ManagedTable(spark, p3)
+    mt3.write(spark.createDataFrame([(1, 2)], "k long, k2 long"))
+    mt3.add_generated_column("k2", "k + 1")
+    with pytest.raises(ValueError, match="generated metadata"):
+        ManagedTableStreamWriter(mt3.schema(), {"path": p3})
 
 
 def test_vacuum_spares_inflight_staged_shards(spark, tmp_path):
