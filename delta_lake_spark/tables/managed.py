@@ -614,11 +614,15 @@ class ManagedTable:
                 ) from None
             raise
 
-    def _entry(self, version: int | None = None) -> dict[str, Any]:
+    def _entry(self, version: "int | str | None" = None) -> dict[str, Any]:
         """The full snapshot at ``version``: the commit's metadata plus the
         materialized ``files`` list, reconstructed from the nearest
         checkpoint at-or-below plus the delta tail (O(tail), never O(all
-        history))."""
+        history)).  A string resolves as a tag name (see :meth:`tag`), so
+        every version-taking surface (read/scan/schema/restore/clone/...)
+        accepts tags uniformly."""
+        if isinstance(version, str):
+            version = self._resolve_version(version)
         if version is None:
             version = self.latest_version()
             if version is None:
@@ -1147,7 +1151,7 @@ class ManagedTable:
         return self.read()
 
     def scan(
-        self, filters: list[tuple[str, str, Any]], version: int | None = None
+        self, filters: list[tuple[str, str, Any]], version: "int | str | None" = None
     ) -> DataFrame:
         """Stats-pruned scan: Delta-style data skipping on the per-file
         min/max recorded at commit time, plus partition-value pruning —
@@ -3279,8 +3283,8 @@ class ManagedTable:
                 removed += 1
         return removed
 
-    def restore(self, version: int) -> int:
-        """RESTORE TABLE TO VERSION: re-commit an old snapshot's state as
+    def restore(self, version: "int | str") -> int:
+        """RESTORE TABLE TO VERSION (an int, or a tag name): re-commit an old snapshot's state as
         the new head (Delta's ``RESTORE TABLE ... TO VERSION AS OF``).
 
         Pure metadata — no data file moves or rewrites; history is
@@ -3316,7 +3320,7 @@ class ManagedTable:
             }
         )
 
-    def clone(self, dest_path: str, version: int | None = None) -> "ManagedTable":
+    def clone(self, dest_path: str, version: "int | str | None" = None) -> "ManagedTable":
         """Shallow (zero-copy) clone: a new independent table whose data
         files share storage with the source (Delta's ``SHALLOW CLONE``).
 

@@ -69,3 +69,15 @@ def test_cleanup_log_respects_tags(spark, tmp_path):
     assert t.cleanup_log() > 0  # prefix now removable
     with pytest.raises(ValueError):
         t.tag("late", version=0)  # cleaned version can no longer be tagged
+
+
+def test_tags_resolve_everywhere(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.tag("v-first")
+    t.write(spark.range(7).withColumn("v", F.lit(1)), mode="overwrite")
+    assert t.scan([("id", "<", 10)], version="v-first").count() == 10
+    assert len(t.schema("v-first").fields) == 2
+    c = t.clone(str(tmp_path / "c"), version="v-first")
+    assert c.read().count() == 100
+    t.restore("v-first")
+    assert t.read().count() == 100
