@@ -689,6 +689,7 @@ class ManagedTable:
             "optimize_write",
             "stats",
             "clustering_by",
+            "user_props",
         ):
             if meta_key not in entry and latest is not None:
                 carried = self._entry(latest).get(meta_key)
@@ -2998,6 +2999,7 @@ class ManagedTable:
             "partition_by": list(e.get("partition_by") or []),
             "stats_as_of_version": (e.get("stats") or {}).get("as_of_version"),
             "clustering_by": list(e.get("clustering_by") or []),
+            "user": dict(e.get("user_props") or {}),
         }
 
     def detail(self) -> dict[str, Any]:
@@ -3080,6 +3082,31 @@ class ManagedTable:
         out = dict(s)
         out["commits_since_analyze"] = e["version"] - s["as_of_version"]
         return out
+
+    def set_property(self, key: str, value: "str | None") -> int:
+        """Generic user table property (``ALTER TABLE ... SET TBLPROPERTIES``
+        analog): free-form string metadata carried across commits and
+        surfaced by :meth:`properties` under ``"user"`` — owner, SLA tier,
+        pipeline provenance, retention policy tags.  ``value=None``
+        unsets.  Engine-reserved behaviors (CDF, clustering, ...) have
+        their own typed setters; this namespace never changes semantics.
+        Metadata-only commit, versioned like everything else."""
+        snap = self._entry()
+        props = dict(snap.get("user_props") or {})
+        if value is None:
+            props.pop(key, None)
+        else:
+            props[key] = str(value)
+        return self._commit(
+            {
+                "operation": "set_property",
+                "user_props": props,
+                "files": list(snap["files"]),
+                "partition_by": snap.get("partition_by") or [],
+                "schema": snap["schema"],
+                "num_files": len(snap["files"]),
+            }
+        )
 
     def set_partitioning(self, cols: list[str] | None) -> int:
         """Iceberg-style PARTITION EVOLUTION: change the partition spec

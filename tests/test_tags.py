@@ -81,3 +81,16 @@ def test_tags_resolve_everywhere(spark, tmp_path):
     assert c.read().count() == 100
     t.restore("v-first")
     assert t.read().count() == 100
+
+
+def test_user_table_properties(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=5)
+    t.set_property("owner", "data-eng")
+    t.set_property("tier", "gold")
+    assert t.properties()["user"] == {"owner": "data-eng", "tier": "gold"}
+    t.set_property("tier", None)  # unset
+    assert t.properties()["user"] == {"owner": "data-eng"}
+    # carried across data commits and versioned
+    t.write(spark.range(3).withColumn("v", F.lit(1)), mode="append")
+    assert t.properties()["user"] == {"owner": "data-eng"}
+    assert t.properties(version=0)["user"] == {}
