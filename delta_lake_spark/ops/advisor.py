@@ -282,3 +282,48 @@ def maintenance_report(
         "log_tail": tail,
         "recommendations": recs,
     }
+
+
+def apply_maintenance(
+    t: ManagedTable,
+    report: dict[str, Any] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    vacuum_retain_hours: float = 168.0,
+    log_retain_hours: float = 168.0,
+) -> list[dict[str, Any]]:
+    """Execute a :func:`maintenance_report`'s recommendations — the
+    predictive-optimization loop closed: ``maintenance_report`` (pure
+    metadata, schedulable) decides, ``apply_maintenance`` acts, each
+    action through the table's own maintenance primitive.
+
+    Retention-sensitive actions use conservative defaults (Delta's 168 h)
+    rather than the report's thresholds — reclaiming history is the one
+    thing a scheduler should never do aggressively by accident.  Returns
+    the actions actually executed (with the versions/counts they
+    produced) for the scheduler's audit log.
+    """
+    if report is None:
+        report = maintenance_report(t, target_file_bytes=target_file_bytes)
+    done: list[dict[str, Any]] = []
+    for rec in report["recommendations"]:
+        action = rec["action"]
+        if action == "optimize":
+            v = t.optimize(
+                target_file_bytes=target_file_bytes, where=rec.get("where")
+            )
+            done.append({"action": action, "where": rec.get("where"), "version": v})
+        elif action == "purge_deletes":
+            done.append({"action": action, "version": t.purge_deletes()})
+        elif action == "vacuum":
+            done.append(
+                {"action": action, "deleted": t.vacuum(vacuum_retain_hours)}
+            )
+        elif action == "cleanup_log":
+            done.append(
+                {"action": action, "removed": t.cleanup_log(log_retain_hours)}
+            )
+        elif action == "analyze":
+            done.append(
+                {"action": action, "version": t.analyze(exact_distinct=False)}
+            )
+    return done

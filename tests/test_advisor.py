@@ -178,3 +178,22 @@ def test_maintenance_report_clean_table_is_quiet(spark, tmp_path):
     t.analyze()
     rep = maintenance_report(t)
     assert [r for r in rep["recommendations"] if r["action"] != "optimize"] == []
+
+
+def test_apply_maintenance_executes_report(spark, tmp_path):
+    from delta_lake_spark.ops.advisor import apply_maintenance
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(spark.range(2000).withColumn("v", F.lit(1)).repartition(8))
+    t.delete_where([("id", "<", 1000)], mode="merge_on_read")
+    rep = maintenance_report(t)
+    planned = {r["action"] for r in rep["recommendations"]}
+    assert {"optimize", "analyze"} <= planned
+    done = apply_maintenance(t, rep, vacuum_retain_hours=0.0)
+    assert {d["action"] for d in done} == planned
+    # after the pass: compacted, DVs materialized, stats fresh
+    rep2 = maintenance_report(t)
+    after = {r["action"] for r in rep2["recommendations"]}
+    assert "purge_deletes" not in after and "analyze" not in after
+    assert t.read().count() == 1000
+    assert t.statistics()["n_rows"] == 1000
