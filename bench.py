@@ -316,6 +316,7 @@ def main() -> None:
         "t17_bpe_pair_counts",
         "q63_event_cooccurrence",
         "p02_packing_pipeline",
+        "d17_duplicated_spans",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

@@ -652,3 +652,130 @@ def d14_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# d17 — exact duplicated-substring measurement (the Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" shape, at
+# window granularity): every stride-1 window of 20 tokens is fingerprinted;
+# a window whose fingerprint occurs more than once corpus-wide marks its
+# token span as duplicated; per document, overlapping duplicated spans are
+# merged (gaps-and-islands) and the covered token count / share reported.
+# This is the EXACT-substring complement to MinHash (d06, whole-doc
+# near-dup) and chunk dedup (d16, fixed non-overlapping chunks): it finds
+# verbatim boilerplate at any alignment.
+#
+# Scale shape: the window stream is O(total tokens) rows (stride 1) —
+# the same asymptotics as the suffix-array approach the paper uses; it
+# shuffles twice (fingerprint-keyed duplicate marking with map-side
+# window counts, then doc-keyed interval merge whose per-doc state is one
+# running max).  Nothing is quadratic; memory per task is bounded by the
+# longest document.
+# ---------------------------------------------------------------------------
+_D17_W = 20
+
+
+@register(
+    "d17_duplicated_spans",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS arr
+  FROM documents
+  WHERE len(regexp_split_to_array({_NORM_SQL}, ' ')) >= {_D17_W}
+),
+wins AS (
+  SELECT doc_id, len(arr) AS n, CAST(s AS BIGINT) AS s,
+         md5(array_to_string(list_slice(arr, s + 1, s + {_D17_W}), ' ')) AS fp
+  FROM (SELECT doc_id, arr, unnest(range(0, len(arr) - {_D17_W} + 1)) AS s
+        FROM base)
+),
+dup AS (
+  SELECT doc_id, n, s, s + {_D17_W} AS e
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY fp) AS cnt FROM wins)
+  WHERE cnt > 1
+),
+isl AS (
+  SELECT doc_id, n, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                  PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_i
+  FROM dup
+),
+isl2 AS (
+  SELECT doc_id, n, s, e,
+         SUM(new_i) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS UNBOUNDED PRECEDING) AS island
+  FROM isl
+),
+cov AS (
+  SELECT doc_id, n, island, MAX(e) - MIN(s) AS covered
+  FROM isl2 GROUP BY doc_id, n, island
+)
+SELECT doc_id,
+       CAST(n AS BIGINT)                       AS n_tokens,
+       CAST(SUM(covered) AS BIGINT)            AS dup_tokens,
+       CAST((SUM(covered) * 10000) // n AS BIGINT) AS dup_share_bp
+FROM cov GROUP BY doc_id, n ORDER BY doc_id
+""",
+)
+def d17_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from delta_lake_spark.functions.text import normalize_text, tokens
+
+    W = _D17_W
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    base = d.select("doc_id", tokens(normalize_text("text")).alias("arr")).filter(
+        F.size("arr") >= W
+    )
+    wins = base.select(
+        "doc_id",
+        F.size("arr").cast("long").alias("n"),
+        F.explode(F.sequence(F.lit(0), F.size("arr") - W)).alias("s"),
+        "arr",
+    ).select(
+        "doc_id",
+        "n",
+        F.col("s").cast("long").alias("s"),
+        F.md5(F.concat_ws(" ", F.slice("arr", F.col("s") + 1, W))).alias("fp"),
+    )
+    dup = (
+        wins.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("fp")))
+        .filter(F.col("cnt") > 1)
+        .select("doc_id", "n", "s", (F.col("s") + W).alias("e"))
+    )
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dup.withColumn(
+        "new_i",
+        (
+            F.col("s")
+            > F.coalesce(F.max("e").over(w_doc), F.lit(-1))
+        ).cast("long"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl2 = isl.withColumn("island", F.sum("new_i").over(w_run))
+    cov = isl2.groupBy("doc_id", "n", "island").agg(
+        (F.max("e") - F.min("s")).alias("covered")
+    )
+    return (
+        cov.groupBy("doc_id", "n")
+        .agg(F.sum("covered").alias("dup_tokens"))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.col("dup_tokens").cast("long").alias("dup_tokens"),
+            F.expr("CAST((dup_tokens * 10000) DIV n AS BIGINT)").alias(
+                "dup_share_bp"
+            ),
+        )
+        .orderBy("doc_id")
+    )
