@@ -317,6 +317,7 @@ def main() -> None:
         "q63_event_cooccurrence",
         "p02_packing_pipeline",
         "d17_duplicated_spans",
+        "q64_linear_interpolation",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

@@ -721,3 +721,82 @@ def q63_event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("et_a", "et_b", "n_ab", "n_a", "n_b", "n_users", "lift_milli")
         .orderBy("et_a", "et_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q64 — linear gap interpolation over the date spine (the interpolation
+# twin of q09's forward fill): missing days between two sparse rate
+# anchors take the straight-line value; leading/trailing gaps extend the
+# nearest anchor.  The double arithmetic is ONE identical IEEE expression
+# in both engines over identical inputs (anchor = MAX, no accumulation
+# order), floored to integer micro-units — so the result is hash-exact.
+#
+# Plan shape: like q09, the windows run over the DATE-level spine — one
+# row per calendar day, bounded by the calendar and not by SF, so the
+# global window input is metadata-sized (plan-lint allowlisted with the
+# same justification as q10/q19).
+# ---------------------------------------------------------------------------
+@register(
+    "q64_linear_interpolation",
+    oracle=f"""
+WITH rates AS ({_SPARSE_RATES_SQL}),
+bounds AS (SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events),
+spine AS (
+  SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date FROM bounds
+),
+j AS (
+  SELECT s.date, r.rate, r.rate_date
+  FROM spine s LEFT JOIN rates r ON s.date = r.rate_date
+),
+f AS (
+  SELECT date,
+         LAST_VALUE(rate IGNORE NULLS) OVER w_p      AS pv,
+         LAST_VALUE(rate_date IGNORE NULLS) OVER w_p AS pd,
+         FIRST_VALUE(rate IGNORE NULLS) OVER w_n      AS nv,
+         FIRST_VALUE(rate_date IGNORE NULLS) OVER w_n AS nd
+  FROM j
+  WINDOW w_p AS (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_n AS (ORDER BY date ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT date,
+       CAST(FLOOR((CASE WHEN pv IS NULL THEN nv
+                        WHEN nv IS NULL THEN pv
+                        WHEN pd = nd THEN pv
+                        ELSE pv + (nv - pv) * (date - pd) / (nd - pd)
+                   END) * 1000000) AS BIGINT) AS rate_micro
+FROM f ORDER BY date
+""",
+)
+def q64_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.ops.windows import date_spine
+
+    e = table(spark, sf_dir, "events").select(F.to_date("ts").alias("d"))
+    spine = date_spine(e, "d", alias="date")
+    rates = _sparse_daily_rates(spark, sf_dir)
+    j = spine.join(rates, spine.date == rates.rate_date, "left").select(
+        "date", "rate", "rate_date"
+    )
+    w_p = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
+    w_n = Window.orderBy("date").rowsBetween(0, Window.unboundedFollowing)
+    f = j.select(
+        "date",
+        F.last("rate", ignorenulls=True).over(w_p).alias("pv"),
+        F.last("rate_date", ignorenulls=True).over(w_p).alias("pd"),
+        F.first("rate", ignorenulls=True).over(w_n).alias("nv"),
+        F.first("rate_date", ignorenulls=True).over(w_n).alias("nd"),
+    )
+    interp = (
+        F.when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .when(F.col("pd") == F.col("nd"), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * F.datediff("date", "pd")
+            / F.datediff("nd", "pd")
+        )
+    )
+    return f.select(
+        "date",
+        F.floor(interp * 1_000_000).cast("long").alias("rate_micro"),
+    ).orderBy("date")

@@ -176,6 +176,7 @@ def test_global_ranking_plan_has_no_funnel(spark):
 ALLOW: dict[str, tuple[str, ...]] = {
     "q10_rate_changes": ("global_funnel",),
     "q19_asof_event_rates": ("global_funnel",),
+    "q64_linear_interpolation": ("global_funnel",),
 }
 
 
