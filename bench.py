@@ -318,6 +318,7 @@ def main() -> None:
         "p02_packing_pipeline",
         "d17_duplicated_spans",
         "q64_linear_interpolation",
+        "q65_ewma_smoothing",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

@@ -800,3 +800,80 @@ def q64_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "date",
         F.floor(interp * 1_000_000).cast("long").alias("rate_micro"),
     ).orderBy("date")
+
+
+# ---------------------------------------------------------------------------
+# q65 — EWMA trend smoothing over the sparse rate series, exact-integer
+# formulation.  EWMA is a recurrence (state_t = a*state_{t-1} + ...), which
+# neither engine's windows express and which would be order-sensitive in
+# floating point; instead the decay is truncated at 60 days and each
+# anchor observation SCATTERS its weighted contribution forward to the
+# days it influences:  ewma(d) = sum_i v_i * w_{d-d_i} / sum_i w_{d-d_i}
+# with w_k = floor(0.9^k * 1e6) precomputed integer weights.  All sums are
+# exact integers, the division is integer DIV — hash-exact across engines.
+#
+# Plan shape: contributions = anchors x 61 (calendar-bounded), one shuffle
+# on the target day, spine join; per-row state never exists, so the plan
+# parallelizes like any aggregate — the standard trick for turning a
+# linear recurrence into a bounded convolution.
+# ---------------------------------------------------------------------------
+_Q65_SPAN = 60
+_Q65_W = [int((0.9**k) * 1_000_000) for k in range(_Q65_SPAN + 1)]
+
+
+@register(
+    "q65_ewma_smoothing",
+    oracle=f"""
+WITH rates AS ({_SPARSE_RATES_SQL}),
+wts AS (
+  SELECT CAST(k AS BIGINT) AS k, ({_Q65_W})[CAST(k AS INTEGER) + 1] AS wt
+  FROM (SELECT UNNEST(range(0, {_Q65_SPAN + 1})) AS k)
+),
+contrib AS (
+  SELECT r.rate_date + CAST(w.k AS INTEGER) AS target,
+         CAST(FLOOR(r.rate * 1000) AS BIGINT) * w.wt AS num,
+         w.wt AS wt
+  FROM rates r CROSS JOIN wts w
+),
+agg AS (
+  SELECT target, CAST(SUM(num) AS BIGINT) AS num, CAST(SUM(wt) AS BIGINT) AS den
+  FROM contrib GROUP BY target
+),
+bounds AS (SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM events),
+spine AS (
+  SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date FROM bounds
+)
+SELECT s.date, CAST((a.num * 1000) // a.den AS BIGINT) AS ewma_micro
+FROM spine s JOIN agg a ON a.target = s.date
+ORDER BY s.date
+""",
+)
+def q65_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.ops.windows import date_spine
+
+    e = table(spark, sf_dir, "events").select(F.to_date("ts").alias("d"))
+    spine = date_spine(e, "d", alias="date")
+    rates = _sparse_daily_rates(spark, sf_dir).select(
+        "rate_date",
+        F.floor(F.col("rate") * 1000).cast("long").alias("rate_milli"),
+    )
+    contrib = rates.select(
+        "rate_date",
+        "rate_milli",
+        F.posexplode(F.lit(_Q65_W)).alias("k", "wt"),
+    ).select(
+        F.expr("date_add(rate_date, CAST(k AS INT))").alias("target"),
+        (F.col("rate_milli") * F.col("wt")).alias("num"),
+        "wt",
+    )
+    agg = contrib.groupBy("target").agg(
+        F.sum("num").alias("num"), F.sum("wt").alias("den")
+    )
+    return (
+        spine.join(agg, spine.date == agg.target)
+        .select(
+            "date",
+            F.expr("CAST((num * 1000) DIV den AS BIGINT)").alias("ewma_micro"),
+        )
+        .orderBy("date")
+    )
