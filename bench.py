@@ -319,6 +319,7 @@ def main() -> None:
         "d17_duplicated_spans",
         "q64_linear_interpolation",
         "q65_ewma_smoothing",
+        "v11_matryoshka_ann",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

@@ -881,3 +881,92 @@ def v11_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "q_label", "vid", "n_label", "sim", "rank")
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# v11 — Matryoshka-style truncated-dimension ANN: the coarse scan ranks by
+# cosine over only the FIRST 16 embedding dimensions (MRL-trained models
+# front-load information, so a prefix is a usable cheap proxy), keeps the
+# top-40 per query, then re-ranks exactly on the full vectors for the
+# final top-10.  The dimension-reduction counterpart of v08's precision
+# reduction (int8): the coarse stage reads 1/4 of the floats per vector
+# and stays a pure fold; full vectors are equi-joined in for candidates
+# only.  Composes with the v04 IVF buckets the same way.
+# ---------------------------------------------------------------------------
+_MRL_DIMS = 16
+_MRL_C = 40
+
+_PSIM_SQL = (
+    "list_dot_product(a.pe, b.pe) / "
+    "(sqrt(list_dot_product(a.pe, a.pe)) * sqrt(list_dot_product(b.pe, b.pe)))"
+)
+
+
+@register(
+    "v11_matryoshka_ann",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+p AS (SELECT vec_id, e, list_slice(e, 1, {_MRL_DIMS}) AS pe FROM v),
+coarse AS (
+  SELECT qid, vid, psim FROM (
+    SELECT qid, vid, psim,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY psim DESC, vid) AS crank
+    FROM (
+      SELECT a.vec_id AS qid, b.vec_id AS vid, {_PSIM_SQL} AS psim
+      FROM (SELECT * FROM p WHERE vec_id < 5) a
+      JOIN p b ON a.vec_id <> b.vec_id
+    ) raw
+  ) ranked WHERE crank <= {_MRL_C}
+),
+rerank AS (
+  SELECT c.qid, c.vid, c.psim,
+         list_dot_product(va.e, vb.e) / (sqrt(list_dot_product(va.e, va.e)) *
+         sqrt(list_dot_product(vb.e, vb.e))) AS sim
+  FROM coarse c
+  JOIN v va ON va.vec_id = c.qid
+  JOIN v vb ON vb.vec_id = c.vid
+)
+SELECT qid, vid, psim, sim, rank FROM (
+  SELECT qid, vid, psim, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rank
+  FROM rerank
+) t WHERE rank <= 10
+ORDER BY qid, rank
+""",
+)
+def v11_matryoshka_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", "embedding"
+    )
+    p = e.select(
+        "vec_id", F.slice(as_double(F.col("embedding")), 1, _MRL_DIMS).alias("pe")
+    )
+    queries = p.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("pe").alias("qp")
+    )
+    coarse_w = Window.partitionBy("qid").orderBy(F.desc("psim"), "vid")
+    coarse = (
+        p.select(F.col("vec_id").alias("vid"), F.col("pe").alias("cp"))
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col("qid") != F.col("vid"))
+        .select("qid", "vid", cosine(F.col("qp"), F.col("cp")).alias("psim"))
+        .withColumn("crank", F.row_number().over(coarse_w))
+        .filter(F.col("crank") <= _MRL_C)
+        .drop("crank")
+    )
+    va = e.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    vb = e.select(F.col("vec_id").alias("vid"), F.col("embedding").alias("cvec"))
+    rerank_w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vid")
+    return (
+        coarse.join(va, "qid")
+        .join(vb, "vid")
+        .withColumn(
+            "sim", cosine(as_double(F.col("qvec")), as_double(F.col("cvec")))
+        )
+        .withColumn("rank", F.row_number().over(rerank_w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "vid", "psim", "sim", "rank")
+        .orderBy("qid", "rank")
+    )
