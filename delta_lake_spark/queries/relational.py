@@ -1566,3 +1566,36 @@ def q60_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         r("q", "d").alias("r_qty_disc"),
         r("p", "d").alias("r_price_disc"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# q66 — semi-structured props via Spark 4 VARIANT (parse_json once,
+# variant_get thereafter): the engine's modern counterpart to q16's
+# get_json_object.  VARIANT parses each JSON document a single time into a
+# binary-encoded form, so N field extractions cost one parse instead of N
+# re-parses — at 100 TB of event payloads that is the difference between
+# scanning strings N times and once.  The oracle extracts the same fields
+# with DuckDB's JSON functions; results are integer-exact.
+# ---------------------------------------------------------------------------
+@register(
+    "q66_variant_props",
+    oracle="""
+SELECT event_type,
+       CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS BIGINT) AS k_bucket,
+       COUNT(*)                                                AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type, k_bucket
+ORDER BY event_type, k_bucket
+""",
+)
+def q66_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json("props").alias("v"))
+    k = F.variant_get("v", "$.k", "long")
+    return (
+        v.select("event_type", k.alias("k"))
+        .groupBy("event_type", F.expr("k DIV 25").alias("k_bucket"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("k").alias("sum_k"))
+        .orderBy("event_type", "k_bucket")
+    )
