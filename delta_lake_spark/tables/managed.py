@@ -3747,3 +3747,24 @@ class ManagedTable:
                 attempts += 1
                 if attempts > max_retries:
                     raise
+
+    def optimize_with_retry(
+        self, max_retries: int = 3, **optimize_kwargs: Any
+    ) -> int:
+        """OPTIMIZE with optimistic-concurrency retry — the maintenance
+        twin of :meth:`merge_with_retry`.  A compaction/clustering pass
+        racing a writer loses the version and must RE-PLAN against the
+        new snapshot (its candidate file list is stale); with declared
+        clustering the re-run is incremental, so a lost race costs one
+        re-scan of the still-unclustered files, not a table rewrite.
+        Safe to drive from a scheduler loop alongside live writers
+        (auto-compact's silent-skip behavior is the fire-and-forget
+        variant; this one guarantees the pass eventually lands)."""
+        attempts = 0
+        while True:
+            try:
+                return self.optimize(**optimize_kwargs)
+            except ConcurrentWriteError:
+                attempts += 1
+                if attempts > max_retries:
+                    raise

@@ -140,3 +140,40 @@ def test_cluster_on_write_via_auto_compact(spark, tmp_path):
     # pass: everything ends up tagged without an explicit maintenance call
     assert all(v == "k" for v in _tags(t).values())
     assert t.read().count() == 5_500
+
+
+def test_optimize_with_retry_survives_version_race(spark, tmp_path, monkeypatch):
+    from delta_lake_spark.tables.managed import ConcurrentWriteError
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(_batch(spark, 0, 5_000))
+    t.set_clustering(["k"])
+
+    real_commit = ManagedTable._commit
+    fails = {"left": 1}
+
+    def flaky_commit(self, entry):
+        if fails["left"] and entry.get("operation") == "zorder":
+            fails["left"] -= 1
+            # a competing append wins the version the optimize wanted
+            real_commit(
+                self,
+                {
+                    "operation": "append",
+                    "files": self._entry()["files"],
+                    "partition_by": [],
+                    "schema": self._entry()["schema"],
+                },
+            )
+            raise ConcurrentWriteError("simulated race")
+        return real_commit(self, entry)
+
+    monkeypatch.setattr(ManagedTable, "_commit", flaky_commit)
+    t.optimize_with_retry(target_file_bytes=64 * 1024)
+    assert all(v == "k" for v in _tags(t).values())
+    assert t.read().count() == 5_000
+
+    fails["left"] = 99
+    t.write(_batch(spark, 5_000, 5_100), mode="append")
+    with pytest.raises(ConcurrentWriteError):
+        t.optimize_with_retry(max_retries=1, target_file_bytes=64 * 1024)
