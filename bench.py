@@ -320,6 +320,7 @@ def main() -> None:
         "q64_linear_interpolation",
         "q65_ewma_smoothing",
         "v11_matryoshka_ann",
+        "q66_variant_props",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

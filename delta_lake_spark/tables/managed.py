@@ -3218,6 +3218,19 @@ class ManagedTable:
             return t[version]
         return version
 
+    def describe_extended(self) -> dict[str, Any]:
+        """``DESCRIBE EXTENDED`` analog: one dict joining every
+        introspection surface — detail (files/size/layout), properties
+        (engine + user), statistics (latest analyze), tags, clustering —
+        for catalogs, UIs, and audit tooling."""
+        return {
+            **self.detail(),
+            "properties": self.properties(),
+            "statistics": self.statistics(),
+            "tags": self.tags(),
+            "history_length": len(self._versions()),
+        }
+
     def vacuum(self, retain_hours: float = 0.0) -> int:
         """Delete data files referenced by no retained snapshot.
 

@@ -94,3 +94,16 @@ def test_user_table_properties(spark, tmp_path):
     t.write(spark.range(3).withColumn("v", F.lit(1)), mode="append")
     assert t.properties()["user"] == {"owner": "data-eng"}
     assert t.properties(version=0)["user"] == {}
+
+
+def test_describe_extended_joins_surfaces(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", n=10)
+    t.set_property("owner", "data-eng")
+    t.tag("rel-1")
+    t.analyze()
+    d = t.describe_extended()
+    assert d["num_files"] >= 1 and d["version"] == t.latest_version()
+    assert d["properties"]["user"] == {"owner": "data-eng"}
+    assert d["statistics"]["n_rows"] == 10
+    assert d["tags"] == {"rel-1": 1}  # pinned after the set_property commit
+    assert d["history_length"] == t.latest_version() + 1
