@@ -3218,6 +3218,105 @@ class ManagedTable:
             return t[version]
         return version
 
+    def publish_from(
+        self, staging: "ManagedTable", mode: str = "overwrite"
+    ) -> int:
+        """Zero-copy WRITE-AUDIT-PUBLISH (Iceberg's WAP pattern on this
+        log): ``clone()`` the table to a staging path, run writes/merges
+        there, audit the staged snapshot (expectations, row counts,
+        constraints), then ``publish_from(staging)`` — the staged data
+        files hard-link into the target and land as ONE atomic commit.
+        Readers of the target never see intermediate staging states, and
+        a failed audit costs nothing: drop the staging dir.
+
+        No data bytes move at publish (hard links, like clone); file
+        records carry their stats/DV metadata, so data skipping works
+        immediately.  ``mode="overwrite"`` replaces the snapshot,
+        ``"append"`` adds the staged files alongside (schema must match;
+        DV'd staged files publish their DVs too).  Constraints on the
+        TARGET are validated against the staged data before commit.
+        """
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"publish mode must be overwrite/append, got {mode!r}")
+        s_entry = staging._entry()
+        t_entry = self._entry()
+        if s_entry["schema"] != t_entry["schema"]:
+            raise ValueError(
+                "staged schema != target schema\n"
+                f"  staged: {StructType.fromJson(s_entry['schema']).simpleString()}\n"
+                f"  target: {StructType.fromJson(t_entry['schema']).simpleString()}"
+            )
+        self._enforce_constraints(staging.read(), "publish")
+        # Each staged commit dir maps to a fresh target commit dir, with
+        # the Hive subpath preserved underneath — so the target's grouped
+        # read (basePath per commit dir) recovers partition columns from
+        # the directory names exactly as it does for its own writes, and
+        # part-file name collisions across staged commit dirs are
+        # impossible.
+        base = f"c{(t_entry['version'] + 1):06d}-pub-{uuid.uuid4().hex[:8]}"
+        dir_map: dict[str, str] = {}
+        path_map: dict[str, str] = {}  # staged data path -> published path
+        new_recs: list[dict[str, Any]] = []
+        for f in s_entry["files"]:
+            rec = dict(f)
+            first, _, rest = f["path"].partition("/")
+            if not rest or not re.match(r"^c\d{6}-", first):
+                first, rest = "", f["path"]  # converted-in-place file
+            tgt_dir = dir_map.setdefault(first, f"{base}-{len(dir_map)}")
+            linked = os.path.join(tgt_dir, rest)
+            src = os.path.join(staging.path, f["path"])
+            dst = os.path.join(self.path, linked)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.link(src, dst)
+            rec["path"] = linked
+            path_map[f["path"]] = linked
+            new_recs.append(rec)
+        # Deletion-vector sidecars name their data files by STAGED relative
+        # path inside the parquet itself, so they cannot be hard-linked —
+        # rewrite each (small, by design) sidecar driver-side with the
+        # published paths.  One rewritten sidecar per staged sidecar.
+        staged_dvs = sorted(
+            {dv for f in s_entry["files"] for dv in _rec_dvs(f)}
+        )
+        if staged_dvs:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            dv_map: dict[str, str] = {}
+            dv_dir = os.path.join(self.path, f"{base}-dv")
+            os.makedirs(dv_dir, exist_ok=True)
+            for i, dv in enumerate(staged_dvs):
+                tbl = pq.read_table(os.path.join(staging.path, dv))
+                remapped = pa.array(
+                    [path_map[p] for p in tbl.column(_DV_FILE).to_pylist()],
+                    type=pa.string(),
+                )
+                out = pa.table(
+                    {_DV_FILE: remapped, _DV_POS: tbl.column(_DV_POS)}
+                )
+                rel = os.path.join(f"{base}-dv", f"dv-{i:04d}.parquet")
+                pq.write_table(out, os.path.join(self.path, rel))
+                dv_map[dv] = rel
+            for rec in new_recs:
+                if _rec_dvs(rec):
+                    rec["dvs"] = [dv_map[d] for d in _rec_dvs(rec)]
+        files = (
+            new_recs
+            if mode == "overwrite"
+            else list(t_entry["files"]) + new_recs
+        )
+        return self._commit(
+            {
+                "operation": mode,
+                "files": files,
+                "partition_by": s_entry.get("partition_by") or [],
+                "schema": s_entry["schema"],
+                "num_files": len(files),
+                "added_files": len(new_recs),
+                "published_from": staging.path,
+            }
+        )
+
     def describe_extended(self) -> dict[str, Any]:
         """``DESCRIBE EXTENDED`` analog: one dict joining every
         introspection surface — detail (files/size/layout), properties
