@@ -3232,9 +3232,16 @@ class ManagedTable:
         No data bytes move at publish (hard links, like clone); file
         records carry their stats/DV metadata, so data skipping works
         immediately.  ``mode="overwrite"`` replaces the snapshot,
-        ``"append"`` adds the staged files alongside (schema must match;
-        DV'd staged files publish their DVs too).  Constraints on the
-        TARGET are validated against the staged data before commit.
+        ``"append"`` adds the WHOLE staged snapshot alongside the
+        target's current files (schema must match; DV'd staged files
+        publish their DVs too).  Note the append-mode contract: a
+        staging table made with ``clone()`` still CONTAINS the original
+        rows, so append-publishing it duplicates them — for append
+        workflows, stage on an empty ``ManagedTable`` (write the new
+        data there, audit, publish) and reserve ``clone()`` staging for
+        overwrite publishes where the staged snapshot IS the intended
+        final state.  Constraints on the TARGET are validated against
+        the staged data before commit.
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"publish mode must be overwrite/append, got {mode!r}")
