@@ -321,6 +321,8 @@ def main() -> None:
         "q65_ewma_smoothing",
         "v11_matryoshka_ann",
         "q66_variant_props",
+        "t18_readability",
+        "d18_containment_pairs",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

@@ -779,3 +779,86 @@ def d17_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# d18 — containment near-dup (asymmetric Jaccard): for the same LSH
+# candidate pairs as d06, score |A∩B| / min(|A|,|B|) instead of
+# |A∩B| / |A∪B|.  Jaccard misses doc-inside-doc duplication (a short doc
+# quoted whole inside a long one scores low Jaccard but containment 1.0)
+# — the wrapper/boilerplate case curation actually needs to catch.
+# `contained` flags full engulfment.  Same scale shape as d06: banded
+# candidates only, verification join pulls shingle arrays for candidates.
+# ---------------------------------------------------------------------------
+@register(
+    "d18_containment_pairs",
+    oracle=f"""
+WITH base AS ({_SHINGLES_SQL}),
+sigs AS (SELECT doc_id, sh, {_SIG_COLS} FROM base),
+banded AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       len(list_intersect(x.sh, y.sh))          AS inter_size,
+       len(x.sh)                                AS size_a,
+       len(y.sh)                                AS size_b,
+       CAST(FLOOR(len(list_intersect(x.sh, y.sh)) * 10000.0 /
+            LEAST(len(x.sh), len(y.sh))) AS BIGINT) AS containment_bp,
+       len(list_intersect(x.sh, y.sh)) = LEAST(len(x.sh), len(y.sh))
+         AS contained
+FROM cand JOIN base x ON x.doc_id = id_a JOIN base y ON y.doc_id = id_b
+ORDER BY id_a, id_b
+""",
+)
+def d18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.dedup_sql import (
+        band_keys_sql,
+        hashed_shingles_sql,
+        minhash_sig_sql,
+        token_shingles_sql,
+    )
+
+    docs = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
+    base = (
+        docs.select(
+            F.col("doc_id").alias("_id"),
+            F.expr(token_shingles_sql("text")).alias("_sh"),
+        )
+        .withColumn("_hs", F.expr(hashed_shingles_sql("_sh")))
+        .withColumn("_sig", F.expr(minhash_sig_sql("_hs")))
+        .drop("_hs")
+        .persist()
+    )
+    banded = base.select(
+        "_id", F.explode(F.expr(band_keys_sql("_sig"))).alias("_bk")
+    )
+    a = banded.select(F.col("_bk").alias("_bka"), F.col("_id").alias("id_a"))
+    b = banded.select(F.col("_bk").alias("_bkb"), F.col("_id").alias("id_b"))
+    cand = (
+        a.join(b, (a._bka == b._bkb) & (a.id_a < b.id_b))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        base.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sha")),
+        "id_a",
+    ).join(
+        base.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_shb")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    smaller = F.least(F.size("_sha"), F.size("_shb"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        inter.alias("inter_size"),
+        F.size("_sha").alias("size_a"),
+        F.size("_shb").alias("size_b"),
+        F.floor(inter * 10000 / smaller).cast("long").alias("containment_bp"),
+        (inter == smaller).alias("contained"),
+    ).orderBy("id_a", "id_b")

@@ -1069,3 +1069,54 @@ def t17_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# t18 — readability scoring (LIX index, integer-exact): words per sentence
+# plus the percentage of long words (>= 7 chars) — the classic
+# language-agnostic readability formula, used as a quality/complexity
+# signal when stratifying training corpora.  Both terms are computed in
+# integer centi-units with DIV, so the score is hash-exact cross-engine.
+# Sentences = runs of [.!?]; documents with no terminator count as one
+# sentence.  Zero shuffles: a pure per-row fold plus the presentation sort.
+# ---------------------------------------------------------------------------
+@register(
+    "t18_readability",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sentences,
+         len({_TOKENS_SQL})                                   AS words,
+         len(list_filter({_TOKENS_SQL}, t -> length(t) >= 7)) AS long_words
+  FROM documents
+  WHERE len({_TOKENS_SQL}) > 0
+)
+SELECT doc_id, CAST(sentences AS BIGINT) AS sentences,
+       CAST(words AS BIGINT) AS words, CAST(long_words AS BIGINT) AS long_words,
+       CAST((words * 100) // sentences + (long_words * 10000) // words
+            AS BIGINT) AS lix_centi
+FROM m ORDER BY doc_id
+""",
+)
+def t18_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = tokens("text")
+    m = d.select(
+        "doc_id",
+        F.greatest(
+            F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1)
+        ).cast("long").alias("sentences"),
+        F.size(toks).cast("long").alias("words"),
+        F.size(F.filter(toks, lambda t: F.length(t) >= 7))
+        .cast("long")
+        .alias("long_words"),
+    ).filter(F.col("words") > 0)
+    return m.select(
+        "doc_id",
+        "sentences",
+        "words",
+        "long_words",
+        F.expr(
+            "CAST((words * 100) DIV sentences + (long_words * 10000) DIV words AS BIGINT)"
+        ).alias("lix_centi"),
+    ).orderBy("doc_id")
