@@ -323,6 +323,7 @@ def main() -> None:
         "q66_variant_props",
         "t18_readability",
         "d18_containment_pairs",
+        "q67_touch_attribution",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

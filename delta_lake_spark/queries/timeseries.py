@@ -877,3 +877,89 @@ def q65_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("date")
     )
+
+
+# ---------------------------------------------------------------------------
+# q67 — first-touch / last-touch revenue attribution: each purchase's value
+# credits (a) the user's FIRST event ever and (b) the most recent
+# NON-purchase event before it; purchases with no predecessor credit
+# 'direct'.  The standard marketing-attribution pair, computed with two
+# conditional window lookbacks over ONE user-keyed exchange — no
+# self-joins, no per-model scans.  Values are decimal-summed (exact,
+# order-independent); per-type credit counts are integers.
+# ---------------------------------------------------------------------------
+@register(
+    "q67_touch_attribution",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type, value, ts, event_id,
+         FIRST_VALUE(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+  FROM events
+),
+p AS (
+  SELECT COALESCE(first_touch, 'direct') AS first_touch,
+         COALESCE(last_touch, 'direct')  AS last_touch,
+         CAST(value AS DECIMAL(18,2))    AS v
+  FROM seq WHERE event_type = 'purchase'
+),
+ft AS (
+  SELECT first_touch AS touch_type, COUNT(*) AS n, SUM(v) AS rev
+  FROM p GROUP BY 1
+),
+lt AS (
+  SELECT last_touch AS touch_type, COUNT(*) AS n, SUM(v) AS rev
+  FROM p GROUP BY 1
+)
+SELECT COALESCE(ft.touch_type, lt.touch_type) AS touch_type,
+       CAST(COALESCE(ft.n, 0) AS BIGINT)      AS first_touch_purchases,
+       CAST(COALESCE(ft.rev, 0) AS DOUBLE) AS first_touch_revenue,
+       CAST(COALESCE(lt.n, 0) AS BIGINT)      AS last_touch_purchases,
+       CAST(COALESCE(lt.rev, 0) AS DOUBLE) AS last_touch_revenue
+FROM ft FULL OUTER JOIN lt ON ft.touch_type = lt.touch_type
+ORDER BY touch_type
+""",
+)
+def q67_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        "event_type",
+        "value",
+        F.first("event_type").over(w).alias("first_touch"),
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w).alias("last_touch"),
+    )
+    p = seq.filter(F.col("event_type") == "purchase").select(
+        F.coalesce("first_touch", F.lit("direct")).alias("first_touch"),
+        F.coalesce("last_touch", F.lit("direct")).alias("last_touch"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    ft = p.groupBy(F.col("first_touch").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("ft_n"), F.sum("v").alias("ft_rev")
+    )
+    lt = p.groupBy(F.col("last_touch").alias("touch_type")).agg(
+        F.count(F.lit(1)).alias("lt_n"), F.sum("v").alias("lt_rev")
+    )
+    return (
+        ft.join(lt, "touch_type", "full_outer")
+        .select(
+            "touch_type",
+            F.coalesce("ft_n", F.lit(0)).cast("long").alias("first_touch_purchases"),
+            F.coalesce("ft_rev", F.lit(0)).cast("decimal(18,2)").cast("double").alias("first_touch_revenue"),
+            F.coalesce("lt_n", F.lit(0)).cast("long").alias("last_touch_purchases"),
+            F.coalesce("lt_rev", F.lit(0)).cast("decimal(18,2)").cast("double").alias("last_touch_revenue"),
+        )
+        .orderBy("touch_type")
+    )
