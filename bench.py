@@ -324,6 +324,7 @@ def main() -> None:
         "t18_readability",
         "d18_containment_pairs",
         "q67_touch_attribution",
+        "s08_curriculum_sample",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

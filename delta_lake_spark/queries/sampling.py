@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from delta_lake_spark.catalog import table
+from delta_lake_spark.catalog import table, table_parallel
 from delta_lake_spark.functions.sampling import (
     hash_bucket,
     hash_bucket_sql,
@@ -278,4 +278,85 @@ def s07_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("rn") - 1) % _SHARD_DOCS).cast("long").alias("pos"),
         )
         .orderBy("shard_id", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s08 — curriculum sampling by quality decile: score every document with
+# t03's integer quality score, place it in a global decile (exact NTILE
+# over (quality, doc_id) via the funnel-free distributed ranking — no
+# single-partition stage), then keep a decile-dependent fraction
+# (top decile 100% ... bottom 10%) chosen content-addressed, so the
+# sample is reproducible and partition-independent.  This is the
+# quality-curriculum mixing step of a training-data pipeline: later
+# epochs upweight high-quality strata by re-running with a steeper
+# schedule.  Output is the per-decile audit (kept/total/rate).
+# ---------------------------------------------------------------------------
+_S08_RATES_BP = [1000, 2000, 3000, 4000, 5000, 6000, 7000, 8000, 9000, 10000]
+
+
+def _s08_oracle() -> str:
+    from delta_lake_spark.functions.sampling import hash_bucket_sql
+    from delta_lake_spark.queries.text import _QUALITY_SQL
+
+    keep_b = hash_bucket_sql("doc_id", "curr")
+    rate_case = "CASE decile " + " ".join(
+        f"WHEN {i + 1} THEN {bp}" for i, bp in enumerate(_S08_RATES_BP)
+    ) + " END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents
+),
+ranked AS (
+  SELECT doc_id, quality,
+         NTILE(10) OVER (ORDER BY quality, doc_id) AS decile
+  FROM scored
+),
+flagged AS (
+  SELECT decile, quality, ({keep_b} < {rate_case}) AS kept FROM ranked
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       {rate_case.replace('decile', 'flagged.decile')} AS rate_bp,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+       CAST(MIN(quality) AS BIGINT) AS min_quality,
+       CAST(MAX(quality) AS BIGINT) AS max_quality
+FROM flagged GROUP BY decile ORDER BY decile
+"""
+
+
+@register("s08_curriculum_sample", oracle=_s08_oracle())
+def s08_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.sampling import hash_bucket
+    from delta_lake_spark.functions.text import quality_score
+    from delta_lake_spark.ops.ranking import global_ntile
+
+    d = table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id", quality_score("text").alias("quality")
+    )
+    ranked = global_ntile(d, 10, ["quality", "doc_id"], out_col="decile")
+    rate = F.element_at(F.lit(_S08_RATES_BP), F.col("decile").cast("int"))
+    flagged = ranked.select(
+        "decile",
+        "quality",
+        rate.alias("rate_bp"),
+        (hash_bucket("doc_id", "curr") < rate).alias("kept"),
+    )
+    return (
+        flagged.groupBy("decile", "rate_bp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+            F.min("quality").cast("long").alias("min_quality"),
+            F.max("quality").cast("long").alias("max_quality"),
+        )
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("rate_bp").cast("long").alias("rate_bp"),
+            "n_docs",
+            "n_kept",
+            "min_quality",
+            "max_quality",
+        )
+        .orderBy("decile")
     )
