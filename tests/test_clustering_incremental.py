@@ -177,3 +177,63 @@ def test_optimize_with_retry_survives_version_race(spark, tmp_path, monkeypatch)
     t.write(_batch(spark, 5_000, 5_100), mode="append")
     with pytest.raises(ConcurrentWriteError):
         t.optimize_with_retry(max_retries=1, target_file_bytes=64 * 1024)
+
+
+# ---------------------------------------------------------------------- #
+# property test: any interleaving of appends / deletes / incremental and
+# full clustering passes preserves the table contents exactly, and tags
+# only ever name the CURRENT clustering key
+# ---------------------------------------------------------------------- #
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_OPS = st.lists(
+    st.sampled_from(["append", "optimize", "full", "delete", "rekey"]),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS)
+def test_clustering_sequences_preserve_contents(spark, ops):
+    root = tempfile.mkdtemp(prefix="cl_prop_")
+    t = ManagedTable(spark, root)
+    t.write(_batch(spark, 0, 1000))
+    t.set_clustering(["k"])
+    model = set(range(0, 1000))
+    nxt = 1000
+    key = "k"
+    for op in ops:
+        if op == "append":
+            t.write(_batch(spark, nxt, nxt + 200), mode="append")
+            model |= set(range(nxt, nxt + 200))
+            nxt += 200
+        elif op == "optimize":
+            t.optimize(target_file_bytes=64 * 1024)
+        elif op == "full":
+            t.optimize(target_file_bytes=64 * 1024, full=True)
+        elif op == "delete":
+            lo = min(model, default=0)
+            t.delete_where([("id", "<", lo + 50)])
+            model = {i for i in model if i >= lo + 50}
+        elif op == "rekey":
+            key = "v" if key == "k" else "k"
+            t.set_clustering([key])
+        # invariants after every step
+        got = {r.id for r in t.read().select("id").collect()}
+        assert got == model
+        tags = {f.get("clustered") for f in t._entry()["files"]}
+        # tags only ever name a declared key (a stale tag right after a
+        # rekey is expected — it simply no longer matches and requeues)
+        assert tags <= {None, "k", "v"}
+        if op in ("optimize", "full"):
+            # a completed pass leaves every file clustered under the
+            # CURRENT key
+            assert tags == {key}
