@@ -522,6 +522,18 @@ class ManagedTableStreamWriter(DataSourceStreamWriter):
         ]
         for _attempt in range(10):
             entry = mt._entry()
+            if (entry.get("partition_by") or []) != pcols:
+                # set_partitioning ran mid-stream: the staged shards follow
+                # the OLD Hive layout and committing would also re-record
+                # the stale spec as current, silently reverting the
+                # evolution for every later writer.  Fail the batch; a
+                # restart re-initializes the sink with the new spec.
+                raise ValueError(
+                    "managed_stream sink: target partitioning changed "
+                    f"mid-stream (sink initialized with {pcols}, table now "
+                    f"{entry.get('partition_by') or []}); restart the "
+                    "stream so the sink re-initializes with the new spec"
+                )
             try:
                 mt._commit(
                     {

@@ -375,3 +375,23 @@ def test_partitioned_sink_exactly_once_with_null_partition(spark, tmp_path):
     assert sorted(
         (r.k, r.country, r.v) for r in tmt.read().collect()
     ) == rows
+
+
+def test_sink_rejects_midstream_partition_evolution(spark, tmp_path):
+    """set_partitioning between sink initialization and batch commit must
+    fail the batch (stale layout + spec reversion), not silently commit."""
+    from delta_lake_spark.tables.stream_source import ManagedTableStreamWriter
+
+    src_p, dest_p = str(tmp_path / "src"), str(tmp_path / "dest")
+    src = ManagedTable(spark, src_p)
+    src.write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, p string")
+    )
+    dest = ManagedTable(spark, dest_p)
+    dest.write(src.read().limit(0))
+    writer = ManagedTableStreamWriter(dest.schema(), {"path": dest_p})
+    dest.set_partitioning(["p"])  # evolve AFTER the sink initialized
+    with pytest.raises(ValueError, match="partitioning changed mid-stream"):
+        writer.commit([], batchId=0)
+    # the evolved spec survives untouched
+    assert dest._entry()["partition_by"] == ["p"]
