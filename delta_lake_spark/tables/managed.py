@@ -3307,21 +3307,32 @@ class ManagedTable:
             for rec in new_recs:
                 if _rec_dvs(rec):
                     rec["dvs"] = [dv_map[d] for d in _rec_dvs(rec)]
-        files = (
-            new_recs
-            if mode == "overwrite"
-            else list(t_entry["files"]) + new_recs
-        )
-        return self._commit(
-            {
-                "operation": mode,
-                "files": files,
-                "partition_by": s_entry.get("partition_by") or [],
-                "schema": s_entry["schema"],
-                "num_files": len(files),
-                "added_files": len(new_recs),
-                "published_from": staging.path,
-            }
+        # Optimistic retry on a lost version race: the hard links are
+        # already durable and version-agnostic; only the files list (for
+        # append mode) must be recomputed against the winner's snapshot.
+        for _attempt in range(10):
+            cur = self._entry()
+            files = (
+                new_recs
+                if mode == "overwrite"
+                else list(cur["files"]) + new_recs
+            )
+            try:
+                return self._commit(
+                    {
+                        "operation": mode,
+                        "files": files,
+                        "partition_by": s_entry.get("partition_by") or [],
+                        "schema": s_entry["schema"],
+                        "num_files": len(files),
+                        "added_files": len(new_recs),
+                        "published_from": staging.path,
+                    }
+                )
+            except ConcurrentWriteError:
+                self._snap_cache.clear()
+        raise ConcurrentWriteError(
+            f"publish_from lost 10 commit races on {self.path}; giving up"
         )
 
     def describe_extended(self) -> dict[str, Any]:

@@ -78,3 +78,35 @@ def test_wap_schema_and_mode_guards(spark, tmp_path):
     stage = t.clone(str(tmp_path / "stage"))
     with pytest.raises(ValueError, match="publish mode"):
         t.publish_from(stage, mode="merge")
+
+
+def test_publish_retries_through_version_race(spark, tmp_path, monkeypatch):
+    from delta_lake_spark.tables.managed import ConcurrentWriteError
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(_rows(spark, 0, 20))
+    stage = t.clone(str(tmp_path / "stage"))
+    stage.write(_rows(spark, 20, 30, v=1), mode="append")
+
+    real_commit = ManagedTable._commit
+    fails = {"left": 1}
+
+    def flaky_commit(self, entry):
+        if fails["left"] and entry.get("published_from"):
+            fails["left"] -= 1
+            # a competitor appends and takes the version
+            real_commit(
+                self,
+                {
+                    "operation": "append",
+                    "files": self._entry()["files"],
+                    "partition_by": [],
+                    "schema": self._entry()["schema"],
+                },
+            )
+            raise ConcurrentWriteError("simulated race")
+        return real_commit(self, entry)
+
+    monkeypatch.setattr(ManagedTable, "_commit", flaky_commit)
+    t.publish_from(stage)
+    assert t.read().count() == 30  # published despite the lost first race
