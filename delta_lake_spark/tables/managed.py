@@ -3386,7 +3386,11 @@ class ManagedTable:
         for dirpath, _dirs, names in os.walk(self.path):
             if _LOG_DIR in dirpath:
                 continue
-            in_staging = "_streaming_staging" in dirpath
+            # publish_from links files into a `-pub-` commit dir BEFORE its
+            # atomic log commit — same momentarily-unreferenced window as
+            # streaming staging, so it gets the same mtime grace (the links
+            # carry the staged write's recent mtime)
+            in_staging = "_streaming_staging" in dirpath or "-pub-" in dirpath
             for name in names:
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, self.path)

@@ -110,3 +110,30 @@ def test_publish_retries_through_version_race(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(ManagedTable, "_commit", flaky_commit)
     t.publish_from(stage)
     assert t.read().count() == 30  # published despite the lost first race
+
+
+def test_vacuum_grace_protects_inflight_publish_links(spark, tmp_path):
+    """Freshly-linked pub files (pre-commit window) survive a racing
+    vacuum; aged published strands are reclaimed once superseded."""
+    import os
+    import time as _time
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(_rows(spark, 0, 20))
+    stage = t.clone(str(tmp_path / "stage"))
+    stage.write(_rows(spark, 20, 30, v=1), mode="append")
+    t.publish_from(stage)
+    pub_files = [f["path"] for f in t._entry()["files"]]
+    assert any("-pub-" in p for p in pub_files)
+
+    # supersede the published snapshot; its files are now unreferenced
+    t.write(_rows(spark, 0, 5), mode="overwrite")
+    t.vacuum()  # reaps the pre-publish originals...
+    for p in pub_files:
+        full = os.path.join(t.path, p)
+        assert os.path.exists(full)  # ...but grace protects fresh pub links
+        old = _time.time() - 7200
+        os.utime(full, (old, old))  # age past the 1h grace floor
+    assert t.vacuum() >= len(pub_files)  # aged strands reclaimed
+    assert not any(os.path.exists(os.path.join(t.path, p)) for p in pub_files)
+    assert t.read().count() == 5
