@@ -93,3 +93,18 @@ def m03_sampled_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# m04 — byte-level payload digest over mapInArrow (the zero-pandas Arrow
+# hatch: RecordBatches in, RecordBatches out — right for binary-heavy
+# stages where pandas boxing of bytes dominates).  Rows-only checked like
+# m02/m03 (python stage); differentially tested against a driver-side
+# replica of the same digest.
+# ---------------------------------------------------------------------------
+@register("m04_arrow_digest")
+def m04_arrow_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.multimodal import arrow_payload_digest
+
+    d = with_payload(table_parallel(spark, sf_dir, "documents", "doc_id"))
+    return arrow_payload_digest(d).orderBy("doc_id")

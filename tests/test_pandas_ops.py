@@ -59,3 +59,23 @@ def test_sample_frames_matches_python(spark):
             chunk = b[i * 100 : (i + 1) * 100]
             want.append((r.doc_id, i, len(chunk), sum(chunk)))
     assert got == sorted(want)
+
+
+def test_arrow_digest_matches_driver_replica(spark):
+    """m04's mapInArrow stage (RecordBatches in/out, no pandas) must agree
+    byte-for-byte with the driver-side python replica of the digest."""
+    from delta_lake_spark.catalog import table
+    from delta_lake_spark.functions.multimodal import (
+        _digest_one,
+        arrow_payload_digest,
+        with_payload,
+    )
+
+    d = with_payload(table(spark, SF_SMOKE, "documents"))
+    got = {r.doc_id: r for r in arrow_payload_digest(d).collect()}
+    src = d.select("doc_id", "payload").collect()
+    assert len(got) == len(src) > 0
+    for r in src:
+        e = _digest_one(bytes(r.payload))
+        g = got[r.doc_id]
+        assert (g.payload_bytes, g.first_byte, g.last_byte, g.head_checksum) == e
