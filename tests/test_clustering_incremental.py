@@ -237,3 +237,69 @@ def test_clustering_sequences_preserve_contents(spark, ops):
             # a completed pass leaves every file clustered under the
             # CURRENT key
             assert tags == {key}
+
+
+def test_multiprocess_maintenance_races_live_writer(spark, tmp_path):
+    """Two separate JVMs: one runs conflicting full-upsert merges, the
+    other runs incremental clustering passes through optimize_with_retry.
+    Contract: no commit lost (versions exactly-once), the final contents
+    are a serializable merge state (one writer tag on every row), and the
+    table is still cleanly clusterable afterwards."""
+    import subprocess
+    import sys
+    import time as _time
+    from pathlib import Path
+
+    path = str(tmp_path / "contended")
+    sync = tmp_path / "sync"
+    sync.mkdir()
+
+    t = ManagedTable(spark, path)
+    t.write(
+        spark.range(100)
+        .withColumn("v", F.lit("init"))
+        .withColumn("writer", F.lit("init"))
+    )
+    t.set_clustering(["id"])
+
+    here = Path(__file__).parent
+    n_merges, n_passes = 3, 3
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(here / "concurrent_writer_child.py"),
+             path, str(sync), "A", str(n_merges)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ),
+        subprocess.Popen(
+            [sys.executable, str(here / "maintenance_child.py"),
+             path, str(sync), str(n_passes)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ),
+    ]
+    deadline = _time.time() + 180
+    while not all((sync / f"ready-{x}").exists() for x in ("A", "M")):
+        assert _time.time() < deadline, "children failed to initialize Spark"
+        for p in procs:
+            assert p.poll() is None, p.communicate()[1][-2000:]
+        _time.sleep(0.1)
+    (sync / "go").touch()
+
+    for p, tag in zip(procs, ("writer", "maintenance")):
+        _out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"{tag} child failed:\n{err[-3000:]}"
+
+    hist = t.history()
+    versions = [h["version"] for h in hist]
+    assert len(set(versions)) == len(versions)  # exactly-once commits
+    assert versions == list(range(len(versions) - 1, -1, -1))  # contiguous
+    assert sum(1 for h in hist if h["operation"] == "merge") == n_merges
+
+    rows = t.read().collect()
+    assert len(rows) == 100
+    tags = {r.v for r in rows}
+    assert tags == {f"A:{n_merges - 1}"}  # serializable final merge state
+
+    # the table remains cleanly clusterable after the contention
+    t.optimize(target_file_bytes=64 * 1024)
+    assert all(f.get("clustered") == "id" for f in t._entry()["files"])
+    assert {r.id for r in t.read().select("id").collect()} == set(range(100))
