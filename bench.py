@@ -325,6 +325,8 @@ def main() -> None:
         "d18_containment_pairs",
         "q67_touch_attribution",
         "s08_curriculum_sample",
+        "t19_collocations",
+        "v12_ndcg_eval",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

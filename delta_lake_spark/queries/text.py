@@ -1120,3 +1120,80 @@ def t18_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((words * 100) DIV sentences + (long_words * 10000) DIV words AS BIGINT)"
         ).alias("lix_centi"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t19 — collocation strength (PMI) of adjacent word pairs: how much more
+# often a bigram occurs than its unigrams' independence predicts —
+# pointwise mutual information, the classic collocation detector
+# ("new york" vs "the of").  Reported as the exact integer lift ratio
+# n_ab * n_tokens * 1000 DIV (n_a * n_b) (PMI's exp in milli-units —
+# log is monotone, so ranking by lift IS ranking by PMI) over pairs with
+# n_ab >= 5, top-100.  Scale shape: two vocabulary-sized shuffles
+# (unigram counts, bigram counts) + a broadcast-sized join of bigrams to
+# unigram totals; the token stream is touched once per statistic.
+# ---------------------------------------------------------------------------
+_T19_MIN_PAIR = 5
+
+
+@register(
+    "t19_collocations",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, w, idx FROM (
+    SELECT doc_id, UNNEST(regexp_split_to_array({_NORM_SQL}, ' ')) AS w,
+           UNNEST(range(1, len(regexp_split_to_array({_NORM_SQL}, ' ')) + 1)) AS idx
+    FROM documents
+  ) t WHERE length(w) > 0
+),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM words GROUP BY w),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tokens FROM uni),
+big AS (
+  SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM words a JOIN words b
+    ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+  GROUP BY 1, 2
+)
+SELECT w1, w2, n_ab, ua.n AS n_w1, ub.n AS n_w2,
+       CAST((n_ab * tot.n_tokens * 1000) // (ua.n * ub.n) AS BIGINT)
+         AS lift_milli
+FROM big
+JOIN uni ua ON ua.w = big.w1
+JOIN uni ub ON ub.w = big.w2
+CROSS JOIN tot
+WHERE n_ab >= {_T19_MIN_PAIR}
+ORDER BY lift_milli DESC, w1, w2
+LIMIT 100
+""",
+)
+def t19_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text("text"), " ")).alias("pos", "w"),
+    ).filter(F.length("w") > 0)
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    tot = uni.agg(F.sum("n").alias("n_tokens"))
+    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("w").alias("w1"))
+    b = toks.select("doc_id", F.col("pos").alias("pb"), F.col("w").alias("w2"))
+    big = (
+        a.join(b, (a.doc_id == b.doc_id) & (b.pb == a.pa + 1))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _T19_MIN_PAIR)
+    )
+    return (
+        # vocabulary grows with the corpus (Heaps' law) — no hard
+        # broadcast hint; AQE decides (q32 convention for scaling dims)
+        big.join(uni.select(F.col("w").alias("w1"), F.col("n").alias("n_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", "n_ab", "n_w1", "n_w2",
+            F.expr(
+                "CAST((n_ab * n_tokens * 1000) DIV (n_w1 * n_w2) AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+        .orderBy(F.desc("lift_milli"), "w1", "w2")
+        .limit(100)
+    )

@@ -970,3 +970,124 @@ def v11_matryoshka_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vid", "psim", "sim", "rank")
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# v12 — retrieval-quality evaluation: nDCG@10 of the exact cosine ranking
+# against label-match relevance (a candidate is "relevant" to a query if
+# it shares the query's label).  The position discounts 1/log2(i+1) are
+# precomputed INTEGER milli-weights (10 literals shared by both engines),
+# so DCG, ideal DCG (prefix sums, capped at the query's relevant count),
+# and the final basis-point ratio are all exact integer arithmetic —
+# hash-stable where naive float nDCG would not be.  Complements v07
+# (recall@k) with the graded-ranking metric an embedding-model eval needs.
+# Scale shape: identical to v01 (broadcast query set over the corpus, one
+# per-query top-k), plus a corpus-wide per-query relevant count.
+# ---------------------------------------------------------------------------
+_NDCG_W = [1000000, 630929, 500000, 430676, 386852, 356207, 333333, 315464, 301029, 289064]
+_NDCG_P = [1000000, 1630929, 2130929, 2561605, 2948457, 3304664, 3637997, 3953461, 4254490, 4543554]
+
+
+@register(
+    "v12_ndcg_eval",
+    oracle=f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS vid, b.label AS clabel,
+         {_COS_SQL} AS sim
+  FROM (SELECT * FROM v WHERE vec_id < 5) a
+  JOIN v b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT qid, qlabel, clabel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rnk
+  FROM scored
+),
+dcg AS (
+  SELECT qid,
+         CAST(SUM(CASE WHEN clabel = qlabel
+                       THEN ({_NDCG_W})[CAST(rnk AS INTEGER)] ELSE 0 END)
+              AS BIGINT) AS dcg_milli
+  FROM ranked WHERE rnk <= 10 GROUP BY qid
+),
+rtot AS (
+  SELECT qid, CAST(COUNT(*) FILTER (WHERE clabel = qlabel) AS BIGINT) AS n_rel
+  FROM scored GROUP BY qid
+)
+SELECT r.qid, r.n_rel, d.dcg_milli,
+       CASE WHEN r.n_rel > 0
+            THEN ({_NDCG_P})[CAST(LEAST(r.n_rel, 10) AS INTEGER)]
+            ELSE 0 END AS idcg_milli,
+       CASE WHEN r.n_rel > 0
+            THEN CAST((d.dcg_milli * 10000)
+                 // ({_NDCG_P})[CAST(LEAST(r.n_rel, 10) AS INTEGER)] AS BIGINT)
+            ELSE 0 END AS ndcg_bp
+FROM rtot r JOIN dcg d ON d.qid = r.qid
+ORDER BY r.qid
+""",
+)
+def v12_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", "label", "embedding"
+    )
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+    )
+    scored = (
+        e.select(
+            F.col("vec_id").alias("vid"),
+            F.col("label").alias("clabel"),
+            F.col("embedding").alias("cvec"),
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vid",
+            "clabel",
+            cosine(as_double(F.col("qvec")), as_double(F.col("cvec"))).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vid")
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    weights = F.lit(_NDCG_W)
+    dcg = (
+        ranked.filter(F.col("rnk") <= 10)
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("clabel") == F.col("qlabel"),
+                    F.element_at(weights, F.col("rnk").cast("int")),
+                ).otherwise(0)
+            ).cast("long").alias("dcg_milli")
+        )
+    )
+    rtot = scored.groupBy("qid").agg(
+        F.count(F.when(F.col("clabel") == F.col("qlabel"), 1))
+        .cast("long")
+        .alias("n_rel")
+    )
+    prefix = F.lit(_NDCG_P)
+    idcg = F.when(
+        F.col("n_rel") > 0,
+        F.element_at(prefix, F.least(F.col("n_rel"), F.lit(10)).cast("int")),
+    ).otherwise(0)
+    return (
+        rtot.join(dcg, "qid")
+        .withColumn("idcg_milli", idcg.cast("long"))
+        .withColumn(
+            "ndcg_bp",
+            F.when(
+                F.col("n_rel") > 0,
+                F.expr("CAST((dcg_milli * 10000) DIV idcg_milli AS BIGINT)"),
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .select("qid", "n_rel", "dcg_milli", "idcg_milli", "ndcg_bp")
+        .orderBy("qid")
+    )
