@@ -1174,11 +1174,17 @@ def t19_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.length("w") > 0)
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
     tot = uni.agg(F.sum("n").alias("n_tokens"))
-    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("w").alias("w1"))
-    b = toks.select("doc_id", F.col("pos").alias("pb"), F.col("w").alias("w2"))
+    # adjacency via lead() over the in-document position — ONE window
+    # exchange on doc_id instead of a positional self-join of the token
+    # stream (same result, half the scan cost; the oracle keeps the join
+    # formulation, proving equivalence)
+    from pyspark.sql.window import Window as _W
+
+    wdoc = _W.partitionBy("doc_id").orderBy("pos")
     big = (
-        a.join(b, (a.doc_id == b.doc_id) & (b.pb == a.pa + 1))
-        .groupBy("w1", "w2")
+        toks.withColumn("w2", F.lead("w").over(wdoc))
+        .filter(F.col("w2").isNotNull())
+        .groupBy(F.col("w").alias("w1"), "w2")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= _T19_MIN_PAIR)
     )
