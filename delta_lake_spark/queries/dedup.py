@@ -862,3 +862,103 @@ def d18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(inter * 10000 / smaller).cast("long").alias("containment_bp"),
         (inter == smaller).alias("contained"),
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# d19 — edit-distance re-rank over the LSH candidate set: exact Levenshtein
+# similarity on a bounded 256-char normalized prefix.  Completes the dedup
+# family's metric inventory (set Jaccard d06/d08, bitwise Hamming d07/d12,
+# containment d18, cosine d11/d15) with the sequence-edit metric — the one
+# that catches reorder-free char-level edits the set metrics miss.
+# Scale shape: Levenshtein is O(L^2) per pair, so it NEVER runs all-pairs —
+# only over the LSH-banded candidates (same candidate generator as d06),
+# and on a capped prefix so the per-pair cost is a constant bound.  The
+# candidate join is an equi-join on band keys; no cartesian anywhere.
+# Both engines have a built-in byte-exact levenshtein, so the distance and
+# the floor-div similarity are hash-exact.
+# ---------------------------------------------------------------------------
+_D19_PREFIX = 256
+
+
+@register(
+    "d19_edit_distance_rerank",
+    oracle=f"""
+WITH base AS ({_SHINGLES_SQL}),
+sigs AS (SELECT doc_id, sh, {_SIG_COLS} FROM base),
+banded AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+n AS (SELECT doc_id, substr({_NORM_SQL}, 1, {_D19_PREFIX}) AS p FROM documents)
+SELECT id_a, id_b,
+       levenshtein(x.p, y.p)                            AS edit_dist,
+       length(x.p)                                      AS len_a,
+       length(y.p)                                      AS len_b,
+       CAST(10000 - FLOOR(levenshtein(x.p, y.p) * 10000.0 /
+            GREATEST(length(x.p), length(y.p))) AS BIGINT) AS edit_sim_bp
+FROM cand JOIN n x ON x.doc_id = id_a JOIN n y ON y.doc_id = id_b
+ORDER BY id_a, id_b
+""",
+)
+def d19_edit_distance_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.dedup_sql import (
+        band_keys_sql,
+        hashed_shingles_sql,
+        minhash_sig_sql,
+        token_shingles_sql,
+    )
+    from delta_lake_spark.functions.text import normalize_text
+
+    docs = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
+    base = (
+        docs.select(
+            F.col("doc_id").alias("_id"),
+            F.expr(token_shingles_sql("text")).alias("_sh"),
+        )
+        .withColumn("_hs", F.expr(hashed_shingles_sql("_sh")))
+        .withColumn("_sig", F.expr(minhash_sig_sql("_hs")))
+        .drop("_hs")
+        .persist()
+    )
+    banded = base.select(
+        "_id", F.explode(F.expr(band_keys_sql("_sig"))).alias("_bk")
+    )
+    a = banded.select(F.col("_bk").alias("_bka"), F.col("_id").alias("id_a"))
+    b = banded.select(F.col("_bk").alias("_bkb"), F.col("_id").alias("id_b"))
+    cand = (
+        a.join(b, (a._bka == b._bkb) & (a.id_a < b.id_b))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    # prefixes join back against candidates only — the expensive O(L^2)
+    # metric touches |cand| rows, never the corpus square
+    n = table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        F.col("doc_id").alias("_id"),
+        F.substring(normalize_text("text"), 1, _D19_PREFIX).alias("_p"),
+    )
+    return (
+        cand.join(n.select(F.col("_id").alias("id_a"), F.col("_p").alias("_pa")), "id_a")
+        .join(n.select(F.col("_id").alias("id_b"), F.col("_p").alias("_pb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_pa", "_pb").alias("edit_dist"),
+            F.length("_pa").alias("len_a"),
+            F.length("_pb").alias("len_b"),
+            (
+                F.lit(10000)
+                - F.floor(
+                    F.levenshtein("_pa", "_pb")
+                    * 10000.0
+                    / F.greatest(F.length("_pa"), F.length("_pb"))
+                )
+            )
+            .cast("bigint")
+            .alias("edit_sim_bp"),
+        )
+        .orderBy("id_a", "id_b")
+    )

@@ -1203,3 +1203,65 @@ def t19_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift_milli"), "w1", "w2")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# t20 — vocabulary richness per language: type-token ratio, hapax share.
+# Corpus-linguistics staple (Heaps/Zipf diagnostics) used to compare source
+# quality in training-data curation.  Plan: one map-side normalize+explode,
+# one (lang, token) agg with map-side combine, one lang-sized final agg —
+# two shuffles total, both keyed well below corpus cardinality; no driver
+# collects, scales linearly in total tokens.  All ratios are integer basis
+# points (floor-div), so hash-exact across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "t20_vocab_richness",
+    oracle=f"""
+WITH toks AS (
+  SELECT lang, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
+  FROM documents
+),
+f AS (
+  SELECT lang, tok, COUNT(*) AS cnt
+  FROM toks WHERE length(tok) > 0
+  GROUP BY lang, tok
+)
+SELECT lang,
+       CAST(SUM(cnt) AS BIGINT)                               AS total_tokens,
+       CAST(COUNT(*) AS BIGINT)                               AS distinct_tokens,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens,
+       CAST((COUNT(*) * 10000) // SUM(cnt) AS BIGINT)         AS ttr_bp,
+       CAST((SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 10000) // COUNT(*)
+            AS BIGINT)                                        AS hapax_share_bp
+FROM f GROUP BY lang ORDER BY lang
+""",
+)
+def t20_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = d.select(
+        "lang", F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    f = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        f.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("total_tokens"),
+            F.count(F.lit(1)).alias("distinct_tokens"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("hapax_tokens"),
+        )
+        .select(
+            "lang",
+            "total_tokens",
+            "distinct_tokens",
+            "hapax_tokens",
+            F.expr("CAST((distinct_tokens * 10000) DIV total_tokens AS BIGINT)").alias(
+                "ttr_bp"
+            ),
+            F.expr(
+                "CAST((hapax_tokens * 10000) DIV distinct_tokens AS BIGINT)"
+            ).alias("hapax_share_bp"),
+        )
+        .orderBy("lang")
+    )

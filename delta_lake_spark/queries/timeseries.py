@@ -963,3 +963,201 @@ def q67_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("touch_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q68 — peak concurrent sessions per day: the interval-overlap counting
+# operator (sweep line).  Sessions come from the same 30-min-gap
+# sessionization as q27; each session becomes a [start,end] microsecond
+# interval, clipped per day, and the day's peak is the max of the running
+# (+1 at start / -1 at end) sum.  Scale shape: the sweep is PARTITIONED BY
+# DAY — no global total order.  A session spanning k days contributes k
+# clipped rows (bounded by session length), so the explode is linear; the
+# per-day window is the only ordered pass.  Tie rule: at an identical
+# microsecond, starts sort before ends (delta DESC), so touching sessions
+# count as concurrent; the per-day MAX of the running sum is invariant to
+# ordering within identical (t, delta) groups, making the result
+# deterministic across engines.
+# ---------------------------------------------------------------------------
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "q68_peak_concurrency",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+),
+intervals AS (
+  SELECT user_id, sess_id, MIN(ts_us) AS s_us, MAX(ts_us) AS e_us
+  FROM sess GROUP BY user_id, sess_id
+),
+days AS (
+  SELECT s_us, e_us,
+         unnest(generate_series(s_us // {_DAY_US}, e_us // {_DAY_US})) AS day_idx
+  FROM intervals
+),
+clip AS (
+  SELECT day_idx,
+         GREATEST(s_us, day_idx * {_DAY_US})        AS cs,
+         LEAST(e_us, (day_idx + 1) * {_DAY_US} - 1) AS ce
+  FROM days
+),
+deltas AS (
+  SELECT day_idx, cs AS t, 1 AS delta FROM clip
+  UNION ALL
+  SELECT day_idx, ce AS t, -1 AS delta FROM clip
+),
+run AS (
+  SELECT day_idx, delta,
+         SUM(delta) OVER (PARTITION BY day_idx ORDER BY t, delta DESC
+                          ROWS UNBOUNDED PRECEDING) AS running
+  FROM deltas
+)
+SELECT CAST(day_idx AS BIGINT)                                   AS day_idx,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+       CAST(MAX(running) AS BIGINT)                               AS peak_concurrent
+FROM run GROUP BY day_idx ORDER BY day_idx
+""",
+)
+def q68_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.catalog import EPOCH_NTZ
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.timestamp_diff("MICROSECOND", F.expr(EPOCH_NTZ), F.col("ts")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000, 1).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    intervals = sess.groupBy("user_id", "sess_id").agg(
+        F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us")
+    )
+    days = intervals.select(
+        "s_us",
+        "e_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us DIV {_DAY_US}"), F.expr(f"e_us DIV {_DAY_US}")
+            )
+        ).alias("day_idx"),
+    )
+    clip = days.select(
+        "day_idx",
+        F.greatest(F.col("s_us"), F.col("day_idx") * F.lit(_DAY_US)).alias("cs"),
+        F.least(
+            F.col("e_us"), (F.col("day_idx") + 1) * F.lit(_DAY_US) - 1
+        ).alias("ce"),
+    )
+    deltas = clip.select(
+        "day_idx", F.col("cs").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(clip.select("day_idx", F.col("ce").alias("t"), F.lit(-1).alias("delta")))
+    wd = (
+        Window.partitionBy("day_idx")
+        .orderBy(F.col("t").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = deltas.withColumn("running", F.sum("delta").over(wd))
+    return (
+        run.groupBy("day_idx")
+        .agg(
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sessions"),
+            F.max("running").cast("bigint").alias("peak_concurrent"),
+        )
+        .select(F.col("day_idx").cast("bigint").alias("day_idx"), "n_sessions", "peak_concurrent")
+        .orderBy("day_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q69 — time-weighted average (TWAP) of the event value per user-day: each
+# reading holds until the next one in the same user-day (last one holds to
+# day end), weights are exact microsecond gaps, the value is floored to
+# integer milli-units, and the weighted mean is one integer floor-division
+# — hash-exact across engines (all values here are non-negative, so
+# Spark's truncating DIV and DuckDB's flooring // agree).  The canonical
+# irregular-sampling aggregate for sensor/market data; one user-partitioned
+# window + one agg, no global order, no driver collect.
+# ---------------------------------------------------------------------------
+@register(
+    "q69_twap",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         epoch_us(ts) // {_DAY_US} AS day_idx,
+         CAST(FLOOR(value * 1000) AS BIGINT) AS val_milli
+  FROM events
+),
+n AS (
+  SELECT user_id, day_idx, val_milli,
+         COALESCE(LEAD(ts_us) OVER (PARTITION BY user_id, day_idx
+                                    ORDER BY ts_us, event_id),
+                  (day_idx + 1) * {_DAY_US}) - ts_us AS wt_us
+  FROM e
+)
+SELECT user_id,
+       CAST(day_idx AS BIGINT)                              AS day_idx,
+       CAST(COUNT(*) AS BIGINT)                             AS n_events,
+       CAST(SUM(val_milli * wt_us) // SUM(wt_us) AS BIGINT) AS twap_milli
+FROM n GROUP BY user_id, day_idx ORDER BY user_id, day_idx
+""",
+)
+def q69_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.catalog import EPOCH_NTZ
+
+    e = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.timestamp_diff(
+                "MICROSECOND", F.expr(EPOCH_NTZ), F.col("ts")
+            ).alias("ts_us"),
+        )
+        .withColumn("day_idx", F.expr(f"ts_us DIV {_DAY_US}"))
+        .withColumn("val_milli", F.floor(F.col("value") * 1000).cast("bigint"))
+    )
+    w = Window.partitionBy("user_id", "day_idx").orderBy("ts_us", "event_id")
+    n = e.withColumn(
+        "wt_us",
+        F.coalesce(
+            F.lead("ts_us").over(w), (F.col("day_idx") + 1) * F.lit(_DAY_US)
+        )
+        - F.col("ts_us"),
+    )
+    return (
+        n.groupBy("user_id", "day_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("val_milli") * F.col("wt_us")).alias("_numer"),
+            F.sum("wt_us").alias("_denom"),
+        )
+        .select(
+            "user_id",
+            F.col("day_idx").cast("bigint").alias("day_idx"),
+            "n_events",
+            F.expr("CAST(_numer DIV _denom AS BIGINT)").alias("twap_milli"),
+        )
+        .orderBy("user_id", "day_idx")
+    )
