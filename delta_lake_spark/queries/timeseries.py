@@ -1067,9 +1067,17 @@ def q68_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e_us"), (F.col("day_idx") + 1) * F.lit(_DAY_US) - 1
         ).alias("ce"),
     )
+    # both endpoints in ONE pass (a unionAll of two selects would re-run
+    # the whole sessionization chain once per branch)
     deltas = clip.select(
-        "day_idx", F.col("cs").alias("t"), F.lit(1).alias("delta")
-    ).unionAll(clip.select("day_idx", F.col("ce").alias("t"), F.lit(-1).alias("delta")))
+        "day_idx",
+        F.explode(
+            F.array(
+                F.struct(F.col("cs").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("ce").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("_x"),
+    ).select("day_idx", F.col("_x.t").alias("t"), F.col("_x.delta").alias("delta"))
     wd = (
         Window.partitionBy("day_idx")
         .orderBy(F.col("t").asc(), F.col("delta").desc())

@@ -312,3 +312,26 @@ def test_q48_dual_role_nation_joins_broadcast(spark):
     must broadcast both times — the fact never shuffles for a fixed dim."""
     plan = executed_plan_of(QUERIES["q48_nation_trade_volume"](spark, SF_SMOKE))
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_d19_edit_rerank_plan_is_equi_join(spark):
+    """The O(L^2) Levenshtein metric must only run over LSH-banded
+    candidates joined by key — never an all-pairs nested-loop plan."""
+    plan = plan_of(QUERIES["d19_edit_distance_rerank"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q68_sweep_windows_are_day_partitioned(spark):
+    """The concurrency sweep must never fall back to a single-partition
+    global window: every Window operator in the plan carries a non-empty
+    partition spec (user_id sessionization or day_idx sweep)."""
+    plan = plan_of(QUERIES["q68_peak_concurrency"](spark, SF_SMOKE), mode="simple")
+    windows = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert windows, plan
+    for ln in windows:
+        assert "day_idx" in ln or "user_id" in ln, ln
+    # the endpoint fan-out must be a single explode pass, not a union that
+    # re-runs the sessionization chain per branch
+    assert len([ln for ln in windows if "day_idx" in ln]) == 1, plan
+    assert "Union" not in plan
