@@ -327,6 +327,10 @@ def main() -> None:
         "s08_curriculum_sample",
         "t19_collocations",
         "v12_ndcg_eval",
+        "d19_edit_distance_rerank",
+        "q68_peak_concurrency",
+        "q69_twap",
+        "t20_vocab_richness",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
