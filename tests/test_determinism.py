@@ -1,0 +1,65 @@
+"""Partition-count independence: the certification behind every oracle claim.
+
+The DuckDB hash gate proves Spark == DuckDB at ONE parallelism profile; this
+test proves the Spark side is invariant to the physical execution profile
+itself.  Two separate-JVM sessions with deliberately different executor
+thread counts, shuffle partition counts, and input-split sizes must produce
+byte-identical canonical digests for a representative query slice — joins,
+windows, sessionization, LSH dedup, vector top-k, text aggs, the new sweep
+/ TWAP operators.  Any hidden order-dependence (float accumulation order,
+unstable tie-breaks, partition-dependent sampling) shows up here even when
+a single-profile oracle run happens to pass.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+from tests.conftest import SF_SMOKE
+
+# One representative per operator family.  Excluded by design: v05 (numpy
+# float centroid math, documented parity-unsafe) and the Arrow/pandas
+# rows-only stages (m02-m04) whose outputs embed batch shapes.
+_NAMES = [
+    "q01_pricing_summary",       # decimal multi-agg
+    "q02_client_stats",          # broadcast join + 5-key agg
+    "q11_top3_orders_per_customer",  # ranking window
+    "q27_user_sessions",         # sessionization
+    "q45_retention_cohorts",     # cohort windows
+    "q65_ewma_smoothing",        # integer convolution
+    "q68_peak_concurrency",      # day-partitioned sweep line
+    "q69_twap",                  # interval-weighted mean
+    "d06_minhash_lsh_pairs",     # LSH band join
+    "d07_simhash",               # bitwise fold
+    "t20_vocab_richness",        # token explode + two-level agg
+    "v01_cosine_topk",           # exact vector top-k
+    "s01_hash_split_sample",     # content-addressed sampling
+]
+
+_CHILD = os.path.join(os.path.dirname(os.path.abspath(__file__)), "determinism_child.py")
+
+
+def _run_child(sf_dir: str, master: str, shuffle: str, max_bytes: str, out: str) -> dict[str, str]:
+    subprocess.run(
+        [sys.executable, _CHILD, sf_dir, master, shuffle, max_bytes, out, *_NAMES],
+        check=True,
+        timeout=900,
+        env={**os.environ, "SPARK_LOCAL_IP": "127.0.0.1"},
+    )
+    digests = {}
+    with open(out) as fh:
+        for line in fh:
+            name, dig = line.strip().split("\t")
+            digests[name] = dig
+    return digests
+
+
+def test_results_invariant_across_parallelism_profiles(tmp_path):
+    # profile A: few fat partitions; profile B: many thin ones + tiny splits
+    a = _run_child(SF_SMOKE, "local[3]", "3", str(128 * 1024 * 1024), str(tmp_path / "a.tsv"))
+    b = _run_child(SF_SMOKE, "local[8]", "17", str(256 * 1024), str(tmp_path / "b.tsv"))
+    assert set(a) == set(_NAMES) and set(b) == set(_NAMES)
+    diffs = [n for n in _NAMES if a[n] != b[n]]
+    assert not diffs, f"partition-dependent results: {diffs}"
