@@ -27,16 +27,30 @@ _NAMES = [
     "q02_client_stats",          # broadcast join + 5-key agg
     "q11_top3_orders_per_customer",  # ranking window
     "q27_user_sessions",         # sessionization
+    "q34_shipments_after_urgent_orders",  # binned range join
+    "q41_grouping_sets",         # grouping sets + GROUPING()
     "q45_retention_cohorts",     # cohort windows
+    "q58_conversion_funnel",     # staged conditional mins
+    "q64_linear_interpolation",  # anchored gap interpolation
     "q65_ewma_smoothing",        # integer convolution
+    "q67_touch_attribution",     # conditional window lookbacks
     "q68_peak_concurrency",      # day-partitioned sweep line
     "q69_twap",                  # interval-weighted mean
     "d06_minhash_lsh_pairs",     # LSH band join
     "d07_simhash",               # bitwise fold
+    "d19_edit_distance_rerank",  # candidate-bounded Levenshtein
+    "t09_token_budget_packing",  # windowed cumsum packer
     "t20_vocab_richness",        # token explode + two-level agg
     "v01_cosine_topk",           # exact vector top-k
+    "v04_bucketed_ann",          # hyperplane-bucketed ANN
     "s01_hash_split_sample",     # content-addressed sampling
+    "p02_packing_pipeline",      # composed chunk->dedup->pack pipeline
 ]
+# The FULL 126-query oracle-backed registry passed this same two-profile
+# digest sweep (191 s/profile, too slow for every suite run) — re-run it
+# with: python tests/determinism_child.py <sf> local[3] 3 134217728 a.tsv
+# $(python -c 'from delta_lake_spark.queries import ORACLE; print(*sorted(ORACLE))')
+# and diff against a local[8]/17/262144 run.
 
 _CHILD = os.path.join(os.path.dirname(os.path.abspath(__file__)), "determinism_child.py")
 
