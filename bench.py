@@ -331,6 +331,7 @@ def main() -> None:
         "q68_peak_concurrency",
         "q69_twap",
         "t20_vocab_richness",
+        "q70_distribution_ranks",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

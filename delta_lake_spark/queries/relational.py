@@ -1599,3 +1599,48 @@ def q66_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), F.sum("k").alias("sum_k"))
         .orderBy("event_type", "k_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q70 — SQL distribution window functions: percent_rank / cume_dist /
+# nth_value, the last unexercised corner of the window surface.  Ranks are
+# computed within (segment, nation) cohorts — 125 balanced groups, so the
+# window shuffle spreads; for a CORPUS-WIDE percentile at 100 TB the
+# funnel-free two-pass path is ops.ranking.global_ntile (q22/s08), not a
+# one-partition window.  percent_rank=(rank-1)/(n-1) and cume_dist=
+# rows<=cur/n are exact integer ratios evaluated identically in IEEE
+# doubles by both engines, so the floored basis points are hash-stable;
+# nth_value needs the full-frame spec or it sees a growing frame.
+# ---------------------------------------------------------------------------
+@register(
+    "q70_distribution_ranks",
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment,
+       c_nationkey,
+       CAST(FLOOR(percent_rank() OVER w * 10000) AS BIGINT) AS pr_bp,
+       CAST(FLOOR(cume_dist() OVER w * 10000) AS BIGINT)    AS cd_bp,
+       nth_value(c_acctbal, 3) OVER (PARTITION BY c_mktsegment, c_nationkey
+                                     ORDER BY c_acctbal DESC, c_custkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS third_highest_bal
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment, c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_custkey
+""",
+)
+def q70_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment", "c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.percent_rank().over(w) * 10000).cast("bigint").alias("pr_bp"),
+        F.floor(F.cume_dist().over(w) * 10000).cast("bigint").alias("cd_bp"),
+        F.nth_value("c_acctbal", 3).over(wf).alias("third_highest_bal"),
+    ).orderBy("c_custkey")
