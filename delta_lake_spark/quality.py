@@ -153,17 +153,25 @@ def profile(
     distinct_fn = F.count_distinct if exact_distinct else F.approx_count_distinct
 
     aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    nd_aggs = []
     for c in names:
         numeric = isinstance(fields[c], NumericType)
+        nd_aggs.append(distinct_fn(F.col(c)).alias(f"__nd_{c}"))
         aggs += [
             (F.count(F.lit(1)) - F.count(c)).alias(f"__nulls_{c}"),
-            distinct_fn(F.col(c)).alias(f"__nd_{c}"),
             (F.min(c).cast("double") if numeric else F.lit(None).cast("double")).alias(f"__minn_{c}"),
             (F.max(c).cast("double") if numeric else F.lit(None).cast("double")).alias(f"__maxn_{c}"),
             (F.lit(None).cast("string") if numeric else F.min(c).cast("string")).alias(f"__mins_{c}"),
             (F.lit(None).cast("string") if numeric else F.max(c).cast("string")).alias(f"__maxs_{c}"),
         ]
-    wide = df.agg(*aggs)
+    if exact_distinct:
+        # exact multi-distinct plans as an Expand (xN columns); FUSING it
+        # with the plain aggs makes every expanded row evaluate the whole
+        # wide buffer — measured ~7x slower than the two aggregates run
+        # separately.  Two column-pruned passes + a 1-row-x-1-row join win.
+        wide = df.agg(*aggs).join(F.broadcast(df.agg(*nd_aggs)))
+    else:
+        wide = df.agg(*aggs, *nd_aggs)
 
     stack_args = []
     for c in names:
