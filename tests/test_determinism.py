@@ -36,6 +36,7 @@ _NAMES = [
     "q67_touch_attribution",     # conditional window lookbacks
     "q68_peak_concurrency",      # day-partitioned sweep line
     "q69_twap",                  # interval-weighted mean
+    "q70_distribution_ranks",    # percent_rank/cume_dist/nth_value
     "d06_minhash_lsh_pairs",     # LSH band join
     "d07_simhash",               # bitwise fold
     "d19_edit_distance_rerank",  # candidate-bounded Levenshtein
