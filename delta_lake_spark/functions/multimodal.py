@@ -239,3 +239,139 @@ def _digest_one(payload: bytes) -> tuple[int, int, int, int]:
         b[-1] if n else -1,
         sum(b[:64]) % 100_003,
     )
+
+
+THUMBNAIL_SCHEMA = "doc_id BIGINT, cells ARRAY<INT>"
+
+_THUMB_GRID = 64
+
+
+def _fake_thumbnail(payload: bytes, grid: int = _THUMB_GRID) -> list[int]:
+    """Deterministic stand-in for decode+grayscale+resize: cell i is the
+    byte-sum of the i-th of ``grid`` equal payload slices, mod 256.  A real
+    codec (PIL: open -> convert('L') -> resize(8x8)) plugs into this seam;
+    everything downstream (aHash, banding, Hamming verify) is unchanged."""
+    b = payload or b"\0"
+    n = len(b)
+    out = []
+    for i in range(grid):
+        lo, hi = i * n // grid, (i + 1) * n // grid
+        out.append(sum(b[lo:hi]) % 256 if hi > lo else 0)
+    return out
+
+
+def decode_thumbnails(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    real_codec: bool = False,
+) -> DataFrame:
+    """Decode each payload to a fixed 64-cell grayscale thumbnail via
+    ``mapInPandas`` — python ONLY for the codec seam; the perceptual hash
+    and the near-dup join downstream are pure JVM expressions."""
+    if real_codec:
+        raise NotImplementedError(
+            "media codecs (PIL/ffmpeg) are not installed in this environment; "
+            "plug the real decoder into _fake_thumbnail's slot"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "cells": [_fake_thumbnail(bytes(p)) for p in pdf[payload_col]],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, THUMBNAIL_SCHEMA)
+
+
+def ahash64(cells: Column | str) -> Column:
+    """Average-hash: bit i set iff cell i exceeds the integer mean of all
+    cells — one 64-bit BIGINT per thumbnail, built entirely from JVM array
+    folds (no python).  The standard perceptual fingerprint whose Hamming
+    distance approximates visual similarity."""
+    c = F.col(cells) if isinstance(cells, str) else cells
+    total = F.aggregate(c, F.lit(0).cast("long"), lambda a, x: a + x)
+    mean = (total / F.size(c)).cast("long")
+    # bit weights as a literal array (bit 63 is Long.MIN in two's
+    # complement); each weight appears at most once, so the running sum
+    # never leaves the signed-64 range (ANSI-safe)
+    weights = F.array(
+        *[
+            F.lit((1 << k) if k < 63 else -(1 << 63)).cast("long")
+            for k in range(_THUMB_GRID)
+        ]
+    )
+    return F.aggregate(
+        F.zip_with(
+            c,
+            weights,
+            lambda cell, w: F.when(cell > mean, w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+
+def phash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs: thumbnail decode (Arrow
+    batches) -> 64-bit aHash -> 4x16-bit pigeonhole bands -> equi-join on
+    band value -> exact Hamming verify.
+
+    Pigeonhole: two hashes within Hamming distance 3 MUST agree exactly on
+    at least one of the 4 disjoint 16-bit bands, so the banded equi-join
+    finds every qualifying pair without an all-pairs plan — the bitwise
+    twin of the MinHash-LSH shape (functions/dedup.py), applied to media.
+    Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    hashed = (
+        decode_thumbnails(df, id_col, payload_col)
+        .select("doc_id", ahash64("cells").alias("h"))
+        .persist()
+    )
+    banded = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftrightunsigned(F.col("h"), 16 * k)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("_b"),
+    ).select("doc_id", "h", "_b.band", "_b.key")
+    a = banded.select(
+        F.col("band").alias("band_a"),
+        F.col("key").alias("key_a"),
+        F.col("doc_id").alias("id_a"),
+        F.col("h").alias("h_a"),
+    )
+    b = banded.select(
+        F.col("band").alias("band_b"),
+        F.col("key").alias("key_b"),
+        F.col("doc_id").alias("id_b"),
+        F.col("h").alias("h_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.band_a == b.band_b) & (a.key_a == b.key_b) & (a.id_a < b.id_b),
+        )
+        .select("id_a", "id_b", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

@@ -108,3 +108,19 @@ def m04_arrow_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = with_payload(table_parallel(spark, sf_dir, "documents", "doc_id"))
     return arrow_payload_digest(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# m05 — perceptual-hash near-duplicate media pairs: the multimodal twin of
+# the d06/d12 dedup shapes.  Stub decode (mapInPandas, codec seam) -> JVM
+# aHash -> 4x16-bit pigeonhole bands -> equi-join -> exact bit_count
+# Hamming verify.  Rows-only by construction (the decode is an
+# Arrow-pandas stage); the full pipeline is python-differential-tested
+# (tests/test_pandas_ops.py) and the band join is plan-asserted equi-only.
+# ---------------------------------------------------------------------------
+@register("m05_phash_near_dups")
+def m05_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.multimodal import phash_near_dup_pairs
+
+    d = with_payload(table_parallel(spark, sf_dir, "documents", "doc_id"))
+    return phash_near_dup_pairs(d, max_hamming=3)

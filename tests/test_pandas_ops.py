@@ -79,3 +79,50 @@ def test_arrow_digest_matches_driver_replica(spark):
         e = _digest_one(bytes(r.payload))
         g = got[r.doc_id]
         assert (g.payload_bytes, g.first_byte, g.last_byte, g.head_checksum) == e
+
+
+def test_phash_near_dups_match_python_replica(spark):
+    """m05's full pipeline (thumbnail decode -> aHash -> pigeonhole bands
+    -> Hamming verify) must agree pair-for-pair with a brute-force python
+    replica on the smoke corpus — including the pigeonhole guarantee that
+    EVERY pair within the Hamming threshold is found by the banded join."""
+    from delta_lake_spark.catalog import table
+    from delta_lake_spark.functions.multimodal import (
+        _fake_thumbnail,
+        phash_near_dup_pairs,
+        with_payload,
+    )
+
+    d = with_payload(table(spark, SF_SMOKE, "documents"))
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in phash_near_dup_pairs(d, max_hamming=3).collect()
+    }
+
+    def ahash_py(payload: bytes) -> int:
+        cells = _fake_thumbnail(payload)
+        mean = sum(cells) // len(cells)
+        h = 0
+        for i, c in enumerate(cells):
+            if c > mean:
+                h |= 1 << i
+        return h - (1 << 64) if h >= (1 << 63) else h  # signed-64 view
+
+    src = {r.doc_id: ahash_py(bytes(r.payload)) for r in d.select("doc_id", "payload").collect()}
+    ids = sorted(src)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin((src[a] ^ src[b]) & ((1 << 64) - 1)).count("1")
+            if ham <= 3:
+                expected[(a, b)] = ham
+    assert got == expected
+
+
+def test_phash_band_join_is_equi_only(spark):
+    from tests.test_plans import plan_of
+    from delta_lake_spark.queries import QUERIES
+
+    plan = plan_of(QUERIES["m05_phash_near_dups"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
