@@ -1221,8 +1221,15 @@ class ManagedTable:
         merge_schema: bool = False,
         txn_app: str | None = None,
         txn_batch: int | None = None,
+        with_metrics: bool = False,
     ) -> int:
         """Upsert ``source`` into the table on equality of ``keys``.
+
+        ``with_metrics=True`` records Delta-style ``operationMetrics``
+        (source rows, matched/updated/deleted/inserted row counts,
+        clause conditions applied) into the commit entry — read them back
+        via ``history()[0]["operation_metrics"]``.  Opt-in because the
+        counts cost two extra join jobs over the affected files.
 
         ``txn_app``/``txn_batch``: Delta txnAppId/txnVersion analog — a
         replayed foreachBatch merge (same app, batch id <= the committed
@@ -1422,6 +1429,38 @@ class ManagedTable:
                 matched = src.join(target, keys, "left_semi")
                 merged = matched.unionByName(target.join(src, keys, "left_anti"))
 
+            op_metrics = None
+            if with_metrics:
+                on = None
+                for k in keys:
+                    c = F.col(f"t.{k}") == F.col(f"s.{k}")
+                    on = c if on is None else (on & c)
+
+                def as_cond(e):
+                    return F.expr(e) if isinstance(e, str) else e
+
+                pair = src.alias("s").join(target.alias("t"), on, "inner")
+                if matched_condition is not None:
+                    pair = pair.filter(as_cond(matched_condition))
+                n_matched = pair.count()
+                n_inserted = 0
+                if when_not_matched == "insert_all":
+                    anti = src.alias("s").join(target.alias("t"), on, "left_anti")
+                    if not_matched_condition is not None:
+                        anti = anti.filter(as_cond(not_matched_condition))
+                    n_inserted = anti.count()
+                op_metrics = {
+                    "num_source_rows": src.count(),
+                    "num_target_rows_matched": n_matched,
+                    "num_target_rows_updated": n_matched
+                    if when_matched == "update_all"
+                    else 0,
+                    "num_target_rows_deleted": n_matched
+                    if when_matched == "delete"
+                    else 0,
+                    "num_target_rows_inserted": n_inserted,
+                }
+
             cdc_files = None
             if self.cdf_enabled():
                 cdc_files = self._write_cdc_dir(
@@ -1450,6 +1489,11 @@ class ManagedTable:
                     else {}
                 ),
                 **({"cdc_files": cdc_files} if cdc_files is not None else {}),
+                **(
+                    {"operation_metrics": op_metrics}
+                    if op_metrics is not None
+                    else {}
+                ),
                 "files": keep_files + files,
                 "partition_by": partition_by,
                 "schema": schema_json,
@@ -2979,6 +3023,11 @@ class ManagedTable:
                     "timestamp": e["timestamp"],
                     "num_files": e.get("num_files"),
                     "added_files": e.get("added_files"),
+                    **(
+                        {"operation_metrics": e["operation_metrics"]}
+                        if e.get("operation_metrics") is not None
+                        else {}
+                    ),
                 }
             )
         return out
@@ -3348,7 +3397,7 @@ class ManagedTable:
             "history_length": len(self._versions()),
         }
 
-    def vacuum(self, retain_hours: float = 0.0) -> int:
+    def vacuum(self, retain_hours: float = 0.0, dry_run: bool = False) -> "int | list[str]":
         """Delete data files referenced by no retained snapshot.
 
         A snapshot is retained if it is the LATEST, or its commit
@@ -3357,7 +3406,9 @@ class ManagedTable:
         default keeps only the latest — the pre-existing behavior).
         Time travel and CDF pre-images older than the retention window
         stop working (log entries remain for ``history``).  Returns the
-        number of files deleted.
+        number of files deleted — or, with ``dry_run=True`` (Delta's
+        ``VACUUM ... DRY RUN``), the sorted relative paths that WOULD be
+        deleted, touching nothing.
         """
         cutoff = time.time() - retain_hours * 3600.0
         latest = self.latest_version()
@@ -3376,6 +3427,7 @@ class ManagedTable:
                 # is within the CDF-readable retention window
                 live.update(self._raw_entry(v).get("cdc_files") or [])
         deleted = 0
+        would_delete: list[str] = []
         # in-flight streaming-sink shards: staged (written) BEFORE their
         # batch's atomic log commit, so they are momentarily unreferenced —
         # a vacuum racing a live micro-batch must not reap them.  Delta
@@ -3397,9 +3449,12 @@ class ManagedTable:
                 if name.endswith(".parquet") and rel not in live:
                     if in_staging and os.path.getmtime(full) >= staging_cutoff:
                         continue
+                    if dry_run:
+                        would_delete.append(rel)
+                        continue
                     os.unlink(full)
                     deleted += 1
-        return deleted
+        return sorted(would_delete) if dry_run else deleted
 
     def cleanup_log(self, retain_hours: float = 0.0) -> int:
         """Delta's log-retention analog (``delta.logRetentionDuration``):

@@ -1671,3 +1671,56 @@ def test_properties_reports_carried_table_state(spark, tmp_path):
     assert props["partition_by"] == ["p"]
     # properties are versioned like everything else
     assert t.properties(version=0)["cdf"] is False
+
+
+def test_vacuum_dry_run_lists_without_deleting(spark, tmp_path, base_df):
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(base_df)
+    t.write(base_df.filter("id < 3"), mode="overwrite")  # v0 files now dead
+    would = t.vacuum(dry_run=True)
+    assert isinstance(would, list) and len(would) > 0
+    # nothing deleted: v0 still time-travels
+    assert t.read(version=0).count() == 10
+    # the real vacuum reaps exactly the listed files
+    assert t.vacuum() == len(would)
+    assert t.vacuum(dry_run=True) == []
+
+
+def test_merge_operation_metrics_in_history(spark, tmp_path, base_df):
+    from pyspark.sql import Row as _R
+
+    t = ManagedTable(spark, str(tmp_path / "t"))
+    t.write(base_df)  # ids 0..9
+    src = spark.createDataFrame(
+        [_R(id=i, grp="z", val=100.0 + i) for i in range(8, 13)]  # 8,9 match; 10-12 insert
+    )
+    t.merge(src, ["id"], with_metrics=True)
+    m = t.history()[0]["operation_metrics"]
+    assert m == {
+        "num_source_rows": 5,
+        "num_target_rows_matched": 2,
+        "num_target_rows_updated": 2,
+        "num_target_rows_deleted": 0,
+        "num_target_rows_inserted": 3,
+    }
+    # conditional clauses constrain the counts the same way they constrain
+    # the merge itself
+    src2 = spark.createDataFrame(
+        [_R(id=i, grp="w", val=float(i)) for i in range(11, 16)]  # 11,12 match; 13-15 not
+    )
+    t.merge(
+        src2,
+        ["id"],
+        matched_condition="s.val > t.val",  # 100+id beats id: never true
+        not_matched_condition="s.id % 2 = 1",  # only 13 and 15 insert
+        with_metrics=True,
+    )
+    m2 = t.history()[0]["operation_metrics"]
+    assert m2["num_source_rows"] == 5
+    assert m2["num_target_rows_matched"] == 0
+    assert m2["num_target_rows_inserted"] == 2
+    # rows untouched by metrics: merge result is unchanged by with_metrics
+    assert t.read().count() == 15
+    # metrics absent when not requested
+    t.merge(src, ["id"])
+    assert "operation_metrics" not in t.history()[0]
