@@ -21,6 +21,7 @@ from delta_lake_spark.tables.delta_interop import (
     read_delta,
 )
 from delta_lake_spark.tables.matview import IncrementalAggView
+from delta_lake_spark.tables.sketchview import IncrementalSketchView
 from delta_lake_spark.tables.stream_source import (
     ManagedTableStreamSource,
     ManagedTableStreamWriter,
@@ -37,6 +38,7 @@ __all__ = [
     "import_delta",
     "export_to_delta",
     "IncrementalAggView",
+    "IncrementalSketchView",
     "ManagedTable",
     "ConcurrentWriteError",
     "VacuumedVersionError",

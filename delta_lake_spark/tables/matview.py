@@ -16,11 +16,14 @@ plus a DELETE of zeroed keys.  Non-invertible aggregates (min/max/distinct)
 are out of scope by design — they need full or partial recompute; derive
 averages at read time as sum/count.
 
-Consistency: the view commit records the base version it reflects
-(``_view_state.json``, atomic rename); a refresh replays exactly
-``(last_refreshed, base_head]``, so crash-and-rerun re-derives the same
-delta and the MERGE/DELETE pair converges (re-running a completed refresh
-is a no-op because the recorded version already advanced).
+Consistency — exactly-once across crashes: the delta MERGE carries a txn
+marker (``txn_app="matview-delta"``, batch = the base head it brings the
+view to), and that marker — not the ``_view_state.json`` cache — is the
+durable progress record.  A crash between the merge and the state write
+leaves ``applied > recorded``; the next refresh resumes from the marker,
+so the non-idempotent ``+=`` delta is never applied twice even when new
+base commits landed in between, and the trailing zero-key DELETE (which
+is idempotent) is simply re-run.
 """
 
 from __future__ import annotations
@@ -118,7 +121,20 @@ class IncrementalAggView:
             self.table.write(snap, mode="overwrite")
             self._record(base_head)
             return {"mode": "full", "base_version": base_head}
+        # the merge's txn marker is the DURABLE progress record: a crash
+        # between the merge and _record leaves applied > recorded, and the
+        # next refresh must not re-merge the already-applied window (the
+        # `+=` delta is not idempotent) — resume from the marker instead
+        applied = self.table.last_txn_batch("matview-delta")
+        recovering = applied is not None and applied > last
+        if recovering:
+            last = applied
         if last >= base_head:
+            if recovering:
+                # crash-after-merge: finish the idempotent zero-key sweep
+                # and advance the recorded version
+                self.table.delete_where([("n", "<=", 0)])
+                self._record(last)
             return {"mode": "noop", "base_version": last}
         delta = self._aggregate(
             self.base.signed_changes(last, base_head), signed=True
@@ -134,7 +150,17 @@ class IncrementalAggView:
         update_set = {"n": "t.n + s.n"} | {
             a: f"t.{a} + s.{a}" for a in self.sums
         }
-        self.table.merge(delta, keys=self.keys, update_set=update_set)
+        # txn marker: a crash between this non-idempotent `+=` merge and
+        # _record would otherwise double-apply the delta when the refresh
+        # re-runs from the stale recorded version (the trailing DELETE of
+        # zeroed keys is idempotent and needs no marker)
+        self.table.merge(
+            delta,
+            keys=self.keys,
+            update_set=update_set,
+            txn_app="matview-delta",
+            txn_batch=base_head,
+        )
         self.table.delete_where([("n", "<=", 0)])
         self._record(base_head)
         return {"mode": "incremental", "base_version": base_head, "from": last}

@@ -210,3 +210,56 @@ def test_matview_count_only(spark, tmp_path, base):
         (r["grp"], r["n"]) for r in view.read().select("grp", "n").collect()
     )
     assert got == {"a": 5, "b": 4, "c": 4}
+
+
+def test_matview_crash_before_record_never_double_applies(spark, tmp_path, base):
+    """Crash injection: refresh dies after its += delta MERGE but before
+    the state record; more base commits land; the re-run must resume from
+    the merge's txn marker instead of re-applying the merged window."""
+    view = IncrementalAggView(
+        spark, base, str(tmp_path / "view"), keys=["grp"], sums={"amt_sum": "amt"}
+    )
+    view.refresh()
+    base.write(
+        spark.createDataFrame([Row(id=300, grp="a", amt=50.0)]), mode="append"
+    )
+
+    real_record = view._record
+
+    def crash(_version):
+        raise RuntimeError("injected crash before state record")
+
+    view._record = crash
+    try:
+        view.refresh()
+    except RuntimeError:
+        pass
+    view._record = real_record
+
+    base.write(
+        spark.createDataFrame([Row(id=301, grp="b", amt=7.5)]), mode="append"
+    )
+    st = view.refresh()
+    assert st["mode"] == "incremental"
+    assert_view_matches(view, base)  # double-applied += would inflate sums
+    assert view.refresh()["mode"] == "noop"
+
+
+def test_matview_crash_with_no_new_commits_recovers(spark, tmp_path, base):
+    view = IncrementalAggView(
+        spark, base, str(tmp_path / "view"), keys=["grp"], sums={"amt_sum": "amt"}
+    )
+    view.refresh()
+    base.write(
+        spark.createDataFrame([Row(id=300, grp="a", amt=50.0)]), mode="append"
+    )
+    real_record = view._record
+    view._record = lambda _v: (_ for _ in ()).throw(RuntimeError("crash"))
+    try:
+        view.refresh()
+    except RuntimeError:
+        pass
+    view._record = real_record
+    # no new base commits: the re-run recovers via the marker (no replay)
+    assert view.refresh()["mode"] == "noop"
+    assert_view_matches(view, base)
