@@ -7,6 +7,7 @@ from delta_lake_spark.streaming.streams import (
     interval_join,
     file_stream,
     stream_merge_into,
+    session_window_agg,
     windowed_agg,
 )
 
@@ -17,4 +18,5 @@ __all__ = [
     "stream_merge_into",
     "interval_join",
     "sessionize",
+    "session_window_agg",
 ]

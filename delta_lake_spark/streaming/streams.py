@@ -314,3 +314,42 @@ def stream_assign_clusters(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def session_window_agg(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    group_cols: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap sessionization via Spark's NATIVE ``session_window`` — the
+    JVM-side, state-store-backed twin of ``stateful.sessionize``'s
+    applyInPandasWithState path.  Prefer THIS at scale: session merging
+    runs inside the streaming aggregation operator (whole-stage, no Arrow
+    hop, watermark-evicted state), while the pandas path exists to show
+    the custom-stateful escape hatch.
+
+    Semantics note: ``session_window`` closes a session when the next
+    event arrives at or after ``prev + gap`` (half-open windows), i.e. a
+    gap of EXACTLY the threshold splits — the batch lag-rule in q27
+    (``diff > gap`` splits) keeps boundary-equal events together.  Same
+    function in batch mode gives bit-identical sessions, which is what
+    the parity test compares.
+
+    Output: group cols, session_start, session_end, n_events, total_value.
+    """
+    events = as_event_time(events, ts_col)
+    grouped = events.withWatermark(ts_col, watermark).groupBy(
+        F.session_window(F.col(ts_col), gap), *(group_cols or [])
+    )
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    ).select(
+        *(group_cols or []),
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )

@@ -280,3 +280,62 @@ def test_stream_assign_clusters_matches_batch(spark, tmp_path):
     got = {(r.vec_id, r.cl, r.sim) for r in t.read().collect()}
     want = {(r.vec_id, r.cl, r.sim) for r in assign_to_centroids(v, cent).collect()}
     assert got == want and len(got) == emb.count()
+
+
+def test_session_window_agg_stream_matches_batch(spark, tmp_path, landing, events_batch):
+    """The native session_window path: the streaming aggregation (state-
+    store session merging, watermark-finalized) must equal the SAME
+    session_window expression evaluated in batch mode over the full input
+    — stream==batch parity for the JVM-native sessionization twin."""
+    from delta_lake_spark.streaming import session_window_agg
+
+    src = file_stream(spark, landing, events_batch.schema)
+    sess = session_window_agg(
+        src, gap="30 minutes", group_cols=["user_id"], watermark="1 minute"
+    )
+    t = ManagedTable(spark, str(tmp_path / "sw_tbl"))
+    # session-window aggregations support append output only: a session
+    # emits exactly once, when the watermark passes its end
+    q = stream_merge_into(
+        sess,
+        t,
+        ["user_id", "session_start"],
+        str(tmp_path / "ckpt_sw"),
+        insert_only=True,
+    )
+    drain(q)
+    want = (
+        events_batch.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in t.read().collect()
+    }
+    want_map = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in want.collect()
+    }
+    # append mode emits only watermark-finalized sessions; every emitted
+    # session must match its batch twin exactly, and with a 1-minute
+    # watermark over a multi-day corpus nearly all sessions finalize
+    assert got, "no sessions emitted"
+    for k, v in got.items():
+        assert want_map[k] == v
+    assert len(got) >= 0.8 * len(want_map)
