@@ -302,6 +302,22 @@ def main() -> None:
         except Exception as exc:
             payload["clustering"] = {"error": f"{type(exc).__name__}: {exc}"}
 
+    # Incremental-view maintenance section: O(changed rows) refresh vs a
+    # full re-aggregate, both result-verified (tables/matview.py,
+    # tables/sketchview.py).  Disable with SPARK_GRAFT_INCVIEW=0.
+    if os.environ.get("SPARK_GRAFT_INCVIEW", "1") != "0":
+        try:
+            from delta_lake_spark.benchmark.incviews import run_incview_bench
+
+            payload["incremental_views"] = run_incview_bench(
+                spark,
+                sf_dir,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchdata", "incviews"),
+            )
+        except Exception as exc:
+            payload["incremental_views"] = {"error": f"{type(exc).__name__}: {exc}"}
+
     ext_r4: dict[str, float] = {}
     for name in (
         "d13_contamination_scan",

@@ -1,0 +1,149 @@
+"""Bench: incremental materialized-view maintenance — flat vs linear.
+
+Evidence for the O(changed rows) claim (tables/matview.py,
+tables/sketchview.py).  At bench scale a full re-aggregate of a 150K-row
+base is sub-second, so raw wall-clock can't show the win; what CAN be
+shown honestly is the SHAPE: the full rebuild cost grows linearly with
+the base (measured at two SFs), while the incremental refresh cost is
+flat — it reads only the appended delta plus fixed MERGE/commit latency.
+At 100 TB the linear term is hours and the flat term is unchanged; the
+crossover is wherever a full re-aggregate costs more than ~a few seconds.
+
+Both views are result-verified: exact rows for the sum view; for the
+sketch view the count column is exact and the NDV estimate is checked
+within the HLL error bound (a DataSketches union legitimately estimates
+via the composite estimator while a direct single-pass sketch uses HIP —
+register state is identical, the estimators differ within the configured
+RSE, so byte-equality is the wrong check beyond exact mode).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Any
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_spark.catalog import table
+from delta_lake_spark.tables import (
+    IncrementalAggView,
+    IncrementalSketchView,
+    ManagedTable,
+)
+
+
+def _one_sf(spark: SparkSession, sf_dir: str, work_dir: str) -> dict[str, Any]:
+    shutil.rmtree(work_dir, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    base = ManagedTable(spark, f"{work_dir}/base")
+    base.write(orders)
+    n_rows = base.read().count()
+
+    agg_view = IncrementalAggView(
+        spark, base, f"{work_dir}/agg", keys=["o_custkey"],
+        sums={"total": "o_totalprice"},
+    )
+    agg_view.refresh()
+
+    sk_view = IncrementalSketchView(
+        spark, base, f"{work_dir}/sk", keys=["o_orderpriority"],
+        ndv={"cust_ndv": "o_custkey"},
+    )
+    sk_view.refresh()
+
+    # ~1% append with fresh order keys (some customers overlap, some new)
+    delta_n = max(n_rows // 100, 100)
+    max_key = base.read().agg(F.max("o_orderkey")).first()[0]
+    delta = spark.range(delta_n).select(
+        (F.col("id") + max_key + 1).alias("o_orderkey"),
+        (F.col("id") % 5000 + 1).alias("o_custkey"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+        (F.col("id") % 997 + 1.0).alias("o_totalprice"),
+    )
+    base.write(delta, mode="append")
+
+    t0 = time.perf_counter()
+    st = agg_view.refresh()
+    inc_refresh_s = round(time.perf_counter() - t0, 3)
+    assert st["mode"] == "incremental"
+
+    t0 = time.perf_counter()
+    st = sk_view.refresh()
+    sk_inc_refresh_s = round(time.perf_counter() - t0, 3)
+    assert st["mode"] == "incremental"
+
+    # full-rebuild comparison: re-aggregate the whole (grown) base
+    t0 = time.perf_counter()
+    rebuilt = (
+        base.read()
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .alias("total"),
+        )
+    )
+    rebuilt_rows = sorted(tuple(r) for r in rebuilt.collect())
+    full_rebuild_s = round(time.perf_counter() - t0, 3)
+    view_rows = sorted(
+        tuple(r) for r in agg_view.read().select("o_custkey", "n", "total").collect()
+    )
+
+    sk_expected = {
+        r["o_orderpriority"]: (r["n"], r["cust_ndv"])
+        for r in base.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("cust_ndv"),
+        )
+        .collect()
+    }
+    sk_ok = True
+    for r in sk_view.read().select("o_orderpriority", "n", "cust_ndv").collect():
+        want_n, want_ndv = sk_expected[r["o_orderpriority"]]
+        if r["n"] != want_n:
+            sk_ok = False
+        # HLL default lgK=12 -> ~1.6% RSE; 5% covers estimator divergence
+        if abs(r["cust_ndv"] - want_ndv) > max(0.05 * want_ndv, 2):
+            sk_ok = False
+
+    return {
+        "base_rows": n_rows,
+        "delta_rows": delta_n,
+        "agg_incremental_refresh_s": inc_refresh_s,
+        "agg_full_rebuild_s": full_rebuild_s,
+        "agg_results_match": view_rows == rebuilt_rows,
+        "sketch_incremental_refresh_s": sk_inc_refresh_s,
+        "sketch_results_within_bounds": sk_ok,
+    }
+
+
+def run_incview_bench(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> dict[str, Any]:
+    """Two-SF shape measurement: full-rebuild cost grows with the base,
+    incremental refresh cost stays flat (O(delta) + fixed commit latency)."""
+    out: dict[str, Any] = {}
+    small = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    sfs = ([("small", small)] if os.path.isdir(small) else []) + [("bench", sf_dir)]
+    for tag, d in sfs:
+        out[tag] = _one_sf(spark, d, os.path.join(work_dir, tag))
+    if "small" in out:
+        out["full_rebuild_growth"] = round(
+            out["bench"]["agg_full_rebuild_s"]
+            / max(out["small"]["agg_full_rebuild_s"], 1e-9),
+            2,
+        )
+        out["incremental_growth"] = round(
+            out["bench"]["agg_incremental_refresh_s"]
+            / max(out["small"]["agg_incremental_refresh_s"], 1e-9),
+            2,
+        )
+    return out
