@@ -1169,3 +1169,75 @@ def q69_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# q71 — SCD Type-2 history reconstruction from a change stream: the purchase
+# events are a per-user attribute feed (tier = floor(value/100)); collapsing
+# consecutive equal tiers and chaining effective ranges yields the classic
+# slowly-changing-dimension shape (version, effective_from, effective_to,
+# is_current).  Two windows over ONE user-keyed exchange (lag collapse, then
+# lead chaining + row_number share the same partitioning, so Catalyst plans a
+# single shuffle); microsecond-integer ranges are hash-exact across engines.
+# The batch/query twin of tables/scd.py's incremental scd2_apply (which
+# MERGEs the same semantics into a managed table); reference has no SCD
+# surface — warehouse-standard extension (Kimball type-2 dimension).
+# ---------------------------------------------------------------------------
+@register(
+    "q71_scd2_tier_history",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CAST(FLOOR(value / 100.0) AS BIGINT) AS tier
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, event_id, ts_us, tier, LAG(tier) OVER w AS prev_tier
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+chg AS (
+  SELECT user_id, event_id, ts_us, tier FROM c
+  WHERE prev_tier IS NULL OR prev_tier <> tier
+)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version,
+       tier,
+       ts_us AS eff_from_us,
+       LEAD(ts_us) OVER w2 AS eff_to_us,
+       (LEAD(ts_us) OVER w2 IS NULL) AS is_current
+FROM chg WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+ORDER BY user_id, version
+""",
+)
+def q71_scd2_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.catalog import EPOCH_NTZ
+
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.timestamp_diff(
+                "MICROSECOND", F.expr(EPOCH_NTZ), F.col("ts")
+            ).alias("ts_us"),
+            F.floor(F.col("value") / F.lit(100.0)).cast("bigint").alias("tier"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    chg = (
+        e.withColumn("prev_tier", F.lag("tier").over(w))
+        .filter(F.col("prev_tier").isNull() | (F.col("prev_tier") != F.col("tier")))
+        .drop("prev_tier")
+    )
+    return (
+        chg.select(
+            "user_id",
+            F.row_number().over(w).cast("bigint").alias("version"),
+            "tier",
+            F.col("ts_us").alias("eff_from_us"),
+            F.lead("ts_us").over(w).alias("eff_to_us"),
+            F.lead("ts_us").over(w).isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )

@@ -1,0 +1,218 @@
+"""SCD Type-2 dimension maintenance (tables/scd.py).
+
+Hand-computed chains on a tiny dimension, incremental==rebuild equivalence,
+replay safety, strict-guard preconditions, and point-in-time reads.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_spark.tables.managed import ManagedTable
+from delta_lake_spark.tables.scd import (
+    scd2_apply,
+    scd2_as_of,
+    scd2_current,
+    scd2_init,
+)
+
+KEYS = ["cust_id"]
+TRACKED = ["tier", "country"]
+
+
+def _ts(day: int) -> dt.datetime:
+    return dt.datetime(2024, 1, day)
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "cust_id bigint, tier string, country string, ts timestamp"
+    )
+
+
+def _chain(table):
+    return sorted(
+        (
+            r.cust_id,
+            r.tier,
+            r.country,
+            r.eff_from,
+            r.eff_to,
+            r.is_current,
+        )
+        for r in table.read().collect()
+    )
+
+
+def _init(spark, tmp_path, rows):
+    t = ManagedTable(spark, str(tmp_path / "dim"))
+    scd2_init(t, _rows(spark, rows), KEYS, TRACKED, "ts")
+    return t
+
+
+def test_init_collapses_and_chains(spark, tmp_path):
+    t = _init(
+        spark,
+        tmp_path,
+        [
+            (1, "bronze", "DE", _ts(1)),
+            (1, "bronze", "DE", _ts(2)),  # consecutive-equal: no version
+            (1, "silver", "DE", _ts(3)),
+            (2, "gold", "FR", _ts(1)),
+        ],
+    )
+    assert _chain(t) == [
+        (1, "bronze", "DE", _ts(1), _ts(3), False),
+        (1, "silver", "DE", _ts(3), None, True),
+        (2, "gold", "FR", _ts(1), None, True),
+    ]
+
+
+def test_apply_closes_and_opens_atomically(spark, tmp_path):
+    t = _init(spark, tmp_path, [(1, "bronze", "DE", _ts(1))])
+    v0 = t.latest_version()
+    scd2_apply(
+        t,
+        _rows(
+            spark,
+            [
+                (1, "silver", "DE", _ts(5)),  # change -> close + open
+                (2, "gold", "FR", _ts(5)),  # brand-new key
+            ],
+        ),
+        KEYS,
+        TRACKED,
+        "ts",
+    )
+    assert t.latest_version() == v0 + 1  # ONE commit for both clauses
+    assert _chain(t) == [
+        (1, "bronze", "DE", _ts(1), _ts(5), False),
+        (1, "silver", "DE", _ts(5), None, True),
+        (2, "gold", "FR", _ts(5), None, True),
+    ]
+    cur = {(r.cust_id, r.tier) for r in scd2_current(t).collect()}
+    assert cur == {(1, "silver"), (2, "gold")}
+
+
+def test_noop_and_intra_batch_chain(spark, tmp_path):
+    t = _init(spark, tmp_path, [(1, "bronze", "DE", _ts(1))])
+    v0 = t.latest_version()
+    # first row is a no-op vs the open version; then a two-step chain whose
+    # intermediate version must close inside the same commit
+    scd2_apply(
+        t,
+        _rows(
+            spark,
+            [
+                (1, "bronze", "DE", _ts(2)),
+                (1, "silver", "DE", _ts(3)),
+                (1, "gold", "DE", _ts(4)),
+            ],
+        ),
+        KEYS,
+        TRACKED,
+        "ts",
+    )
+    assert t.latest_version() == v0 + 1
+    assert _chain(t) == [
+        (1, "bronze", "DE", _ts(1), _ts(3), False),  # no-op didn't fork
+        (1, "gold", "DE", _ts(4), None, True),
+        (1, "silver", "DE", _ts(3), _ts(4), False),
+    ]
+
+
+def test_all_noop_batch_commits_nothing(spark, tmp_path):
+    t = _init(spark, tmp_path, [(1, "bronze", "DE", _ts(1))])
+    v0 = t.latest_version()
+    scd2_apply(
+        t, _rows(spark, [(1, "bronze", "DE", _ts(9))]), KEYS, TRACKED, "ts"
+    )
+    assert t.latest_version() == v0
+    assert _chain(t) == [(1, "bronze", "DE", _ts(1), None, True)]
+
+
+def test_incremental_equals_rebuild(spark, tmp_path):
+    """Three sequential applies land the same table as one init over the
+    concatenated change stream — the invariant the op exists for."""
+    batches = [
+        [(1, "bronze", "DE", _ts(1)), (2, "gold", "FR", _ts(1))],
+        [
+            (1, "silver", "DE", _ts(4)),
+            (2, "gold", "FR", _ts(4)),  # no-op
+            (3, "bronze", "IT", _ts(4)),
+        ],
+        [
+            (1, "silver", "CH", _ts(7)),  # second tracked col changes
+            (3, "silver", "IT", _ts(8)),
+            (3, "gold", "IT", _ts(9)),  # intra-batch chain
+        ],
+    ]
+    inc = ManagedTable(spark, str(tmp_path / "inc"))
+    scd2_init(inc, _rows(spark, batches[0]), KEYS, TRACKED, "ts")
+    for b in batches[1:]:
+        scd2_apply(inc, _rows(spark, b), KEYS, TRACKED, "ts")
+    reb = ManagedTable(spark, str(tmp_path / "reb"))
+    scd2_init(reb, _rows(spark, [r for b in batches for r in b]), KEYS, TRACKED, "ts")
+    assert _chain(inc) == _chain(reb)
+
+
+def test_replay_same_batch_is_idempotent(spark, tmp_path):
+    t = _init(spark, tmp_path, [(1, "bronze", "DE", _ts(1))])
+    batch = _rows(spark, [(1, "silver", "DE", _ts(5))])
+    scd2_apply(t, batch, KEYS, TRACKED, "ts", txn_app="scd", txn_batch=1)
+    before = _chain(t)
+    v1 = t.latest_version()
+    # crash-after-commit retry: short-circuits on the txn marker (the strict
+    # guard must NOT mis-read the post-commit head as out-of-order)
+    scd2_apply(t, batch, KEYS, TRACKED, "ts", txn_app="scd", txn_batch=1)
+    assert t.latest_version() == v1
+    assert _chain(t) == before
+
+
+def test_strict_guards(spark, tmp_path):
+    t = _init(spark, tmp_path, [(1, "bronze", "DE", _ts(5))])
+    with pytest.raises(ValueError, match="out-of-order"):
+        scd2_apply(
+            t, _rows(spark, [(1, "gold", "DE", _ts(3))]), KEYS, TRACKED, "ts"
+        )
+    with pytest.raises(ValueError, match="duplicate"):
+        scd2_apply(
+            t,
+            _rows(
+                spark,
+                [(1, "gold", "DE", _ts(8)), (1, "silver", "DE", _ts(8))],
+            ),
+            KEYS,
+            TRACKED,
+            "ts",
+        )
+
+
+def test_as_of_point_in_time(spark, tmp_path):
+    t = _init(
+        spark,
+        tmp_path,
+        [
+            (1, "bronze", "DE", _ts(1)),
+            (1, "silver", "DE", _ts(5)),
+            (2, "gold", "FR", _ts(3)),
+        ],
+    )
+    snap = {
+        (r.cust_id, r.tier)
+        for r in scd2_as_of(t, _ts(4)).collect()
+    }
+    assert snap == {(1, "bronze"), (2, "gold")}
+    # half-open boundary: at exactly eff_from the NEW version is valid
+    snap5 = {
+        (r.cust_id, r.tier)
+        for r in scd2_as_of(t, _ts(5)).collect()
+    }
+    assert snap5 == {(1, "silver"), (2, "gold")}
+    # before any version: key absent
+    assert scd2_as_of(t, _ts(1) - dt.timedelta(days=1)).filter(
+        F.col("cust_id") == 2
+    ).isEmpty()
