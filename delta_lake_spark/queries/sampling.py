@@ -360,3 +360,74 @@ def s08_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# s09 — leakage-safe train/val/test split: the split key is the document's
+# exact-dup FINGERPRINT (md5 of normalized text), not its id, so every copy
+# of a duplicated document provably lands in the same split — the standard
+# guard against train/test contamination that per-doc hashing cannot give
+# (a doc_id split scatters byte-identical copies across splits; the model
+# then "generalizes" to its own training data).  One groupBy on fp for
+# group sizes + one split-keyed agg; the fingerprint/split decision is pure
+# per-row map, content-addressed, partition-count-independent (reuses
+# s01's bucket idiom and t01's fingerprint).  straddling_groups is the
+# invariant column: a group whose members see >1 split — 0 by construction,
+# and the oracle recomputes it rather than trusting it.
+# ---------------------------------------------------------------------------
+_FP_SQL = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), "
+    "'\\s+', ' ', 'g')))"
+)
+_FP_SPLIT_B = hash_bucket_sql("fp", "split")
+
+
+@register(
+    "s09_leakage_safe_split",
+    oracle=f"""
+WITH d AS (SELECT doc_id, {_FP_SQL} AS fp FROM documents),
+g AS (SELECT fp, COUNT(*) AS gsz,
+             COUNT(DISTINCT CASE WHEN {_FP_SPLIT_B} < 9000 THEN 'train'
+                                 WHEN {_FP_SPLIT_B} < 9500 THEN 'val'
+                                 ELSE 'test' END) AS n_splits
+      FROM d GROUP BY fp),
+j AS (SELECT d.doc_id, d.fp, g.gsz, g.n_splits,
+             CASE WHEN {_FP_SPLIT_B} < 9000 THEN 'train'
+                  WHEN {_FP_SPLIT_B} < 9500 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM d JOIN g USING (fp))
+SELECT split,
+       CAST(COUNT(*) AS BIGINT)                                  AS n_docs,
+       CAST(COUNT(DISTINCT fp) AS BIGINT)                        AS n_groups,
+       CAST(SUM(CASE WHEN gsz > 1 THEN 1 ELSE 0 END) AS BIGINT)  AS n_dup_docs,
+       CAST(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                                 AS straddling_docs
+FROM j GROUP BY split ORDER BY split
+""",
+)
+def s09_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.text import fingerprint
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    d = d.withColumn("split", split_assign("fp"))
+    g = d.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("gsz"),
+        F.countDistinct("split").alias("n_splits"),
+    )
+    return (
+        d.join(g, "fp")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("fp").cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("gsz") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("straddling_docs"),
+        )
+        .orderBy("split")
+    )

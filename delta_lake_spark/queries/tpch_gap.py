@@ -585,3 +585,114 @@ def q57_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("price_c", "p_partkey", "s_name")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# q72 — triangle census of the part co-purchase graph (graph analytics the
+# reference cannot express; standard engine-benchmark shape — LDBC/Graphalytics
+# triangle counting).  Edges: distinct part pairs sharing an order (bounded
+# fan-out: an order has <=7 lines, so edge generation is a per-order local
+# C(n,2), never quadratic in the table).  Triangles are counted by ORIENTED
+# path-join: each edge points from its lower-(degree, id) endpoint to the
+# higher one, so every triangle materializes exactly one (a->b->c) path and
+# one closing probe — the degree-ordered orientation is THE published trick
+# (cf. "compact-forward") that bounds effective out-degree at ~sqrt(2m) and
+# keeps the path blow-up polynomial on skewed degree distributions at 100x
+# scale.  The DuckDB oracle uses plain id-orientation: triangle and wedge
+# counts are orientation-INVARIANT, so results match while each engine keeps
+# its natural shape.  Output: one exact census row (clustering coefficient
+# in integer basis points via truncating division).
+# ---------------------------------------------------------------------------
+@register(
+    "q72_triangle_census",
+    oracle="""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT p, COUNT(*) AS d FROM (
+    SELECT u AS p FROM e UNION ALL SELECT v AS p FROM e
+  ) GROUP BY p
+),
+tri AS (
+  SELECT COUNT(*) AS n_tri
+  FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT)                 AS n_vertices,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT)                   AS n_edges,
+       CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT)    AS n_wedges,
+       CAST(n_tri AS BIGINT)                                      AS n_triangles,
+       CAST(3 * n_tri * 10000 // (SELECT SUM(d * (d - 1) // 2) FROM deg)
+            AS BIGINT)                                            AS clustering_bp
+FROM tri
+""",
+)
+def q72_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        # consumed by deg, the orientation join, and the census count —
+        # persist so the fact self-join + distinct runs once (the d06
+        # persisted-signatures pattern)
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("u").alias("p"))
+        .unionAll(edges.select(F.col("v").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # Orient each edge from its lower-(degree, id) endpoint to the higher:
+    # caps out-degree at ~sqrt(2m) regardless of raw-degree skew.  Two
+    # joins against the (vertex-sized, AQE-broadcastable) degree table.
+    du = deg.select(F.col("p").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("p").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .persist()  # three-way self-joined below
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    census = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).cast("bigint").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        tri.crossJoin(census)
+        .crossJoin(n_edges)
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_wedges",
+            F.col("n_tri").cast("bigint").alias("n_triangles"),
+            F.expr("CAST(3 * n_tri * 10000 DIV n_wedges AS BIGINT)").alias(
+                "clustering_bp"
+            ),
+        )
+    )

@@ -1,0 +1,155 @@
+"""Hand-computed differential tests for the round-4 tail wave (q71 SCD2
+history, q72 triangle census, s09 leakage-safe split) — tiny corpora where
+the expected output is derivable on paper, complementing the DuckDB oracle
+parity.  Also ties tables/scd.py's incremental scd2_init to q71's
+oracle-checked collapse on the same corpus."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from delta_lake_spark.queries import QUERIES
+
+
+def _write_events(tmp_path, rows):
+    """rows: (user_id, ts, value, event_type)."""
+    events = pa.table(
+        {
+            "event_id": list(range(1, len(rows) + 1)),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[3] for r in rows],
+            "value": [float(r[2]) for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+
+
+def _ts(day):
+    return datetime.datetime(2024, 1, day)
+
+
+def _us(day):
+    return int(_ts(day).timestamp() * 1_000_000)
+
+
+def test_q71_scd2_history_tiny(spark, tmp_path):
+    _write_events(
+        tmp_path,
+        [
+            (1, _ts(1), 50.0, "purchase"),   # tier 0 opens
+            (1, _ts(2), 150.0, "purchase"),  # tier 1: close v1, open v2
+            (1, _ts(3), 160.0, "purchase"),  # tier 1 again: collapses
+            (1, _ts(4), 20.0, "purchase"),   # tier 0: close v2, open v3
+            (1, _ts(5), 400.0, "click"),     # non-purchase: ignored
+            (2, _ts(2), 250.0, "purchase"),  # single open version
+        ],
+    )
+    out = [
+        (r.user_id, r.version, r.tier, r.eff_from_us, r.eff_to_us, r.is_current)
+        for r in QUERIES["q71_scd2_tier_history"](spark, str(tmp_path)).collect()
+    ]
+    assert out == [
+        (1, 1, 0, _us(1), _us(2), False),
+        (1, 2, 1, _us(2), _us(4), False),
+        (1, 3, 0, _us(4), None, True),
+        (2, 1, 2, _us(2), None, True),
+    ]
+
+
+def test_scd2_init_matches_q71_chain(spark, tmp_path):
+    """The managed-table SCD2 op and the oracle-checked q71 collapse are the
+    same semantics: building the dimension from the identical change stream
+    must land the identical version chains."""
+    from delta_lake_spark.catalog import EPOCH_NTZ, table
+    from delta_lake_spark.tables.managed import ManagedTable
+    from delta_lake_spark.tables.scd import scd2_init
+
+    _write_events(
+        tmp_path,
+        [
+            (1, _ts(1), 50.0, "purchase"),
+            (1, _ts(2), 150.0, "purchase"),
+            (1, _ts(3), 160.0, "purchase"),
+            (1, _ts(4), 20.0, "purchase"),
+            (2, _ts(2), 250.0, "purchase"),
+        ],
+    )
+    changes = (
+        table(spark, str(tmp_path), "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.floor(F.col("value") / F.lit(100.0)).cast("bigint").alias("tier"),
+            "ts",
+        )
+    )
+    dim = ManagedTable(spark, str(tmp_path / "dim"))
+    scd2_init(dim, changes, ["user_id"], ["tier"], "ts")
+    us = lambda c: F.timestamp_diff("MICROSECOND", F.expr(EPOCH_NTZ), F.col(c))
+    got = sorted(
+        (r.user_id, r.tier, r.f, r.t, r.is_current)
+        for r in dim.read()
+        .select(
+            "user_id", "tier", us("eff_from").alias("f"),
+            us("eff_to").alias("t"), "is_current",
+        )
+        .collect()
+    )
+    want = sorted(
+        (r.user_id, r.tier, r.eff_from_us, r.eff_to_us, r.is_current)
+        for r in QUERIES["q71_scd2_tier_history"](spark, str(tmp_path)).collect()
+    )
+    assert got == want
+
+
+def test_q72_triangle_census_tiny(spark, tmp_path):
+    # order 1 buys parts {1,2,3} (a triangle), order 2 buys {3,4}; part 3
+    # listed twice in order 1 (distinct collapses it).
+    li = pa.table(
+        {
+            "l_orderkey": [1, 1, 1, 1, 2, 2],
+            "l_partkey": [1, 2, 3, 3, 3, 4],
+        }
+    )
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    row = QUERIES["q72_triangle_census"](spark, str(tmp_path)).collect()[0]
+    # edges {12,13,23,34}; degrees 1:2 2:2 3:3 4:1; wedges 1+1+3+0=5
+    assert (
+        row.n_vertices, row.n_edges, row.n_wedges, row.n_triangles,
+        row.clustering_bp,
+    ) == (4, 4, 5, 1, 3 * 1 * 10000 // 5)
+
+
+def test_s09_split_is_leakage_free_and_conserves(spark, tmp_path):
+    # three byte-different copies normalizing to ONE fingerprint + two
+    # unique docs; the duplicated group must land whole in a single split.
+    texts = [
+        "Same text!",
+        "same   TEXT",
+        "same text",
+        "unique one",
+        "another unique",
+    ]
+    docs = pa.table(
+        {
+            "doc_id": list(range(1, 6)),
+            "text": texts,
+            "lang": ["en"] * 5,
+            "source": ["s"] * 5,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    rows = QUERIES["s09_leakage_safe_split"](spark, str(tmp_path)).collect()
+    assert sum(r.n_docs for r in rows) == 5
+    assert sum(r.n_groups for r in rows) == 3
+    assert sum(r.n_dup_docs for r in rows) == 3  # the whole trio, one split
+    assert all(r.straddling_docs == 0 for r in rows)
+    # the dup trio is in exactly one split row (its split has >=3 docs)
+    assert sum(1 for r in rows if r.n_dup_docs == 3) == 1
