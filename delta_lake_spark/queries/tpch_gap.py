@@ -696,3 +696,120 @@ def q72_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q73 — PageRank over the part co-purchase graph, EXACT-integer fixed-point:
+# 10 damped iterations in pico-mass units where every step is integer
+# (contribution = rank DIV degree, update = BASE + 85*incoming DIV 100), so
+# the result is bit-identical regardless of partitioning, join order, or
+# engine — the floating-point PageRank everyone ships is none of those.
+# The Spark side iterates (persist per round, unpersist previous — the d10
+# connected-components discipline); the DuckDB oracle UNROLLS the same 10
+# iterations as chained CTEs, making an "iterative, not SQL-expressible"
+# algorithm oracle-checked after all (bounded iteration count IS
+# SQL-expressible).  Per iteration: one (directed-edge ⋈ rank) equi-join +
+# one dst-keyed agg — rank and degree tables are vertex-sized, AQE
+# broadcast-eligible; nothing quadratic, no driver collect beyond the
+# vertex-count scalar.  Undirected co-purchase degrees are >=1 by
+# construction, so there is no dangling-mass term.
+# ---------------------------------------------------------------------------
+_PR_TOTAL = 1_000_000_000_000  # total initial mass, pico-units
+_PR_ITERS = 10
+
+
+def _pagerank_oracle() -> str:
+    head = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+dir AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT src AS p, COUNT(*) AS d FROM dir GROUP BY src),
+consts AS (
+  SELECT {tot} // COUNT(*) AS init,
+         (15 * ({tot} // COUNT(*))) // 100 AS base
+  FROM deg
+),
+r0 AS (SELECT p, d, (SELECT init FROM consts) AS r FROM deg)
+""".format(tot=_PR_TOTAL)
+    steps = []
+    for i in range(1, _PR_ITERS + 1):
+        steps.append(
+            f""",
+c{i} AS (
+  SELECT dir.dst AS p, SUM(r.r // r.d) AS s
+  FROM dir JOIN r{i - 1} r ON dir.src = r.p GROUP BY dir.dst
+),
+r{i} AS (
+  SELECT deg.p, deg.d,
+         (SELECT base FROM consts) + (85 * COALESCE(c{i}.s, 0)) // 100 AS r
+  FROM deg LEFT JOIN c{i} ON deg.p = c{i}.p
+)"""
+        )
+    tail = f"""
+SELECT CAST(p AS BIGINT) AS l_partkey, CAST(r AS BIGINT) AS rank_pico
+FROM r{_PR_ITERS} ORDER BY rank_pico DESC, l_partkey LIMIT 25
+"""
+    return head + "".join(steps) + tail
+
+
+@register("q73_copurchase_pagerank", oracle=_pagerank_oracle())
+def q73_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    direct = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .persist()  # joined against the rank table every iteration
+    )
+    deg = (
+        direct.groupBy(F.col("src").alias("p"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    n = deg.count()  # the one driver scalar (vertex count)
+    init = _PR_TOTAL // n
+    base = (15 * init) // 100
+    # localCheckpoint (eager) rather than persist: it TRUNCATES the logical
+    # plan each round — with a fixed 10-iteration chain, an untruncated
+    # lineage makes plan compilation itself the bottleneck (explain-string
+    # blowup / driver OOM in a default-heap session).  The checkpointed
+    # table is vertex-sized, so executor-memory cost is trivial.
+    ranks = deg.select(
+        "p", "d", F.lit(init).cast("bigint").alias("r")
+    ).localCheckpoint(eager=True)
+    for _ in range(_PR_ITERS):
+        contrib = (
+            direct.join(ranks, direct["src"] == ranks["p"])
+            .groupBy(F.col("dst").alias("cp"))
+            .agg(F.sum(F.expr("r DIV d")).alias("s"))
+        )
+        ranks = (
+            deg.join(contrib, deg["p"] == contrib["cp"], "left")
+            .select(
+                "p",
+                "d",
+                (
+                    F.lit(base)
+                    + F.expr("85 * COALESCE(s, 0) DIV 100")
+                ).cast("bigint").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.select(F.col("p").cast("bigint").alias("l_partkey"),
+                     F.col("r").alias("rank_pico"))
+        .orderBy(F.col("rank_pico").desc(), "l_partkey")
+        .limit(25)
+    )

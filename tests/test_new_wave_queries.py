@@ -153,3 +153,42 @@ def test_s09_split_is_leakage_free_and_conserves(spark, tmp_path):
     assert all(r.straddling_docs == 0 for r in rows)
     # the dup trio is in exactly one split row (its split has >=3 docs)
     assert sum(1 for r in rows if r.n_dup_docs == 3) == 1
+
+
+def test_q73_pagerank_matches_python_reference(spark, tmp_path):
+    """Pure-Python integer PageRank on a 4-node graph (triangle 1-2-3 plus
+    pendant 4 attached to 3) must match the distributed result exactly —
+    the whole point of the fixed-point arithmetic."""
+    li = pa.table(
+        {
+            "l_orderkey": [1, 1, 1, 2, 2],
+            "l_partkey": [1, 2, 3, 3, 4],
+        }
+    )
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+
+    from delta_lake_spark.queries.tpch_gap import _PR_ITERS, _PR_TOTAL
+
+    edges = {(1, 2), (1, 3), (2, 3), (3, 4)}
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    n = len(adj)
+    init = _PR_TOTAL // n
+    base = (15 * init) // 100
+    r = {p: init for p in adj}
+    for _ in range(_PR_ITERS):
+        incoming = {p: 0 for p in adj}
+        for p, nbrs in adj.items():
+            c = r[p] // len(nbrs)
+            for q in nbrs:
+                incoming[q] += c
+        r = {p: base + (85 * incoming[p]) // 100 for p in adj}
+    want = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    got = [
+        (row.l_partkey, row.rank_pico)
+        for row in QUERIES["q73_copurchase_pagerank"](spark, str(tmp_path)).collect()
+    ]
+    assert got == want
