@@ -348,6 +348,8 @@ def main() -> None:
         "q69_twap",
         "t20_vocab_richness",
         "q70_distribution_ranks",
+        "q71_scd2_tier_history",
+        "s09_leakage_safe_split",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
@@ -356,6 +358,23 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).count()
         ext_r4[name] = round(min(first, time.perf_counter() - t0), 3)
     payload["extensions_r4"] = ext_r4
+
+    # Graph section: exact triangle census + exact-integer PageRank over the
+    # part co-purchase graph.  Census-class analytics (each pass touches the
+    # whole edge set; PageRank runs 10 full iterations) — timed at sf0.01
+    # cold so the per-round bench stays fast, with the sf0.1 cost measured
+    # once and quoted in COVERAGE.md (~21s / ~15s warm on local[32]).
+    # Disable with SPARK_GRAFT_GRAPH=0.
+    if os.environ.get("SPARK_GRAFT_GRAPH", "1") != "0":
+        try:
+            graph: dict[str, float] = {"sf": 0.01}
+            for name in ("q72_triangle_census", "q73_copurchase_pagerank"):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, "/root/testdata/sf0.01").count()
+                graph[name] = round(time.perf_counter() - t0, 3)
+            payload["graph_sf001"] = graph
+        except Exception as exc:
+            payload["graph_sf001"] = {"error": f"{type(exc).__name__}: {exc}"}
 
     # headline keys last (see NOTE above) so a bounded output tail always
     # contains metric/value/queries
