@@ -1241,3 +1241,84 @@ def q71_scd2_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "version")
     )
+
+
+# ---------------------------------------------------------------------------
+# q74 — point-in-time attribute enrichment (the consumption side of q71's
+# SCD2 chain): every click event is attributed to the user's tier AS OF the
+# click instant (tier = last purchase-derived value at ts <= click ts, the
+# half-open [eff_from, eff_to) convention).  Implemented WITHOUT a range
+# join: changes and clicks union into one stream and a single user-keyed
+# window forward-fills the tier (last_value IGNORE NULLS) — one shuffle
+# total, the scalable shape for temporal enrichment (an interval join would
+# shuffle both sides AND fan out per-range probes; q19/q34 cover that
+# family).  Ties at the same microsecond resolve change-first, matching
+# q71's "new version valid at its own eff_from".  Value sums in exact
+# integer milli-units.
+# ---------------------------------------------------------------------------
+@register(
+    "q74_pit_tier_enrichment",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_change,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(FLOOR(value / 100.0) AS BIGINT) END AS tier,
+         CASE WHEN event_type = 'click'
+              THEN CAST(FLOOR(value * 1000) AS BIGINT) END AS val_milli
+  FROM events WHERE event_type IN ('purchase', 'click')
+),
+f AS (
+  SELECT user_id, is_change, val_milli,
+         LAST_VALUE(tier IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY t, is_change DESC, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tier_at
+  FROM s
+)
+SELECT tier_at,
+       CAST(COUNT(*) AS BIGINT)        AS n_clicks,
+       CAST(SUM(val_milli) AS BIGINT)  AS total_value_milli
+FROM f WHERE is_change = 0
+GROUP BY tier_at ORDER BY tier_at NULLS FIRST
+""",
+)
+def q74_pit_tier_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.catalog import EPOCH_NTZ
+
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            "user_id",
+            "event_id",
+            F.timestamp_diff(
+                "MICROSECOND", F.expr(EPOCH_NTZ), F.col("ts")
+            ).alias("t"),
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+                "is_change"
+            ),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") / F.lit(100.0)).cast("bigint"),
+            ).alias("tier"),
+            F.when(
+                F.col("event_type") == "click",
+                F.floor(F.col("value") * 1000).cast("bigint"),
+            ).alias("val_milli"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("is_change").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    f = e.withColumn("tier_at", F.last("tier", ignorenulls=True).over(w))
+    return (
+        f.filter(F.col("is_change") == 0)
+        .groupBy("tier_at")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clicks"),
+            F.sum("val_milli").cast("bigint").alias("total_value_milli"),
+        )
+        .orderBy(F.col("tier_at").asc_nulls_first())
+    )

@@ -192,3 +192,24 @@ def test_q73_pagerank_matches_python_reference(spark, tmp_path):
         for row in QUERIES["q73_copurchase_pagerank"](spark, str(tmp_path)).collect()
     ]
     assert got == want
+
+
+def test_q74_pit_enrichment_tiny(spark, tmp_path):
+    """Click at the same microsecond as a tier change gets the NEW tier
+    (change-first tie rule); clicks before any purchase group under NULL."""
+    _write_events(
+        tmp_path,
+        [
+            (1, _ts(1), 50.0, "purchase"),   # tier 0 from day 1
+            (1, _ts(2), 10.0, "click"),      # -> tier 0, 10000 milli
+            (1, _ts(3), 150.0, "purchase"),  # tier 1 from day 3
+            (1, _ts(3), 20.0, "click"),      # same instant -> NEW tier 1
+            (2, _ts(1), 5.0, "click"),       # no purchase yet -> NULL tier
+            (2, _ts(2), 400.0, "error"),     # other types ignored
+        ],
+    )
+    rows = {
+        r.tier_at: (r.n_clicks, r.total_value_milli)
+        for r in QUERIES["q74_pit_tier_enrichment"](spark, str(tmp_path)).collect()
+    }
+    assert rows == {None: (1, 5000), 0: (1, 10000), 1: (1, 20000)}
