@@ -7,6 +7,7 @@ from delta_lake_spark.streaming.streams import (
     interval_join,
     file_stream,
     stream_merge_into,
+    stream_scd2_into,
     session_window_agg,
     windowed_agg,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "windowed_agg",
     "dedup_stream",
     "stream_merge_into",
+    "stream_scd2_into",
     "interval_join",
     "sessionize",
     "session_window_agg",

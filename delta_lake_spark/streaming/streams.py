@@ -353,3 +353,54 @@ def session_window_agg(
         "n_events",
         "total_value",
     )
+
+
+def stream_scd2_into(
+    stream: DataFrame,
+    table: ManagedTable,
+    keys: list[str],
+    tracked: list[str],
+    ts_col: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain an SCD Type-2 dimension from a change stream
+    (``foreachBatch`` over :func:`~delta_lake_spark.tables.scd.scd2_apply`).
+
+    Each micro-batch extends per-key version chains atomically (close-out +
+    new versions in one commit); the first batch initializes the dimension.
+    Exactly-once across crash/replay: both the init write and every apply
+    merge carry a txn marker keyed by the checkpoint dir, and scd2_apply
+    short-circuits on an already-committed batch id BEFORE its strict
+    ordering guards (a replayed batch's timestamps equal the committed
+    head's — the guard would otherwise read that as out-of-order data).
+    Precondition inherited from scd2_apply: micro-batches arrive in event
+    order per key (true for an ordered landing feed); late data needs the
+    batch rebuild path (scd2_init), not the stream.
+    """
+    from delta_lake_spark.tables.scd import scd2_apply, scd2_init
+
+    txn_app = f"stream_scd2_into:{os.path.abspath(checkpoint_dir)}"
+
+    def apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if not ManagedTable.is_managed_table(table.path):
+            scd2_init(
+                table, batch, keys, tracked, ts_col,
+                txn_app=txn_app, txn_batch=batch_id,
+            )
+        else:
+            scd2_apply(
+                table, batch, keys, tracked, ts_col,
+                txn_app=txn_app, txn_batch=batch_id,
+            )
+
+    writer = (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

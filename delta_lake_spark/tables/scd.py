@@ -86,16 +86,26 @@ def scd2_init(
     eff_to: str = "eff_to",
     current: str = "is_current",
     partition_by: list[str] | None = None,
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
 ) -> int:
     """Create the type-2 dimension from an initial change-row snapshot
-    (one or many rows per key; consecutive-equal rows collapse)."""
+    (one or many rows per key; consecutive-equal rows collapse).
+    ``txn_app``/``txn_batch`` make a replayed init (crash-after-commit in a
+    foreachBatch sink) a no-op, same as :func:`scd2_apply`."""
     marked = snapshot.select(*keys, *tracked, ts_col).withColumn(
         _IS_CUR, F.lit(False)
     )
     dim = _collapse_chain(
         marked, keys, tracked, ts_col, eff_from, eff_to, current
     ).drop(_IS_CUR)
-    return table.write(dim, mode="overwrite", partition_by=partition_by)
+    return table.write(
+        dim,
+        mode="overwrite",
+        partition_by=partition_by,
+        txn_app=txn_app,
+        txn_batch=txn_batch,
+    )
 
 
 def scd2_apply(

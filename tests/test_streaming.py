@@ -339,3 +339,65 @@ def test_session_window_agg_stream_matches_batch(spark, tmp_path, landing, event
     for k, v in got.items():
         assert want_map[k] == v
     assert len(got) >= 0.8 * len(want_map)
+
+
+def test_stream_scd2_matches_batch_rebuild(spark, tmp_path):
+    """Streaming SCD2 maintenance (two micro-batches through one checkpoint)
+    lands the same dimension as a batch rebuild over the full change stream;
+    a replayed drain through the same checkpoint is a no-op."""
+    import datetime as dt
+
+    from delta_lake_spark.streaming import stream_scd2_into
+    from delta_lake_spark.tables.scd import scd2_init
+
+    schema = "user_id bigint, tier string, ts timestamp"
+    rows1 = [
+        (1, "bronze", dt.datetime(2024, 1, 1)),
+        (1, "silver", dt.datetime(2024, 1, 2)),
+        (2, "bronze", dt.datetime(2024, 1, 1)),
+    ]
+    rows2 = [
+        (1, "silver", dt.datetime(2024, 1, 3)),  # no-op vs open version
+        (1, "gold", dt.datetime(2024, 1, 4)),
+        (3, "bronze", dt.datetime(2024, 1, 4)),  # brand-new key mid-stream
+    ]
+    land = tmp_path / "land"
+    df1 = spark.createDataFrame(rows1, schema)
+    df1.coalesce(1).write.parquet(str(land / "f0"))
+
+    dim = ManagedTable(spark, str(tmp_path / "dim"))
+    ckpt = str(tmp_path / "ckpt")
+    drain(stream_scd2_into(
+        file_stream(spark, str(land) + "/*", df1.schema),
+        dim, ["user_id"], ["tier"], "ts", ckpt,
+    ))
+    v_after_first = dim.latest_version()
+
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(land / "f1")
+    )
+    drain(stream_scd2_into(
+        file_stream(spark, str(land) + "/*", df1.schema),
+        dim, ["user_id"], ["tier"], "ts", ckpt,
+    ))
+    assert dim.latest_version() > v_after_first
+
+    rebuild = ManagedTable(spark, str(tmp_path / "rebuild"))
+    scd2_init(
+        rebuild, spark.createDataFrame(rows1 + rows2, schema),
+        ["user_id"], ["tier"], "ts",
+    )
+    key = lambda t: sorted(
+        (r.user_id, r.tier, r.eff_from, r.eff_to, r.is_current)
+        for r in t.read().collect()
+    )
+    assert key(dim) == key(rebuild)
+
+    # replay: a fresh query over the SAME checkpoint finds no new files and
+    # commits nothing (and re-delivered batches would hit the txn marker)
+    v = dim.latest_version()
+    drain(stream_scd2_into(
+        file_stream(spark, str(land) + "/*", df1.schema),
+        dim, ["user_id"], ["tier"], "ts", ckpt,
+    ))
+    assert dim.latest_version() == v
