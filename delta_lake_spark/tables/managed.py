@@ -342,6 +342,134 @@ def _dir_value_str(raw: str) -> str | None:
     return unquote(raw)
 
 
+class _Unparsed:
+    """Sentinel: a partition dir value that could not be parsed to the
+    column's type — comparisons against it must keep the file."""
+
+
+_UNPARSED = _Unparsed()
+
+
+def _typed_dir_value(raw: str, simple_type: str):
+    """Decode a Hive dir-name partition value to a comparable Python value
+    of the column's type (for RANGE pruning; equality uses the normalized
+    string path).  None = the null partition; _UNPARSED = keep the file."""
+    import datetime
+
+    s = _dir_value_str(raw)
+    if s is None:
+        return None
+    t = (simple_type or "").lower()
+    try:
+        if t in ("tinyint", "smallint", "int", "bigint"):
+            return int(s)
+        if t in ("float", "double"):
+            return float(s)
+        if t == "date":
+            return datetime.date.fromisoformat(s)
+        if t in ("timestamp", "timestamp_ntz"):
+            return datetime.datetime.fromisoformat(s)
+        if t == "string":
+            return s
+    except ValueError:
+        return _UNPARSED
+    return _UNPARSED  # booleans/decimals/other: no range pruning
+
+
+# Deriving a predicate through a monotone non-decreasing transform f:
+# x op V implies f(x) op' f(V) with strict bounds relaxed (x < V only
+# implies f(x) <= f(V) — e.g. two timestamps in the same day).
+_MONOTONE_DERIVED_OP = {"=": "=", "<": "<=", "<=": "<=", ">": ">=", ">=": ">="}
+
+_GEN_DATE_RE = re.compile(
+    r"^\s*(?:to_date\s*\(\s*(\w+)\s*\)|cast\s*\(\s*(\w+)\s+as\s+date\s*\))\s*$",
+    re.I,
+)
+_GEN_YEAR_RE = re.compile(r"^\s*year\s*\(\s*(\w+)\s*\)\s*$", re.I)
+_GEN_TRUNC_RE = re.compile(
+    r"^\s*date_trunc\s*\(\s*'(year|month|week|day|hour)'\s*,\s*(\w+)\s*\)\s*$",
+    re.I,
+)
+
+
+def _parse_generated_form(expr: str):
+    """Recognize the monotone time-derivation forms of a generated-column
+    expression -> (kind, source_col, unit) or None."""
+    m = _GEN_DATE_RE.match(expr)
+    if m:
+        return ("date", m.group(1) or m.group(2), None)
+    m = _GEN_YEAR_RE.match(expr)
+    if m:
+        return ("year", m.group(1), None)
+    m = _GEN_TRUNC_RE.match(expr)
+    if m:
+        return ("trunc", m.group(2), m.group(1).lower())
+    return None
+
+
+def _apply_time_derivation(kind: str, unit, val):
+    """f(V) for the recognized generated forms, computed driver-side with
+    exactly Spark's semantics on date/timestamp inputs.  None = underivable
+    (unsupported literal type)."""
+    import datetime
+
+    if isinstance(val, str):
+        try:
+            val = datetime.datetime.fromisoformat(val)
+        except ValueError:
+            return None
+    if isinstance(val, datetime.datetime):
+        d, dt_ = val.date(), val
+    elif isinstance(val, datetime.date):
+        d, dt_ = val, datetime.datetime(val.year, val.month, val.day)
+    else:
+        return None
+    if kind == "date":
+        return d
+    if kind == "year":
+        return d.year
+    if kind == "trunc":
+        if unit == "year":
+            return datetime.datetime(d.year, 1, 1)
+        if unit == "month":
+            return datetime.datetime(d.year, d.month, 1)
+        if unit == "week":
+            monday = d - datetime.timedelta(days=d.weekday())
+            return datetime.datetime(monday.year, monday.month, monday.day)
+        if unit == "day":
+            return datetime.datetime(d.year, d.month, d.day)
+        if unit == "hour":
+            return dt_.replace(minute=0, second=0, microsecond=0)
+    return None
+
+
+def _derive_generated_filters(
+    entry: dict[str, Any], filters: list[tuple[str, str, Any]]
+) -> list[tuple[str, str, Any]]:
+    """Delta-style generated-column filter derivation: a predicate on the
+    SOURCE column of a recognized generated expression implies a (relaxed)
+    predicate on the generated column — which then prunes partitions and
+    file stats even though the caller never mentioned it.  The canonical
+    payoff: ``scan([("ts", ">=", X)])`` on a table partitioned by generated
+    ``event_date = to_date(ts)`` skips whole date partitions."""
+    gen = entry.get("generated") or {}
+    if not gen:
+        return []
+    derived: list[tuple[str, str, Any]] = []
+    for gcol, expr in gen.items():
+        form = _parse_generated_form(expr)
+        if form is None:
+            continue
+        kind, src, unit = form
+        for col, op, val in filters:
+            if col != src or op not in _MONOTONE_DERIVED_OP or val is None:
+                continue
+            dv = _apply_time_derivation(kind, unit, val)
+            if dv is not None:
+                derived.append((gcol, _MONOTONE_DERIVED_OP[op], dv))
+    return derived
+
+
 def _filters_expr(filters: list[tuple[str, str, Any]]) -> "Column":
     """AND of simple (col, op, literal) predicates as a Column."""
     out = F.lit(True)
@@ -1179,11 +1307,25 @@ class ManagedTable:
         # stats/bloom metadata is keyed by physical names; partition columns
         # can never be renamed, so translating is safe for both checks
         filters = self._phys_filters(entry, filters)
+        # generated-column derivation: predicates on a generated expression's
+        # source column imply (relaxed) predicates on the generated column,
+        # which participate in BOTH the partition checks below and the
+        # footer-stats check (the derived filters are pruning-only — scan's
+        # final DataFrame filter applies the caller's original predicates)
+        filters = filters + _derive_generated_filters(entry, filters)
+        part_types: dict[str, str] = {}
+        if any(c in part_cols and o in ("<", "<=", ">", ">=") for c, o, _ in filters):
+            part_types = {
+                fld.name: fld.dataType.simpleString()
+                for fld in StructType.fromJson(entry["schema"]).fields
+            }
         skipped, live = [], []
         for f in entry["files"]:
             keep = _file_may_match(f, filters)
             for col, op, val in filters:
-                if col in part_cols and op == "=" and col in f["partition"]:
+                if col not in part_cols or col not in f["partition"]:
+                    continue
+                if op == "=":
                     # normalized comparison (booleans, escaped chars, null
                     # partition): skip only on a PROVEN mismatch — a null/
                     # empty dir value (None) never proves a mismatch against
@@ -1191,6 +1333,29 @@ class ManagedTable:
                     # the file is kept.
                     if _dir_value_str(f["partition"][col]) != _hive_value_str(val):
                         keep = False
+                elif op in ("<", "<=", ">", ">="):
+                    # typed RANGE pruning on the partition value: the file
+                    # holds exactly one value pv for this column, so it can
+                    # only match if ``pv op val`` holds.  The null partition
+                    # never satisfies a range predicate (SQL null compare);
+                    # unparseable/mixed-type values conservatively keep.
+                    pv = _typed_dir_value(
+                        f["partition"][col], part_types.get(col, "")
+                    )
+                    if pv is None:
+                        keep = False
+                    elif pv is not _UNPARSED:
+                        try:
+                            ok = (
+                                pv < val if op == "<"
+                                else pv <= val if op == "<="
+                                else pv > val if op == ">"
+                                else pv >= val
+                            )
+                        except TypeError:
+                            ok = True
+                        if not ok:
+                            keep = False
             (live if keep else skipped).append(f)
         return skipped, live
 
