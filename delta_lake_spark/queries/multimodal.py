@@ -124,3 +124,33 @@ def m05_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = with_payload(table_parallel(spark, sf_dir, "documents", "doc_id"))
     return phash_near_dup_pairs(d, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# m06 — REAL codec decode stats (pure-stdlib BMP/WAV parsing inside the
+# mapInPandas stage — functions/codecs.py): per-modality aggregates of
+# features extracted by genuine byte-level parsing (BMP headers + padded
+# BGR rows, WAV PCM frames), all exact integers.  No oracle (byte codecs
+# are not SQL-expressible; rows-only driver check) — the python
+# differential test re-derives every aggregate with the same codecs driver-
+# side (tests/test_pandas_ops.py).
+# ---------------------------------------------------------------------------
+@register("m06_stdlib_codec_stats")
+def m06_stdlib_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.multimodal import real_media_stats
+
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    stats = real_media_stats(d)
+    return (
+        stats.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum("payload_bytes").cast("bigint").alias("total_bytes"),
+            F.sum("width").cast("bigint").alias("sum_width"),
+            F.sum("mean_r_milli").cast("bigint").alias("sum_mean_r_milli"),
+            F.sum("duration_ms").cast("bigint").alias("sum_duration_ms"),
+            F.sum("rms_milli").cast("bigint").alias("sum_rms_milli"),
+            F.max("peak").alias("max_peak"),
+        )
+        .orderBy("media_type")
+    )

@@ -126,3 +126,90 @@ def test_phash_band_join_is_equi_only(spark):
     plan = plan_of(QUERIES["m05_phash_near_dups"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- real stdlib codecs (functions/codecs.py, m06) -------------------------
+
+
+def test_bmp_roundtrip_hand_computed():
+    from delta_lake_spark.functions.codecs import decode_bmp24, encode_bmp24
+
+    rows = [[(10, 20, 30), (50, 60, 70)], [(90, 100, 110), (130, 140, 150)]]
+    d = decode_bmp24(encode_bmp24(2, 2, rows))
+    assert (d["width"], d["height"]) == (2, 2)
+    assert d["mean_r_milli"] == (10 + 50 + 90 + 130) * 1000 // 4
+    assert d["mean_g_milli"] == (20 + 60 + 100 + 140) * 1000 // 4
+    assert d["mean_b_milli"] == (30 + 70 + 110 + 150) * 1000 // 4
+
+
+def test_bmp_row_padding_survives():
+    # width 3 -> 9 data bytes per row, padded to 12: the parser must honor
+    # the 4-byte stride or every row after the first reads garbage
+    from delta_lake_spark.functions.codecs import decode_bmp24, encode_bmp24
+
+    rows = [[(x * 10 + y, 0, 0) for x in range(3)] for y in range(2)]
+    d = decode_bmp24(encode_bmp24(3, 2, rows))
+    assert d["mean_r_milli"] == (0 + 10 + 20 + 1 + 11 + 21) * 1000 // 6
+
+
+def test_wav_roundtrip_hand_computed():
+    import math
+
+    from delta_lake_spark.functions.codecs import decode_wav_pcm16, encode_wav_pcm16
+
+    samples = [0, 100, -200, 300]
+    d = decode_wav_pcm16(encode_wav_pcm16(8000, samples))
+    assert d["sample_rate"] == 8000 and d["n_samples"] == 4
+    assert d["duration_ms"] == 4 * 1000 // 8000
+    assert d["peak"] == 300
+    assert d["rms_milli"] == math.isqrt(
+        (0 + 100**2 + 200**2 + 300**2) * 1_000_000 // 4
+    )
+
+
+def test_m06_matches_pure_python_reference(spark):
+    """The distributed decode (Arrow batches -> stdlib codec parse) must
+    equal a driver-side loop running the identical codecs."""
+    from delta_lake_spark.catalog import table
+    from delta_lake_spark.functions.codecs import (
+        decode_bmp24,
+        decode_wav_pcm16,
+        synth_media_payload,
+    )
+    from delta_lake_spark.queries import QUERIES
+
+    got = {
+        r.media_type: (
+            r.n_items, r.total_bytes, r.sum_width, r.sum_mean_r_milli,
+            r.sum_duration_ms, r.sum_rms_milli, r.max_peak,
+        )
+        for r in QUERIES["m06_stdlib_codec_stats"](spark, SF_SMOKE).collect()
+    }
+
+    agg = {}
+    for (doc_id,) in table(spark, SF_SMOKE, "documents").select("doc_id").collect():
+        mt, payload = synth_media_payload(doc_id)
+        a = agg.setdefault(
+            mt, {"n": 0, "bytes": 0, "w": 0, "r": 0, "dur": 0, "rms": 0, "peak": 0}
+        )
+        a["n"] += 1
+        a["bytes"] += len(payload)
+        if mt == "image/bmp":
+            d = decode_bmp24(payload)
+            a["w"] += d["width"]
+            a["r"] += d["mean_r_milli"]
+        else:
+            d = decode_wav_pcm16(payload)
+            a["dur"] += d["duration_ms"]
+            a["rms"] += d["rms_milli"]
+            a["peak"] = max(a["peak"], d["peak"])
+    want = {
+        mt: (
+            a["n"], a["bytes"],
+            a["w"] or None, a["r"] or None,
+            a["dur"] or None, a["rms"] or None,
+            a["peak"] or None,
+        )
+        for mt, a in agg.items()
+    }
+    assert got == want
