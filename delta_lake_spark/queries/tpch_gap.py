@@ -813,3 +813,84 @@ def q73_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_pico").desc(), "l_partkey")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# q75 — hierarchical subtree rollup by POINTER DOUBLING: customers form a
+# synthetic forest (parent(k) = (k*7919 DIV 10) % k, strictly < k, so the
+# graph is provably acyclic with roots < 10; chains run ~50 deep), and each
+# root aggregates its whole subtree.  The scalable shape is the point:
+# sequential parent-chasing needs depth (~50) joins, pointer doubling
+# (anc <- anc(anc), depth additive) converges in ceil(log2(depth)) = 6
+# rounds of vertex-sized equi-joins — the standard technique for hierarchy
+# flattening / ancestor queries on engines without recursion.  A root's
+# self-label (anc=self, hops=0) is the natural join fixpoint, so rounds
+# need no conditional logic; d10's persist-per-round + 1-row fixpoint-check
+# discipline bounds the loop.  The DuckDB oracle walks the SAME chains with
+# a recursive CTE — both engines land identical integer depths and decimal
+# subtree balances.
+# ---------------------------------------------------------------------------
+@register(
+    "q75_hierarchy_rollup",
+    oracle="""
+WITH RECURSIVE climb AS (
+  SELECT c_custkey AS k, c_acctbal,
+         CASE WHEN c_custkey >= 10
+              THEN (c_custkey * 7919 // 10) % c_custkey
+              ELSE c_custkey END AS anc,
+         CASE WHEN c_custkey >= 10 THEN 1 ELSE 0 END AS hops
+  FROM customer
+  UNION ALL
+  SELECT k, c_acctbal, (anc * 7919 // 10) % anc, hops + 1
+  FROM climb WHERE anc >= 10
+)
+SELECT anc AS root,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MAX(hops) AS BIGINT) AS max_depth,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS subtree_balance
+FROM climb WHERE anc < 10
+GROUP BY anc ORDER BY root
+""",
+)
+def q75_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    labels = c.select(
+        F.col("c_custkey").alias("k"),
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") >= 10,
+            F.expr("(c_custkey * 7919 DIV 10) % c_custkey"),
+        ).otherwise(F.col("c_custkey")).alias("anc"),
+        F.when(F.col("c_custkey") >= 10, F.lit(1)).otherwise(F.lit(0)).alias("hops"),
+    ).localCheckpoint(eager=True)
+    for _ in range(10):  # ceil(log2(max_depth)) rounds; fixpoint-checked
+        l1, l2 = labels.alias("l1"), labels.alias("l2")
+        nxt = (
+            l1.join(l2, F.col("l1.anc") == F.col("l2.k"))
+            .select(
+                F.col("l1.k").alias("k"),
+                F.col("l1.c_acctbal").alias("c_acctbal"),
+                F.col("l2.anc").alias("anc"),
+                (F.col("l1.hops") + F.col("l2.hops")).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), F.col("n.k") == F.col("o.k"))
+            .filter(F.col("n.anc") != F.col("o.anc"))
+            .limit(1)
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("anc").alias("root"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.max("hops").cast("bigint").alias("max_depth"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("subtree_balance"),
+        )
+        .orderBy("root")
+    )

@@ -213,3 +213,39 @@ def test_q74_pit_enrichment_tiny(spark, tmp_path):
         for r in QUERIES["q74_pit_tier_enrichment"](spark, str(tmp_path)).collect()
     }
     assert rows == {None: (1, 5000), 0: (1, 10000), 1: (1, 20000)}
+
+
+def test_q75_hierarchy_rollup_matches_python_reference(spark, tmp_path):
+    """Pointer-doubling must land the same (root, depth, subtree) results
+    as a sequential parent-chase in pure Python."""
+    import decimal
+
+    keys = list(range(1, 40))
+    cust = pa.table(
+        {
+            "c_custkey": keys,
+            "c_acctbal": [round(k * 1.25, 2) for k in keys],
+        }
+    )
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+
+    def parent(k):
+        return (k * 7919 // 10) % k
+
+    agg = {}
+    for k in keys:
+        a, d = k, 0
+        while a >= 10:
+            a, d = parent(a), d + 1
+        r = agg.setdefault(a, [0, 0, decimal.Decimal(0)])
+        r[0] += 1
+        r[1] = max(r[1], d)
+        r[2] += decimal.Decimal(str(round(k * 1.25, 2)))
+    want = {
+        root: (n, md, float(bal)) for root, (n, md, bal) in agg.items()
+    }
+    got = {
+        r.root: (r.n_nodes, r.max_depth, r.subtree_balance)
+        for r in QUERIES["q75_hierarchy_rollup"](spark, str(tmp_path)).collect()
+    }
+    assert got == want
