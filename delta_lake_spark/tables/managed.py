@@ -809,6 +809,7 @@ class ManagedTable:
             "constraints",
             "generated",
             "identity",
+            "defaults",
             "column_mapping",
             "cdf",
             "row_tracking",
@@ -1009,6 +1010,11 @@ class ManagedTable:
                     "identity": {
                         c: v
                         for c, v in (cur.get("identity") or {}).items()
+                        if c in df.columns
+                    },
+                    "defaults": {
+                        c: e
+                        for c, e in (cur.get("defaults") or {}).items()
                         if c in df.columns
                     },
                 }
@@ -3966,6 +3972,68 @@ class ManagedTable:
             }
         )
 
+    def set_column_default(self, col: str, expr: str) -> int:
+        """Declare a DEFAULT for ``col`` (Delta ``ALTER TABLE ... ALTER
+        COLUMN ... SET DEFAULT`` analog): writes that omit the column get
+        it filled with ``expr`` instead of null; writes that supply it
+        pass through untouched.  ``expr`` must be a constant-foldable SQL
+        expression (validated by evaluating it once), castable to the
+        column's type.  Unlike a generated column, the default is
+        evaluated per WRITE, not derived from other columns — existing
+        rows are unaffected (they read back their stored values)."""
+        entry = self._entry()
+        schema = StructType.fromJson(entry["schema"])
+        if not any(f.name == col for f in schema.fields):
+            raise ValueError(
+                f"default column {col!r} must exist in the schema "
+                f"({schema.simpleString()})"
+            )
+        if col in (entry.get("generated") or {}):
+            raise ValueError(
+                f"{col!r} is a generated column; a DEFAULT would conflict"
+            )
+        field = next(f for f in schema.fields if f.name == col)
+        try:
+            self.spark.sql(
+                f"SELECT CAST(({expr}) AS {field.dataType.simpleString()})"
+            ).first()
+        except Exception as exc:
+            raise ValueError(
+                f"default expression for {col!r} is not a constant "
+                f"castable to {field.dataType.simpleString()}: {expr} ({exc})"
+            ) from exc
+        return self._commit(
+            {
+                "operation": "set_default",
+                "defaults": {**(entry.get("defaults") or {}), col: expr},
+                "files": list(entry["files"]),
+                "partition_by": entry.get("partition_by") or [],
+                "schema": entry["schema"],
+                "num_files": len(entry["files"]),
+                "added_files": 0,
+            }
+        )
+
+    def drop_column_default(self, col: str) -> int:
+        """Remove ``col``'s DEFAULT (future omitting writes go back to
+        null-filling via schema evolution rules)."""
+        entry = self._entry()
+        defaults = dict(entry.get("defaults") or {})
+        if col not in defaults:
+            raise ValueError(f"no default declared for {col!r}")
+        defaults.pop(col)
+        return self._commit(
+            {
+                "operation": "drop_default",
+                "defaults": defaults,
+                "files": list(entry["files"]),
+                "partition_by": entry.get("partition_by") or [],
+                "schema": entry["schema"],
+                "num_files": len(entry["files"]),
+                "added_files": 0,
+            }
+        )
+
     def add_identity_column(self, col: str, start: int = 1) -> int:
         """Add a bigint identity column: appends that omit ``col`` get
         monotonically increasing ids assigned from a table-level
@@ -4023,6 +4091,10 @@ class ManagedTable:
                     f"supplied values for generated column {col!r} "
                     f"disagree with its expression: {expr}"
                 )
+        for col, dexpr in (entry.get("defaults") or {}).items():
+            if col not in df.columns:
+                field = next(f for f in schema.fields if f.name == col)
+                df = df.withColumn(col, F.expr(dexpr).cast(field.dataType))
         identity = entry.get("identity") or {}
         cache: DataFrame | None = None
         new_meta: dict[str, Any] | None = None

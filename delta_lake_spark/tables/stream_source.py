@@ -422,7 +422,7 @@ class ManagedTableStreamWriter(DataSourceStreamWriter):
         # table's guarantees (a constraint exists to NEVER admit a bad
         # row).  Route such tables to the foreachBatch path, which uses
         # the full table API per micro-batch.
-        for kind in ("constraints", "generated", "identity"):
+        for kind in ("constraints", "generated", "identity", "defaults"):
             if entry.get(kind):
                 raise ValueError(
                     f"managed_stream sink: target has {kind} metadata, "
