@@ -359,6 +359,24 @@ def main() -> None:
         ext_r4[name] = round(min(first, time.perf_counter() - t0), 3)
     payload["extensions_r4"] = ext_r4
 
+    # Incremental-dedup-index section: per-batch ingest cost (flat) vs the
+    # one-shot d09 rerun (grows with the corpus), results verified equal.
+    # Disable with SPARK_GRAFT_DEDUPIDX=0.
+    if os.environ.get("SPARK_GRAFT_DEDUPIDX", "1") != "0":
+        try:
+            from delta_lake_spark.benchmark.dedupindexbench import (
+                run_dedup_index_bench,
+            )
+
+            payload["incremental_dedup"] = run_dedup_index_bench(
+                spark,
+                sf_dir,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchdata", "dedupidx"),
+            )
+        except Exception as exc:
+            payload["incremental_dedup"] = {"error": f"{type(exc).__name__}: {exc}"}
+
     # Graph section: exact triangle census + exact-integer PageRank over the
     # part co-purchase graph.  Census-class analytics (each pass touches the
     # whole edge set; PageRank runs 10 full iterations) — timed at sf0.01

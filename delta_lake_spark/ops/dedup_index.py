@@ -76,8 +76,12 @@ class IncrementalDedupIndex:
         eligible = docs.filter(
             F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= self.min_tokens
         )
+        # a landing batch is typically one file = one input split; the
+        # shingle+minhash map is the expensive stage, so spread it across
+        # the cluster first (the catalog.table_parallel discipline)
+        par = self.spark.sparkContext.defaultParallelism
         base = (
-            eligible.select(
+            eligible.repartition(par, id_col).select(
                 F.col(id_col).alias("_id"),
                 F.expr(token_shingles_sql(text_col)).alias("_sh"),
             )
