@@ -1322,3 +1322,58 @@ def q74_pit_tier_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("tier_at").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# q76 — running DISTINCT user count per event type by day (cumulative
+# audience reach).  COUNT(DISTINCT) OVER a running frame is unsupported in
+# Spark (and blows memory where engines do allow it); the scalable rewrite
+# is first-occurrence flagging: row_number()==1 per (type, user) marks each
+# user's first day, then a running SUM of daily first-appearances gives the
+# exact cumulative distinct count — two window passes over ONE (type-keyed)
+# exchange, state O(1) per row instead of O(distinct set).  The oracle uses
+# the identical rewrite (DuckDB also rejects DISTINCT in running windows).
+# ---------------------------------------------------------------------------
+@register(
+    "q76_running_distinct_users",
+    oracle="""
+WITH firsts AS (
+  SELECT event_type, user_id, MIN(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY event_type, user_id
+),
+daily AS (
+  SELECT event_type, first_day AS day, COUNT(*) AS new_users
+  FROM firsts GROUP BY event_type, first_day
+)
+SELECT event_type, day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cumulative_distinct_users
+FROM daily ORDER BY event_type, day
+""",
+)
+def q76_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    firsts = e.groupBy("event_type", "user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    daily = firsts.groupBy("event_type", F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        daily.select(
+            "event_type",
+            "day",
+            F.col("new_users").cast("bigint").alias("new_users"),
+            F.sum("new_users").over(w).cast("bigint").alias(
+                "cumulative_distinct_users"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
