@@ -1389,6 +1389,9 @@ class ManagedTable:
         matched_condition: "Column | str | None" = None,
         update_set: "dict[str, Column | str] | None" = None,
         not_matched_condition: "Column | str | None" = None,
+        when_not_matched_by_source: str = "ignore",
+        not_matched_by_source_set: "dict[str, Column | str] | None" = None,
+        not_matched_by_source_condition: "Column | str | None" = None,
         merge_schema: bool = False,
         txn_app: str | None = None,
         txn_batch: int | None = None,
@@ -1437,6 +1440,17 @@ class ManagedTable:
         - ``not_matched_condition``: only source rows satisfying this
           ``s`` predicate insert.
 
+        WHEN NOT MATCHED BY SOURCE (Delta 2.3+): target rows with no source
+        match can be deleted or updated
+        (``not_matched_by_source_set``, target-column expressions — the
+        clause sees no source row), optionally gated by
+        ``not_matched_by_source_condition`` (target columns only).  The
+        classic use: full-snapshot sync — upsert the snapshot, delete (or
+        flag stale) everything the snapshot no longer contains.  A by-source
+        clause disables partition/stats pruning: no file can be proven
+        irrelevant by the source's keys when rows WITHOUT a match are in
+        scope, so the merge scans table-wide (Delta behaves identically).
+
         Like Delta, requires the source to have at most one row per key
         (not validated here — validate with ``quality.assert_unique`` when
         in doubt).
@@ -1468,6 +1482,35 @@ class ManagedTable:
                 raise ValueError(f"update_set cannot assign merge keys: {bad_keys}")
         if matched_condition is not None and when_matched == "ignore":
             raise ValueError("matched_condition with when_matched='ignore' is a no-op")
+        if when_not_matched_by_source not in ("ignore", "delete", "update"):
+            raise ValueError(
+                f"bad when_not_matched_by_source: {when_not_matched_by_source!r}"
+            )
+        if when_not_matched_by_source == "update" and not not_matched_by_source_set:
+            raise ValueError(
+                "when_not_matched_by_source='update' requires "
+                "not_matched_by_source_set"
+            )
+        if not_matched_by_source_set:
+            if when_not_matched_by_source != "update":
+                raise ValueError(
+                    "not_matched_by_source_set implies "
+                    "when_not_matched_by_source='update'"
+                )
+            bad = sorted(set(not_matched_by_source_set) & set(keys))
+            if bad:
+                raise ValueError(
+                    f"not_matched_by_source_set cannot assign merge keys: {bad}"
+                )
+        if (
+            not_matched_by_source_condition is not None
+            and when_not_matched_by_source == "ignore"
+        ):
+            raise ValueError(
+                "not_matched_by_source_condition with "
+                "when_not_matched_by_source='ignore' is a no-op"
+            )
+        bysource = when_not_matched_by_source != "ignore"
         if (txn_app is None) != (txn_batch is None):
             raise ValueError("txn_app and txn_batch must be passed together")
         if txn_app is not None:
@@ -1476,7 +1519,14 @@ class ManagedTable:
                 return self.latest_version()  # type: ignore[return-value]
         entry = self._entry()
         partition_by: list[str] = entry.get("partition_by") or []
-        prune = bool(partition_by) and all(c in keys for c in partition_by)
+        # a by-source clause touches target rows with NO source match, so
+        # no file can be proven irrelevant by the source's keys — the merge
+        # scans table-wide, exactly as Delta's whenNotMatchedBySource does
+        prune = (
+            bool(partition_by)
+            and all(c in keys for c in partition_by)
+            and not bysource
+        )
         existing_schema = StructType.fromJson(entry["schema"])
         schema_json = entry["schema"]
         if merge_schema:
@@ -1509,7 +1559,9 @@ class ManagedTable:
         # whole-row-updated data, the Delta write-path scope)
         self._enforce_constraints(src, "merge source")
         try:
-            if prune:
+            if bysource:
+                keep_files, affected = [], list(entry["files"])
+            elif prune:
                 # driver-side partition pruning over log metadata (small),
                 # never over data rows; both sides normalized to the same
                 # rendering (booleans, escapes, null partition).  The collect
@@ -1543,7 +1595,7 @@ class ManagedTable:
                     else:  # un-layouted file (pre-partitioning commit): keep
                         hit = True
                     (affected if hit else keep_files).append(f)
-            else:
+            else:  # not bysource, not partition-prunable
                 # file-level stats pruning (Delta data-skipping applied to
                 # MERGE): a file whose per-key min/max range is disjoint from
                 # the source's key bounds can't contain a matched row, so it
@@ -1568,6 +1620,62 @@ class ManagedTable:
                 if row_tracked
                 else self._read_files(read_entry, affected)
             )
+
+            # WHEN NOT MATCHED BY SOURCE (Delta 2.3+ clause): transform the
+            # unmatched-target branch BEFORE the standard matched/insert
+            # plan.  A row is matched XOR unmatched-by-source, and neither
+            # clause may assign merge keys, so pre-transforming unmatched
+            # rows cannot change what the matched plan below pairs up.
+            bysource_cdc: "DataFrame | None" = None
+            bysource_touched = 0
+            if bysource:
+                hit = (
+                    src.select(*keys)
+                    .dropDuplicates(keys)
+                    .withColumn("_src_hit", F.lit(True))
+                )
+                cond = F.col("_src_hit").isNull()
+                if not_matched_by_source_condition is not None:
+                    c = not_matched_by_source_condition
+                    cond = cond & (F.expr(c) if isinstance(c, str) else c)
+                # materialize the clause decision BEFORE any assignment: the
+                # condition must evaluate against pre-update values (an
+                # update that falsifies its own condition would otherwise
+                # vanish from the postimage filter)
+                t2 = target.join(hit, keys, "left").withColumn("_bys", cond)
+                applies = F.col("_bys")
+                if self.cdf_enabled() or with_metrics:
+                    bysource_touched = t2.filter(applies).count()
+                if when_not_matched_by_source == "delete":
+                    if self.cdf_enabled():
+                        bysource_cdc = (
+                            t2.filter(applies)
+                            .select(*table_cols)
+                            .withColumn(_CDC_COL, F.lit("delete"))
+                        )
+                    target = t2.filter(~applies).drop("_src_hit", "_bys")
+                else:  # update
+                    pre = t2.filter(applies) if self.cdf_enabled() else None
+                    upd = t2
+                    for col_, e in (not_matched_by_source_set or {}).items():
+                        expr_ = F.expr(e) if isinstance(e, str) else e
+                        upd = upd.withColumn(
+                            col_,
+                            F.when(
+                                applies, expr_.cast(existing_schema[col_].dataType)
+                            ).otherwise(F.col(col_)),
+                        )
+                    if pre is not None:
+                        bysource_cdc = (
+                            pre.select(*table_cols)
+                            .withColumn(_CDC_COL, F.lit("update_preimage"))
+                            .unionByName(
+                                upd.filter(applies)
+                                .select(*table_cols)
+                                .withColumn(_CDC_COL, F.lit("update_postimage"))
+                            )
+                        )
+                    target = upd.drop("_src_hit", "_bys")
 
             conditional = (
                 matched_condition is not None
@@ -1622,6 +1730,18 @@ class ManagedTable:
                     n_inserted = anti.count()
                 op_metrics = {
                     "num_source_rows": src.count(),
+                    **(
+                        {
+                            "num_target_rows_deleted_by_source": bysource_touched
+                            if when_not_matched_by_source == "delete"
+                            else 0,
+                            "num_target_rows_updated_by_source": bysource_touched
+                            if when_not_matched_by_source == "update"
+                            else 0,
+                        }
+                        if bysource
+                        else {}
+                    ),
                     "num_target_rows_matched": n_matched,
                     "num_target_rows_updated": n_matched
                     if when_matched == "update_all"
@@ -1634,20 +1754,24 @@ class ManagedTable:
 
             cdc_files = None
             if self.cdf_enabled():
-                cdc_files = self._write_cdc_dir(
-                    self._merge_cdc(
-                        target,
-                        src,
-                        keys,
-                        table_cols,
-                        existing_schema,
-                        when_matched,
-                        when_not_matched,
-                        matched_condition,
-                        update_set,
-                        not_matched_condition,
-                    )
+                cdc = self._merge_cdc(
+                    target,
+                    src,
+                    keys,
+                    table_cols,
+                    existing_schema,
+                    when_matched,
+                    when_not_matched,
+                    matched_condition,
+                    update_set,
+                    not_matched_condition,
                 )
+                if bysource_cdc is not None:
+                    # by-source rows are invisible to the standard CDC join
+                    # (deleted rows left the target; updated rows have no
+                    # source match), so their images union in here
+                    cdc = cdc.unionByName(bysource_cdc)
+                cdc_files = self._write_cdc_dir(cdc)
             _dir, files = self._write_commit_dir(merged, partition_by or None)
         finally:
             src.unpersist()
