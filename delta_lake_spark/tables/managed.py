@@ -3983,6 +3983,41 @@ class ManagedTable:
                     f"{gcol!r} ({gexpr}) is computed from it"
                 )
 
+    def add_column(self, col: str, dtype: str, default: str | None = None) -> int:
+        """Metadata-only ``ALTER TABLE ... ADD COLUMN``: the schema gains a
+        nullable column, no data file is touched — existing rows read back
+        null (or ``default`` for FUTURE writes that omit the column, via
+        :meth:`set_column_default`).  The explicit-DDL twin of
+        ``write(..., merge_schema=True)`` evolution.  At 100 TB an added
+        column must never be a table rewrite."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        entry = self._entry()
+        schema = StructType.fromJson(entry["schema"])
+        if any(f.name == col for f in schema.fields):
+            raise ValueError(f"column {col!r} already exists")
+        try:
+            dt = _parse_datatype_string(dtype)
+        except Exception as exc:
+            raise ValueError(f"bad column type {dtype!r}: {exc}") from exc
+        new_schema = StructType(
+            [*schema.fields, StructField(col, dt, True)]
+        )
+        v = self._commit(
+            {
+                "operation": "add_column",
+                "added_column": {col: dtype},
+                "files": list(entry["files"]),
+                "partition_by": entry.get("partition_by") or [],
+                "schema": json.loads(new_schema.json()),
+                "num_files": len(entry["files"]),
+                "added_files": 0,
+            }
+        )
+        if default is not None:
+            v = self.set_column_default(col, default)
+        return v
+
     def rename_column(self, old: str, new: str) -> int:
         """Metadata-only column rename (Delta ``ALTER TABLE ... RENAME
         COLUMN`` under column mapping): no data file is touched — files
