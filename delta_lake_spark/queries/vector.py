@@ -1091,3 +1091,79 @@ def v12_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "n_rel", "dcg_milli", "idcg_milli", "ndcg_bp")
         .orderBy("qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# v13 — FILTERED ANN (the vector-DB "filtered search" problem): top-10
+# neighbors among only the candidates satisfying a metadata predicate
+# (label % 3 = 0, ~1/3 of the corpus).  Shape decision this query exists to
+# pin: the filter applies BEFORE the bucket probe (pre-filtering), so the
+# top-k is exact within the filtered subset — post-filtering (top-k first,
+# then discard) silently returns < k or worse neighbors when the predicate
+# is selective.  Multi-probe (nprobe=5, v06's recall fix) compensates the
+# thinner buckets.  Plan: one equi-join of a broadcast 25-row probe side
+# against the filtered corpus — the filter pushes into the parquet scan.
+# ---------------------------------------------------------------------------
+@register(
+    "v13_filtered_ann",
+    oracle=f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket FROM embeddings),
+q AS (SELECT vec_id, e, xor(bucket, m.flip) AS probe
+      FROM v, (SELECT unnest([0, 1, 2, 4, 8]) AS flip) m
+      WHERE vec_id < 5)
+SELECT qid, vid, sim, rank FROM (
+  SELECT a.vec_id AS qid, b.vec_id AS vid, {_COS_SQL} AS sim,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank
+  FROM q a JOIN v b ON a.probe = b.bucket AND a.vec_id <> b.vec_id
+  WHERE b.label % 3 = 0
+) t
+WHERE rank <= 10
+ORDER BY qid, rank
+""",
+)
+def v13_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def bucket(vec):
+        out = F.lit(0)
+        for j in range(4):
+            out = out + F.when(
+                F.element_at(vec, j + 1).cast("double") > 0, F.lit(2**j)
+            ).otherwise(F.lit(0))
+        return out
+
+    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").withColumn(
+        "bucket", bucket(F.col("embedding"))
+    )
+    probes = (
+        e.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            F.explode(
+                F.array(*[F.expr(f"bucket ^ {flip}") for flip in (0, 1, 2, 4, 8)])
+            ).alias("probe"),
+        )
+    )
+    # metadata predicate applied BEFORE the probe join: pushes to the scan
+    candidates = e.filter(F.col("label") % 3 == 0).select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("cvec"),
+        F.col("bucket").alias("cbucket"),
+    )
+    joined = candidates.join(
+        F.broadcast(probes),
+        (F.col("probe") == F.col("cbucket")) & (F.col("qid") != F.col("vid")),
+    )
+    sims = joined.select(
+        "qid",
+        "vid",
+        cosine(as_double(F.col("qvec")), as_double(F.col("cvec"))).alias("sim"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vid")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "vid", "sim", "rank")
+        .orderBy("qid", "rank")
+    )
