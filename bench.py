@@ -350,6 +350,8 @@ def main() -> None:
         "q70_distribution_ranks",
         "q71_scd2_tier_history",
         "s09_leakage_safe_split",
+        "q76_running_distinct_users",
+        "v13_filtered_ann",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
