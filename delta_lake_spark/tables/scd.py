@@ -233,3 +233,90 @@ def scd2_as_of(
         (F.col(eff_from) <= t)
         & (F.col(eff_to).isNull() | (F.col(eff_to) > t))
     )
+
+
+def scd2_sync(
+    table: ManagedTable,
+    snapshot: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    ts,
+    ts_col_type: str = "timestamp",
+    eff_from: str = "eff_from",
+    eff_to: str = "eff_to",
+    current: str = "is_current",
+    txn_app: str | None = None,
+    txn_batch: int | None = None,
+) -> int:
+    """Advance the dimension to a FULL state snapshot taken at ``ts`` (the
+    daily-extract feed shape, vs :func:`scd2_apply`'s change-stream shape):
+
+    - key present, tracked attrs changed -> close the open version at
+      ``ts``, open a new one,
+    - key present, attrs equal -> untouched,
+    - brand-new key -> open its first version at ``ts``,
+    - key ABSENT from the snapshot -> the open version closes at ``ts``
+      with no successor (the key's chain ends until it reappears).
+
+    All four cases stage into ONE atomic merge on ``keys + [eff_from]``
+    (close-outs match open target rows, new versions insert) — a reader
+    never sees a half-synced dimension.  Replay-safe via txn markers, and
+    idempotent by construction: re-syncing an identical snapshot stages
+    nothing.  ``ts`` must be newer than every open ``eff_from`` (guarded).
+    """
+    if txn_app is not None and txn_batch is not None:
+        last = table.last_txn_batch(txn_app)
+        if last is not None and txn_batch <= last:
+            return table.latest_version()
+
+    ts_lit = F.lit(ts).cast(ts_col_type)
+    snap = snapshot.select(*keys, *tracked).dropDuplicates(keys)
+    cur = table.read().filter(F.col(current))
+
+    stale = cur.filter(F.col(eff_from) >= ts_lit).limit(1).collect()
+    if stale:
+        raise ValueError(
+            f"scd2_sync: snapshot ts {ts!r} is not newer than an open "
+            f"version's {eff_from} ({stale[0][eff_from]}); snapshots must "
+            "arrive in order"
+        )
+
+    # presence flags via lit markers: null-value-proof under full_outer
+    cur_m = cur.withColumn("__in_cur", F.lit(True))
+    snap_m = snap.withColumn("__in_snap", F.lit(True))
+    joined = cur_m.alias("c").join(snap_m.alias("s"), keys, "full_outer")
+    present_cur = F.col("__in_cur").isNotNull()
+    present_snap = F.col("__in_snap").isNotNull()
+    changed = present_cur & present_snap & (
+        F.struct(*[F.col(f"c.{c}") for c in tracked])
+        != F.struct(*[F.col(f"s.{c}") for c in tracked])
+    )
+    vanished = present_cur & ~present_snap
+    new_or_changed = present_snap & (~present_cur | changed)
+
+    key_cols = [F.coalesce(F.col(f"c.{k}"), F.col(f"s.{k}")).alias(k) for k in keys]
+    closeouts = joined.filter(changed | vanished).select(
+        *key_cols,
+        *[F.col(f"c.{c}").alias(c) for c in tracked],
+        F.col(f"c.{eff_from}").alias(eff_from),
+        ts_lit.alias(eff_to),
+        F.lit(False).alias(current),
+    )
+    inserts = joined.filter(new_or_changed).select(
+        *key_cols,
+        *[F.col(f"s.{c}").alias(c) for c in tracked],
+        ts_lit.alias(eff_from),
+        F.lit(None).cast(ts_col_type).alias(eff_to),
+        F.lit(True).alias(current),
+    )
+    staged = closeouts.unionByName(inserts)
+    if staged.isEmpty():
+        return table.latest_version()
+    return table.merge(
+        staged,
+        keys=[*keys, eff_from],
+        update_set={eff_to: f"s.{eff_to}", current: f"s.{current}"},
+        when_not_matched="insert_all",
+        txn_app=txn_app,
+        txn_batch=txn_batch,
+    )

@@ -216,3 +216,72 @@ def test_as_of_point_in_time(spark, tmp_path):
     assert scd2_as_of(t, _ts(1) - dt.timedelta(days=1)).filter(
         F.col("cust_id") == 2
     ).isEmpty()
+
+
+# --- scd2_sync: full-snapshot feed ------------------------------------------
+
+
+def test_sync_advances_to_snapshot_atomically(spark, tmp_path):
+    from delta_lake_spark.tables.scd import scd2_sync
+
+    t = _init(
+        spark,
+        tmp_path,
+        [
+            (1, "bronze", "DE", _ts(1)),
+            (2, "gold", "FR", _ts(1)),
+            (3, "silver", "IT", _ts(1)),
+        ],
+    )
+    v0 = t.latest_version()
+    snap = spark.createDataFrame(
+        [
+            (1, "silver", "DE"),  # changed -> close + open
+            (2, "gold", "FR"),    # equal -> untouched
+            (4, "bronze", "ES"),  # new key
+            # 3 absent -> close out with no successor
+        ],
+        "cust_id bigint, tier string, country string",
+    )
+    scd2_sync(t, snap, KEYS, TRACKED, _ts(5))
+    assert t.latest_version() == v0 + 1  # ONE commit for all four cases
+    assert _chain(t) == [
+        (1, "bronze", "DE", _ts(1), _ts(5), False),
+        (1, "silver", "DE", _ts(5), None, True),
+        (2, "gold", "FR", _ts(1), None, True),
+        (3, "silver", "IT", _ts(1), _ts(5), False),
+        (4, "bronze", "ES", _ts(5), None, True),
+    ]
+    # re-syncing the identical snapshot is a no-op (idempotent by content)
+    v1 = t.latest_version()
+    scd2_sync(t, snap, KEYS, TRACKED, _ts(6))
+    assert t.latest_version() == v1
+    # a vanished key REAPPEARING opens a fresh version
+    snap2 = spark.createDataFrame(
+        [(1, "silver", "DE"), (2, "gold", "FR"), (3, "gold", "IT"),
+         (4, "bronze", "ES")],
+        "cust_id bigint, tier string, country string",
+    )
+    scd2_sync(t, snap2, KEYS, TRACKED, _ts(7))
+    rows = [r for r in _chain(t) if r[0] == 3]
+    assert rows == [
+        (3, "gold", "IT", _ts(7), None, True),
+        (3, "silver", "IT", _ts(1), _ts(5), False),
+    ]
+
+
+def test_sync_guards_and_replay(spark, tmp_path):
+    from delta_lake_spark.tables.scd import scd2_sync
+
+    t = _init(spark, tmp_path, [(1, "bronze", "DE", _ts(5))])
+    snap = spark.createDataFrame(
+        [(1, "gold", "DE")], "cust_id bigint, tier string, country string"
+    )
+    with pytest.raises(ValueError, match="not newer"):
+        scd2_sync(t, snap, KEYS, TRACKED, _ts(5))
+    scd2_sync(t, snap, KEYS, TRACKED, _ts(6), txn_app="sync", txn_batch=1)
+    before, v = _chain(t), t.latest_version()
+    # crash-after-commit replay: txn marker short-circuits (the ts guard
+    # would otherwise reject the already-applied snapshot)
+    scd2_sync(t, snap, KEYS, TRACKED, _ts(6), txn_app="sync", txn_batch=1)
+    assert t.latest_version() == v and _chain(t) == before
