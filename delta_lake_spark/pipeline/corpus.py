@@ -1,0 +1,121 @@
+"""Incremental training-corpus pipeline: the LLM-data story end-to-end.
+
+Composes the engine's curation primitives into ONE stateful ingest path a
+100 TB pipeline would run nightly over each landing batch:
+
+1. **quality gate** — Gopher-style scores (functions/text.quality_score);
+   failures route to a quarantine table, never silently dropped,
+2. **near-dup dedup** — the :class:`IncrementalDedupIndex`
+   (ops/dedup_index.py): O(batch) probe against everything ever seen,
+3. **leakage-safe split** — train/val/test keyed on the exact-dup
+   FINGERPRINT (s09's rule), so byte-near copies land in one split,
+4. **append to the managed corpus** — split-partitioned ManagedTable with
+   per-batch txn markers (crash/replay lands each batch exactly once).
+
+Every stage is the engine's own tested primitive; this module only wires
+them, so the pipeline test can assert end-to-end invariants (conservation,
+no cross-split fingerprints, replay idempotence) rather than re-testing
+stage logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_spark.functions.sampling import split_assign
+from delta_lake_spark.functions.text import fingerprint, quality_score, token_count
+from delta_lake_spark.ops.dedup_index import IncrementalDedupIndex
+from delta_lake_spark.tables.managed import ManagedTable
+
+_TXN_APP = "corpus_pipeline"
+
+
+class CorpusPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        min_quality: int = 40,
+        min_jaccard_bp: int = 8000,
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.min_quality = min_quality
+        self.index = IncrementalDedupIndex(
+            spark, f"{path}/dedup_index", min_jaccard_bp=min_jaccard_bp
+        )
+        self.corpus = ManagedTable(spark, f"{path}/corpus")
+        self.quarantine = ManagedTable(spark, f"{path}/quarantine")
+
+    def ingest_batch(
+        self, docs: DataFrame, batch_id: int, id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> dict:
+        """Run one landing batch through gate -> dedup -> split -> append.
+        Returns per-stage counts.  Replaying a committed ``batch_id`` is a
+        no-op for the corpus append (txn marker); the dedup index's
+        id-ordering guard rejects genuinely out-of-order data."""
+        last = self.corpus.last_txn_batch(_TXN_APP) if ManagedTable.is_managed_table(
+            self.corpus.path
+        ) else None
+        if last is not None and batch_id <= last:
+            return {"replayed": True, "batch_id": batch_id}
+
+        scored = docs.withColumn("quality", quality_score(text_col))
+        good = scored.filter(F.col("quality") >= self.min_quality)
+        bad = scored.filter(F.col("quality") < self.min_quality)
+        n_bad = bad.count()
+        if n_bad:
+            self.quarantine.write(
+                bad.withColumn("_batch_id", F.lit(batch_id)),
+                mode="append"
+                if ManagedTable.is_managed_table(self.quarantine.path)
+                else "overwrite",
+            )
+
+        survivors = self.index.add_batch(good, id_col, text_col)
+        enriched = survivors.select(
+            id_col,
+            text_col,
+            "quality",
+            token_count(text_col).alias("n_tokens"),
+            fingerprint(text_col).alias("fp"),
+        ).withColumn("split", split_assign(F.col("fp")))
+
+        mode = (
+            "append"
+            if ManagedTable.is_managed_table(self.corpus.path)
+            else "overwrite"
+        )
+        self.corpus.write(
+            enriched,
+            mode=mode,
+            partition_by=["split"],
+            txn_app=_TXN_APP,
+            txn_batch=batch_id,
+        )
+        n_in = docs.count()
+        n_kept = enriched.count()
+        return {
+            "replayed": False,
+            "batch_id": batch_id,
+            "n_in": n_in,
+            "n_quarantined": n_bad,
+            "n_deduped": n_in - n_bad - n_kept,
+            "n_admitted": n_kept,
+        }
+
+    def stats(self) -> DataFrame:
+        """Per-split corpus statistics (counts, token budget, quality)."""
+        return (
+            self.corpus.read()
+            .groupBy("split")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_tokens").alias("total_tokens"),
+                F.min("quality").alias("min_quality"),
+                F.countDistinct("fp").alias("n_fingerprints"),
+            )
+            .orderBy("split")
+        )
