@@ -46,6 +46,10 @@ _NAMES = [
     "v04_bucketed_ann",          # hyperplane-bucketed ANN
     "s01_hash_split_sample",     # content-addressed sampling
     "p02_packing_pipeline",      # composed chunk->dedup->pack pipeline
+    "q71_scd2_tier_history",     # SCD2 collapse-chain windows (r4 tail)
+    "q73_copurchase_pagerank",   # iterative integer fixpoint + localCheckpoint
+    "q75_hierarchy_rollup",      # pointer-doubling ancestor flattening
+    "s09_leakage_safe_split",    # fingerprint-keyed split
 ]
 # The FULL 126-query oracle-backed registry passed this same two-profile
 # digest sweep (191 s/profile, too slow for every suite run) — re-run it

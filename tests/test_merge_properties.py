@@ -232,3 +232,74 @@ def test_scoped_optimize_preserves_content(spark, script):
                 assert got == sorted(model_rows)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# --- SCD2 property: random change streams, incremental == rebuild ----------
+
+SCD_TS = st.integers(min_value=1, max_value=28)
+SCD_BATCH = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # key
+        st.sampled_from(["a", "b", "c"]),             # tracked attr
+        SCD_TS,
+    ),
+    min_size=1,
+    max_size=5,
+    unique_by=lambda r: (r[0], r[2]),  # scd2 precondition: unique (key, ts)
+)
+SCD_SCRIPT = st.lists(SCD_BATCH, min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(script=SCD_SCRIPT)
+def test_scd2_incremental_matches_rebuild(spark, script):
+    """Random id-ordered change streams: applying batches incrementally must
+    land the identical version chains as one scd2_init over everything.
+    Batches are re-timestamped to be strictly increasing (the guarded
+    precondition); within a batch any (key, ts) pattern goes."""
+    import datetime
+
+    from delta_lake_spark.tables.scd import scd2_apply, scd2_init
+
+    # re-base each batch into its own day window so batch N+1 is strictly
+    # after batch N for every key (ts = batch*100 + step hours)
+    rows_by_batch = []
+    for bi, batch in enumerate(script):
+        rows_by_batch.append(
+            [
+                (k, v, datetime.datetime(2024, 1, 1) +
+                 datetime.timedelta(hours=bi * 1000 + ts))
+                for k, v, ts in batch
+            ]
+        )
+    schema = "k bigint, attr string, ts timestamp"
+    root = tempfile.mkdtemp(prefix="scd_prop_")
+    try:
+        inc = ManagedTable(spark, root + "/inc")
+        scd2_init(inc, spark.createDataFrame(rows_by_batch[0], schema),
+                  ["k"], ["attr"], "ts")
+        for b in rows_by_batch[1:]:
+            scd2_apply(inc, spark.createDataFrame(b, schema),
+                       ["k"], ["attr"], "ts")
+        reb = ManagedTable(spark, root + "/reb")
+        scd2_init(
+            reb,
+            spark.createDataFrame([r for b in rows_by_batch for r in b], schema),
+            ["k"], ["attr"], "ts",
+        )
+        key = lambda t: sorted(
+            tuple(r) for r in t.read().collect()
+        )
+        assert key(inc) == key(reb)
+        # invariant: exactly one open version per surviving key
+        opens = (
+            inc.read().filter("is_current")
+            .groupBy("k").count().filter("count > 1")
+        )
+        assert opens.isEmpty()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
