@@ -1377,3 +1377,81 @@ def q76_running_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# q77 — top in-session event-type trigrams (path mining: "what do users do
+# in sequence?").  Sessionize by the 30-minute gap rule (q27's sessions),
+# order within session, then each event contributes the trigram of itself
+# and the next two events in the SAME session — lead() windows over one
+# user-keyed exchange, no self-joins (the naive 3-way sequence join is
+# quadratic on hot users).  The path-mining complement of q61's pairwise
+# transition matrix.  Top-20 with a trigram tie-break.
+# ---------------------------------------------------------------------------
+@register(
+    "q77_top_event_trigrams",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+),
+tri AS (
+  SELECT event_type || '>' || LEAD(event_type, 1) OVER w2
+                   || '>' || LEAD(event_type, 2) OVER w2 AS trigram
+  FROM sess
+  WINDOW w2 AS (PARTITION BY user_id, sess_id ORDER BY ts_us, event_id)
+)
+SELECT trigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM tri WHERE trigram IS NOT NULL
+GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20
+""",
+)
+def q77_top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.catalog import EPOCH_NTZ
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.timestamp_diff("MICROSECOND", F.expr(EPOCH_NTZ), F.col("ts")).alias(
+            "ts_us"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sess = (
+        e.withColumn(
+            "new_sess",
+            F.when(
+                F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000, 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    w2 = Window.partitionBy("user_id", "sess_id").orderBy("ts_us", "event_id")
+    tri = sess.select(
+        F.concat_ws(
+            ">",
+            F.col("event_type"),
+            F.lead("event_type", 1).over(w2),
+            F.lead("event_type", 2).over(w2),
+        ).alias("trigram"),
+        F.lead("event_type", 2).over(w2).alias("_third"),
+    ).filter(F.col("_third").isNotNull())
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), "trigram")
+        .limit(20)
+    )
