@@ -352,6 +352,7 @@ def main() -> None:
         "s09_leakage_safe_split",
         "q76_running_distinct_users",
         "v13_filtered_ann",
+        "q77_top_event_trigrams",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
