@@ -68,6 +68,23 @@ EXTENSIONS = [
 ]
 
 
+_SECTION_SECS: dict[str, float] = {}
+_SECTION_T0 = [0.0]
+
+
+def _section(name: str | None) -> None:
+    """Record wall time of the previous section and start a new one."""
+    now = time.perf_counter()
+    if _SECTION_T0[0]:
+        prev = _SECTION_T0[1] if len(_SECTION_T0) > 1 else None
+        if prev:
+            _SECTION_SECS[prev] = round(
+                _SECTION_SECS.get(prev, 0.0) + now - _SECTION_T0[0], 1)
+            print(f"## section {prev}: {_SECTION_SECS[prev]}s", file=sys.stderr)
+    del _SECTION_T0[:]
+    _SECTION_T0.extend([now, name] if name else [now])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from delta_lake_spark.session import get_spark
@@ -81,6 +98,7 @@ def main() -> None:
     # Two passes per query; report the warm (best) time as the headline —
     # mirrors the reference's methodology (inputs cached before timing,
     # BASELINE.md) — and the cold first-pass total for completeness.
+    _section("headline")
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name in HEADLINE:
@@ -108,6 +126,7 @@ def main() -> None:
     # Extension-family timings (round-2+ operators) — reported separately so
     # the headline total stays comparable across BENCH_r{N} rounds.  Added to
     # the payload at the END (tail-visibility note above).
+    _section("extensions")
     ext: dict[str, float] = {}
     for name in EXTENSIONS:
         t0 = time.perf_counter()
@@ -121,6 +140,7 @@ def main() -> None:
     # edge on bucketed tables — reports the one-time bucket-write cost next
     # to the warm bucketed query so the break-even vs the headline q30 is
     # visible.  Disable with SPARK_GRAFT_BUCKETED=0.
+    _section("bucketed")
     if os.environ.get("SPARK_GRAFT_BUCKETED", "1") != "0":
         try:
             from delta_lake_spark.benchmark.bucketed import run_bucketed_q30
@@ -140,6 +160,7 @@ def main() -> None:
     # keys, permuted doc text — see benchmark/scaleup.py), with per-query
     # scaling ratios vs this run's sf0.1 warm times.  Generated once and
     # cached under benchdata/sf1x.  Disable with SPARK_GRAFT_SCALE=0.
+    _section("scale_sf1x")
     if os.environ.get("SPARK_GRAFT_SCALE", "1") != "0":
         try:
             from delta_lake_spark.benchmark.scaleup import generate_scaled_corpus
@@ -176,6 +197,7 @@ def main() -> None:
     # vs plain plans on a power-law-skewed 50x events replication (~20% of
     # rows on one key), results checksum-verified identical.  Disable with
     # SPARK_GRAFT_SKEW=0.
+    _section("skew")
     if os.environ.get("SPARK_GRAFT_SKEW", "1") != "0":
         try:
             from delta_lake_spark.benchmark.skewbench import run_skew_bench
@@ -192,6 +214,7 @@ def main() -> None:
     # Vector-index section (r4): the maintained partitioned ANN index vs a
     # brute-force exact scan — build cost, probe latency at nprobe=1/5, and
     # measured recall@10.  Disable with SPARK_GRAFT_VECTOR=0.
+    _section("vector_index")
     if os.environ.get("SPARK_GRAFT_VECTOR", "1") != "0":
         try:
             from delta_lake_spark.benchmark.vector_bench import run_vector_index
@@ -209,9 +232,15 @@ def main() -> None:
     # queries on a 100-copy FK-consistent corpus (~60M lineitem rows, ~1.5GB
     # parquet — the single-node memory/disk ceiling is far above this, so no
     # honesty caveat needed at this size).  Ratios vs this run's sf0.1 warm
-    # times; <=~100x time for 100x data = no superlinear blowup.  Disable
-    # with SPARK_GRAFT_SCALE100=0.
-    if os.environ.get("SPARK_GRAFT_SCALE100", "1") != "0":
+    # times; <=~100x time for 100x data = no superlinear blowup.
+    #
+    # OPT-IN (SPARK_GRAFT_SCALE100=1): this section alone costs ~290s wall
+    # (cold first passes at 60M rows), which pushed the full bench past the
+    # driver's 10-minute capture budget.  The measured result is committed
+    # as BENCH_SCALE100.json (solo run, same methodology, per-query ratios)
+    # so the evidence stays in-repo without re-paying the cost every round.
+    _section("scale_100x")
+    if os.environ.get("SPARK_GRAFT_SCALE100", "0") == "1":
         try:
             from delta_lake_spark.benchmark.scaleup import generate_scaled_corpus
 
@@ -247,11 +276,17 @@ def main() -> None:
             }
         except Exception as exc:
             payload["scale_100x"] = {"error": f"{type(exc).__name__}: {exc}"}
+    else:
+        payload["scale_100x"] = {
+            "skipped": "opt-in (SPARK_GRAFT_SCALE100=1) — measured solo, "
+                       "committed as BENCH_SCALE100.json"
+        }
 
     # Reference-scale section (BASELINE.md is timed at 10-11M fact rows, not
     # sf0.1): the same marts + scan suite at the reference's own row count.
     # Data is generated once (seeded) and cached under benchdata/; repeat
     # runs only pay the timed segments.  Disable with SPARK_GRAFT_10M=0.
+    _section("ref10m")
     if os.environ.get("SPARK_GRAFT_10M", "1") != "0":
         try:
             from delta_lake_spark.benchmark import run_ref10m
@@ -273,6 +308,7 @@ def main() -> None:
     # Deletion-vector section: merge-on-read vs copy-on-write DELETE on a
     # lineitem-backed managed table — write cost, read rent, purge cost,
     # checksum-identical results.  Disable with SPARK_GRAFT_DV=0.
+    _section("deletion_vectors")
     if os.environ.get("SPARK_GRAFT_DV", "1") != "0":
         try:
             from delta_lake_spark.benchmark.dvbench import run_dv_bench
@@ -289,6 +325,7 @@ def main() -> None:
     # Incremental-clustering section: liquid-style maintenance pass after a
     # 5% append vs a forced full re-cluster, plus the data-skipping proof
     # that survives the incremental pass.  Disable with SPARK_GRAFT_CLUSTER=0.
+    _section("clustering")
     if os.environ.get("SPARK_GRAFT_CLUSTER", "1") != "0":
         try:
             from delta_lake_spark.benchmark.clusterbench import run_cluster_bench
@@ -305,6 +342,7 @@ def main() -> None:
     # Incremental-view maintenance section: O(changed rows) refresh vs a
     # full re-aggregate, both result-verified (tables/matview.py,
     # tables/sketchview.py).  Disable with SPARK_GRAFT_INCVIEW=0.
+    _section("incremental_views")
     if os.environ.get("SPARK_GRAFT_INCVIEW", "1") != "0":
         try:
             from delta_lake_spark.benchmark.incviews import run_incview_bench
@@ -318,6 +356,7 @@ def main() -> None:
         except Exception as exc:
             payload["incremental_views"] = {"error": f"{type(exc).__name__}: {exc}"}
 
+    _section("extensions_r4")
     ext_r4: dict[str, float] = {}
     for name in (
         "d13_contamination_scan",
@@ -365,6 +404,7 @@ def main() -> None:
     # Incremental-dedup-index section: per-batch ingest cost (flat) vs the
     # one-shot d09 rerun (grows with the corpus), results verified equal.
     # Disable with SPARK_GRAFT_DEDUPIDX=0.
+    _section("incremental_dedup")
     if os.environ.get("SPARK_GRAFT_DEDUPIDX", "1") != "0":
         try:
             from delta_lake_spark.benchmark.dedupindexbench import (
@@ -386,6 +426,7 @@ def main() -> None:
     # cold so the per-round bench stays fast, with the sf0.1 cost measured
     # once and quoted in COVERAGE.md (~21s / ~15s warm on local[32]).
     # Disable with SPARK_GRAFT_GRAPH=0.
+    _section("graph_sf001")
     if os.environ.get("SPARK_GRAFT_GRAPH", "1") != "0":
         try:
             graph: dict[str, float] = {"sf": 0.01}
@@ -397,15 +438,60 @@ def main() -> None:
         except Exception as exc:
             payload["graph_sf001"] = {"error": f"{type(exc).__name__}: {exc}"}
 
-    # headline keys last (see NOTE above) so a bounded output tail always
-    # contains metric/value/queries
+    _section(None)
+    payload["section_secs"] = _SECTION_SECS
     payload["extensions"] = ext
     payload["extensions_total_warm"] = round(sum(ext.values()), 3)
     payload["metric"] = "headline_total_warm"
     payload["unit"] = "sec"
     payload["queries"] = times
     payload["value"] = total
-    print(json.dumps(payload))
+
+    # The driver snapshot keeps only a bounded tail (~2000 chars) of stdout
+    # and parses the JSON it finds there.  The full payload is now ~7KB — a
+    # mid-line tail of it is unparseable (this is what blanked r3's parsed
+    # record).  So: write the FULL payload to bench_full.json next to this
+    # script, and print a COMPACT line (headline contract keys + section
+    # roll-ups, guaranteed < ~1900 bytes) as the LAST stdout line.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    with open(full_path, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps(payload), file=sys.stderr)
+
+    def _num(d, key):
+        v = (d or {}).get(key) if isinstance(d, dict) else None
+        return v if isinstance(v, (int, float)) else None
+
+    compact = {
+        "full_payload": "bench_full.json",
+        "sf": payload["sf"],
+        "cold_total": payload["cold_total"],
+        "extensions_total_warm": payload["extensions_total_warm"],
+        "extensions_r4_total_warm": round(sum(ext_r4.values()), 3),
+        "d12_warm": ext.get("d12_simhash_near_pairs"),
+        "ref10m_total": _num(payload.get("ref10m"), "total"),
+        "ref10m_load": _num(payload.get("ref10m"), "load"),
+        "scale_sf1x_total": _num(payload.get("scale_sf1x"), "total_warm"),
+        "scale_100x_total": _num(payload.get("scale_100x"), "total_warm"),
+        "skew_salted_speedup": _num(
+            payload.get("skew"), "join_salted_speedup_vs_noskewfix"),
+        "section_secs": _SECTION_SECS,
+        "metric": "headline_total_warm",
+        "unit": "sec",
+        "queries": times,
+        "value": total,
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: drop roll-ups until it fits
+        for k in ("section_secs", "extensions_r4_total_warm", "d12_warm",
+                  "scale_sf1x_total", "scale_100x_total",
+                  "skew_salted_speedup", "ref10m_load"):
+            compact.pop(k, None)
+            line = json.dumps(compact)
+            if len(line) <= 1900:
+                break
+    print(line)
     spark.stop()
 
 

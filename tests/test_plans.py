@@ -246,7 +246,7 @@ def test_q11_window_topk_uses_group_limit_pushdown(spark):
     """q11's rank<=3 filter must plan as Partial+Final WindowGroupLimit —
     map-side top-3 per key BEFORE the shuffle, so the exchanged volume is
     O(3 x keys) not O(rows). This is the property that keeps the ranking
-    window sublinear at 100x (BENCH_r04 scale_100x)."""
+    window sublinear at 100x (BENCH_SCALE100.json)."""
     plan = plan_of(QUERIES["q11_top3_orders_per_customer"](spark, SF_SMOKE))
     assert "WindowGroupLimit" in plan
 
