@@ -392,6 +392,9 @@ def main() -> None:
         "q76_running_distinct_users",
         "v13_filtered_ann",
         "q77_top_event_trigrams",
+        "q78_longest_daily_streak",
+        "q79_funnel_conversion",
+        "s10_weighted_pps_sample",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

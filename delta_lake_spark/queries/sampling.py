@@ -431,3 +431,66 @@ def s09_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# s10 — weighted (probability-proportional-to-size) Poisson sample.
+#
+# The reference's sampling surface is uniform (deltalake.ipynb has no
+# weighted variant); a training-data pipeline needs PPS sampling — pick
+# documents with probability proportional to a weight (here n_chars, the
+# token-mass proxy) so a token-budget sample covers the corpus mass, not the
+# document count.
+#
+# Scale design: the classic exponential-keys scheme (Efraimidis-Spirakis,
+# u^(1/w) top-k) needs a global TakeOrdered AND libm pow/ln, whose 1-ulp
+# engine differences break cross-engine verification.  Poisson PPS instead:
+# include a row iff  u48 * W < k * w * 2^48, where u48 is a 48-bit
+# content-addressed uniform (md5, partitioning-independent — see
+# functions/sampling.py), W = total weight, k = expected sample size.
+# Inclusion probability = min(1, k*w/W) per row, no sort, no coordination —
+# one scalar broadcast + an embarrassingly-parallel filter, the shape that
+# survives 100 TB.  All arithmetic is EXACT integer math (decimal(38,0) in
+# Spark, HUGEINT in DuckDB): bit-identical selection in both engines; the
+# probability cap at 1 is automatic (u48 < 2^48 always).
+# ---------------------------------------------------------------------------
+_PPS_K = 200  # expected sample size
+_PPS_U48 = "(('0x' || substr(md5('pps:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT)"
+
+
+@register(
+    "s10_weighted_pps_sample",
+    oracle=f"""
+WITH tot AS (SELECT SUM(n_chars) AS w_total FROM documents)
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight
+FROM documents, tot
+WHERE {_PPS_U48}::HUGEINT * w_total::HUGEINT
+      < {_PPS_K}::HUGEINT * n_chars::HUGEINT * (1::HUGEINT << 48)
+ORDER BY doc_id
+""",
+)
+def s10_weighted_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    # 48-bit content-addressed uniform, exact decimal (fits decimal(20,0))
+    u48 = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("pps:"), F.col("doc_id").cast("string"))), 1, 12),
+            16,
+            10,
+        )
+        .cast("decimal(20,0)")
+    )
+    # scalar total weight, broadcast via a 1-row cross join (no collect on a
+    # hot path; the scalar agg is the same shape the oracle's subquery plans)
+    tot = d.agg(F.sum("n_chars").cast("decimal(18,0)").alias("w_total"))
+    two48 = F.lit(2**48).cast("decimal(18,0)")
+    k = F.lit(_PPS_K).cast("decimal(18,0)")
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .filter(
+            u48 * F.col("w_total")
+            < k * F.col("n_chars").cast("decimal(18,0)") * two48
+        )
+        .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("weight"))
+        .orderBy("doc_id")
+    )

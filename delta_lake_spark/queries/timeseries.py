@@ -1455,3 +1455,211 @@ def q77_top_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "trigram")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q78 — longest consecutive-active-day streak per user (gaps-and-islands).
+#
+# The classic sessionization-by-calendar pattern the reference's window
+# inventory (W1-W3) stops short of: distinct active days -> row_number ->
+# anchor = day - row_number (constant within a consecutive run) -> group.
+# One exchange on user_id (distinct + window + agg all share the key);
+# per-user state is a row counter, so skew costs sort-of-partition, not
+# memory.  All-integer output: hash-exact cross-engine.
+# ---------------------------------------------------------------------------
+@register(
+    "q78_longest_daily_streak",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+runs AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER)
+           AS anchor
+  FROM days
+),
+streaks AS (
+  SELECT user_id, anchor, COUNT(*) AS len FROM runs GROUP BY user_id, anchor
+)
+SELECT user_id,
+       CAST(MAX(len) AS BIGINT)  AS longest_streak,
+       CAST(SUM(len) AS BIGINT)  AS active_days,
+       CAST(COUNT(*) AS BIGINT)  AS n_streaks
+FROM streaks GROUP BY user_id ORDER BY user_id
+""",
+)
+def q78_longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = runs.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.sum("len").cast("bigint").alias("active_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q79 — ordered funnel conversion (view -> click -> purchase) with per-step
+# time windows: first view, then first click within 3 days of it, then first
+# purchase within 7 days of that click.  The funnel population (the 'view'
+# step's denominator) is users with at least one funnel-step event — the
+# filter runs before counting, in both engines.
+#
+# No self-joins: three conditional-min window passes over the SAME user
+# partition — Catalyst plans one Exchange feeding sequential Window
+# operators, so the funnel costs a single shuffle regardless of step count
+# (the per-step self-join formulation shuffles once per step and explodes
+# under skew).  Timestamps compare as exact microsecond integers;
+# conversion rates are exact integer basis points (10000*n DIV prev), so
+# the result is hash-identical cross-engine (no float division).
+# ---------------------------------------------------------------------------
+_FUNNEL_DAY_US = 86_400_000_000
+
+
+@register(
+    "q79_funnel_conversion",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+),
+s1 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts_us END)
+              OVER (PARTITION BY user_id) AS t_view
+  FROM e
+),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'click' AND ts_us >= t_view
+                      AND ts_us <= t_view + 3 * {_FUNNEL_DAY_US}
+                     THEN ts_us END)
+              OVER (PARTITION BY user_id) AS t_click
+  FROM s1
+),
+s3 AS (
+  SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts_us >= t_click
+                      AND ts_us <= t_click + 7 * {_FUNNEL_DAY_US}
+                     THEN ts_us END)
+              OVER (PARTITION BY user_id) AS t_purchase
+  FROM s2
+),
+per_user AS (
+  SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
+         MAX(t_purchase) AS t_purchase
+  FROM s3 GROUP BY user_id
+),
+counts AS (
+  SELECT COUNT(*) AS n_users,
+         COUNT(t_view) AS n_view,
+         COUNT(t_click) AS n_click,
+         COUNT(t_purchase) AS n_purchase
+  FROM per_user
+)
+SELECT step, users, conv_from_prev_bp, conv_from_first_bp FROM (
+  SELECT 1 AS ord, 'view' AS step, CAST(n_view AS BIGINT) AS users,
+         CAST(CASE WHEN n_users > 0 THEN (10000 * n_view) // n_users END AS BIGINT)
+           AS conv_from_prev_bp,
+         CAST(10000 AS BIGINT) AS conv_from_first_bp
+  FROM counts
+  UNION ALL
+  SELECT 2, 'click', CAST(n_click AS BIGINT),
+         CAST(CASE WHEN n_view > 0 THEN (10000 * n_click) // n_view END AS BIGINT),
+         CAST(CASE WHEN n_view > 0 THEN (10000 * n_click) // n_view END AS BIGINT)
+  FROM counts
+  UNION ALL
+  SELECT 3, 'purchase', CAST(n_purchase AS BIGINT),
+         CAST(CASE WHEN n_click > 0 THEN (10000 * n_purchase) // n_click END AS BIGINT),
+         CAST(CASE WHEN n_view > 0 THEN (10000 * n_purchase) // n_view END AS BIGINT)
+  FROM counts
+) ORDER BY ord
+""",
+)
+def q79_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.catalog import EPOCH_NTZ
+
+    e = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            F.timestamp_diff("MICROSECOND", F.expr(EPOCH_NTZ), F.col("ts")).alias(
+                "ts_us"
+            ),
+        )
+    )
+    wu = Window.partitionBy("user_id")
+    s1 = e.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(wu),
+    )
+    s2 = s1.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts_us") >= F.col("t_view"))
+                & (F.col("ts_us") <= F.col("t_view") + 3 * _FUNNEL_DAY_US),
+                F.col("ts_us"),
+            )
+        ).over(wu),
+    )
+    s3 = s2.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_us") >= F.col("t_click"))
+                & (F.col("ts_us") <= F.col("t_click") + 7 * _FUNNEL_DAY_US),
+                F.col("ts_us"),
+            )
+        ).over(wu),
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
+    counts = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click"),
+        F.count("t_purchase").alias("n_purchase"),
+    )
+
+    # ONE stack over the single counts row — a union of three selects would
+    # recompute the whole events pipeline (scan + shuffle) once per step
+    def _bp(num: str, den: str) -> str:  # exact integer basis points
+        return (f"CAST(CASE WHEN {den} > 0 THEN (10000 * {num}) div {den} END"
+                f" AS BIGINT)")
+
+    return (
+        counts.select(
+            F.expr(
+                "stack(3,"
+                f" 1, 'view', CAST(n_view AS BIGINT),"
+                f" {_bp('n_view', 'n_users')}, CAST(10000 AS BIGINT),"
+                f" 2, 'click', CAST(n_click AS BIGINT),"
+                f" {_bp('n_click', 'n_view')}, {_bp('n_click', 'n_view')},"
+                f" 3, 'purchase', CAST(n_purchase AS BIGINT),"
+                f" {_bp('n_purchase', 'n_click')}, {_bp('n_purchase', 'n_view')}"
+                ") as (ord, step, users, conv_from_prev_bp, conv_from_first_bp)"
+            )
+        )
+        .orderBy("ord")
+        .select("step", "users", "conv_from_prev_bp", "conv_from_first_bp")
+    )

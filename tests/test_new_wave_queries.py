@@ -249,3 +249,108 @@ def test_q75_hierarchy_rollup_matches_python_reference(spark, tmp_path):
         for r in QUERIES["q75_hierarchy_rollup"](spark, str(tmp_path)).collect()
     }
     assert got == want
+
+
+def test_q78_longest_streak_tiny(spark, tmp_path):
+    # user 1: days 1,2,3 then 5,6 -> longest 3, 5 active days, 2 streaks
+    # user 2: day 2 only          -> longest 1
+    _write_events(
+        tmp_path,
+        [
+            (1, _ts(1), 1.0, "view"),
+            (1, _ts(2), 1.0, "view"),
+            (1, _ts(2), 2.0, "click"),   # same day twice: still ONE active day
+            (1, _ts(3), 1.0, "view"),
+            (1, _ts(5), 1.0, "view"),
+            (1, _ts(6), 1.0, "view"),
+            (2, _ts(2), 1.0, "view"),
+        ],
+    )
+    out = [
+        (r.user_id, r.longest_streak, r.active_days, r.n_streaks)
+        for r in QUERIES["q78_longest_daily_streak"](spark, str(tmp_path)).collect()
+    ]
+    assert out == [(1, 3, 5, 2), (2, 1, 1, 1)]
+
+
+def test_q79_funnel_tiny(spark, tmp_path):
+    import datetime
+
+    def at(day, hour):
+        return datetime.datetime(2024, 1, day, hour)
+
+    _write_events(
+        tmp_path,
+        [
+            # user 1 completes: view d1 -> click d2 (within 3d) -> purchase d5
+            (1, at(1, 0), 1.0, "view"),
+            (1, at(2, 0), 1.0, "click"),
+            (1, at(5, 0), 1.0, "purchase"),
+            # user 2: view d1, click too late (d1+4d), purchase irrelevant
+            (2, at(1, 0), 1.0, "view"),
+            (2, at(5, 1), 1.0, "click"),
+            (2, at(6, 0), 1.0, "purchase"),
+            # user 3: click/purchase but never a view -> enters no step
+            (3, at(1, 0), 1.0, "click"),
+            (3, at(2, 0), 1.0, "purchase"),
+            # user 4: no funnel event types at all -> OUTSIDE the funnel
+            # population (the query filters to funnel steps before counting,
+            # so denominators are "users with any funnel-step event")
+            (4, at(1, 0), 1.0, "error"),
+        ],
+    )
+    rows = QUERIES["q79_funnel_conversion"](spark, str(tmp_path)).collect()
+    got = [(r.step, r.users, r.conv_from_prev_bp, r.conv_from_first_bp) for r in rows]
+    # population = 3 (users 1-3); 2 viewed (10000*2//3=6666), 1 clicked in
+    # window (10000*1//2=5000 of viewers), 1 purchased (10000 of clickers,
+    # 5000 of viewers)
+    assert got == [
+        ("view", 2, 6666, 10000),
+        ("click", 1, 5000, 5000),
+        ("purchase", 1, 10000, 5000),
+    ]
+
+
+def test_s10_pps_sample_properties(spark, tmp_path):
+    # Weighted Poisson sampling: selection must be (a) deterministic across
+    # runs, (b) a pure per-row function of (doc_id, weight, W) — verified by
+    # a pure-Python replica of the integer inclusion test.
+    import hashlib
+
+    n = 400
+    texts = ["x" * ((i * 37) % 500 + 10) for i in range(1, n + 1)]
+    docs = pa.table(
+        {
+            "doc_id": list(range(1, n + 1)),
+            "text": texts,
+            "lang": ["en"] * n,
+            "source": ["s"] * n,
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    w_total = sum(len(t) for t in texts)
+    k = 200  # _PPS_K
+
+    def included(doc_id, w):
+        u48 = int(hashlib.md5(f"pps:{doc_id}".encode()).hexdigest()[:12], 16)
+        return u48 * w_total < k * w * (1 << 48)
+
+    expect = sorted(
+        i for i, t in zip(range(1, n + 1), texts) if included(i, len(t))
+    )
+    got = [
+        r.doc_id
+        for r in QUERIES["s10_weighted_pps_sample"](spark, str(tmp_path)).collect()
+    ]
+    assert got == expect
+    # re-run: identical selection (content-addressed, no RNG state)
+    again = [
+        r.doc_id
+        for r in QUERIES["s10_weighted_pps_sample"](spark, str(tmp_path)).collect()
+    ]
+    assert again == got
+    # weighting is real: selected docs skew heavier than the corpus average
+    sel_w = [len(texts[i - 1]) for i in got]
+    assert sum(sel_w) / len(sel_w) > w_total / n

@@ -335,3 +335,23 @@ def test_q68_sweep_windows_are_day_partitioned(spark):
     # re-runs the sessionization chain per branch
     assert len([ln for ln in windows if "day_idx" in ln]) == 1, plan
     assert "Union" not in plan
+
+
+def test_q79_funnel_single_fact_shuffle(spark):
+    """The three funnel steps must share ONE user_id exchange (sequential
+    Window ops over the same partitioning) and produce the step rows via
+    stack over the single counts row — a union-of-selects formulation
+    recomputes the whole events pipeline once per step (3x the shuffles)."""
+    plan = plan_of(QUERIES["q79_funnel_conversion"](spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_s10_pps_sample_is_scan_shaped(spark):
+    """Weighted PPS sampling must stay embarrassingly parallel: the only
+    join is the 1-row total-weight broadcast; the documents scan is never
+    hash-shuffled (the final sort is presentation-only)."""
+    plan = plan_of(QUERIES["s10_weighted_pps_sample"](spark, SF_SMOKE), "simple")
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan  # the scalar W, nothing larger
