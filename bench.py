@@ -395,6 +395,8 @@ def main() -> None:
         "q78_longest_daily_streak",
         "q79_funnel_conversion",
         "s10_weighted_pps_sample",
+        "t21_heavy_hitters",
+        "q80_session_pattern_match",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

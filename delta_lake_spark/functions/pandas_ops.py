@@ -82,3 +82,46 @@ def label_centroids(embeddings: DataFrame, label_col: str = "label", vec_col: st
         )
 
     return embeddings.groupBy(label_col).applyInPandas(per_group, CENTROID_SCHEMA)
+
+
+def misra_gries_candidates(tokens_df: DataFrame, col: str, m: int = 4096) -> DataFrame:
+    """Per-partition Misra-Gries heavy-hitter CANDIDATES over an array
+    column of tokens — phase 1 of the exact two-phase top-k (queries/text.py
+    t21).
+
+    Chunked mergeable-summaries variant (Agarwal et al., "Mergeable
+    Summaries"): merge each Arrow batch's exact counts into the running
+    summary; when it exceeds ``m`` counters, subtract the (size-m)-th
+    smallest count from every counter and drop the non-positive ones.  Each
+    trim removes equal mass from > m counters at once, so any item with
+    true partition frequency > N_p/(m+1) survives with a positive counter —
+    hence (summing over partitions) every item with GLOBAL frequency
+    > N/(m+1) is emitted by at least one partition.  Phase 2 recounts
+    candidates exactly, so the top-k is exact whenever the k-th true count
+    clears that bound (loose by orders of magnitude for any realistic m).
+
+    Scale shape: the full token stream is never shuffled — each partition
+    streams through pandas once and emits <= m candidate words, so the
+    downstream distinct/count shuffle is O(partitions x m) rows regardless
+    of corpus vocabulary.
+    """
+    import collections
+
+    out_schema = StructType([StructField("candidate", StringType())])
+
+    def per_partition(batches):
+        counters: collections.Counter = collections.Counter()
+        for pdf in batches:
+            batch = collections.Counter()
+            for arr in pdf[col]:
+                batch.update(arr)
+            counters.update(batch)
+            if len(counters) > m:
+                # subtract the (len-m)-th smallest count from everything
+                d = sorted(counters.values())[len(counters) - m - 1]
+                counters = collections.Counter(
+                    {w: c - d for w, c in counters.items() if c > d}
+                )
+        yield pd.DataFrame({"candidate": list(counters.keys())})
+
+    return tokens_df.select(col).mapInPandas(per_partition, schema=out_schema)

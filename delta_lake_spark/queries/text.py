@@ -1265,3 +1265,54 @@ def t20_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# t21 — exact global top-k words via two-phase heavy hitters.
+#
+# t06 computes top words with a straight explode -> groupBy: map-side
+# partial aggregation bounds the shuffle at distinct-words-PER-PARTITION —
+# fine for a sane vocabulary, but for heavy-tailed key spaces (URLs, IPs,
+# user agents, raw n-grams at web scale) that is still the whole vocabulary
+# per partition.  The classic fix is two-phase: (1) per-partition
+# Misra-Gries candidate summaries — the full stream NEVER shuffles, each
+# partition emits <= m candidate words (functions/pandas_ops.py has the
+# guarantee: every item with global freq > N/(m+1) survives); (2) exact
+# recount of candidates only, via a broadcast semi-join, then top-k.
+# Result is EXACT (and oracle-checked against the single-phase SQL)
+# whenever the k-th count clears N/(m+1) — at m=4096 that bound is ~N/4097,
+# orders of magnitude below any real top-20 word count.
+#
+# The recount pass re-reads the corpus (inherent to exactness — the MG
+# counters alone are only (N/m)-approximate); at 100 TB both passes are
+# scan-bound and shuffle O(partitions x m) + O(candidates) rows total.
+# ---------------------------------------------------------------------------
+@register(
+    "t21_heavy_hitters",
+    oracle=f"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array({_NORM_SQL}, '\\s+')) AS w
+  FROM documents
+)
+SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM w WHERE length(w) >= 3
+GROUP BY w ORDER BY cnt DESC, word LIMIT 20
+""",
+)
+def t21_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.pandas_ops import misra_gries_candidates
+
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    toks = d.select(
+        F.filter(
+            tokens(normalize_text("text")), lambda w: F.length(w) >= 3
+        ).alias("toks")
+    )
+    cands = misra_gries_candidates(toks, "toks", m=4096).distinct()
+    exact = (
+        toks.select(F.explode("toks").alias("word"))
+        .join(F.broadcast(cands), F.col("word") == F.col("candidate"), "semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    return exact.orderBy(F.desc("cnt"), "word").limit(20)

@@ -1663,3 +1663,123 @@ def q79_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ord")
         .select("step", "users", "conv_from_prev_bp", "conv_from_first_bp")
     )
+
+
+# ---------------------------------------------------------------------------
+# q80 — session pattern matching (MATCH_RECOGNIZE analog).
+#
+# SQL-standard row pattern recognition (MATCH_RECOGNIZE) has no Spark
+# implementation; the composition that replaces it at scale: sessionize ->
+# per-session ordered event string (one letter per event) -> regex per
+# pattern.  Each session's full history compresses to a short string BEFORE
+# matching, so patterns evaluate on O(sessions) rows, not O(events), and
+# the only shuffles are the user_id window + the (user, session) aggregate
+# that share a prefix key.  Letters: v(iew) c(lick) p(urchase) s(ignup)
+# e(rror).  Patterns: browse_to_buy = v.*c.*p (a view later followed by a
+# click then a purchase), bounce = single-event session, error_riddled =
+# >= 3 errors.  Output shares are exact integer basis points.
+# ---------------------------------------------------------------------------
+@register(
+    "q80_session_pattern_match",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, substr(event_type, 1, 1) AS letter,
+         epoch_us(ts) AS ts_us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN ts_us - LAG(ts_us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM flagged
+),
+strings AS (
+  SELECT user_id, sess_id,
+         string_agg(letter, '' ORDER BY ts_us, event_id) AS seq
+  FROM sess GROUP BY user_id, sess_id
+),
+counts AS (
+  SELECT COUNT(*) AS n_sessions,
+         SUM(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 ELSE 0 END) AS n_buy,
+         SUM(CASE WHEN length(seq) = 1 THEN 1 ELSE 0 END) AS n_bounce,
+         SUM(CASE WHEN regexp_matches(seq, '(e.*){3}') THEN 1 ELSE 0 END) AS n_err
+  FROM strings
+)
+SELECT pattern, n_sessions, matched, share_bp FROM (
+  SELECT 1 AS ord, 'browse_to_buy' AS pattern, CAST(n_sessions AS BIGINT) AS n_sessions,
+         CAST(n_buy AS BIGINT) AS matched,
+         CAST((10000 * n_buy) // n_sessions AS BIGINT) AS share_bp FROM counts
+  UNION ALL
+  SELECT 2, 'bounce', CAST(n_sessions AS BIGINT), CAST(n_bounce AS BIGINT),
+         CAST((10000 * n_bounce) // n_sessions AS BIGINT) FROM counts
+  UNION ALL
+  SELECT 3, 'error_riddled', CAST(n_sessions AS BIGINT), CAST(n_err AS BIGINT),
+         CAST((10000 * n_err) // n_sessions AS BIGINT) FROM counts
+) ORDER BY ord
+""",
+)
+def q80_session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.catalog import EPOCH_NTZ
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("letter"),
+        F.timestamp_diff("MICROSECOND", F.expr(EPOCH_NTZ), F.col("ts")).alias(
+            "ts_us"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    sess = e.withColumn(
+        "new_sess",
+        F.when(F.col("ts_us") - F.lag("ts_us").over(w) > 1_800_000_000, 1).otherwise(0),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    # ordered per-session string: sort_array over (ts_us, event_id, letter)
+    # structs is deterministic and avoids relying on collect_list order
+    strings = (
+        sess.groupBy("user_id", "sess_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts_us", "event_id", "letter"))
+                    ),
+                    lambda s: s["letter"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    counts = strings.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("seq").rlike("v.*c.*p"), 1).otherwise(0)).alias("n_buy"),
+        F.sum(F.when(F.length("seq") == 1, 1).otherwise(0)).alias("n_bounce"),
+        F.sum(F.when(F.col("seq").rlike("(e.*){3}"), 1).otherwise(0)).alias("n_err"),
+    )
+
+    def _row(num: str) -> str:
+        return f"CAST((10000 * {num}) div n_sessions AS BIGINT)"
+
+    return (
+        counts.select(
+            F.expr(
+                "stack(3,"
+                f" 1, 'browse_to_buy', CAST(n_sessions AS BIGINT),"
+                f" CAST(n_buy AS BIGINT), {_row('n_buy')},"
+                f" 2, 'bounce', CAST(n_sessions AS BIGINT),"
+                f" CAST(n_bounce AS BIGINT), {_row('n_bounce')},"
+                f" 3, 'error_riddled', CAST(n_sessions AS BIGINT),"
+                f" CAST(n_err AS BIGINT), {_row('n_err')}"
+                ") as (ord, pattern, n_sessions, matched, share_bp)"
+            )
+        )
+        .orderBy("ord")
+        .select("pattern", "n_sessions", "matched", "share_bp")
+    )

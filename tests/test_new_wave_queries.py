@@ -354,3 +354,87 @@ def test_s10_pps_sample_properties(spark, tmp_path):
     # weighting is real: selected docs skew heavier than the corpus average
     sel_w = [len(texts[i - 1]) for i in got]
     assert sum(sel_w) / len(sel_w) > w_total / n
+
+
+def test_t21_heavy_hitters_tiny(spark, tmp_path):
+    # exact top-k must match a pure-Python count on a corpus with a clear
+    # frequency gradient
+    texts = (
+        ["alpha beta gamma"] * 6
+        + ["beta gamma delta"] * 4
+        + ["gamma delta epsilon"] * 2
+        + ["zeta eta theta"]
+    )
+    docs = pa.table(
+        {
+            "doc_id": list(range(1, len(texts) + 1)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    import collections
+
+    exp = collections.Counter(" ".join(texts).split())
+    expect = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [
+        (r.word, r.cnt)
+        for r in QUERIES["t21_heavy_hitters"](spark, str(tmp_path)).collect()
+    ]
+    assert got == expect
+
+
+def test_misra_gries_candidate_guarantee(spark):
+    # force trims with a tiny m: every item with global freq > N/(m+1) must
+    # still be emitted by at least one partition (the two-phase exactness
+    # precondition)
+    import collections
+
+    from delta_lake_spark.functions.pandas_ops import misra_gries_candidates
+
+    words = ["hot0"] * 300 + ["hot1"] * 150 + ["hot2"] * 100
+    for i in range(37):          # light tail: 10 occurrences each
+        words += [f"w{i:02d}"] * 10
+    rows = [(words[i : i + 5],) for i in range(0, len(words), 5)]
+    df = spark.createDataFrame(rows, "toks: array<string>").repartition(4)
+    m = 8
+    cands = {
+        r.candidate for r in misra_gries_candidates(df, "toks", m=m).collect()
+    }
+    counts = collections.Counter(words)
+    n = sum(counts.values())
+    must_have = {w for w, c in counts.items() if c > n / (m + 1)}
+    assert must_have and must_have <= cands
+
+
+def test_q80_pattern_match_tiny(spark, tmp_path):
+    import datetime
+
+    def at(day, minute):
+        return datetime.datetime(2024, 1, day, 10, minute)
+
+    _write_events(
+        tmp_path,
+        [
+            # user 1 session A: view, click, purchase -> browse_to_buy
+            (1, at(1, 0), 1.0, "view"),
+            (1, at(1, 10), 1.0, "click"),
+            (1, at(1, 20), 1.0, "purchase"),
+            # user 1 session B (next day): single error -> bounce
+            (1, at(2, 0), 1.0, "error"),
+            # user 2 one session: 3 errors + a view -> error_riddled
+            (2, at(1, 0), 1.0, "error"),
+            (2, at(1, 5), 1.0, "error"),
+            (2, at(1, 10), 1.0, "view"),
+            (2, at(1, 15), 1.0, "error"),
+        ],
+    )
+    rows = QUERIES["q80_session_pattern_match"](spark, str(tmp_path)).collect()
+    got = [(r.pattern, r.n_sessions, r.matched, r.share_bp) for r in rows]
+    assert got == [
+        ("browse_to_buy", 3, 1, 3333),
+        ("bounce", 3, 1, 3333),
+        ("error_riddled", 3, 1, 3333),
+    ]

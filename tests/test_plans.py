@@ -355,3 +355,13 @@ def test_s10_pps_sample_is_scan_shaped(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastExchange" in plan  # the scalar W, nothing larger
+
+
+def test_t21_recount_join_is_broadcast_semi(spark):
+    """Phase 2 of the two-phase heavy hitters must recount via a broadcast
+    semi-join against the tiny candidate set — shuffling the exploded token
+    stream to meet the candidates would forfeit the whole point."""
+    plan = plan_of(QUERIES["t21_heavy_hitters"](spark, SF_SMOKE), "simple")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
