@@ -322,3 +322,132 @@ def connected_components(
             break
     sym.unpersist()
     return labels.select(F.col("node").alias("id"), F.col("label").alias("component"))
+
+
+def prefix_filter_jaccard_join(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    tau_num: int = 3,
+    tau_den: int = 5,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard >= tau_num/tau_den over distinct n-token
+    shingle sets, via prefix filtering (the All-Pairs / PPJoin family —
+    Bayardo et al. WWW'07, Xiao et al. WWW'08) instead of LSH.
+
+    Where d06's MinHash+LSH trades recall for speed, prefix filtering is
+    lossless: order every document's shingles by ascending document
+    frequency (rarest first, ties by token); if two sets have Jaccard >=
+    tau they MUST share a token within each other's first
+    ``|s| - ceil(tau*|s|) + 1`` tokens, so joining on prefix tokens alone
+    generates a candidate superset — no false negatives.  Candidates then
+    verify with exact intersection sizes.
+
+    Scale shape: the shuffled volume is (a) one token-frequency aggregate,
+    (b) the prefix explode — about (1-tau) of the token stream, rarest
+    tokens only, so the hottest (most frequent) tokens never fan out — and
+    (c) candidate verification joins.  All thresholds are exact integer
+    cross-products (no float division).
+    """
+    # shingles hash to longs up front (d06/d09 verification convention:
+    # the oracle applies the same closed-form hash, so Jaccard over hash
+    # sets is the shared exact semantic) — long keys shuffle and compare
+    # several times cheaper than bigram strings
+    toks = F.array_distinct(
+        F.transform(token_shingles(F.col(text_col), n), shingle_hash)
+    )
+    base = (
+        docs.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
+        .filter(F.size("_toks") > 0)
+    )
+    exploded = base.select("_id", F.explode("_toks").alias("_tok"))
+    # document frequency per token orders prefixes rarest-first; a window
+    # count over the token partition beats groupBy+join-back (one shuffle
+    # of the stream instead of shuffle + join build)
+    from pyspark.sql.window import Window as _W
+
+    with_df = exploded.withColumn(
+        "_df", F.count(F.lit(1)).over(_W.partitionBy("_tok"))
+    )
+    # per-doc tokens sorted by (df, token); prefix length
+    # p = s - ceil(tau*s) + 1, with ceil(tau*s) = (tau_num*s + tau_den - 1) div tau_den
+    sorted_docs = (
+        with_df.groupBy("_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_df", "_tok"))),
+                lambda s: s["_tok"],
+            ).alias("_sorted"),
+        )
+        .withColumn("_sz", F.size("_sorted"))
+        .withColumn(
+            "_prefix",
+            F.slice(
+                "_sorted",
+                1,
+                F.col("_sz")
+                - F.expr(f"({tau_num} * _sz + {tau_den - 1}) div {tau_den}")
+                + 1,
+            ),
+        )
+    )
+    pref = sorted_docs.select(
+        "_id", "_sz", F.explode("_prefix").alias("_tok")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    # candidates: shared prefix token + id order + length filter
+    # (tau * max(sz) <= min(sz), as integers)
+    cand = (
+        a.join(
+            b,
+            (F.col("a._tok") == F.col("b._tok"))
+            & (F.col("a._id") < F.col("b._id"))
+            & (
+                F.lit(tau_num) * F.greatest("a._sz", "b._sz")
+                <= F.lit(tau_den) * F.least("a._sz", "b._sz")
+            ),
+        )
+        .select(
+            F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
+        )
+        .distinct()
+    )
+    # exact verification on the candidate pairs only
+    sets = sorted_docs.select("_id", "_sorted", "_sz")
+    verified = (
+        cand.join(
+            sets.select(
+                F.col("_id").alias("id_a"),
+                F.col("_sorted").alias("_ta"),
+                F.col("_sz").alias("sz_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col("_id").alias("id_b"),
+                F.col("_sorted").alias("_tb"),
+                F.col("_sz").alias("sz_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("inter_size", F.size(F.array_intersect("_ta", "_tb")).cast("bigint"))
+        .withColumn(
+            "union_size",
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter_size")).cast("bigint"),
+        )
+        .filter(
+            F.lit(tau_den) * F.col("inter_size")
+            >= F.lit(tau_num) * F.col("union_size")
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        "inter_size",
+        "union_size",
+        F.expr("CAST((inter_size * 10000) div union_size AS BIGINT)").alias(
+            "jaccard_bp"
+        ),
+    )

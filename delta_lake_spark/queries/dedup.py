@@ -962,3 +962,51 @@ def d19_edit_distance_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# d20 — EXACT all-pairs Jaccard join via prefix filtering (All-Pairs/PPJoin).
+#
+# The lossless counterpart to d06's MinHash+LSH: documents ordered by
+# rarest-first token prefixes; Jaccard >= 0.6 pairs MUST collide on a
+# prefix token, so the prefix equi-join is a candidate SUPERSET (no false
+# negatives), verified exactly.  The oracle is the brute-force quadratic
+# join — the gate therefore proves completeness, not just precision.
+# Shingle unit: distinct word BIGRAMS (unigram sets are near-degenerate on
+# this corpus: ~57% of all pairs clear 0.6, while bigram sets isolate the
+# 25 true near-dup pairs).
+# ---------------------------------------------------------------------------
+@register(
+    "d20_prefix_filter_jaccard",
+    oracle=f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS ws
+  FROM documents WHERE length({_NORM_SQL}) > 0
+),
+t AS (
+  SELECT doc_id, list_distinct(list_transform(
+           list_transform(range(1, greatest(len(ws)-1, 0)+1),
+                          i -> ws[i] || ' ' || ws[i+1]),
+           t -> {_H})) AS toks
+  FROM w WHERE len(ws) >= 2
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter_size,
+       CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS BIGINT)
+         AS union_size,
+       CAST((len(list_intersect(a.toks, b.toks)) * 10000)
+            // (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+            AS BIGINT) AS jaccard_bp
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE 5 * len(list_intersect(a.toks, b.toks))
+      >= 3 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+ORDER BY id_a, id_b
+""",
+)
+def d20_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.dedup import prefix_filter_jaccard_join
+
+    docs = table_parallel(spark, sf_dir, "documents", "doc_id")
+    return prefix_filter_jaccard_join(
+        docs, "doc_id", "text", n=2, tau_num=3, tau_den=5
+    ).orderBy("id_a", "id_b")

@@ -438,3 +438,52 @@ def test_q80_pattern_match_tiny(spark, tmp_path):
         ("bounce", 3, 1, 3333),
         ("error_riddled", 3, 1, 3333),
     ]
+
+
+def test_d20_prefix_filter_equals_brute_force(spark, tmp_path):
+    # lossless-ness on a corpus with engineered near-dups: prefix-filter
+    # result must equal the quadratic brute force computed in Python
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [
+        base,
+        base + " tonight",                      # near-dup of 0
+        base.replace("quick", "slow"),          # near-dup of 0
+        "completely different words entirely here now",
+        "another unrelated document about spark engines",
+        "the quick brown fox jumps over the lazy dog again and again tonight",  # exact dup of 1
+    ]
+    docs = pa.table(
+        {
+            "doc_id": list(range(1, len(texts) + 1)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+    def bigrams(t):
+        # hashed-shingle twin of functions/dedup.py (d06/d20 convention)
+        def h(s):
+            return sum(
+                (ord(s[i]) if i < len(s) else 0) * 31 ** (7 - i) for i in range(8)
+            )
+
+        ws = t.split()
+        return set(h(f"{a} {b}") for a, b in zip(ws, ws[1:]))
+
+    expect = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = bigrams(texts[i]), bigrams(texts[j])
+            inter = len(a & b)
+            union = len(a | b)
+            if union and 5 * inter >= 3 * union:
+                expect.append((i + 1, j + 1, inter, union, inter * 10000 // union))
+    got = [
+        (r.id_a, r.id_b, r.inter_size, r.union_size, r.jaccard_bp)
+        for r in QUERIES["d20_prefix_filter_jaccard"](spark, str(tmp_path)).collect()
+    ]
+    assert got == sorted(expect)
+    assert any(j == 10000 for *_, j in got)  # the exact dup is in there

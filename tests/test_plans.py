@@ -365,3 +365,12 @@ def test_t21_recount_join_is_broadcast_semi(spark):
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+
+
+def test_d20_prefix_join_is_equi_join(spark):
+    """Prefix-filter candidates must come from a hash equi-join on the
+    prefix token — never a nested-loop/cartesian pairing (the thing prefix
+    filtering exists to avoid)."""
+    plan = plan_of(QUERIES["d20_prefix_filter_jaccard"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
