@@ -397,6 +397,7 @@ def main() -> None:
         "s10_weighted_pps_sample",
         "t21_heavy_hitters",
         "q80_session_pattern_match",
+        "d20_prefix_filter_jaccard",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

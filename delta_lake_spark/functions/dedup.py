@@ -353,23 +353,32 @@ def prefix_filter_jaccard_join(
     # shingles hash to longs up front (d06/d09 verification convention:
     # the oracle applies the same closed-form hash, so Jaccard over hash
     # sets is the shared exact semantic) — long keys shuffle and compare
-    # several times cheaper than bigram strings
-    toks = F.array_distinct(
-        F.transform(token_shingles(F.col(text_col), n), shingle_hash)
+    # several times cheaper than bigram strings.  Built as ONE SQL string
+    # (dedup_sql fast path): the Column form inlines the normalize+split
+    # tree into every element_at and costs seconds of driver build time.
+    from delta_lake_spark.functions.dedup_sql import (
+        shingle_hash_sql,
+        token_shingles_sql,
     )
-    base = (
-        docs.select(F.col(id_col).alias("_id"), toks.alias("_toks"))
-        .filter(F.size("_toks") > 0)
-    )
-    exploded = base.select("_id", F.explode("_toks").alias("_tok"))
-    # document frequency per token orders prefixes rarest-first; a window
-    # count over the token partition beats groupBy+join-back (one shuffle
-    # of the stream instead of shuffle + join build)
-    from pyspark.sql.window import Window as _W
 
-    with_df = exploded.withColumn(
-        "_df", F.count(F.lit(1)).over(_W.partitionBy("_tok"))
+    toks_sql = (
+        f"array_distinct(transform({token_shingles_sql(text_col, n)}, "
+        f"s -> {shingle_hash_sql('s')}))"
     )
+    # NO size()>0 filter here: Catalyst pushes such a filter below
+    # table_parallel's exchange, re-running the whole shingle pipeline
+    # single-threaded in the scan stage (measured 24 s vs 1.3 s at sf0.1).
+    # explode() drops empty arrays anyway, so the filter is redundant.
+    base = docs.selectExpr(
+        f"{id_col} AS _id", f"{toks_sql} AS _toks"
+    ).persist()  # feeds the df aggregate AND the join-back
+    exploded = base.select("_id", F.explode("_toks").alias("_tok"))
+    # document frequency per token orders prefixes rarest-first.  groupBy
+    # does the counting map-side (partial agg), so only the vocabulary-sized
+    # (token, df) table shuffles; the join back is AQE-broadcast when the
+    # vocabulary is small — the full token stream is never window-sorted.
+    df_tbl = exploded.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    with_df = exploded.join(df_tbl, "_tok")
     # per-doc tokens sorted by (df, token); prefix length
     # p = s - ceil(tau*s) + 1, with ceil(tau*s) = (tau_num*s + tau_den - 1) div tau_den
     sorted_docs = (
@@ -391,13 +400,23 @@ def prefix_filter_jaccard_join(
                 + 1,
             ),
         )
+        # consumed three times (both self-join sides + verification);
+        # persist so candidates and verification reuse one computation —
+        # per-doc sorted hash arrays, the same footprint d06 persists
+        .persist()
     )
     pref = sorted_docs.select(
-        "_id", "_sz", F.explode("_prefix").alias("_tok")
-    )
+        "_id", "_sz", F.posexplode("_prefix").alias("_i", "_tok")
+    ).withColumn("_pos", F.col("_i") + 1)
     a, b = pref.alias("a"), pref.alias("b")
     # candidates: shared prefix token + id order + length filter
-    # (tau * max(sz) <= min(sz), as integers)
+    # (tau * max(sz) <= min(sz), as integers) + PPJoin position filter:
+    # tokens are position-aligned in ONE global order, so for the first
+    # common token at positions (i, j) the overlap is at most
+    # 1 + min(sz_a - i, sz_b - j); a qualifying pair needs overlap >=
+    # alpha = ceil(tau/(1+tau) * (sz_a + sz_b)) — cross-multiplied to
+    # integers.  Lossless (the earliest collision has the loosest bound)
+    # but prunes late-prefix collisions before the distinct + verify.
     cand = (
         a.join(
             b,
@@ -406,6 +425,17 @@ def prefix_filter_jaccard_join(
             & (
                 F.lit(tau_num) * F.greatest("a._sz", "b._sz")
                 <= F.lit(tau_den) * F.least("a._sz", "b._sz")
+            )
+            & (
+                F.lit(tau_num + tau_den)
+                * (
+                    F.lit(1)
+                    + F.least(
+                        F.col("a._sz") - F.col("a._pos"),
+                        F.col("b._sz") - F.col("b._pos"),
+                    )
+                )
+                >= F.lit(tau_num) * (F.col("a._sz") + F.col("b._sz"))
             ),
         )
         .select(
