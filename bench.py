@@ -398,6 +398,9 @@ def main() -> None:
         "t21_heavy_hitters",
         "q80_session_pattern_match",
         "d20_prefix_filter_jaccard",
+        "t22_decontamination",
+        "s11_epoch_shuffle",
+        "v15_label_diversified_topk",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

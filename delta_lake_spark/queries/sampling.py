@@ -494,3 +494,51 @@ def s10_weighted_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", F.col("n_chars").cast("bigint").alias("weight"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# s11 — deterministic epoch shuffle (training-data loading order): every
+# epoch the corpus is re-ordered by md5(seed || doc_id) and assigned an
+# exact global position 1..N — the "seeded global shuffle" every trainer
+# needs for reproducible runs and mid-epoch resume (position is the
+# checkpoint cursor).  Spark has no scalable ROW_NUMBER() OVER (ORDER BY
+# ...) — the naive window is a single-partition stage — so positions come
+# from ops.ranking.global_row_number: range-partition by the shuffle key,
+# per-partition row_number, plus broadcast partition offsets.  Changing
+# the seed string reshuffles; the hash makes order independent of input
+# partitioning (reshard-safe, like s01).
+# ---------------------------------------------------------------------------
+_S11_SEED = "epoch1:"
+
+
+@register(
+    "s11_epoch_shuffle",
+    oracle=f"""
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5('{_S11_SEED}' || CAST(doc_id AS VARCHAR)), doc_id)
+       AS BIGINT) AS position,
+       doc_id, source,
+       md5('{_S11_SEED}' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents
+ORDER BY position
+""",
+)
+def s11_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.ops.ranking import global_row_number
+
+    d = table_parallel(spark, sf_dir, "documents", "doc_id").select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.lit(_S11_SEED), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    return (
+        global_row_number(d, ["shuffle_key", "doc_id"], out_col="position")
+        .select(
+            F.col("position").cast("bigint").alias("position"),
+            "doc_id",
+            "source",
+            "shuffle_key",
+        )
+        .orderBy("position")
+    )

@@ -1316,3 +1316,105 @@ def t21_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
     return exact.orderBy(F.desc("cnt"), "word").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# t22 — training-set decontamination (the REMOVAL side of the n-gram
+# contamination check; d13_contamination_scan is the DETECTION side).
+# d13 answers "which corpus doc most contaminates each benchmark item?"
+# (a per-benchmark report); t22 answers "which TRAINING docs must be
+# dropped?" — flag every training document sharing at least one 4-word
+# shingle with the held-out eval set (source 'src19' plays the benchmark
+# suite — a realistic source-level holdout, vs d13's doc_id slice), with
+# per-doc contamination share driving the drop decision.  N-gram keys are
+# md5 of the space-joined normalized shingle — cross-engine exact and,
+# unlike the polynomial-8 hash (which only reads the first 8 chars), fully
+# discriminating across n-grams.
+#
+# Scale shape: the eval n-gram set is bounded by the BENCHMARK size, not
+# the corpus (eval suites are fixed — MMLU-sized, not corpus-sized), so it
+# broadcasts; the training side streams through one map-side explode and
+# only COLLIDING (doc, ngram) rows ever shuffle into the per-doc count.
+# No train-train pairing exists anywhere in the plan.
+# ---------------------------------------------------------------------------
+_T22_EVAL_SRC = "src19"
+_T22_N = 4
+
+
+def _t22_grams_duck(n: int) -> str:
+    """DuckDB list of md5'd n-word shingles over normalized text."""
+    joined = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform("
+        f"list_transform(range(1, greatest(len(ws) - {n - 1}, 0) + 1), "
+        f"i -> {joined}), s -> md5(s)))"
+    )
+
+
+@register(
+    "t22_decontamination",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, source, {_t22_grams_duck(_T22_N)} AS gs
+  FROM (SELECT doc_id, source,
+               regexp_split_to_array({_NORM_SQL}, '\\s+') AS ws
+        FROM documents)
+),
+e AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE source = '{_T22_EVAL_SRC}'
+),
+tr AS (
+  SELECT doc_id, source, CAST(len(gs) AS BIGINT) AS n_ngrams,
+         unnest(gs) AS gram
+  FROM g WHERE source <> '{_T22_EVAL_SRC}'
+)
+SELECT tr.doc_id, any_value(tr.source) AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_collide,
+       any_value(tr.n_ngrams) AS n_ngrams,
+       CAST((COUNT(*) * 10000) // any_value(tr.n_ngrams) AS BIGINT)
+         AS contamination_bp
+FROM tr JOIN e ON tr.gram = e.gram
+GROUP BY tr.doc_id
+ORDER BY tr.doc_id
+""",
+)
+def t22_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.dedup_sql import token_shingles_sql
+
+    docs = table_parallel(spark, sf_dir, "documents", "doc_id")
+    grams = docs.selectExpr(
+        "doc_id",
+        "source",
+        f"transform({token_shingles_sql('text', _T22_N)}, s -> md5(s)) AS gs",
+    )
+    # token_shingles_sql already array_distinct's the shingles; md5 is
+    # injective on distinct strings for our purposes, so gs stays distinct
+    flat = grams.select(
+        "doc_id",
+        "source",
+        F.size("gs").cast("bigint").alias("n_ngrams"),
+        F.explode("gs").alias("gram"),
+    )
+    eval_grams = (
+        flat.filter(F.col("source") == _T22_EVAL_SRC).select("gram").distinct()
+    )
+    train = flat.filter(F.col("source") != _T22_EVAL_SRC)
+    return (
+        train.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.first("source").alias("source"),
+            F.count(F.lit(1)).cast("bigint").alias("n_collide"),
+            F.first("n_ngrams").alias("n_ngrams"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_collide",
+            "n_ngrams",
+            F.expr("CAST((n_collide * 10000) div n_ngrams AS BIGINT)").alias(
+                "contamination_bp"
+            ),
+        )
+        .orderBy("doc_id")
+    )

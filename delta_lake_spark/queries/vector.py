@@ -820,7 +820,7 @@ def v10_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# v11 — hard-negative mining (contrastive-training prep): for each query
+# v14 — hard-negative mining (contrastive-training prep): for each query
 # vector, the top-5 most-similar vectors carrying a DIFFERENT label — the
 # embeddings most likely to confuse a contrastive or retrieval model, which
 # is exactly what in-batch-negative pipelines mine for.  Same asymmetric
@@ -831,7 +831,7 @@ def v10_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the corpus; for unbounded query sets the v04 bucketed-ANN path applies.
 # ---------------------------------------------------------------------------
 @register(
-    "v11_hard_negatives",
+    "v14_hard_negatives",
     oracle=f"""
 WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
 SELECT qid, q_label, vid, n_label, sim, rank FROM (
@@ -846,7 +846,7 @@ WHERE rank <= 5
 ORDER BY qid, rank
 """,
 )
-def v11_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def v14_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = table(spark, sf_dir, "embeddings")
@@ -1165,5 +1165,69 @@ def v13_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
         .select("qid", "vid", "sim", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# v15 — label-diversified top-k (retrieval diversification): rank candidates
+# per query by cosine, keep only the BEST candidate per label, then the
+# global top-5 of those survivors — the "at most one result per
+# source/domain/cluster" constraint dedup-aware RAG retrieval applies so one
+# dominant domain can't fill the whole context window.  Unlike greedy MMR
+# (iterative, order-dependent) this diversification is a pure composition
+# of two window ranks, so it is exactly SQL-expressible and oracle-checked.
+# Same asymmetric scale shape as v01: bounded query set broadcasts, corpus
+# streams once; both windows partition by (qid[, label]) — never global.
+# ---------------------------------------------------------------------------
+@register(
+    "v15_label_diversified_topk",
+    oracle=f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vid, b.label AS label, {_COS_SQL} AS sim,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id, b.label
+                            ORDER BY {_COS_SQL} DESC, b.vec_id) AS lbl_rank
+  FROM (SELECT * FROM v WHERE vec_id < 5) a
+  JOIN v b ON a.vec_id <> b.vec_id
+)
+SELECT qid, vid, label, sim, rank FROM (
+  SELECT qid, vid, label, sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rank
+  FROM scored WHERE lbl_rank = 1
+) t
+WHERE rank <= 5
+ORDER BY qid, rank
+""",
+)
+def v15_label_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cands = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        F.col("vec_id").alias("vid"),
+        F.col("label").alias("label"),
+        F.col("embedding").alias("cvec"),
+    )
+    scored = (
+        cands.join(F.broadcast(queries), F.col("qid") != F.col("vid"))
+        .select(
+            "qid",
+            "vid",
+            "label",
+            cosine(as_double(F.col("qvec")), as_double(F.col("cvec"))).alias("sim"),
+        )
+    )
+    w_lbl = Window.partitionBy("qid", "label").orderBy(F.desc("sim"), "vid")
+    w_all = Window.partitionBy("qid").orderBy(F.desc("sim"), "vid")
+    return (
+        scored.withColumn("lbl_rank", F.row_number().over(w_lbl))
+        .filter(F.col("lbl_rank") == 1)
+        .withColumn("rank", F.row_number().over(w_all))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "vid", "label", "sim", "rank")
         .orderBy("qid", "rank")
     )

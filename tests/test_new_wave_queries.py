@@ -487,3 +487,28 @@ def test_d20_prefix_filter_equals_brute_force(spark, tmp_path):
     ]
     assert got == sorted(expect)
     assert any(j == 10000 for *_, j in got)  # the exact dup is in there
+
+
+def test_t22_decontamination_tiny(spark, tmp_path):
+    # eval doc (src19) shares one exact 4-word run with train doc 1 only
+    texts = [
+        "alpha beta gamma delta epsilon zeta",   # train: shares 'alpha beta gamma delta'
+        "one two three four five six",            # train: clean
+        "alpha beta gamma delta something else",  # eval (src19)
+    ]
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": texts,
+            "lang": ["en"] * 3,
+            "source": ["src0", "src1", "src19"],
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = [
+        (r.doc_id, r.source, r.n_collide, r.n_ngrams, r.contamination_bp)
+        for r in QUERIES["t22_decontamination"](spark, str(tmp_path)).collect()
+    ]
+    # doc 1 has 3 distinct 4-grams, exactly 1 collides with the eval set
+    assert got == [(1, "src0", 1, 3, 3333)]
