@@ -401,6 +401,9 @@ def main() -> None:
         "t22_decontamination",
         "s11_epoch_shuffle",
         "v15_label_diversified_topk",
+        "t23_bigram_lm_score",
+        "v16_knn_graph",
+        "p03_release_pipeline",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

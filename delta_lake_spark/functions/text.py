@@ -146,3 +146,47 @@ def quality_score(text: Column | str) -> Column:
     stop_score = F.when(any_stop > 0, 30).otherwise(0)
     punct_penalty = F.when(punct_ratio(text) > 2000, 20).otherwise(0)
     return (len_score + stop_score + F.lit(20) - punct_penalty).cast("long")
+
+
+def bigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document add-one-smoothed bigram LM score in exact integer
+    MICRO-units (the KenLM-style perplexity-proxy quality signal, with the
+    log/float path replaced by per-term integer flooring so the score is
+    bit-exact cross-engine): mean over in-order bigrams of
+    floor(1e6 * (c(w1 w2)+1) / (c(w1)+V)), counts taken from ``docs``
+    itself.  Returns (doc_id, n_bigrams, lm_score_micro); documents with
+    fewer than 2 tokens produce no bigrams and are absent.
+
+    Scale: two count aggregates (map-side partial) + two vocabulary-sized
+    equi-joins (AQE broadcasts them when small) + one per-doc aggregate;
+    V rides as a broadcast 1-row cross join — no driver collection.
+    """
+    from delta_lake_spark.functions.dedup_sql import token_shingle_seq_sql
+
+    toks = docs.selectExpr(
+        f"{id_col} AS doc_id", f"{token_shingle_seq_sql(text_col, 2)} AS bgs"
+    )
+    bi = toks.select("doc_id", F.explode("bgs").alias("bg")).withColumn(
+        "w1", F.substring_index("bg", " ", 1)
+    )
+    uni = docs.selectExpr(
+        f"explode({token_shingle_seq_sql(text_col, 1)}) AS w"
+    )
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    vsz = uni.agg(F.count_distinct("w").alias("vsz"))
+    term = (
+        bi.join(c2, "bg")
+        .join(c1, bi["w1"] == c1["w"])
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "doc_id",
+            F.expr("(1000000 * (c2 + 1)) div (c1 + vsz)").alias("micro"),
+        )
+    )
+    return term.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.expr("CAST(SUM(micro) div COUNT(*) AS BIGINT)").alias(
+            "lm_score_micro"
+        ),
+    )

@@ -178,3 +178,189 @@ def p02_packing_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stream", "pack_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# p03 — dataset RELEASE pipeline as ONE oracle-checked query: the final
+# assembly a pretraining run executes on curated data —
+#
+#     min-length gate -> benchmark decontamination (t22's 4-gram overlap
+#     vs the source-level eval holdout, but dropping only docs whose
+#     contamination SHARE >= d13's 2000 bp threshold — on a tiny-vocabulary
+#     corpus ANY-collision flagging drops half the training set to random
+#     single collisions; the share threshold keeps only true eval
+#     near-dups, which is what release pipelines actually do)
+#     -> greedy near-dedup survivors (d09 semantics)
+#     -> corpus-LM quality gate (t23's integer bigram score over the
+#        SURVIVOR distribution; bottom decile dropped via the exact
+#        global NTILE — funnel-free)
+#     -> deterministic epoch shuffle (s11: seeded positions for
+#        reproducible training order)
+#
+# Every stage is individually certified (t22/d09/t23/s11); this certifies
+# the COMPOSITION — gate interfaces, no row leaks, LM counts computed on
+# the post-dedup corpus (scoring against the deduped distribution, the
+# order real pipelines use so boilerplate can't inflate its own
+# probability).  Plan: the LSH band self-join is the only heavy shuffle;
+# decontamination broadcasts the benchmark; ranking stages are
+# range-partitioned, never single-partition.
+# ---------------------------------------------------------------------------
+def _p03_oracle() -> str:
+    from delta_lake_spark.queries.dedup import (
+        _BAND_SELECTS,
+        _SHINGLES_SQL,
+        _SIG_COLS,
+        _D13_CONTAMINATED_BP as _CONTAM_BP,
+    )
+    from delta_lake_spark.queries.sampling import _S11_SEED
+    from delta_lake_spark.queries.text import (
+        _NORM_SQL,
+        _T22_EVAL_SRC,
+        _T22_N,
+        _t22_grams_duck,
+    )
+
+    shingles_clean = _SHINGLES_SQL.replace("FROM documents", "FROM clean")
+    return f"""
+WITH gated AS (
+  SELECT * FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+),
+g AS (
+  SELECT doc_id, source, {_t22_grams_duck(_T22_N)} AS gs
+  FROM (SELECT doc_id, source,
+               regexp_split_to_array({_NORM_SQL}, '\\s+') AS ws
+        FROM gated)
+),
+e AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE source = '{_T22_EVAL_SRC}'),
+contaminated AS (
+  SELECT tr.doc_id
+  FROM (SELECT doc_id, CAST(len(gs) AS BIGINT) AS ng, unnest(gs) AS gram
+        FROM g WHERE source <> '{_T22_EVAL_SRC}') tr
+  JOIN e USING (gram)
+  GROUP BY tr.doc_id
+  HAVING COUNT(*) * 10000 // any_value(tr.ng) >= {_CONTAM_BP}
+),
+clean AS (
+  SELECT * FROM gated
+  WHERE source <> '{_T22_EVAL_SRC}'
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+base AS ({shingles_clean}),
+sigs AS (SELECT doc_id, sh, {_SIG_COLS} FROM base),
+banded AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+losers AS (
+  SELECT DISTINCT id_b FROM cand
+  JOIN base x ON x.doc_id = id_a JOIN base y ON y.doc_id = id_b
+  WHERE FLOOR(len(list_intersect(x.sh, y.sh)) * 10000.0 /
+        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))) >= {_DEDUP_TH}
+),
+surv AS (SELECT * FROM clean WHERE doc_id NOT IN (SELECT id_b FROM losers)),
+toks2 AS (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS ws FROM surv),
+bi AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-1, 0)+1),
+                                       i -> ws[i] || ' ' || ws[i+1])) AS bg
+  FROM toks2 WHERE len(ws) >= 2
+),
+uni AS (SELECT unnest(ws) AS w FROM toks2),
+c1 AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+c2 AS (SELECT bg, COUNT(*) AS c FROM bi GROUP BY bg),
+v AS (SELECT COUNT(DISTINCT w) AS vsz FROM uni),
+scored AS (
+  SELECT bi.doc_id,
+         CAST(SUM((1000000 * (c2.c + 1)) // (c1.c + v.vsz))
+              // COUNT(*) AS BIGINT) AS lm_score_micro
+  FROM bi
+  JOIN c2 ON bi.bg = c2.bg
+  JOIN c1 ON split_part(bi.bg, ' ', 1) = c1.w
+  CROSS JOIN v
+  GROUP BY bi.doc_id
+),
+kept AS (
+  SELECT doc_id, lm_score_micro,
+         NTILE(10) OVER (ORDER BY lm_score_micro, doc_id) AS dec
+  FROM scored
+),
+final AS (SELECT doc_id, lm_score_micro FROM kept WHERE dec > 1)
+SELECT CAST(ROW_NUMBER() OVER (
+         ORDER BY md5('{_S11_SEED}' || CAST(f.doc_id AS VARCHAR)), f.doc_id)
+       AS BIGINT) AS position,
+       f.doc_id, d.source, f.lm_score_micro
+FROM final f JOIN documents d USING (doc_id)
+ORDER BY position
+"""
+
+
+@register("p03_release_pipeline", oracle=_p03_oracle())
+def p03_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.dedup import near_dedup
+    from delta_lake_spark.functions.dedup_sql import token_shingles_sql
+    from delta_lake_spark.functions.text import bigram_lm_scores
+    from delta_lake_spark.ops.ranking import global_ntile, global_row_number
+    from delta_lake_spark.queries.sampling import _S11_SEED
+    from delta_lake_spark.queries.text import _T22_EVAL_SRC, _T22_N
+
+    docs = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
+    grams = docs.selectExpr(
+        "doc_id",
+        "source",
+        f"transform({token_shingles_sql('text', _T22_N)}, s -> md5(s)) AS gs",
+    )
+    from delta_lake_spark.queries.dedup import _D13_CONTAMINATED_BP
+
+    flat = grams.select(
+        "doc_id",
+        "source",
+        F.size("gs").cast("bigint").alias("ng"),
+        F.explode("gs").alias("gram"),
+    )
+    eval_g = (
+        flat.filter(F.col("source") == _T22_EVAL_SRC).select("gram").distinct()
+    )
+    contaminated = (
+        flat.filter(F.col("source") != _T22_EVAL_SRC)
+        .join(F.broadcast(eval_g), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("nc"), F.first("ng").alias("ng"))
+        .filter(F.expr(f"(nc * 10000) div ng >= {_D13_CONTAMINATED_BP}"))
+        .select("doc_id")
+    )
+    clean = docs.filter(F.col("source") != _T22_EVAL_SRC).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    surv = near_dedup(clean, "doc_id", "text", min_jaccard_bp=_DEDUP_TH)
+    # the two exact global-ranking stages below each materialize their
+    # input eagerly (partition-count collect); persisting the scored frame
+    # bounds the expensive upstream (LSH dedup + LM scoring) to ONE run
+    scored = (
+        bigram_lm_scores(surv, "doc_id", "text")
+        .select("doc_id", "lm_score_micro")
+        .persist()
+    )
+    kept = (
+        global_ntile(scored, 10, ["lm_score_micro", "doc_id"], out_col="dec")
+        .filter(F.col("dec") > 1)
+        .drop("dec")
+    )
+    keyed = kept.withColumn(
+        "shuffle_key",
+        F.md5(F.concat(F.lit(_S11_SEED), F.col("doc_id").cast("string"))),
+    )
+    out = global_row_number(keyed, ["shuffle_key", "doc_id"], out_col="position")
+    return (
+        out.join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            F.col("position").cast("bigint").alias("position"),
+            "doc_id",
+            "source",
+            "lm_score_micro",
+        )
+        .orderBy("position")
+    )

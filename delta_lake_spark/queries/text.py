@@ -1418,3 +1418,57 @@ def t22_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# t23 — corpus-LM quality score (the perplexity-proxy filter every
+# pretraining pipeline runs, KenLM-style, reduced to an exactly-integer
+# bigram model): score each document by the mean add-one-smoothed
+# conditional probability of its IN-ORDER bigrams under the corpus's own
+# counts, p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V).  Each term is floored to
+# integer MICRO-units before averaging and the average is an integer
+# floor-division, so the score is bit-exact cross-engine (no log/float
+# path).  Low scores = improbable word sequences = the quality-filter
+# drop candidates.
+#
+# Scale shape: two count aggregates over the token/bigram streams
+# (map-side partial), then two equi-joins of the bigram stream against
+# the count tables (vocabulary-sized; AQE broadcasts them when small),
+# then one per-doc aggregate.  No per-row Python, no driver collection —
+# V rides along as a broadcast 1-row cross join like s10's scalar.
+# ---------------------------------------------------------------------------
+@register(
+    "t23_bigram_lm_score",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS ws
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-1, 0)+1),
+                                       i -> ws[i] || ' ' || ws[i+1])) AS bg
+  FROM toks WHERE len(ws) >= 2
+),
+uni AS (
+  SELECT unnest(ws) AS w FROM toks
+),
+c1 AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+c2 AS (SELECT bg, COUNT(*) AS c FROM bi GROUP BY bg),
+v AS (SELECT COUNT(DISTINCT w) AS vsz FROM uni)
+SELECT bi.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM((1000000 * (c2.c + 1)) // (c1.c + v.vsz))
+            // COUNT(*) AS BIGINT) AS lm_score_micro
+FROM bi
+JOIN c2 ON bi.bg = c2.bg
+JOIN c1 ON split_part(bi.bg, ' ', 1) = c1.w
+CROSS JOIN v
+GROUP BY bi.doc_id
+ORDER BY bi.doc_id
+""",
+)
+def t23_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.text import bigram_lm_scores
+
+    docs = table_parallel(spark, sf_dir, "documents", "doc_id")
+    return bigram_lm_scores(docs, "doc_id", "text").orderBy("doc_id")

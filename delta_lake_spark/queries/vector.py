@@ -1231,3 +1231,112 @@ def v15_label_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vid", "label", "sim", "rank")
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# v16 — approximate k-NN GRAPH construction (the seed structure for
+# graph-based ANN: NN-descent / HNSW layer-0 start): for EVERY vector,
+# its top-3 most-similar neighbors among hyperplane-LSH bucket mates.
+# Reuses v02's seeded 16-bit signature, banded 4x4 (16 buckets per band
+# instead of v02's 4 — a graph build trades recall for candidate volume,
+# the d14 band-tuning tradeoff applied; an NN-descent pass would recover
+# missed edges) — both engines replicate
+# the hyperplanes exactly, so the approximate graph is bit-identical and
+# oracle-checkable (the v02/d06 pattern).  Nodes whose buckets surface
+# fewer than 3 mates keep fewer edges — the documented LSH approximation
+# an NN-descent refinement pass would iterate on.
+#
+# Scale shape: band explode is O(N * bands); candidate generation is the
+# band equi-join (never all-pairs — plan-audited like v02); per-node top-3
+# is a (src)-partitioned window over candidates only.  The graph build is
+# the corpus-side analog of v04's query-side probe: every stage shuffles
+# on ids or band keys, nothing global.
+# ---------------------------------------------------------------------------
+_V16_N_BANDS, _V16_BAND_BITS = 4, 4
+
+
+def _v16_oracle() -> str:
+    from delta_lake_spark.functions.similarity import hyperplanes
+
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(x) for x in p)}]) > 0"
+        f" THEN {2**i} ELSE 0 END)"
+        for i, p in enumerate(hyperplanes(_EMB_DIM))
+    )
+    cos = (
+        "list_dot_product(va.e, vb.e) / (sqrt(list_dot_product(va.e, va.e)) * "
+        "sqrt(list_dot_product(vb.e, vb.e)))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+s AS (SELECT vec_id, ({sig}) AS sig FROM v),
+bands AS (SELECT vec_id, r.range AS band,
+                 (sig >> (r.range * {_V16_BAND_BITS})) & {(1 << _V16_BAND_BITS) - 1} AS key
+          FROM s, range({_V16_N_BANDS}) r),
+cand AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.key = b.key AND a.vec_id <> b.vec_id),
+scored AS (
+  SELECT c.src, c.nbr, {cos} AS sim,
+         ROW_NUMBER() OVER (PARTITION BY c.src ORDER BY {cos} DESC, c.nbr) AS rank
+  FROM cand c
+  JOIN v va ON va.vec_id = c.src
+  JOIN v vb ON vb.vec_id = c.nbr
+)
+SELECT src, nbr, sim, rank FROM scored WHERE rank <= 3
+ORDER BY src, rank
+"""
+
+
+@register("v16_knn_graph", oracle=_v16_oracle())
+def v16_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from delta_lake_spark.functions.similarity import hyperplane_signature
+
+    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", "embedding"
+    )
+    sig = e.select(
+        "vec_id", hyperplane_signature("embedding", dim=_EMB_DIM).alias("sig")
+    )
+    mask = (1 << _V16_BAND_BITS) - 1
+    bands = sig.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * _V16_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(_V16_N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("nbr"))
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("es"))
+    vb = e.select(F.col("vec_id").alias("nbr"), F.col("embedding").alias("en"))
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), "nbr")
+    return (
+        cand.join(va, "src")
+        .join(vb, "nbr")
+        .withColumn("sim", cosine(as_double(F.col("es")), as_double(F.col("en"))))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("src", "nbr", "sim", "rank")
+        .orderBy("src", "rank")
+    )

@@ -374,3 +374,11 @@ def test_d20_prefix_join_is_equi_join(spark):
     plan = plan_of(QUERIES["d20_prefix_filter_jaccard"](spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_v16_knn_graph_is_equi_join(spark):
+    """k-NN graph candidates must come from the band equi-join — never an
+    all-pairs nested-loop plan."""
+    plan = plan_of(QUERIES["v16_knn_graph"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
