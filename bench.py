@@ -404,6 +404,8 @@ def main() -> None:
         "t23_bigram_lm_score",
         "v16_knn_graph",
         "p03_release_pipeline",
+        "s12_mixture_plan",
+        "q81_ab_experiment_readout",
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

@@ -542,3 +542,64 @@ def s11_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("position")
     )
+
+
+# ---------------------------------------------------------------------------
+# s12 — data-mixture PLANNING (the DoReMi-style recipe step BEFORE s03's
+# keep-rate application): given target mixture weights per source and a
+# global token budget, compute each source's available tokens, exact
+# integer weight share, token target, and repeat factor (>10000 bp =
+# upsampling / multiple epochs over that source; <10000 bp = subsampling).
+# Weights here derive from the source id (the same mod-4 ladder s03 uses,
+# +1 so nothing zeroes out); in production they join in from a recipe
+# table — identical plan.  All shares are exact integer floor divisions
+# over a broadcast 1-row totals frame; one groupBy(source) shuffle total.
+# ---------------------------------------------------------------------------
+_S12_BUDGET = 1_000_000  # global token budget for the mixture plan
+_S12_W_SQL = "(CAST(substr(source, 4) AS INT) % 4 + 1)"
+
+
+@register(
+    "s12_mixture_plan",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source,
+         {_S12_W_SQL} AS w,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS avail_tokens
+  FROM documents
+  GROUP BY source
+),
+tot AS (SELECT SUM(w) AS w_tot FROM per_source)
+SELECT source,
+       avail_tokens,
+       CAST((w * 10000) // w_tot AS BIGINT) AS weight_bp,
+       CAST(({_S12_BUDGET} * w) // w_tot AS BIGINT) AS target_tokens,
+       CAST(((({_S12_BUDGET} * w) // w_tot) * 10000) // avail_tokens AS BIGINT)
+         AS repeat_bp
+FROM per_source, tot
+ORDER BY source
+""",
+)
+def s12_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = (F.substring("source", 4, 10).cast("int") % 4 + 1).alias("w")
+    per_source = d.groupBy("source").agg(
+        F.first(w).alias("w"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("bigint")
+        .alias("avail_tokens"),
+    )
+    tot = per_source.agg(F.sum("w").alias("w_tot"))
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "avail_tokens",
+            "CAST((w * 10000) div w_tot AS BIGINT) AS weight_bp",
+            f"CAST(({_S12_BUDGET} * w) div w_tot AS BIGINT) AS target_tokens",
+            f"CAST(((({_S12_BUDGET} * w) div w_tot) * 10000) div avail_tokens AS BIGINT)"
+            " AS repeat_bp",
+        )
+        .orderBy("source")
+    )

@@ -1783,3 +1783,106 @@ def q80_session_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ord")
         .select("pattern", "n_sessions", "matched", "share_bp")
     )
+
+
+# ---------------------------------------------------------------------------
+# q81 — A/B experiment readout (online-experimentation analytics): users
+# are hash-assigned 50/50 to control/treatment (the s01 content-addressed
+# bucket — assignment is a pure function of user_id, so it is stable
+# across reruns and resharding, exactly how real experiment systems
+# bucket), conversion = user had >= 1 purchase event; the readout is ONE
+# row with per-arm user counts, converters, conversion rates in bp, and
+# the relative lift as an exact integer cross-multiplication
+# (conv_t/n_t)/(conv_c/n_c) in bp — no float division anywhere.  Revenue
+# per user and arm is a decimal-exact sum floored to milli-units.
+#
+# Plan: one groupBy(user_id) collapses events to per-user flags (the only
+# fact-sized shuffle), then a single global conditional aggregate — the
+# readout never joins arms, so there is no skew surface.
+# ---------------------------------------------------------------------------
+def _q81_oracle() -> str:
+    from delta_lake_spark.functions.sampling import hash_bucket_sql
+
+    bucket = hash_bucket_sql("user_id", "ab")
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CASE WHEN {bucket} < 5000 THEN 'treatment' ELSE 'control' END AS arm,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS revenue
+  FROM events
+  GROUP BY user_id
+),
+raw AS (
+  SELECT
+    SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS n_c,
+    SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS n_t,
+    SUM(CASE WHEN arm = 'control' THEN converted ELSE 0 END) AS conv_c,
+    SUM(CASE WHEN arm = 'treatment' THEN converted ELSE 0 END) AS conv_t,
+    SUM(CASE WHEN arm = 'control' THEN revenue ELSE CAST(0 AS DECIMAL(18,2)) END) AS rev_c,
+    SUM(CASE WHEN arm = 'treatment' THEN revenue ELSE CAST(0 AS DECIMAL(18,2)) END) AS rev_t
+  FROM per_user
+)
+SELECT CAST(n_c AS BIGINT) AS n_control,
+       CAST(n_t AS BIGINT) AS n_treatment,
+       CAST(conv_c AS BIGINT) AS conv_control,
+       CAST(conv_t AS BIGINT) AS conv_treatment,
+       CAST((conv_c * 10000) // n_c AS BIGINT) AS conv_control_bp,
+       CAST((conv_t * 10000) // n_t AS BIGINT) AS conv_treatment_bp,
+       CAST((conv_t * n_c * 10000) // (n_t * conv_c) AS BIGINT) AS lift_bp,
+       CAST(FLOOR(rev_c * 1000 / n_c) AS BIGINT) AS rev_milli_control,
+       CAST(FLOOR(rev_t * 1000 / n_t) AS BIGINT) AS rev_milli_treatment
+FROM raw
+"""
+
+
+@register("q81_ab_experiment_readout", oracle=_q81_oracle())
+def q81_ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.sampling import hash_bucket
+
+    e = table(spark, sf_dir, "events")
+    arm = F.when(hash_bucket("user_id", "ab") < 5000, "treatment").otherwise(
+        "control"
+    )
+    dec0 = F.lit(0).cast("decimal(18,2)")
+    per_user = e.groupBy("user_id").agg(
+        F.first(arm).alias("arm"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,2)"),
+            ).otherwise(dec0)
+        ).alias("revenue"),
+    )
+    raw = per_user.agg(
+        F.sum(F.when(F.col("arm") == "control", 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("arm") == "treatment", 1).otherwise(0)).alias("n_t"),
+        F.sum(
+            F.when(F.col("arm") == "control", F.col("converted")).otherwise(0)
+        ).alias("conv_c"),
+        F.sum(
+            F.when(F.col("arm") == "treatment", F.col("converted")).otherwise(0)
+        ).alias("conv_t"),
+        F.sum(
+            F.when(F.col("arm") == "control", F.col("revenue")).otherwise(dec0)
+        ).alias("rev_c"),
+        F.sum(
+            F.when(F.col("arm") == "treatment", F.col("revenue")).otherwise(dec0)
+        ).alias("rev_t"),
+    )
+    return raw.selectExpr(
+        "CAST(n_c AS BIGINT) AS n_control",
+        "CAST(n_t AS BIGINT) AS n_treatment",
+        "CAST(conv_c AS BIGINT) AS conv_control",
+        "CAST(conv_t AS BIGINT) AS conv_treatment",
+        "CAST((conv_c * 10000) div n_c AS BIGINT) AS conv_control_bp",
+        "CAST((conv_t * 10000) div n_t AS BIGINT) AS conv_treatment_bp",
+        "CAST((conv_t * n_c * 10000) div (n_t * conv_c) AS BIGINT) AS lift_bp",
+        "CAST(FLOOR(rev_c * 1000 / n_c) AS BIGINT) AS rev_milli_control",
+        "CAST(FLOOR(rev_t * 1000 / n_t) AS BIGINT) AS rev_milli_treatment",
+    )
