@@ -240,6 +240,10 @@ def main() -> None:
     # as BENCH_SCALE100.json (solo run, same methodology, per-query ratios)
     # so the evidence stays in-repo without re-paying the cost every round.
     _section("scale_100x")
+    # isolate the heavy scale sections from earlier sections' persisted
+    # frames (measurement hygiene: cached signature/scored frames from the
+    # query sections otherwise compete for executor memory here)
+    spark.catalog.clearCache()
     if os.environ.get("SPARK_GRAFT_SCALE100", "0") == "1":
         try:
             from delta_lake_spark.benchmark.scaleup import generate_scaled_corpus
@@ -287,6 +291,7 @@ def main() -> None:
     # Data is generated once (seeded) and cached under benchdata/; repeat
     # runs only pay the timed segments.  Disable with SPARK_GRAFT_10M=0.
     _section("ref10m")
+    spark.catalog.clearCache()
     if os.environ.get("SPARK_GRAFT_10M", "1") != "0":
         try:
             from delta_lake_spark.benchmark import run_ref10m

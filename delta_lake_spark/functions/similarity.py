@@ -101,7 +101,19 @@ def quantize_int8(vec: Column) -> Column:
     """
     v = as_double(vec)
     nrm = l2_norm(v)
-    return F.transform(v, lambda x: F.floor(x / nrm * F.lit(float(Q_SCALE))).cast("int"))
+    # let-bind the norm via a 1-element transform: referenced directly
+    # inside the per-element lambda, the O(dim) norm fold would be inlined
+    # and re-evaluated for EVERY element — O(dim^2) per row (the same
+    # hazard dedup_sql.let_sql fixes for the shingle builders)
+    return F.element_at(
+        F.transform(
+            F.array(nrm),
+            lambda n: F.transform(
+                v, lambda x: F.floor(x / n * F.lit(float(Q_SCALE))).cast("int")
+            ),
+        ),
+        1,
+    )
 
 
 def qdot(a: Column, b: Column) -> Column:
@@ -120,15 +132,19 @@ def hyperplane_signature_sql(col: str, dim: int, seed: int = 7) -> str:
     functions/dedup_sql.py).  Python float ``repr`` round-trips exactly
     through Spark's double-literal parser, so the sign tests are
     bit-identical with the Column builder and the DuckDB oracle."""
+    from delta_lake_spark.functions.dedup_sql import let_sql
+
+    # let-bind the double-cast vector: embedded per plane it would be
+    # re-cast 16x per row (half the signature's work for a 64-dim vector)
     v = f"transform({col}, x -> CAST(x AS DOUBLE))"
     terms = []
     for i, plane in enumerate(hyperplanes(dim, seed)):
         arr = "array(" + ", ".join(f"{x!r}D" for x in plane) + ")"
         d = (
-            f"aggregate(zip_with({v}, {arr}, (x, y) -> x * y), "
+            f"aggregate(zip_with(__hv, {arr}, (x, y) -> x * y), "
             f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
         terms.append(
             f"CASE WHEN {d} > 0 THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         )
-    return "CAST(0 AS BIGINT) + " + " + ".join(terms)
+    return let_sql(v, "CAST(0 AS BIGINT) + " + " + ".join(terms), "__hv")

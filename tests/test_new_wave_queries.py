@@ -512,3 +512,91 @@ def test_t22_decontamination_tiny(spark, tmp_path):
     ]
     # doc 1 has 3 distinct 4-grams, exactly 1 collides with the eval set
     assert got == [(1, "src0", 1, 3, 3333)]
+
+
+def test_s12_mixture_plan_tiny(spark, tmp_path):
+    # two sources: src0 (w=1), src1 (w=2); total weight 3, budget 1,000,000
+    docs = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b c d", "e f", "g h i"],  # src0: 4 tokens; src1: 2+3=5
+            "lang": ["en"] * 3,
+            "source": ["src0", "src1", "src1"],
+            "n_chars": [7, 3, 5],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+    got = [tuple(r) for r in QUERIES["s12_mixture_plan"](spark, str(tmp_path)).collect()]
+    # src0: w=1 -> weight 3333bp, target 333333, repeat 333333*10000//4
+    # src1: w=2 -> weight 6666bp, target 666666, repeat 666666*10000//5
+    assert got == [
+        ("src0", 4, 3333, 333333, 333333 * 10000 // 4),
+        ("src1", 5, 6666, 666666, 666666 * 10000 // 5),
+    ]
+
+
+def test_q81_ab_readout_tiny(spark, tmp_path):
+    from delta_lake_spark.functions.sampling import hash_bucket
+
+    # deterministic arms: compute each user's bucket the same way the query
+    # does, then build events so each arm has known conversions/revenue
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # 6 users, user i emits a view; even users also purchase value 10.00
+    for u in range(1, 7):
+        rows.append((u, base + datetime.timedelta(minutes=u), 1.0, "view"))
+        if u % 2 == 0:
+            rows.append((u, base + datetime.timedelta(minutes=u + 1), 10.0, "purchase"))
+    _write_events(tmp_path, rows)
+    out = QUERIES["q81_ab_experiment_readout"](spark, str(tmp_path)).collect()[0]
+    # recompute expectations with the same hash assignment
+    arms = {
+        u: ("treatment" if r < 5000 else "control")
+        for u, r in (
+            (u, spark.range(1).select(hash_bucket(F.lit(u).cast("long"), "ab")).first()[0])
+            for u in range(1, 7)
+        )
+    }
+    n = {"control": 0, "treatment": 0}
+    conv = {"control": 0, "treatment": 0}
+    rev = {"control": 0, "treatment": 0}
+    for u in range(1, 7):
+        n[arms[u]] += 1
+        if u % 2 == 0:
+            conv[arms[u]] += 1
+            rev[arms[u]] += 10
+    assert (out.n_control, out.n_treatment) == (n["control"], n["treatment"])
+    assert (out.conv_control, out.conv_treatment) == (conv["control"], conv["treatment"])
+    assert out.conv_control_bp == conv["control"] * 10000 // n["control"]
+    assert out.conv_treatment_bp == conv["treatment"] * 10000 // n["treatment"]
+    assert out.lift_bp == conv["treatment"] * n["control"] * 10000 // (
+        n["treatment"] * conv["control"]
+    )
+    assert out.rev_milli_control == rev["control"] * 1000 // n["control"]
+    assert out.rev_milli_treatment == rev["treatment"] * 1000 // n["treatment"]
+
+
+def test_v15_diversified_topk_tiny(spark, tmp_path):
+    # 7 vectors in 4 integer labels; every vec_id < 5 is a query.  For each
+    # query the diversified top-k keeps at most one candidate per label;
+    # vec 1 is a scaled copy of vec 0 (cosine exactly 1.0), so it must be
+    # query 0's rank-1 result.
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = [list(map(float, rng.normal(size=8))) for _ in range(7)]
+    vecs[1] = [v * 2 for v in vecs[0]]
+    emb = pa.table(
+        {
+            "vec_id": list(range(7)),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0, 1, 1, 2, 2, 3, 3], pa.int32()),
+        }
+    )
+    pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+    got = QUERIES["v15_label_diversified_topk"](spark, str(tmp_path)).collect()
+    for qid in range(5):
+        labels = [r.label for r in got if r.qid == qid]
+        assert len(labels) == len(set(labels)), f"duplicate label for qid {qid}"
+    q0 = [r for r in got if r.qid == 0]
+    assert q0[0].vid == 1 and q0[0].rank == 1 and abs(q0[0].sim - 1.0) < 1e-12
