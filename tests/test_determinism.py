@@ -50,12 +50,20 @@ _NAMES = [
     "q73_copurchase_pagerank",   # iterative integer fixpoint + localCheckpoint
     "q75_hierarchy_rollup",      # pointer-doubling ancestor flattening
     "s09_leakage_safe_split",    # fingerprint-keyed split
+    "s11_epoch_shuffle",         # global positions via range-repartition
+    "p03_release_pipeline",      # composed decontaminate->dedup->gate->shuffle
+    "v16_knn_graph",             # LSH-bucketed kNN graph
+    "q81_ab_experiment_readout", # hash-armed conditional aggregate
 ]
-# The FULL 126-query oracle-backed registry passed this same two-profile
-# digest sweep (191 s/profile, too slow for every suite run) — re-run it
-# with: python tests/determinism_child.py <sf> local[3] 3 134217728 a.tsv
+# The FULL 150-query oracle-backed registry passed this same two-profile
+# digest sweep (every digest byte-identical between local[3]/3-partition/
+# 128MB-split and local[8]/17-partition/256KB-split profiles; too slow for
+# every suite run) — re-run it with:
+# python tests/determinism_child.py <sf> local[3] 3 134217728 a.tsv
 # $(python -c 'from delta_lake_spark.queries import ORACLE; print(*sorted(ORACLE))')
-# and diff against a local[8]/17/262144 run.
+# and diff against a local[8]/17/262144 run.  Notably this covers the exact
+# global ranking paths (s11/p03 positions) whose num_partitions input
+# DIFFERS between the two profiles.
 
 _CHILD = os.path.join(os.path.dirname(os.path.abspath(__file__)), "determinism_child.py")
 
