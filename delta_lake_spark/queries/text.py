@@ -1472,3 +1472,117 @@ def t23_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table_parallel(spark, sf_dir, "documents", "doc_id")
     return bigram_lm_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# t24 — per-source boilerplate n-gram mining (the C4/RefinedWeb "remove
+# repeated template lines per domain" step, reframed for a corpus without
+# line structure): a 3-gram is boilerplate for a source when it appears in
+# >= 10% of that source's documents (and >= 2 docs); report, per source,
+# the template pressure — how many boilerplate grams exist and what share
+# of documents carry at least one.  Downstream, the boiler gram set is the
+# removal list a cleaning pass would subtract (t15's redaction shape).
+#
+# Scale shape: distinct shingles explode map-side; doc frequencies are ONE
+# (source, gram)-keyed aggregate; the boiler set joins back on the SAME
+# (source, gram) key (partitioning reused, no extra exchange class); the
+# affected-doc rollup is doc-keyed.  Source arity is bounded, so per-source
+# doc counts ride along as a broadcast.  Nothing is corpus-quadratic — the
+# only fan-out is the linear shingle explode d06/t22 already carry.
+# ---------------------------------------------------------------------------
+_T24_N = 3
+
+
+def _t24_grams_duck() -> str:
+    joined = " || ' ' || ".join(f"ws[i + {j}]" for j in range(_T24_N))
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len(ws) - {_T24_N - 1}, 0) + 1), i -> {joined}))"
+    )
+
+
+@register(
+    "t24_boilerplate_ngrams",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id, source, {_t24_grams_duck()} AS gs
+  FROM (SELECT doc_id, source,
+               regexp_split_to_array({_NORM_SQL}, '\\s+') AS ws
+        FROM documents)
+),
+fl AS (SELECT source, doc_id, unnest(gs) AS gram FROM g),
+src AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+df AS (SELECT source, gram, COUNT(*) AS nd FROM fl GROUP BY source, gram),
+boiler AS (
+  SELECT df.source, df.gram, df.nd
+  FROM df JOIN src USING (source)
+  WHERE df.nd >= 2 AND df.nd * 10 >= src.n_docs
+),
+hit AS (
+  SELECT fl.source, fl.doc_id
+  FROM fl JOIN boiler ON fl.source = boiler.source AND fl.gram = boiler.gram
+  GROUP BY fl.source, fl.doc_id
+),
+agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT)  AS n_boiler_grams,
+         CAST(SUM(nd) AS BIGINT)   AS boiler_doc_hits
+  FROM boiler GROUP BY source
+)
+SELECT src.source,
+       CAST(src.n_docs AS BIGINT)                    AS n_docs,
+       COALESCE(agg.n_boiler_grams, 0)               AS n_boiler_grams,
+       COALESCE(agg.boiler_doc_hits, 0)              AS boiler_doc_hits,
+       CAST(COALESCE(h.n_affected, 0) AS BIGINT)     AS affected_docs,
+       CAST((COALESCE(h.n_affected, 0) * 10000) // src.n_docs AS BIGINT)
+         AS affected_bp
+FROM src
+LEFT JOIN agg USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n_affected FROM hit GROUP BY source) h
+  USING (source)
+ORDER BY src.source
+""",
+)
+def t24_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.dedup_sql import token_shingles_sql
+
+    docs = table_parallel(spark, sf_dir, "documents", "doc_id")
+    flat = docs.selectExpr(
+        "source", "doc_id", f"explode({token_shingles_sql('text', _T24_N)}) AS gram"
+    )
+    src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    df_counts = flat.groupBy("source", "gram").agg(F.count("*").alias("nd"))
+    boiler = (
+        df_counts.join(F.broadcast(src), "source")
+        .filter((F.col("nd") >= 2) & (F.col("nd") * 10 >= F.col("n_docs")))
+        .select("source", "gram", "nd")
+    )
+    hit = (
+        flat.join(boiler.select("source", "gram"), ["source", "gram"])
+        .select("source", "doc_id")
+        .distinct()
+    )
+    agg = boiler.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_boiler_grams"),
+        F.sum("nd").cast("bigint").alias("boiler_doc_hits"),
+    )
+    affected = hit.groupBy("source").agg(F.count("*").alias("n_affected"))
+    return (
+        src.join(agg, "source", "left")
+        .join(affected, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.coalesce("n_boiler_grams", F.lit(0).cast("bigint")).alias(
+                "n_boiler_grams"
+            ),
+            F.coalesce("boiler_doc_hits", F.lit(0).cast("bigint")).alias(
+                "boiler_doc_hits"
+            ),
+            F.coalesce("n_affected", F.lit(0)).cast("bigint").alias("affected_docs"),
+            F.expr(
+                "CAST((COALESCE(n_affected, 0) * 10000) div n_docs AS BIGINT)"
+            ).alias("affected_bp"),
+        )
+        .orderBy("source")
+    )

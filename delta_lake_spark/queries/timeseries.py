@@ -1886,3 +1886,165 @@ def q81_ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(FLOOR(rev_c * 1000 / n_c) AS BIGINT) AS rev_milli_control",
         "CAST(FLOOR(rev_t * 1000 / n_t) AS BIGINT) AS rev_milli_treatment",
     )
+
+
+# ---------------------------------------------------------------------------
+# q82 — per-user activity coverage via INTERVAL UNION (coalescing overlapping
+# intervals): each event projects a [ts, ts+5min) activity interval; islands
+# of transitively-overlapping intervals merge; output is per-user island
+# count + total covered time.  The classic interval-coalescing operator
+# (downtime/coverage/billing-dedup) that q68's sweep-line counts complements:
+# q68 counts concurrent intervals, q82 merges them.
+#
+# Shape: ONE user-keyed exchange shared by both window passes (island
+# detection = running MAX of interval end over preceding rows; island id =
+# running sum of new-island flags) and the final per-island aggregate.
+# Nothing global, nothing quadratic; microsecond integers end to end.
+# Determinism: rows with identical (ts_us) merge into the same island
+# regardless of intra-tie order (equal starts imply equal padded ends), and
+# the (ts_us, event_id) tie-break pins the window order anyway.
+# ---------------------------------------------------------------------------
+_PAD_US = 300_000_000  # 5-minute activity padding per event
+
+
+@register(
+    "q82_interval_union_coverage",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS s_us, epoch_us(ts) + {_PAD_US} AS e_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, s_us, e_us,
+         CASE WHEN s_us > MAX(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM e
+),
+islands AS (
+  SELECT user_id, s_us, e_us,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+                               ROWS UNBOUNDED PRECEDING) AS island_id
+  FROM flagged
+),
+merged AS (
+  SELECT user_id, island_id, MIN(s_us) AS cs, MAX(e_us) AS ce, COUNT(*) AS n_ev
+  FROM islands GROUP BY user_id, island_id
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT)      AS n_islands,
+       CAST(SUM(ce - cs) AS BIGINT)  AS covered_us,
+       CAST(SUM(n_ev) AS BIGINT)     AS n_events
+FROM merged GROUP BY user_id ORDER BY user_id
+""",
+)
+def q82_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.catalog import EPOCH_NTZ
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.timestamp_diff("MICROSECOND", F.expr(EPOCH_NTZ), F.col("ts")).alias("s_us"),
+    ).withColumn("e_us", F.col("s_us") + F.lit(_PAD_US))
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = e.withColumn(
+        "new_island",
+        F.when(F.col("s_us") > F.max("e_us").over(w_prev), 1).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island_id", F.sum("new_island").over(w_run))
+    merged = islands.groupBy("user_id", "island_id").agg(
+        F.min("s_us").alias("cs"),
+        F.max("e_us").alias("ce"),
+        F.count("*").alias("n_ev"),
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_islands"),
+            F.sum(F.col("ce") - F.col("cs")).cast("bigint").alias("covered_us"),
+            F.sum("n_ev").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q83 — robust outlier detection per event type: median / MAD (median
+# absolute deviation) fences instead of mean/stddev — the
+# production-monitoring robust statistic (3-MAD rule) that survives the very
+# outliers it hunts.  All comparisons are EXACT integers: values become
+# cents, medians live in DOUBLED cent units (interpolated medians of
+# integers are exact halves, so 2x median is integer — both engines
+# interpolate identically at p=0.5), and the fence test cross-multiplies
+# (2*dev2 > 3*mad2  <=>  |v - med| > 3*MAD) so no division ever happens.
+#
+# Shape: two type-keyed aggregates (median, then MAD of deviations — MAD is
+# inherently two-pass) with the bounded per-type medians broadcast back;
+# event_type arity is fixed, so both joins stay BroadcastHashJoin at any SF.
+# ---------------------------------------------------------------------------
+@register(
+    "q83_mad_outliers",
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+),
+med AS (
+  SELECT event_type, CAST(2 * quantile_cont(c, 0.5) AS BIGINT) AS med2
+  FROM e GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, ABS(2 * c - med2) AS dev2, med2
+  FROM e JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad2
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT)                                   AS n,
+       MIN(d.med2)                                                AS med_2c,
+       MIN(m.mad2)                                                AS mad_2c,
+       CAST(SUM(CASE WHEN 2 * d.dev2 > 3 * m.mad2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST((SUM(CASE WHEN 2 * d.dev2 > 3 * m.mad2 THEN 1 ELSE 0 END) * 10000) // COUNT(*) AS BIGINT) AS outlier_bp
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+""",
+)
+def q83_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("c")
+    )
+    med = e.groupBy("event_type").agg(
+        (2 * F.percentile("c", F.lit(0.5))).cast("bigint").alias("med2")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(2 * F.col("c") - F.col("med2")).alias("dev2"), "med2"
+    )
+    mad = dev.groupBy("event_type").agg(
+        (2 * F.percentile("dev2", F.lit(0.5))).cast("bigint").alias("mad2")
+    )
+    out = F.when(2 * F.col("dev2") > 3 * F.col("mad2"), 1).otherwise(0)
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("med2").alias("med_2c"),
+            F.min("mad2").alias("mad_2c"),
+            F.sum(out).cast("bigint").alias("n_outliers"),
+            F.expr(
+                "CAST((SUM(CASE WHEN 2 * dev2 > 3 * mad2 THEN 1 ELSE 0 END) * 10000)"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("outlier_bp"),
+        )
+        .orderBy("event_type")
+    )
