@@ -603,3 +603,121 @@ def s12_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# s13 — DSIR-style importance weighting (Xie et al., "Data Selection for
+# Language Models via Importance Resampling"): score every raw-corpus doc by
+# how target-like its hashed n-gram feature distribution is, so a later
+# sampling pass can up-weight target-domain-looking data.  Target = the
+# 'en' slice (stand-in for the high-quality target corpus); raw = the whole
+# corpus.  Features are word bigrams hashed into 256 buckets; each bucket
+# carries an add-one-smoothed target/raw rate ratio in EXACT milli-units
+# (cross-multiplied integer division — the log-likelihood-ratio sum of the
+# paper would ride float ln(), which is not cross-engine-reproducible); a
+# doc's score is the average bucket ratio over its bigram OCCURRENCES.
+#
+# Scale shape: the bigram explode is map-side; bucket rates are ONE bounded
+# aggregate (256 rows — broadcast back, like t23's vocabulary scalars);
+# per-doc scoring is one doc-keyed aggregate; top-100 is
+# TakeOrderedAndProject.  All arithmetic decimal(38,0) / HUGEINT so the
+# same expressions survive 100-TB counts without bigint overflow.
+# ---------------------------------------------------------------------------
+_S13_BUCKETS = 256
+_S13_TARGET_LANG = "en"
+
+
+def _s13_oracle() -> str:
+    from delta_lake_spark.queries.text import _NORM_SQL
+
+    grams = (
+        "list_transform(range(1, greatest(len(ws) - 1, 0) + 1), "
+        "i -> ws[i] || ' ' || ws[i + 1])"
+    )
+    bucket = (
+        "(('0x' || substr(md5('dsir:' || gram), 1, 6))::BIGINT "
+        f"% {_S13_BUCKETS})"
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id, lang, unnest({grams}) AS gram
+  FROM (SELECT doc_id, lang, regexp_split_to_array({_NORM_SQL}, '\\s+') AS ws
+        FROM documents)
+),
+b AS (SELECT doc_id, lang, {bucket} AS bucket FROM g),
+rates AS (
+  SELECT bucket,
+         COUNT(*) AS rc,
+         SUM(CASE WHEN lang = '{_S13_TARGET_LANG}' THEN 1 ELSE 0 END) AS tc
+  FROM b GROUP BY bucket
+),
+tot AS (SELECT SUM(rc) AS rtot, SUM(tc) AS ttot FROM rates),
+ratio AS (
+  SELECT bucket,
+         (1000::HUGEINT * (tc + 1)::HUGEINT * rtot::HUGEINT) //
+         ((rc + 1)::HUGEINT * ttot::HUGEINT) AS r_milli
+  FROM rates, tot
+)
+SELECT doc_id, any_value(b.lang) AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(r_milli) AS BIGINT) AS score,
+       CAST(SUM(r_milli) // COUNT(*) AS BIGINT) AS score_milli_avg
+FROM b JOIN ratio USING (bucket)
+GROUP BY doc_id
+ORDER BY score_milli_avg DESC, doc_id
+LIMIT 100
+"""
+
+
+@register("s13_dsir_importance", oracle=_s13_oracle())
+def s13_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.dedup_sql import token_shingle_seq_sql
+
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    grams = d.selectExpr(
+        "doc_id", "lang", f"explode({token_shingle_seq_sql('text', 2)}) AS gram"
+    )
+    b = grams.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("gram"))), 1, 6), 16, 10)
+            .cast("long")
+            % _S13_BUCKETS
+        ).alias("bucket"),
+    )
+    rates = b.groupBy("bucket").agg(
+        F.count("*").alias("rc"),
+        F.sum(
+            F.when(F.col("lang") == _S13_TARGET_LANG, 1).otherwise(0)
+        ).alias("tc"),
+    )
+    tot = rates.agg(
+        F.sum("rc").cast("decimal(38,0)").alias("rtot"),
+        F.sum("tc").cast("decimal(38,0)").alias("ttot"),
+    )
+    dec = "decimal(38,0)"
+    ratio = (
+        rates.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.expr(
+                f"(CAST(1000 AS {dec}) * CAST(tc + 1 AS {dec}) * rtot) div "
+                f"(CAST(rc + 1 AS {dec}) * ttot)"
+            ).alias("r_milli"),
+        )
+    )
+    return (
+        b.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.first("lang").alias("lang"),
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("r_milli").cast("bigint").alias("score"),
+            F.expr("CAST(SUM(r_milli) div COUNT(*) AS BIGINT)").alias(
+                "score_milli_avg"
+            ),
+        )
+        .orderBy(F.col("score_milli_avg").desc(), "doc_id")
+        .limit(100)
+    )

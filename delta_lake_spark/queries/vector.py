@@ -1340,3 +1340,230 @@ def v16_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "nbr", "sim", "rank")
         .orderBy("src", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# v17 — EXACT-integer k-means (Lloyd) over the embedding corpus: k=8
+# centroids seeded from the first 8 vectors, two assignment passes with one
+# centroid update between them, everything in quantized integer micro-units
+# so assignments, centroid updates, and inertia are bit-identical across
+# engines and partitionings (float k-means is neither — summation order
+# changes centroids).  This is the clustering primitive under SemDeDup-style
+# semantic dedup (d21 consumes the same assignment) and IVF coarse
+# quantizers (v04's bucketing, learned instead of hashed).
+#
+# Scale shape: centroids are k x dim METADATA (8x64 here) — each assignment
+# pass is an embarrassingly-parallel map with the centroid table inlined as
+# literals (zero joins, zero shuffles), exactly how Spark MLlib broadcasts
+# centers; the update is ONE (cid, dim)-keyed partial-aggregated shuffle of
+# bounded k*dim output, collected driver-side (512 rows — the same bounded
+# collect every k-means implementation does between iterations).  The
+# DuckDB oracle unrolls both passes as chained CTEs (q73's bounded-iteration
+# pattern); centroid division truncates toward zero in both engines (probed:
+# DuckDB `//` and Spark `div` both give -7/2 = -3).
+# ---------------------------------------------------------------------------
+_V17_K = 8
+_V17_SCALE = 1_000_000
+
+
+def _v17_ctes() -> str:
+    """The shared unrolled Lloyd chain (quantize -> seed -> assign ->
+    update -> assign); v17 aggregates it, d21 deduplicates within it."""
+    return f"""v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * {_V17_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+vd AS (SELECT vec_id, r.range AS d, q[r.range + 1] AS x FROM v, range({_EMB_DIM}) r),
+c0 AS (SELECT vec_id AS cid, d, x AS cx FROM vd WHERE vec_id < {_V17_K}),
+a1 AS (
+  SELECT vec_id, cid FROM (
+    SELECT vd.vec_id, c0.cid,
+           ROW_NUMBER() OVER (PARTITION BY vd.vec_id
+                              ORDER BY SUM((x - cx) * (x - cx)), c0.cid) AS rn
+    FROM vd JOIN c0 USING (d)
+    GROUP BY vd.vec_id, c0.cid
+  ) WHERE rn = 1
+),
+u1 AS (
+  SELECT cid, d, SUM(x) AS sx, COUNT(*) AS n
+  FROM a1 JOIN vd USING (vec_id) GROUP BY cid, d
+),
+c1 AS (
+  SELECT c0.cid, c0.d, COALESCE(u1.sx // u1.n, c0.cx) AS cx
+  FROM c0 LEFT JOIN u1 ON u1.cid = c0.cid AND u1.d = c0.d
+),
+a2 AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vd.vec_id, c1.cid, SUM((x - cx) * (x - cx)) AS dist,
+           ROW_NUMBER() OVER (PARTITION BY vd.vec_id
+                              ORDER BY SUM((x - cx) * (x - cx)), c1.cid) AS rn
+    FROM vd JOIN c1 USING (d)
+    GROUP BY vd.vec_id, c1.cid
+  ) WHERE rn = 1
+)"""
+
+
+def _v17_oracle() -> str:
+    return f"""
+WITH {_v17_ctes()}
+SELECT CAST(cid AS BIGINT)     AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(vec_id) AS BIGINT) AS member_id_sum,
+       CAST(SUM(dist) AS BIGINT)   AS inertia
+FROM a2 GROUP BY cid ORDER BY cluster_id
+"""
+
+
+def _quantized_vectors(spark: SparkSession, sf_dir: str):
+    return table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id",
+        F.transform(
+            as_double(F.col("embedding")),
+            lambda x: F.floor(x * F.lit(float(_V17_SCALE))).cast("long"),
+        ).alias("q"),
+    )
+
+
+def _assign_to_centroids(vec: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
+    """Map-side nearest-centroid assignment: centroids inlined as literals
+    (k x dim metadata), argmin via array_min over (dist, cid) structs —
+    exact integer comparison, lower cid wins ties."""
+    choices = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q"),
+                        F.array(*[F.lit(int(c)) for c in cents[cid]]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid in sorted(cents)
+        ]
+    )
+    best = F.array_min(choices)
+    return vec.select(
+        "vec_id", "q", best["cid"].alias("cid"), best["dist"].alias("dist")
+    )
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Integer division truncating toward zero — the semantics BOTH engines
+    use (DuckDB `//`, Spark `div`); Python's `//` floors, so spell it out."""
+    q = abs(s) // n
+    return -q if s < 0 else q
+
+
+def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, dist) after seed -> assign -> update -> assign."""
+    vec = _quantized_vectors(spark, sf_dir)
+    # seed centroids: the first k vectors (k x dim metadata collect)
+    c0_rows = vec.filter(F.col("vec_id") < _V17_K).collect()
+    cents = {int(r["vec_id"]): list(r["q"]) for r in c0_rows}
+    # one Lloyd update: (cid, dim)-keyed partial agg, k*dim rows collected
+    a1 = _assign_to_centroids(vec, cents)
+    upd = (
+        a1.select("cid", F.posexplode("q").alias("d", "x"))
+        .groupBy("cid", "d")
+        .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+        .collect()
+    )
+    new_cents = {cid: list(v) for cid, v in cents.items()}
+    for r in upd:
+        new_cents[int(r["cid"])][int(r["d"])] = _trunc_div(int(r["sx"]), int(r["n"]))
+    return _assign_to_centroids(vec, new_cents)
+
+
+@register("v17_kmeans_exact", oracle=_v17_oracle())
+def v17_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a2 = _kmeans_final_assignment(spark, sf_dir)
+    return (
+        a2.groupBy("cid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum("vec_id").cast("bigint").alias("member_id_sum"),
+            F.sum("dist").cast("bigint").alias("inertia"),
+        )
+        .select(F.col("cid").cast("bigint").alias("cluster_id"), "n_members", "member_id_sum", "inertia")
+        .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d21 — SemDeDup (Abbas et al.): SEMANTIC dedup by k-means clustering then
+# within-cluster cosine near-dup removal.  Where d11 finds near-dups by
+# hyperplane-LSH blocking over the whole corpus, SemDeDup first partitions
+# the corpus with v17's exact-integer k-means and only compares vectors
+# INSIDE a cluster — the candidate set is bounded by cluster size, not by
+# LSH collision luck, and the cluster structure is reused across dedup
+# thresholds.  Pair rule mirrors d11: a vector is dropped when any
+# smaller-id cluster-mate sits above the cosine threshold; survivors keep
+# their cluster id for downstream per-cluster sampling.
+#
+# Scale shape: assignment is the v17 map (zero shuffles); the within-cluster
+# self-join is an equi-join on cid whose fan-out is SUM(cluster_size^2) —
+# the SemDeDup contract is that k grows with the corpus to bound cluster
+# sizes (k ~ N/target_size), which this plan inherits directly; cosine
+# verification runs only on in-cluster pairs.  No global pair surface
+# exists anywhere.
+# ---------------------------------------------------------------------------
+_D21_TH = 0.4
+
+
+def _d21_oracle() -> str:
+    cos = (
+        "list_dot_product(ea.e, eb.e) / (sqrt(list_dot_product(ea.e, ea.e)) * "
+        "sqrt(list_dot_product(eb.e, eb.e)))"
+    )
+    return f"""
+WITH {_v17_ctes()},
+ve AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN ve ea ON ea.vec_id = a.vec_id
+  JOIN ve eb ON eb.vec_id = b.vec_id
+  WHERE {cos} > {_D21_TH}
+)
+SELECT v.vec_id, ve.label, CAST(v.cid AS BIGINT) AS cluster_id
+FROM a2 v JOIN ve ON ve.vec_id = v.vec_id
+WHERE v.vec_id NOT IN (SELECT vec_id FROM dropped)
+ORDER BY v.vec_id
+"""
+
+
+@register("d21_semantic_dedup_survivors", oracle=_d21_oracle())
+def d21_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = _kmeans_final_assignment(spark, sf_dir).select("vec_id", "cid")
+    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("e")
+    )
+    m = assign.join(e, "vec_id").select("vec_id", "label", "cid", "e")
+    a = m.select(
+        F.col("cid"),
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+    )
+    b = m.select(
+        F.col("cid"),
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("ea"), F.col("eb")) > _D21_TH)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        m.join(dropped, "vec_id", "left_anti")
+        .select("vec_id", "label", F.col("cid").cast("bigint").alias("cluster_id"))
+        .orderBy("vec_id")
+    )
