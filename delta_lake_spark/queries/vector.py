@@ -1348,9 +1348,14 @@ def v16_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # centroid update between them, everything in quantized integer micro-units
 # so assignments, centroid updates, and inertia are bit-identical across
 # engines and partitionings (float k-means is neither — summation order
-# changes centroids).  This is the clustering primitive under SemDeDup-style
-# semantic dedup (d21 consumes the same assignment) and IVF coarse
-# quantizers (v04's bucketing, learned instead of hashed).
+# changes centroids).  Position vs v09: v09 is SPHERICAL k-means (cosine
+# assignment, the text-embedding convention) whose cross-engine determinism
+# comes from decimal-sum centroids rounded to 6 dp; v17 is EUCLIDEAN Lloyd
+# whose determinism is stronger — every distance, centroid component, and
+# the inertia objective are exact integers, which is what lets d21 implement
+# SemDeDup's centroid-distance keep rule bit-exactly.  Seeding also differs:
+# v09 seeds from hyperplane structure, v17 from the first k data points
+# (the classic Forgy choice).
 #
 # Scale shape: centroids are k x dim METADATA (8x64 here) — each assignment
 # pass is an embarrassingly-parallel map with the centroid table inlined as
@@ -1496,22 +1501,25 @@ def v17_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# d21 — SemDeDup (Abbas et al.): SEMANTIC dedup by k-means clustering then
-# within-cluster cosine near-dup removal.  Where d11 finds near-dups by
-# hyperplane-LSH blocking over the whole corpus, SemDeDup first partitions
-# the corpus with v17's exact-integer k-means and only compares vectors
-# INSIDE a cluster — the candidate set is bounded by cluster size, not by
-# LSH collision luck, and the cluster structure is reused across dedup
-# thresholds.  Pair rule mirrors d11: a vector is dropped when any
-# smaller-id cluster-mate sits above the cosine threshold; survivors keep
-# their cluster id for downstream per-cluster sampling.
+# d21 — SemDeDup with the PAPER'S keep rule (Abbas et al. 2023 §2: within a
+# near-duplicate relation, keep the example with the LOWEST similarity to
+# the cluster centroid — favoring diversity at the cluster edge).  d15
+# already implements the cluster-then-dedup recipe with the simple
+# lowest-id keep over v09's spherical clusters; d21 is the keep-rule-
+# faithful variant, and it exists BECAUSE of v17: the paper's rule needs a
+# centroid distance per member, and v17's exact-integer centroids make
+# that distance an exact integer — so "which member is closer to the
+# centroid" is bit-decidable across engines, where a float centroid would
+# make the keep decision itself 1-ulp-flaky.  Per qualifying in-cluster
+# pair (cosine > threshold), the member CLOSER to the centroid is dropped
+# (ties: the higher id), mirroring the paper's farthest-kept semantics.
 #
-# Scale shape: assignment is the v17 map (zero shuffles); the within-cluster
-# self-join is an equi-join on cid whose fan-out is SUM(cluster_size^2) —
-# the SemDeDup contract is that k grows with the corpus to bound cluster
-# sizes (k ~ N/target_size), which this plan inherits directly; cosine
-# verification runs only on in-cluster pairs.  No global pair surface
-# exists anywhere.
+# Scale shape: assignment is the v17 map (zero shuffles); the
+# within-cluster self-join is an equi-join on cid whose fan-out is
+# SUM(cluster_size^2) — the SemDeDup contract is that k grows with the
+# corpus to bound cluster sizes (k ~ N/target_size), which this plan
+# inherits directly; cosine verification runs only on in-cluster pairs.
+# No global pair surface exists anywhere.
 # ---------------------------------------------------------------------------
 _D21_TH = 0.4
 
@@ -1525,13 +1533,16 @@ def _d21_oracle() -> str:
 WITH {_v17_ctes()},
 ve AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
 dropped AS (
-  SELECT DISTINCT b.vec_id
+  SELECT DISTINCT CASE WHEN a.dist < b.dist THEN a.vec_id
+                       WHEN b.dist < a.dist THEN b.vec_id
+                       ELSE GREATEST(a.vec_id, b.vec_id) END AS vec_id
   FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
   JOIN ve ea ON ea.vec_id = a.vec_id
   JOIN ve eb ON eb.vec_id = b.vec_id
   WHERE {cos} > {_D21_TH}
 )
-SELECT v.vec_id, ve.label, CAST(v.cid AS BIGINT) AS cluster_id
+SELECT v.vec_id, ve.label, CAST(v.cid AS BIGINT) AS cluster_id,
+       CAST(v.dist AS BIGINT) AS centroid_dist
 FROM a2 v JOIN ve ON ve.vec_id = v.vec_id
 WHERE v.vec_id NOT IN (SELECT vec_id FROM dropped)
 ORDER BY v.vec_id
@@ -1540,30 +1551,44 @@ ORDER BY v.vec_id
 
 @register("d21_semantic_dedup_survivors", oracle=_d21_oracle())
 def d21_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assign = _kmeans_final_assignment(spark, sf_dir).select("vec_id", "cid")
+    assign = _kmeans_final_assignment(spark, sf_dir).select("vec_id", "cid", "dist")
     e = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("e")
     )
-    m = assign.join(e, "vec_id").select("vec_id", "label", "cid", "e")
+    m = assign.join(e, "vec_id").select("vec_id", "label", "cid", "dist", "e")
     a = m.select(
         F.col("cid"),
         F.col("vec_id").alias("id_a"),
+        F.col("dist").alias("dist_a"),
         F.col("e").alias("ea"),
     )
     b = m.select(
         F.col("cid"),
         F.col("vec_id").alias("id_b"),
+        F.col("dist").alias("dist_b"),
         F.col("e").alias("eb"),
+    )
+    # the paper's keep rule: the pair member closer to the centroid drops
+    # (exact-integer distances make this decidable); ties drop the higher id
+    loser = (
+        F.when(F.col("dist_a") < F.col("dist_b"), F.col("id_a"))
+        .when(F.col("dist_b") < F.col("dist_a"), F.col("id_b"))
+        .otherwise(F.greatest("id_a", "id_b"))
     )
     dropped = (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(cosine(F.col("ea"), F.col("eb")) > _D21_TH)
-        .select(F.col("id_b").alias("vec_id"))
+        .select(loser.alias("vec_id"))
         .distinct()
     )
     return (
         m.join(dropped, "vec_id", "left_anti")
-        .select("vec_id", "label", F.col("cid").cast("bigint").alias("cluster_id"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            F.col("dist").cast("bigint").alias("centroid_dist"),
+        )
         .orderBy("vec_id")
     )
