@@ -65,6 +65,12 @@ EXTENSIONS = [
     "q56_product_profit",                 # TPC-H Q9 star-join profit (r4)
     "q57_min_cost_supplier",              # TPC-H Q2 argmin join (r4)
     "q55_table_profile",                  # one-pass column profiler (r4)
+    "q82_interval_union_coverage",        # interval-coalescing islands (r4)
+    "q83_mad_outliers",                   # median/MAD robust fences (r4)
+    "t24_boilerplate_ngrams",             # per-source template mining (r4)
+    "s13_dsir_importance",                # DSIR hashed-ngram importance (r4)
+    "v17_kmeans_exact",                   # exact-integer Euclidean Lloyd (r4)
+    "d21_semantic_dedup_survivors",       # SemDeDup paper keep-rule (r4)
 ]
 
 

@@ -1,0 +1,188 @@
+"""Hand-computed differential tests for the wave-16 operators (q82 interval
+union, q83 MAD fences, t24 boilerplate mining, s13 DSIR weighting, v17
+exact-integer k-means, d21 SemDeDup keep rule) — tiny corpora where the
+expected output is derivable on paper, complementing the DuckDB oracle
+parity."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(tmp_path, rows):
+    events = pa.table(
+        {
+            "event_id": list(range(1, len(rows) + 1)),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": [r[0] for r in rows],
+            "event_type": [r[3] if len(r) > 3 else "a" for r in rows],
+            "value": [float(r[2]) if len(r) > 2 else 1.0 for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+
+
+def _write_docs(tmp_path, texts, langs=None, sources=None):
+    docs = pa.table(
+        {
+            "doc_id": list(range(1, len(texts) + 1)),
+            "text": texts,
+            "lang": langs or ["en"] * len(texts),
+            "source": sources or ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+
+def test_q82_touching_intervals_merge(spark, tmp_path):
+    def ts(m, s=0):
+        return datetime.datetime(2024, 1, 1, 0, m, s)
+
+    # u1: events at 00:00, 00:03, 00:20 -> [0,5)+[3,8) merge (covered 8 min),
+    #     [20,25) alone (5 min) -> 2 islands, 13 min covered, 3 events
+    # u2: events at 00:00 and exactly 00:05 -> touching (s == prev end) MERGES
+    #     -> 1 island [0,10), 10 min covered
+    _write_events(
+        tmp_path,
+        [(1, ts(0)), (1, ts(3)), (1, ts(20)), (2, ts(0)), (2, ts(5))],
+    )
+    from delta_lake_spark.queries import QUERIES
+
+    out = {
+        r.user_id: (r.n_islands, r.covered_us, r.n_events)
+        for r in QUERIES["q82_interval_union_coverage"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        1: (2, 13 * 60_000_000, 3),
+        2: (1, 10 * 60_000_000, 2),
+    }
+
+
+def test_q83_mad_fences_catch_the_spike(spark, tmp_path):
+    def ts(m):
+        return datetime.datetime(2024, 1, 1, 0, m, 0)
+
+    # values 1,2,3,4,100 -> median 3.00 (med_2c = 600 doubled cents),
+    # deviations |2c-600| = [400,200,0,200,19400] -> MAD median 200
+    # (mad_2c = 400); fence 2*dev2 > 1200 flags only the 100.00 spike.
+    _write_events(
+        tmp_path,
+        [(1, ts(i), v) for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0])],
+    )
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["q83_mad_outliers"](spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n, r.med_2c, r.mad_2c, r.n_outliers, r.outlier_bp) == (
+        5,
+        600,
+        400,
+        1,
+        2000,
+    )
+
+
+def test_t24_finds_the_shared_trigram(spark, tmp_path):
+    # srcA: "a b c" appears in docs 1 and 2 (2 of 3 docs -> >= 10% and >= 2)
+    # srcB: no repeated trigram -> all zeros
+    _write_docs(
+        tmp_path,
+        ["a b c d", "x a b c", "p q r s", "m n o p", "q w e r"],
+        sources=["A", "A", "A", "B", "B"],
+    )
+    from delta_lake_spark.queries import QUERIES
+
+    out = {
+        r.source: (r.n_docs, r.n_boiler_grams, r.boiler_doc_hits, r.affected_docs, r.affected_bp)
+        for r in QUERIES["t24_boilerplate_ngrams"](spark, str(tmp_path)).collect()
+    }
+    assert out == {"A": (3, 1, 2, 2, 6666), "B": (2, 0, 0, 0, 0)}
+
+
+def test_s13_uniform_target_means_unit_ratio(spark, tmp_path):
+    # When EVERY doc is in the target slice, every bucket has tc == rc and
+    # ttot == rtot, so each smoothed ratio is exactly 1000 milli — and so is
+    # every per-doc average.  (The discriminating behavior is covered by the
+    # DuckDB oracle at sf0.01.)
+    _write_docs(tmp_path, ["a b c d", "b c a d", "d c b a"], langs=["en"] * 3)
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["s13_dsir_importance"](spark, str(tmp_path)).collect()
+    assert len(rows) == 3
+    assert all(r.score_milli_avg == 1000 for r in rows)
+    assert all(r.score == 1000 * r.n_bigrams for r in rows)
+
+
+def _write_embeddings(tmp_path, vecs, labels=None):
+    emb = pa.table(
+        {
+            "vec_id": list(range(len(vecs))),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": labels or [0] * len(vecs),
+        }
+    )
+    pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+
+
+def _unit(dim_idx: int, scale: float = 1.0) -> list[float]:
+    v = [0.0] * 64
+    v[dim_idx] = scale
+    return v
+
+
+def test_v17_kmeans_hand_cluster(spark, tmp_path):
+    # Seeds = vec_ids 0..7 (the 8 axis vectors).  vec 8 = 0.75*e0 and vec 9
+    # = 0.5*e0 join cluster 0 (0.75/0.5 are float32-exact, so quantized
+    # micro-units are exactly 750000/500000).  Updated centroid dim0 =
+    # (1000000+750000+500000) div 3 = 750000; second assignment is stable.
+    # Inertia c0 = (250000^2 + 0 + 250000^2) = 1.25e11.
+    vecs = [_unit(i) for i in range(8)] + [_unit(0, 0.75), _unit(0, 0.5)]
+    _write_embeddings(tmp_path, vecs)
+    from delta_lake_spark.queries import QUERIES
+
+    out = {
+        r.cluster_id: (r.n_members, r.member_id_sum, r.inertia)
+        for r in QUERIES["v17_kmeans_exact"](spark, str(tmp_path)).collect()
+    }
+    assert out[0] == (3, 0 + 8 + 9, 2 * 250_000**2)
+    for cid in range(1, 8):
+        assert out[cid] == (1, cid, 0)
+
+
+def test_d21_keeps_the_member_farthest_from_centroid(spark, tmp_path):
+    # Cluster 0 = {0 (1.0*e0), 8 (0.75*e0), 9 (0.5*e0)}, centroid dim0 =
+    # 750000 -> distances 6.25e10 / 0 / 6.25e10.  All three pairs are
+    # colinear (cosine exactly 1 > 0.4):
+    #   (0,8): 8 is closer -> drop 8
+    #   (0,9): tie -> drop the higher id 9
+    #   (8,9): 8 is closer -> drop 8
+    # Survivor of cluster 0 is vec 0 — the member FARTHEST from the
+    # centroid, the paper's diversity-keeping rule (lowest-id would have
+    # kept 0 here too, but 8 would survive pair (8,9) under it... the tie
+    # and closer-drops pin the rule).  Axis seeds 1..7 survive untouched.
+    vecs = [_unit(i) for i in range(8)] + [_unit(0, 0.75), _unit(0, 0.5)]
+    _write_embeddings(tmp_path, vecs, labels=list(range(10)))
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["d21_semantic_dedup_survivors"](spark, str(tmp_path)).collect()
+    got = {r.vec_id: (r.cluster_id, r.centroid_dist) for r in rows}
+    assert sorted(got) == [0, 1, 2, 3, 4, 5, 6, 7]
+    assert got[0] == (0, 250_000**2)
+    for cid in range(1, 8):
+        assert got[cid][0] == cid
+
+
+def test_trunc_div_matches_engine_semantics():
+    from delta_lake_spark.queries.vector import _trunc_div
+
+    # both DuckDB `//` and Spark `div` truncate toward zero (probed)
+    assert _trunc_div(7, 2) == 3
+    assert _trunc_div(-7, 2) == -3
+    assert _trunc_div(-6, 3) == -2
+    assert _trunc_div(0, 5) == 0
