@@ -894,3 +894,124 @@ def q75_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("root")
     )
+
+
+# ---------------------------------------------------------------------------
+# q84 — TPC-H Q20 shape (potential part promotion): the nested
+# fraction-of-group-total threshold.  Q20 keeps suppliers whose stocked
+# quantity of a part beats 50% of that part's shipped volume; the corpus
+# lacks partsupp, so the same plan shape runs within lineitem — a supplier
+# DOMINATES a part when its shipped quantity for that part exceeds 20% of
+# the part's corpus-wide shipped quantity (the corpus spreads each part
+# across ~30 suppliers, so Q20's literal 50% is empty by construction —
+# the PLAN is identical, only the constant differs).  Output: per supplier, how many
+# parts it dominates (the Q20 semi-join chain surfaces as the final join to
+# the supplier dim for names).
+#
+# Scale shape: ONE (partkey, suppkey) aggregate; the per-part total derives
+# from it by RE-AGGREGATION (no second fact scan); the threshold join is an
+# equi-join on partkey (AQE decides the strategy — part scales with SF, the
+# q29/q30 convention); the supplier name join likewise.  Quantities are
+# integral doubles -> BIGINT casts keep every sum and the doubled
+# comparison exact.
+# ---------------------------------------------------------------------------
+@register(
+    "q84_dominant_part_suppliers",
+    oracle="""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS qty_ps
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+p AS (
+  SELECT l_partkey, SUM(qty_ps) AS qty_p FROM ps GROUP BY l_partkey
+),
+dom AS (
+  SELECT ps.l_suppkey, ps.l_partkey
+  FROM ps JOIN p USING (l_partkey)
+  WHERE ps.qty_ps * 5 > p.qty_p
+)
+SELECT s.s_suppkey, ANY_VALUE(s.s_name) AS s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_dominant_parts
+FROM dom JOIN supplier s ON s.s_suppkey = dom.l_suppkey
+GROUP BY s.s_suppkey
+ORDER BY n_dominant_parts DESC, s.s_suppkey
+LIMIT 100
+""",
+)
+def q84_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty_ps")
+    )
+    p = ps.groupBy("l_partkey").agg(F.sum("qty_ps").alias("qty_p"))
+    dom = ps.join(p, "l_partkey").filter(F.col("qty_ps") * 5 > F.col("qty_p"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        dom.join(s, dom.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey")
+        .agg(
+            F.first("s_name").alias("s_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dominant_parts"),
+        )
+        .orderBy(F.col("n_dominant_parts").desc(), "s_suppkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q85 — TPC-H Q22 shape (global-opportunity customers): a GLOBAL scalar
+# subquery as a row filter plus an anti-join, then a grouped rollup —
+# customers whose balance beats the corpus-average positive balance but who
+# placed NO order since 2000-01-01 (every corpus customer has ordered at
+# least once, so literal never-ordered is empty; the lapsed-recency variant
+# keeps the same anti-join), counted per market segment (standing in for
+# Q22's phone country code, which the corpus lacks).
+#
+# Scale shape: the average is ONE decimal-exact scalar aggregate broadcast
+# via a 1-row cross join (the s10/q54 pattern — never a collect); the
+# no-orders test is a LEFT ANTI join on custkey; the rollup is
+# segment-keyed (bounded arity).  Determinism: the threshold is an exact
+# decimal sum divided as an IEEE double in BOTH engines, so the filter
+# decides identically; output sums are decimal-exact.
+# ---------------------------------------------------------------------------
+@register(
+    "q85_rich_inactive_customers",
+    oracle="""
+WITH thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer c, thr
+WHERE c.c_acctbal > thr.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= DATE '2000-01-01')
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def q85_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    thr = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    rich = c.crossJoin(F.broadcast(thr)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    inactive = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        inactive.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
