@@ -382,3 +382,54 @@ def test_v16_knn_graph_is_equi_join(spark):
     plan = plan_of(QUERIES["v16_knn_graph"](spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q82_interval_union_single_user_exchange(spark):
+    """Island detection, island ids, and the island aggregate must share
+    ONE user_id exchange — a second hashpartitioning exchange would mean
+    the window passes re-shuffled the fact."""
+    plan = plan_of(QUERIES["q82_interval_union_coverage"](spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_q83_mad_joins_stay_broadcast(spark):
+    """Both per-type median joins are against bounded event-type arity —
+    they must broadcast, never shuffle the fact to meet a 5-row table."""
+    plan = plan_of(QUERIES["q83_mad_outliers"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_t24_boilerplate_no_cartesian(spark):
+    """The boiler-gram join-back must be a (source, gram) equi-join over
+    the already-partitioned doc-frequency side — no nested-loop pairing."""
+    plan = plan_of(QUERIES["t24_boilerplate_ngrams"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_s13_rate_table_broadcasts(spark):
+    """The 256-bucket rate table must broadcast back onto the exploded
+    bigram stream (scan-sized side never shuffles to meet 256 rows); the
+    top-100 must be TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(QUERIES["s13_dsir_importance"](spark, SF_SMOKE), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_v17_assignment_is_map_only(spark):
+    """Both k-means assignment passes inline the centroids as literals —
+    the ONLY exchanges allowed are the bounded (cid, dim) update aggregate
+    and the final per-cluster aggregate; the corpus itself never joins."""
+    plan = plan_of(QUERIES["v17_kmeans_exact"](spark, SF_SMOKE), "simple")
+    assert "Join" not in plan  # no join of any kind anywhere
+    assert "CartesianProduct" not in plan
+
+
+def test_d21_pair_join_is_cid_equi_join(spark):
+    """SemDeDup's pair surface must be the within-cluster equi-join on the
+    cluster id — never corpus-cartesian."""
+    plan = plan_of(QUERIES["d21_semantic_dedup_survivors"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
