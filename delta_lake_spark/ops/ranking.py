@@ -101,3 +101,52 @@ def global_ntile(
         .withColumn(out_col, bucket.cast("int"))
         .drop(rn, "_gr_total")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    value: str | Column,
+    order_by: list[str | Column],
+    *,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running ``SUM(value) OVER (ORDER BY order_by ROWS
+    UNBOUNDED PRECEDING)`` with P-way parallelism — the cumulative-sum twin
+    of :func:`global_row_number` (range partition on the order key,
+    per-partition window sum, broadcast per-partition value offsets).
+    ``order_by`` must be a unique key; ascending only.  ``value`` must be
+    integral/decimal for the result to be order-independent (the offsets
+    are exact partial sums)."""
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    val = F.col(value) if isinstance(value, str) else value
+    ranged = (
+        df.withColumn("_gc_v", val)
+        .repartitionByRange(num_partitions, *cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    sums = sorted(
+        (r[_PID], r["s"])
+        for r in ranged.groupBy(_PID)
+        .agg(F.sum("_gc_v").alias("s"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, s in sums:
+        offsets.append((pid, acc))
+        acc += int(s or 0)
+    off = spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.join(F.broadcast(off), _PID)
+        .withColumn(out_col, F.sum("_gc_v").over(w) + F.col(_OFF))
+        .drop(_PID, _OFF, "_gc_v")
+    )

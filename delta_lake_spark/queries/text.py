@@ -970,6 +970,22 @@ _CLF_W_SQL = (
 )
 
 
+def _clf_weight(w):
+    """Hashed-bucket integer weight of one feature (t16's linear model)."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("clf:"), w)), 1, 8), 16, 10)
+        .cast("long")
+        % _CLF_BUCKETS
+    )
+    return bucket % 1001 - 500
+
+
+def _clf_feats():
+    return F.filter(tokens(normalize_text("text")), lambda w: F.length(w) >= 3)
+
+
+
+
 @register(
     "t16_classifier_scores",
     oracle=f"""
@@ -988,21 +1004,13 @@ SELECT doc_id, n_feats, score, score > 0 AS kept FROM (
 def t16_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table_parallel(spark, sf_dir, "documents", "doc_id")
 
-    def weight(w):
-        bucket = (
-            F.conv(F.substring(F.md5(F.concat(F.lit("clf:"), w)), 1, 8), 16, 10)
-            .cast("long")
-            % _CLF_BUCKETS
-        )
-        return bucket % 1001 - 500
-
-    feats = F.filter(tokens(normalize_text("text")), lambda w: F.length(w) >= 3)
+    feats = _clf_feats()
     return (
         d.select(
             "doc_id",
             F.size(feats).cast("long").alias("n_feats"),
             F.aggregate(
-                feats, F.lit(0).cast("long"), lambda acc, w: acc + weight(w)
+                feats, F.lit(0).cast("long"), lambda acc, w: acc + _clf_weight(w)
             ).alias("score"),
         )
         .withColumn("kept", F.col("score") > 0)
@@ -1585,4 +1593,150 @@ def t24_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("affected_bp"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t25 — EXACT classifier AUC (Mann-Whitney U with midrank tie handling):
+# how well does t16's hashed linear quality score separate the target slice
+# (lang='en')?  AUC is THE quality-classifier health metric of a data
+# pipeline (fastText-filter calibration), and it is exactly computable in
+# integers: group docs by score, accumulate negatives-below per score group,
+# U2 = sum(np * (2*cum_neg_below + nn)) handles ties as half-wins, and
+# auc_bp = U2*10000 div (2*npos*nneg).  No float ranks, no sort-based
+# percentile — bit-identical across engines.
+#
+# Scale shape: one doc-keyed score projection (map-only), one score-keyed
+# aggregate (score arity <= doc count), then the cumulative-negatives pass
+# runs through ops.ranking.global_cumsum — range partition on score +
+# broadcast partial-sum offsets, never a single-partition ORDER BY window;
+# the scalar totals broadcast via a 1-row cross join.
+# ---------------------------------------------------------------------------
+@register(
+    "t25_classifier_auc",
+    oracle=f"""
+WITH sc AS (
+  SELECT (lang = 'en') AS pos,
+         (SELECT CAST(COALESCE(SUM({_CLF_W_SQL}), 0) AS BIGINT) FROM
+            (SELECT unnest(regexp_split_to_array({_NORM_SQL}, '\\s+')) AS w) tk
+          WHERE length(w) >= 3) AS score
+  FROM documents d
+),
+g AS (SELECT score,
+             SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+             SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
+      FROM sc GROUP BY score),
+c AS (SELECT score, np, nn,
+             COALESCE(SUM(nn) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+      FROM g),
+tot AS (SELECT SUM(np) AS npos, SUM(nn) AS nneg FROM g)
+SELECT CAST(npos AS BIGINT) AS n_pos,
+       CAST(nneg AS BIGINT) AS n_neg,
+       CAST(SUM(np * (2 * cumneg + nn)) AS BIGINT) AS u2,
+       CAST((SUM(np * (2 * cumneg + nn)) * 10000) // (2 * npos * nneg) AS BIGINT)
+         AS auc_bp
+FROM c, tot
+GROUP BY npos, nneg
+""",
+)
+def t25_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.ops.ranking import global_cumsum
+
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    feats = _clf_feats()
+    sc = d.select(
+        (F.col("lang") == "en").alias("pos"),
+        F.aggregate(
+            feats, F.lit(0).cast("long"), lambda acc, w: acc + _clf_weight(w)
+        ).alias("score"),
+    )
+    g = sc.groupBy("score").agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("nn"),
+    )
+    c = global_cumsum(g, "nn", ["score"], out_col="cum_incl").withColumn(
+        "cumneg", F.col("cum_incl") - F.col("nn")
+    )
+    tot = g.agg(F.sum("np").alias("npos"), F.sum("nn").alias("nneg"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .groupBy("npos", "nneg")
+        .agg(F.sum(F.col("np") * (2 * F.col("cumneg") + F.col("nn"))).alias("u2"))
+        .selectExpr(
+            "CAST(npos AS BIGINT) AS n_pos",
+            "CAST(nneg AS BIGINT) AS n_neg",
+            "CAST(u2 AS BIGINT) AS u2",
+            "CAST((u2 * 10000) div (2 * npos * nneg) AS BIGINT) AS auc_bp",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# t26 — Cohen's kappa for the language-ID heuristic: the chance-corrected
+# agreement scalar over t04's confusion matrix (annotator-agreement /
+# classifier-vs-truth health in one number).  Exact integers end to end:
+# kappa = (N*D - S) / (N^2 - S) with D = agreeing docs and S = the
+# marginal-product chance term, emitted in cross-multiplied basis points
+# (both engines truncate toward zero, probed).
+#
+# Scale shape: one doc-keyed prediction map, one (lang, predicted) aggregate
+# (arity = label-set squared, bounded), marginal products over the bounded
+# label set, scalars broadcast.  Nothing beyond t04's plan plus metadata.
+# ---------------------------------------------------------------------------
+@register(
+    "t26_langid_kappa",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang,
+         {", ".join(f"{_hits_sql(lg)} AS h_{lg}" for lg in _LANGS)}
+  FROM documents
+),
+pred AS (
+  SELECT lang, {_PRED_SQL.replace("mx", _MAX_HITS_SQL)} AS predicted
+  FROM scored
+),
+conf AS (SELECT lang, predicted, COUNT(*) AS n FROM pred GROUP BY lang, predicted),
+tot AS (SELECT SUM(n) AS nd,
+               SUM(CASE WHEN lang = predicted THEN n ELSE 0 END) AS agree
+        FROM conf),
+rows_ AS (SELECT lang AS k, SUM(n) AS r FROM conf GROUP BY lang),
+cols_ AS (SELECT predicted AS k, SUM(n) AS c FROM conf GROUP BY predicted),
+s AS (SELECT CAST(COALESCE(SUM(r * c), 0) AS BIGINT) AS chance
+      FROM rows_ JOIN cols_ USING (k))
+SELECT CAST(nd AS BIGINT)     AS n_docs,
+       CAST(agree AS BIGINT)  AS n_agree,
+       chance                 AS s_chance,
+       CAST((10000 * (nd * agree - chance)) // (nd * nd - chance) AS BIGINT)
+         AS kappa_bp
+FROM tot, s
+""",
+)
+def t26_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    conf = (
+        d.select("lang", detect_language("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = conf.agg(
+        F.sum("n").alias("nd"),
+        F.sum(F.when(F.col("lang") == F.col("predicted"), F.col("n")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    rows_ = conf.groupBy(F.col("lang").alias("k")).agg(F.sum("n").alias("r"))
+    cols_ = conf.groupBy(F.col("predicted").alias("k")).agg(F.sum("n").alias("c"))
+    s = (
+        rows_.join(cols_, "k")
+        .agg(F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0)).cast("bigint").alias("chance"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(s))
+        .selectExpr(
+            "CAST(nd AS BIGINT) AS n_docs",
+            "CAST(agree AS BIGINT) AS n_agree",
+            "chance AS s_chance",
+            "CAST((10000 * (nd * agree - chance)) div (nd * nd - chance) AS BIGINT) AS kappa_bp",
+        )
     )

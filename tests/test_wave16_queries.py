@@ -186,3 +186,38 @@ def test_trunc_div_matches_engine_semantics():
     assert _trunc_div(-7, 2) == -3
     assert _trunc_div(-6, 3) == -2
     assert _trunc_div(0, 5) == 0
+
+
+def test_t25_all_ties_means_auc_half(spark, tmp_path):
+    # identical text -> identical scores -> every pos/neg pair is a tie ->
+    # midrank U gives AUC exactly 0.5 (u2 = 2 * npos * nneg * 0.5)
+    _write_docs(
+        tmp_path,
+        ["same words here okay"] * 4,
+        langs=["en", "en", "fr", "de"],
+    )
+    from delta_lake_spark.queries import QUERIES
+
+    r = QUERIES["t25_classifier_auc"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_pos, r.n_neg) == (2, 2)
+    assert r.u2 == 4  # 2*U where U = npos*nneg/2 = 2
+    assert r.auc_bp == 5000
+
+
+def test_t26_kappa_zero_for_constant_predictor_and_one_for_perfect(spark, tmp_path):
+    from delta_lake_spark.queries import QUERIES
+
+    # constant prediction (both docs scream English stopwords) over a 50/50
+    # truth split: agreement 1/2 equals chance -> kappa exactly 0
+    _write_docs(tmp_path, ["the and of to with"] * 2, langs=["en", "fr"])
+    r = QUERIES["t26_langid_kappa"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_docs, r.n_agree, r.kappa_bp) == (2, 1, 0)
+
+    # perfect agreement -> kappa exactly 10000
+    _write_docs(
+        tmp_path,
+        ["the and of to with", "el la de que los"],
+        langs=["en", "es"],
+    )
+    r = QUERIES["t26_langid_kappa"](spark, str(tmp_path)).collect()[0]
+    assert (r.n_docs, r.n_agree, r.kappa_bp) == (2, 2, 10000)
