@@ -71,6 +71,10 @@ EXTENSIONS = [
     "s13_dsir_importance",                # DSIR hashed-ngram importance (r4)
     "v17_kmeans_exact",                   # exact-integer Euclidean Lloyd (r4)
     "d21_semantic_dedup_survivors",       # SemDeDup paper keep-rule (r4)
+    "t25_classifier_auc",                 # exact midrank AUC (r4)
+    "t26_langid_kappa",                   # Cohen's kappa agreement (r4)
+    "q84_dominant_part_suppliers",        # TPC-H Q20 fraction threshold (r4)
+    "q85_rich_inactive_customers",        # TPC-H Q22 scalar anti-join (r4)
 ]
 
 

@@ -1551,22 +1551,35 @@ ORDER BY v.vec_id
 
 @register("d21_semantic_dedup_survivors", oracle=_d21_oracle())
 def d21_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.similarity import dot, l2_norm
+
     assign = _kmeans_final_assignment(spark, sf_dir).select("vec_id", "cid", "dist")
     e = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("e")
     )
-    m = assign.join(e, "vec_id").select("vec_id", "label", "cid", "dist", "e")
+    # persist: BOTH self-join sides read this frame — without it the whole
+    # k-means assignment chain (2 passes + the update collect) re-runs per
+    # side.  Norms are precomputed per VECTOR (each row's norm serves every
+    # pair it joins into); dot/(na*nb) is the identical IEEE expression tree
+    # to the oracle's dot/(sqrt(aa)*sqrt(bb)).
+    m = (
+        assign.join(e, "vec_id")
+        .select("vec_id", "label", "cid", "dist", "e", l2_norm(F.col("e")).alias("nrm"))
+        .persist()
+    )
     a = m.select(
         F.col("cid"),
         F.col("vec_id").alias("id_a"),
         F.col("dist").alias("dist_a"),
         F.col("e").alias("ea"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = m.select(
         F.col("cid"),
         F.col("vec_id").alias("id_b"),
         F.col("dist").alias("dist_b"),
         F.col("e").alias("eb"),
+        F.col("nrm").alias("nrm_b"),
     )
     # the paper's keep rule: the pair member closer to the centroid drops
     # (exact-integer distances make this decidable); ties drop the higher id
@@ -1578,7 +1591,10 @@ def d21_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = (
         a.join(b, "cid")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("ea"), F.col("eb")) > _D21_TH)
+        .filter(
+            dot(F.col("ea"), F.col("eb")) / (F.col("nrm_a") * F.col("nrm_b"))
+            > _D21_TH
+        )
         .select(loser.alias("vec_id"))
         .distinct()
     )
