@@ -54,6 +54,10 @@ _NAMES = [
     "p03_release_pipeline",      # composed decontaminate->dedup->gate->shuffle
     "v16_knn_graph",             # LSH-bucketed kNN graph
     "q81_ab_experiment_readout", # hash-armed conditional aggregate
+    "q82_interval_union_coverage",  # interval-union islands (r4 wave 16)
+    "v17_kmeans_exact",          # integer Lloyd w/ bounded driver collects
+    "d21_semantic_dedup_survivors",  # centroid-distance keep rule
+    "t25_classifier_auc",        # global_cumsum (partition-count input)
 ]
 # The FULL 150-query oracle-backed registry passed this same two-profile
 # digest sweep (every digest byte-identical between local[3]/3-partition/
