@@ -75,6 +75,8 @@ EXTENSIONS = [
     "t26_langid_kappa",                   # Cohen's kappa agreement (r4)
     "q84_dominant_part_suppliers",        # TPC-H Q20 fraction threshold (r4)
     "q85_rich_inactive_customers",        # TPC-H Q22 scalar anti-join (r4)
+    "q86_seasonal_deviation",             # day-of-week volume anomalies (r4)
+    "q87_rolling_active_users",           # sliding distinct DAU/WAU (r4)
 ]
 
 

@@ -2048,3 +2048,162 @@ def q83_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q86 — seasonal (day-of-week) volume deviation: per (event_type, weekday),
+# the weekly event-count baseline and how many weeks deviated more than 50%
+# from it — the seasonality-aware volume monitor (a Monday dip is normal,
+# a 60%-down Monday is an incident), complementing q62's distribution drift
+# and q83's value outliers.  Weekday and week index derive from the integer
+# epoch-day (day 0 = Thursday, so (day+3) keys Monday-start weeks) — no
+# engine date-function variance.  Anomaly test is cross-multiplied exact
+# integers: |w*n_weeks - total| * 2 > total  <=>  |w - avg| > avg/2.
+#
+# Shape: one (type, dow, week)-keyed count, a (type, dow) re-aggregate of
+# it, and a same-key join back — the q84 re-aggregation pattern; output
+# arity is bounded (types x 7).
+# ---------------------------------------------------------------------------
+@register(
+    "q86_seasonal_deviation",
+    oracle=f"""
+WITH e AS (
+  SELECT event_type,
+         (epoch_us(ts) // {_DAY_US} + 3) % 7  AS dow,
+         (epoch_us(ts) // {_DAY_US} + 3) // 7 AS week
+  FROM events
+),
+wk AS (
+  SELECT event_type, dow, week, COUNT(*) AS w
+  FROM e GROUP BY event_type, dow, week
+),
+base AS (
+  SELECT event_type, dow, COUNT(*) AS n_weeks, SUM(w) AS total
+  FROM wk GROUP BY event_type, dow
+)
+SELECT b.event_type,
+       CAST(b.dow AS BIGINT)     AS dow,
+       CAST(b.n_weeks AS BIGINT) AS n_weeks,
+       CAST(b.total AS BIGINT)   AS total_events,
+       CAST((b.total * 1000) // b.n_weeks AS BIGINT) AS avg_weekly_milli,
+       CAST(SUM(CASE WHEN ABS(wk.w * b.n_weeks - b.total) * 2 > b.total
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous_weeks
+FROM wk JOIN base b USING (event_type, dow)
+GROUP BY b.event_type, b.dow, b.n_weeks, b.total
+ORDER BY b.event_type, dow
+""",
+)
+def q86_seasonal_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.catalog import EPOCH_NTZ
+
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"(timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts) div {_DAY_US} + 3) % 7").alias("dow"),
+        F.expr(f"(timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts) div {_DAY_US} + 3) div 7").alias("week"),
+    )
+    wk = e.groupBy("event_type", "dow", "week").agg(F.count("*").alias("w"))
+    base = wk.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n_weeks"), F.sum("w").alias("total")
+    )
+    anom = F.when(
+        F.abs(F.col("w") * F.col("n_weeks") - F.col("total")) * 2 > F.col("total"), 1
+    ).otherwise(0)
+    return (
+        wk.join(base, ["event_type", "dow"])
+        .groupBy("event_type", "dow", "n_weeks", "total")
+        .agg(F.sum(anom).cast("bigint").alias("n_anomalous_weeks"))
+        .select(
+            "event_type",
+            F.col("dow").cast("bigint").alias("dow"),
+            F.col("n_weeks").cast("bigint").alias("n_weeks"),
+            F.col("total").cast("bigint").alias("total_events"),
+            F.expr("CAST((total * 1000) div n_weeks AS BIGINT)").alias(
+                "avg_weekly_milli"
+            ),
+            "n_anomalous_weeks",
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q87 — rolling 7-day distinct active users (DAU / WAU / stickiness): the
+# sliding-window COUNT(DISTINCT) no engine supports natively at scale.
+# q76's first-occurrence trick only works for RUNNING (unbounded) frames;
+# for a sliding frame the exact rewrite is coverage explode: each distinct
+# (user, day) contributes the user to the 7 report days it covers, a second
+# distinct collapses multi-active users within a window, and a plain count
+# per report day is exact.  Fan-out is a CONSTANT x7 of the deduped
+# (user, day) set — linear, partition-friendly, no per-day subqueries.
+# DAU rides along as a max-flag of the offset-0 row, and DAU/WAU basis
+# points give the classic stickiness ratio.
+#
+# Report days clip to the observed [min_day, max_day] range (broadcast
+# 1-row scalar), so every reported window is fully inside the data.
+# ---------------------------------------------------------------------------
+@register(
+    "q87_rolling_active_users",
+    oracle=f"""
+WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day_idx FROM events
+),
+bounds AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM ud),
+cover AS (
+  SELECT DISTINCT user_id, r AS report_day,
+         MAX(CASE WHEN r = day_idx THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id, r) AS is_today
+  FROM ud, bounds, LATERAL unnest(generate_series(day_idx, day_idx + 6)) AS t(r)
+  WHERE r BETWEEN lo AND hi
+)
+SELECT CAST(report_day AS BIGINT) AS day_idx,
+       CAST(SUM(is_today) AS BIGINT) AS dau,
+       CAST(COUNT(*) AS BIGINT)      AS wau,
+       CAST((SUM(is_today) * 10000) // COUNT(*) AS BIGINT) AS stickiness_bp
+FROM cover
+GROUP BY report_day
+ORDER BY day_idx
+""",
+)
+def q87_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.catalog import EPOCH_NTZ
+
+    ud = (
+        table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr(
+                f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, ts) div {_DAY_US}"
+            ).alias("day_idx"),
+        )
+        .distinct()
+    )
+    bounds = ud.agg(F.min("day_idx").alias("lo"), F.max("day_idx").alias("hi"))
+    cover = (
+        ud.select(
+            "user_id",
+            "day_idx",
+            F.explode(
+                F.sequence(F.col("day_idx"), F.col("day_idx") + 6)
+            ).alias("report_day"),
+        )
+        .crossJoin(F.broadcast(bounds))
+        .filter(F.col("report_day").between(F.col("lo"), F.col("hi")))
+        .groupBy("user_id", "report_day")
+        .agg(
+            F.max(
+                F.when(F.col("report_day") == F.col("day_idx"), 1).otherwise(0)
+            ).alias("is_today")
+        )
+    )
+    return (
+        cover.groupBy("report_day")
+        .agg(
+            F.sum("is_today").cast("bigint").alias("dau"),
+            F.count("*").cast("bigint").alias("wau"),
+            F.expr("CAST((SUM(is_today) * 10000) div COUNT(*) AS BIGINT)").alias(
+                "stickiness_bp"
+            ),
+        )
+        .select(F.col("report_day").cast("bigint").alias("day_idx"), "dau", "wau", "stickiness_bp")
+        .orderBy("day_idx")
+    )

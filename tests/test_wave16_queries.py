@@ -221,3 +221,44 @@ def test_t26_kappa_zero_for_constant_predictor_and_one_for_perfect(spark, tmp_pa
     )
     r = QUERIES["t26_langid_kappa"](spark, str(tmp_path)).collect()[0]
     assert (r.n_docs, r.n_agree, r.kappa_bp) == (2, 2, 10000)
+
+
+def test_q87_wau_covers_trailing_week(spark, tmp_path):
+    def ts(day, h=12):
+        return datetime.datetime(2024, 1, day, h, 0, 0)
+
+    # u1 active day1 and day3; u2 active day3 only.  Observed range day1-3.
+    #   day1: dau {u1}, wau {u1}
+    #   day2: dau {},   wau {u1}           (u1's day1 covers it)
+    #   day3: dau {u1,u2}, wau {u1,u2}
+    _write_events(tmp_path, [(1, ts(1)), (1, ts(3)), (2, ts(3))])
+    from delta_lake_spark.queries import QUERIES
+
+    day0 = 19723  # 2024-01-01
+    out = {
+        r.day_idx: (r.dau, r.wau, r.stickiness_bp)
+        for r in QUERIES["q87_rolling_active_users"](spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        day0: (1, 1, 10000),
+        day0 + 1: (0, 1, 0),
+        day0 + 2: (2, 2, 10000),
+    }
+
+
+def test_q86_flags_the_anomalous_week(spark, tmp_path):
+    def ts(day):
+        return datetime.datetime(2024, 1, day, 12, 0, 0)
+
+    # Mondays 2024-01-01, -08, -15 with 4/4/1 events: baseline avg 3/wk,
+    # |1*3-9|*2=12 > 9 flags week 3; |4*3-9|*2=6 <= 9 keeps weeks 1-2.
+    rows = []
+    for d, n in ((1, 4), (8, 4), (15, 1)):
+        rows += [(u, ts(d)) for u in range(n)]
+    _write_events(tmp_path, rows)
+    from delta_lake_spark.queries import QUERIES
+
+    r = QUERIES["q86_seasonal_deviation"](spark, str(tmp_path)).collect()
+    assert len(r) == 1  # one event type, all on Mondays (dow 0)
+    assert (r[0].dow, r[0].n_weeks, r[0].total_events, r[0].avg_weekly_milli,
+            r[0].n_anomalous_weeks) == (0, 3, 9, 3000, 1)
