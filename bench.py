@@ -77,6 +77,7 @@ EXTENSIONS = [
     "q85_rich_inactive_customers",        # TPC-H Q22 scalar anti-join (r4)
     "q86_seasonal_deviation",             # day-of-week volume anomalies (r4)
     "q87_rolling_active_users",           # sliding distinct DAU/WAU (r4)
+    "v18_pq_ann",                         # product-quantization ADC ANN (r4)
 ]
 
 

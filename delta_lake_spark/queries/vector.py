@@ -1608,3 +1608,138 @@ def d21_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# v18 — product-quantization ANN (the FAISS PQ/ADC technique): split the 64
+# dims into 8 subspaces of 8, give each subspace an 8-entry codebook (seeded
+# from the first 8 vectors' subvectors — static PQ; v17 shows the trained
+# path), compress every vector to 8 one-byte codes, and answer queries with
+# ASYMMETRIC DISTANCE COMPUTATION — the query precomputes a per-subspace
+# lookup table of distances to every codebook entry, and each candidate's
+# distance is just 8 table lookups summed.  The compression complement of
+# v04's IVF bucketing, v08's int8 scalar quantization, and v11's dimension
+# truncation; everything in v17's exact integer micro-units so codes, LUTs,
+# and ADC distances are bit-identical across engines.
+#
+# Scale shape: encoding is a zero-shuffle map (codebook = k x dim literals);
+# the query side broadcasts a 5-row LUT frame (n_queries x 8 x 8 integers);
+# candidates stream once through a broadcast join computing 8 array lookups
+# per pair — the corpus is never joined to itself and never re-shuffled.
+# At 100 TB the codes table is ~64x smaller than the raw vectors, which is
+# the reason PQ exists.
+# ---------------------------------------------------------------------------
+_PQ_SUBS = 8  # subspaces
+_PQ_SUBDIM = _EMB_DIM // _PQ_SUBS
+_PQ_K = 8  # codes per subspace
+_PQ_NQ = 5  # query vectors
+
+
+def _v18_oracle() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * {_V17_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+vd AS (SELECT vec_id, r.range AS d, q[r.range + 1] AS x FROM v, range({_EMB_DIM}) r),
+cb AS (SELECT vec_id AS c, d, x AS cx FROM vd WHERE vec_id < {_PQ_K}),
+codes AS (
+  SELECT vec_id, s, c FROM (
+    SELECT vd.vec_id, vd.d // {_PQ_SUBDIM} AS s, cb.c,
+           ROW_NUMBER() OVER (PARTITION BY vd.vec_id, vd.d // {_PQ_SUBDIM}
+                              ORDER BY SUM((x - cx) * (x - cx)), cb.c) AS rn
+    FROM vd JOIN cb USING (d)
+    GROUP BY vd.vec_id, vd.d // {_PQ_SUBDIM}, cb.c
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT vd.vec_id AS qid, vd.d // {_PQ_SUBDIM} AS s, cb.c,
+         SUM((x - cx) * (x - cx)) AS dist
+  FROM vd JOIN cb USING (d)
+  WHERE vd.vec_id < {_PQ_NQ}
+  GROUP BY vd.vec_id, vd.d // {_PQ_SUBDIM}, cb.c
+),
+adc AS (
+  SELECT lut.qid, codes.vec_id AS vid, SUM(lut.dist) AS adc_dist
+  FROM codes JOIN lut ON lut.s = codes.s AND lut.c = codes.c
+  WHERE codes.vec_id <> lut.qid
+  GROUP BY lut.qid, codes.vec_id
+)
+SELECT qid, vid, CAST(adc_dist AS BIGINT) AS adc_dist, rank FROM (
+  SELECT qid, vid, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vid) AS rank
+  FROM adc
+) t WHERE rank <= 10
+ORDER BY qid, rank
+"""
+
+
+@register("v18_pq_ann", oracle=_v18_oracle())
+def v18_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vec = _quantized_vectors(spark, sf_dir)
+    cb_rows = vec.filter(F.col("vec_id") < _PQ_K).collect()
+    cb = {int(r["vec_id"]): list(r["q"]) for r in cb_rows}
+
+    def sub_sqdist(cid: int, s: int):
+        # exact integer squared distance of q's subspace s to codebook cid
+        terms = None
+        for j in range(_PQ_SUBDIM):
+            d = s * _PQ_SUBDIM + j
+            diff = F.element_at(F.col("q"), d + 1) - F.lit(int(cb[cid][d]))
+            t = diff * diff
+            terms = t if terms is None else terms + t
+        return terms
+
+    # per-row codes: argmin over the k codebook entries, per subspace
+    codes_col = F.array(
+        *[
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(sub_sqdist(c, s).alias("dist"), F.lit(c).alias("c"))
+                        for c in range(_PQ_K)
+                    ]
+                )
+            )["c"].cast("int")
+            for s in range(_PQ_SUBS)
+        ]
+    )
+    cand = vec.select(F.col("vec_id").alias("vid"), codes_col.alias("codes"))
+    # query-side LUT: per subspace, distances to all k codebook entries
+    lut_col = F.array(
+        *[
+            F.array(*[sub_sqdist(c, s) for c in range(_PQ_K)])
+            for s in range(_PQ_SUBS)
+        ]
+    )
+    qdf = vec.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("qid"), lut_col.alias("lut")
+    )
+    adc = (
+        cand.crossJoin(F.broadcast(qdf))
+        .filter(F.col("vid") != F.col("qid"))
+        .select(
+            "qid",
+            "vid",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("lut"),
+                    lambda c, l: F.element_at(l, c + 1),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("qid").orderBy("adc_dist", "vid")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "vid", "adc_dist", "rank")
+        .orderBy("qid", "rank")
+    )
