@@ -137,16 +137,31 @@ def _file_may_match(
     no matching row.  Unknown columns/types keep the file."""
     import datetime
 
+    def _norm(v):
+        return v.isoformat() if isinstance(v, (datetime.date, datetime.datetime)) else v
+
+    def _comparable(lo, v):
+        return type(lo) is type(v) or (
+            isinstance(lo, (int, float)) and isinstance(v, (int, float))
+        )
+
     for col, op, val in filters:
-        if isinstance(val, (datetime.date, datetime.datetime)):
-            val = val.isoformat()
         stats = f.get("stats") or {}
         if col not in stats:
             continue
         lo, hi = stats[col]
-        if type(lo) is not type(val) and not (
-            isinstance(lo, (int, float)) and isinstance(val, (int, float))
-        ):
+        if op == "in":
+            # skip only when EVERY element provably misses [lo, hi]; any
+            # un-comparable (or null) element conservatively keeps the file
+            elems = [_norm(v) for v in val]
+            if elems and all(
+                v is not None and _comparable(lo, v) and not (lo <= v <= hi)
+                for v in elems
+            ):
+                return False
+            continue
+        val = _norm(val)
+        if not _comparable(lo, val):
             continue
         if (
             (op == "=" and not (lo <= val <= hi))
@@ -158,8 +173,16 @@ def _file_may_match(
     # proof, "present" only a maybe — exactly the stats contract
     for col, op, val in filters:
         blooms = f.get("bloom") or {}
-        if op == "=" and val is not None and col in blooms:
+        if col not in blooms:
+            continue
+        if op == "=" and val is not None:
             if not _bloom_probe(val, blooms[col]):
+                return False
+        elif op == "in":
+            elems = list(val)
+            if elems and all(
+                v is not None and not _bloom_probe(v, blooms[col]) for v in elems
+            ):
                 return False
     return True
 
@@ -475,6 +498,9 @@ def _filters_expr(filters: list[tuple[str, str, Any]]) -> "Column":
     out = F.lit(True)
     for col, op, val in filters:
         c = F.col(col)
+        if op == "in":
+            out = out & c.isin(list(val))
+            continue
         out = out & {
             "=": c == val, "<": c < val, "<=": c <= val, ">": c > val, ">=": c >= val
         }[op]
@@ -1293,7 +1319,8 @@ class ManagedTable:
         then the same predicates applied exactly as DataFrame filters.
 
         ``filters``: [(column, op, literal), ...] with op in
-        ``= < <= > >=`` (AND semantics).  Combined with
+        ``= < <= > >= in`` (AND semantics; ``in`` takes a list literal and
+        prunes by stats ranges, bloom filters, and partition values).  Combined with
         ``optimize(sort_by=...)``, a selective scan touches only the files
         whose stat range covers the predicate — the measurable form of the
         reference's Z-order benefit (deltalake.ipynb:8354-8356).
@@ -1338,6 +1365,16 @@ class ManagedTable:
                     # an empty-string literal, so both normalize to None and
                     # the file is kept.
                     if _dir_value_str(f["partition"][col]) != _hive_value_str(val):
+                        keep = False
+                elif op == "in":
+                    # the file's single partition value must be one of the
+                    # list's normalized values (IN (...) with a null element
+                    # never MATCHES null in SQL, but pruning only needs the
+                    # PROVEN-miss direction, so equality of normalized forms
+                    # conservatively keeps)
+                    if _dir_value_str(f["partition"][col]) not in {
+                        _hive_value_str(v) for v in val
+                    }:
                         keep = False
                 elif op in ("<", "<=", ">", ">="):
                     # typed RANGE pruning on the partition value: the file
@@ -2051,7 +2088,12 @@ class ManagedTable:
             if entry.get("row_tracking")
             else self._read_files(entry, affected)
         )
-        remaining = scope.filter(~_filters_expr(filters))
+        # SQL DELETE semantics: a row is removed only when the predicate is
+        # TRUE.  A NULL predicate (null in a filtered column) must KEEP the
+        # row — the raw complement ~expr is also NULL there, which would
+        # silently drop the row from `remaining` without deleting it
+        # (row-loss, caught by test_delete_keeps_null_predicate_rows).
+        remaining = scope.filter(~F.coalesce(_filters_expr(filters), F.lit(False)))
         cdc_files = None
         if self.cdf_enabled():
             cdc_files = self._write_cdc_dir(

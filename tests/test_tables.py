@@ -1724,3 +1724,57 @@ def test_merge_operation_metrics_in_history(spark, tmp_path, base_df):
     # metrics absent when not requested
     t.merge(src, ["id"])
     assert "operation_metrics" not in t.history()[0]
+
+
+def test_delete_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates to NULL are
+    NOT deleted — and must also not silently vanish from the rewrite (the
+    raw ~expr complement is NULL for them, which drops them from the
+    remaining set without counting as a delete).  Both DML modes."""
+    for mode in ("copy_on_write", "merge_on_read"):
+        t = ManagedTable(spark, str(tmp_path / f"nd_{mode}"))
+        t.write(
+            spark.createDataFrame(
+                [(1, 10.0), (2, None), (3, 99.0)], "id bigint, v double"
+            )
+        )
+        t.delete_where([("v", "=", 99.0)], mode=mode)
+        out = {(r["id"], r["v"]) for r in t.read().collect()}
+        assert out == {(1, 10.0), (2, None)}, mode
+
+
+def test_scan_in_list_prunes_stats_partitions_and_blooms(spark, tmp_path):
+    """IN-list data skipping across all three pruning sources."""
+    # stats: v-clustered files; IN list entirely below/above most ranges
+    t = ManagedTable(spark, str(tmp_path / "inl"))
+    df = spark.range(10_000).withColumn("v", F.pmod(F.col("id") * 7919, F.lit(10_000)))
+    t.write(df.repartition(8))
+    t.optimize(sort_by=["v"], target_file_bytes=8 * 1024)
+    live, total = t.pruned_file_count([("v", "in", [5, 9_990])])
+    assert live < total / 2  # middle files provably miss both points
+    got = t.scan([("v", "in", [5, 9_990])])
+    assert sorted(r["v"] for r in got.collect()) == [5, 9_990]
+
+    # partitions: only listed partition dirs survive
+    p = ManagedTable(spark, str(tmp_path / "inp"))
+    pdf = spark.createDataFrame(
+        [(i, "abc"[i % 3]) for i in range(9)], "id bigint, grp string"
+    )
+    p.write(pdf, partition_by=["grp"])
+    live, total = p.pruned_file_count([("grp", "in", ["a", "c"])])
+    assert live < total
+    assert {r["grp"] for r in p.scan([("grp", "in", ["a", "c"])]).collect()} == {"a", "c"}
+
+    # blooms: in-range gap values only a bloom can disprove
+    b = ManagedTable(spark, str(tmp_path / "inb"))
+    b.write(
+        spark.createDataFrame([(i * 7,) for i in range(400)], "id bigint")
+        .repartition(4, F.col("id") % 4)
+    )
+    live0, _ = b.pruned_file_count([("id", "in", [30, 58])])  # gaps, in-range
+    b.add_bloom_filters(["id"])
+    live1, total = b.pruned_file_count([("id", "in", [30, 58])])
+    assert live0 == total and live1 == 0
+    assert b.scan([("id", "in", [30, 58])]).count() == 0
+    # a present value keeps its files and returns exactly its rows
+    assert b.scan([("id", "in", [30, 7 * 13])]).count() == 1
