@@ -54,8 +54,9 @@ def assert_no_nulls(df: DataFrame, cols: list[str]) -> None:
 
 def assert_invariant(df: DataFrame, cond: Column, label: str = "invariant") -> None:
     """Every row must satisfy ``cond`` (e.g. the is_suspicious flag
-    definition, SURVEY.md §5 golden invariant 3)."""
-    n_bad = df.filter(~cond).count()
+    definition, SURVEY.md §5 golden invariant 3).  A NULL predicate result
+    counts as a violation — the invariant must provably hold."""
+    n_bad = df.filter(~F.coalesce(cond, F.lit(False))).count()
     if n_bad:
         raise QualityError(f"{label}: {n_bad} rows violate")
 

@@ -1690,7 +1690,12 @@ class ManagedTable:
                             .select(*table_cols)
                             .withColumn(_CDC_COL, F.lit("delete"))
                         )
-                    target = t2.filter(~applies).drop("_src_hit", "_bys")
+                    # NULL condition = clause does NOT apply = row KEPT
+                    # (the raw ~applies is NULL there and would silently
+                    # drop the row — same hazard as delete_where's remaining)
+                    target = t2.filter(
+                        ~F.coalesce(applies, F.lit(False))
+                    ).drop("_src_hit", "_bys")
                 else:  # update
                     pre = t2.filter(applies) if self.cdf_enabled() else None
                     upd = t2
@@ -1886,7 +1891,11 @@ class ManagedTable:
         t_cols = [F.col(f"t.{c}").alias(c) for c in table_cols]
         rid = [F.col(f"t.{_ROW_ID}").alias(_ROW_ID)] if row_tracked else []
         if when_matched == "delete":
-            kept = matched.filter(~cond).select(*t_cols, *rid)
+            # a NULL matched_condition keeps the row (clause not applied);
+            # the raw ~cond complement would silently drop it instead
+            kept = matched.filter(~F.coalesce(cond, F.lit(False))).select(
+                *t_cols, *rid
+            )
         elif when_matched == "ignore":
             kept = matched.select(*t_cols, *rid)
         else:  # update_all or partial update_set

@@ -303,3 +303,49 @@ def test_scd2_incremental_matches_rebuild(spark, script):
         assert opens.isEmpty()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_merge_null_conditions_keep_rows(spark, tmp_path):
+    """A NULL clause condition means the clause does NOT apply — the row
+    must be KEPT, not silently lost to the ~NULL complement (the
+    delete_where row-loss hazard, here for conditional matched-delete and
+    conditional by-source delete)."""
+    from delta_lake_spark.tables.managed import ManagedTable
+
+    # matched-delete with a condition over a nullable column: id=2 matches
+    # but t.val is null -> condition NULL -> row stays
+    t = ManagedTable(spark, str(tmp_path / "mnull"))
+    t.write(
+        spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, -1.0)], "id bigint, val double"
+        )
+    )
+    src = spark.createDataFrame([(2, 9.0), (3, 9.0)], "id bigint, val double")
+    t.merge(
+        src,
+        ["id"],
+        when_matched="delete",
+        when_not_matched="ignore",
+        matched_condition="t.val < 0",
+    )
+    out = {(r["id"], r["val"]) for r in t.read().collect()}
+    assert out == {(1, 5.0), (2, None)}  # 3 deleted; null-cond row kept
+
+    # by-source delete with a condition over a nullable column: id=2 has no
+    # source match and a NULL condition -> must survive
+    t2 = ManagedTable(spark, str(tmp_path / "bsnull"))
+    t2.write(
+        spark.createDataFrame(
+            [(1, 5.0), (2, None), (3, -1.0)], "id bigint, val double"
+        )
+    )
+    t2.merge(
+        spark.createDataFrame([(1, 5.0)], "id bigint, val double"),
+        ["id"],
+        when_matched="ignore",
+        when_not_matched="ignore",
+        when_not_matched_by_source="delete",
+        not_matched_by_source_condition="val < 0",
+    )
+    out2 = {(r["id"], r["val"]) for r in t2.read().collect()}
+    assert out2 == {(1, 5.0), (2, None)}
