@@ -59,10 +59,12 @@ _NAMES = [
     "d21_semantic_dedup_survivors",  # centroid-distance keep rule
     "t25_classifier_auc",        # global_cumsum (partition-count input)
 ]
-# The FULL 150-query oracle-backed registry passed this same two-profile
-# digest sweep (every digest byte-identical between local[3]/3-partition/
-# 128MB-split and local[8]/17-partition/256KB-split profiles; too slow for
-# every suite run) — re-run it with:
+# The FULL 160-query oracle-backed registry passed this same two-profile
+# digest sweep (latest full run: round 4, sf0.01 — every digest
+# byte-identical between local[3]/3-partition/128MB-split and
+# local[8]/17-partition/256KB-split profiles; the wave-16/17 additions
+# q82-q87/t24-t26/s13/v17/v18/d21 each swept green on landing; too slow
+# for every suite run) — re-run it with:
 # python tests/determinism_child.py <sf> local[3] 3 134217728 a.tsv
 # $(python -c 'from delta_lake_spark.queries import ORACLE; print(*sorted(ORACLE))')
 # and diff against a local[8]/17/262144 run.  Notably this covers the exact
