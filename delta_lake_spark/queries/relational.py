@@ -1644,3 +1644,55 @@ def q70_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.cume_dist().over(w) * 10000).cast("bigint").alias("cd_bp"),
         F.nth_value("c_acctbal", 3).over(wf).alias("third_highest_bal"),
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# q88 — RELATIONAL DIVISION (the FOR-ALL query shape): customers who placed
+# orders in EVERY priority class.  Division is the one classic algebra
+# operator SQL has no keyword for; the scalable rewrite is count-matching —
+# per-customer COUNT(DISTINCT divisor) compared against the divisor-set
+# cardinality — which runs as ONE customer-keyed aggregate plus a broadcast
+# scalar, instead of the textbook double-NOT-EXISTS (two correlated
+# anti-joins).  The oracle keeps the count-matching form too (DuckDB planned
+# the same), so both engines agree bit-exactly on the qualifying set.
+#
+# Scale shape: one (custkey, priority) distinct collapse (map-side partial),
+# one custkey aggregate, the 1-row divisor count broadcast; the segment
+# lookup joins the bounded qualifying set to the customer dim (AQE decides).
+# ---------------------------------------------------------------------------
+@register(
+    "q88_full_coverage_customers",
+    oracle="""
+WITH np AS (SELECT COUNT(DISTINCT o_orderpriority) AS n_prio FROM orders),
+q AS (
+  SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_cust_prio,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+)
+SELECT q.o_custkey AS custkey, c.c_mktsegment,
+       CAST(q.n_orders AS BIGINT) AS n_orders
+FROM q, np
+JOIN customer c ON c.c_custkey = q.o_custkey
+WHERE q.n_cust_prio = np.n_prio
+ORDER BY custkey
+""",
+)
+def q88_full_coverage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    np_ = o.agg(F.countDistinct("o_orderpriority").alias("n_prio"))
+    q = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_cust_prio"),
+        F.count("*").alias("n_orders"),
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        q.crossJoin(F.broadcast(np_))
+        .filter(F.col("n_cust_prio") == F.col("n_prio"))
+        .join(c, q.o_custkey == c.c_custkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "c_mktsegment",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+        )
+        .orderBy("custkey")
+    )
