@@ -86,11 +86,11 @@ _CHECKPOINT_INTERVAL = 10
 _STATS_TYPES = (int, float, str, bool)
 
 
-def _footer_stats(path: str) -> dict[str, list[Any]]:
-    """Per-file column [min, max] from the parquet footer — metadata-only
-    read on the driver at commit time (the same stats Delta records for
-    data skipping).  Dates are stored as ISO strings; unsupported types are
-    skipped."""
+def _footer_meta(path: str) -> "tuple[dict[str, list[Any]], int | None]":
+    """(column [min,max] stats, row count) from one parquet footer — a
+    single metadata-only read on the driver at commit time (the same stats
+    + numRecords Delta records in its add actions).  Dates are stored as
+    ISO strings; unsupported types are skipped."""
     import datetime
 
     import pyarrow.parquet as pq
@@ -98,7 +98,7 @@ def _footer_stats(path: str) -> dict[str, list[Any]]:
     try:
         meta = pq.ParquetFile(path).metadata
     except Exception:
-        return {}
+        return {}, None
     agg: dict[str, list[Any]] = {}
     for rg in range(meta.num_row_groups):
         group = meta.row_group(rg)
@@ -127,7 +127,11 @@ def _footer_stats(path: str) -> dict[str, list[Any]]:
                 agg[name] = [min(agg[name][0], lo), max(agg[name][1], hi)]
             else:
                 agg[name] = [lo, hi]
-    return agg
+    return agg, meta.num_rows
+
+
+def _footer_stats(path: str) -> dict[str, list[Any]]:
+    return _footer_meta(path)[0]
 
 
 def _file_may_match(
@@ -686,15 +690,16 @@ class ManagedTable:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(32, len(found))) as pool:
-            stats = list(pool.map(lambda fp: _footer_stats(fp[0]), found))
+            metas = list(pool.map(lambda fp: _footer_meta(fp[0]), found))
         files = [
             {
                 "path": os.path.relpath(full, path),
                 "size": os.path.getsize(full),
                 "partition": partition,
                 "stats": st,
+                **({"rows": n} if n is not None else {}),
             }
-            for (full, partition), st in zip(found, stats)
+            for (full, partition), (st, n) in zip(found, metas)
         ]
         mt = cls(spark, path)
         mt._commit(
@@ -962,15 +967,16 @@ class ManagedTable:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(32, max(1, len(found)))) as pool:
-            stats = list(pool.map(lambda fp: _footer_stats(fp[0]), found))
+            metas = list(pool.map(lambda fp: _footer_meta(fp[0]), found))
         files = [
             {
                 "path": os.path.relpath(full, self.path),
                 "size": os.path.getsize(full),
                 "partition": partition,
                 "stats": st,
+                **({"rows": n} if n is not None else {}),
             }
-            for (full, partition), st in zip(found, stats)
+            for (full, partition), (st, n) in zip(found, metas)
         ]
         return commit_dir, files
 
@@ -3477,6 +3483,38 @@ class ManagedTable:
         out = dict(s)
         out["commits_since_analyze"] = e["version"] - s["as_of_version"]
         return out
+
+    def count_rows(self, version: "int | str | None" = None) -> int:
+        """Exact ``SELECT COUNT(*)`` from LOG METADATA — no data scan.
+
+        Delta's OptimizeMetadataOnlyQuery analog: every commit records each
+        file's footer ``rows`` (one metadata read at write time, alongside
+        the skipping stats), and merge-on-read DML records per-file
+        ``dv_rows``; the live count is their difference summed over the
+        snapshot.  Files from pre-feature commits lack ``rows`` and fall
+        back to one pooled footer read each (self-healing on the next
+        rewrite).  Time-travel capable (version or tag name)."""
+        entry = self._entry(version)
+        self._check_time_travel_files(entry, version)
+        missing = [f for f in entry["files"] if "rows" not in f]
+        extra = 0
+        if missing:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(32, len(missing))) as pool:
+                ns = list(
+                    pool.map(
+                        lambda f: _footer_meta(os.path.join(self.path, f["path"]))[1]
+                        or 0,
+                        missing,
+                    )
+                )
+            extra = sum(ns)
+        return (
+            sum(f["rows"] - f.get("dv_rows", 0) for f in entry["files"] if "rows" in f)
+            + extra
+            - sum(f.get("dv_rows", 0) for f in missing)
+        )
 
     def set_property(self, key: str, value: "str | None") -> int:
         """Generic user table property (``ALTER TABLE ... SET TBLPROPERTIES``

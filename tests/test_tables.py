@@ -1778,3 +1778,23 @@ def test_scan_in_list_prunes_stats_partitions_and_blooms(spark, tmp_path):
     assert b.scan([("id", "in", [30, 58])]).count() == 0
     # a present value keeps its files and returns exactly its rows
     assert b.scan([("id", "in", [30, 7 * 13])]).count() == 1
+
+
+def test_count_rows_is_metadata_exact(spark, tmp_path):
+    """count_rows() must equal read().count() through append, CoW delete,
+    MoR delete (dv_rows), time travel, and purge — computed from the log,
+    not a scan."""
+    t = ManagedTable(spark, str(tmp_path / "cnt"))
+    t.write(spark.range(100).withColumn("v", F.col("id") * 2))
+    assert t.count_rows() == 100
+    t.write(spark.range(100, 150).withColumn("v", F.col("id") * 2), mode="append")
+    assert t.count_rows() == 150
+    v_before = t.latest_version()
+    t.delete_where([("id", "<", 10)])  # CoW rewrite
+    assert t.count_rows() == 140
+    t.delete_where([("id", ">=", 140)], mode="merge_on_read")  # DV sidecar
+    assert t.count_rows() == 130 == t.read().count()
+    # time travel sees the old counts
+    assert t.count_rows(v_before) == 150
+    t.purge_deletes()
+    assert t.count_rows() == 130 == t.read().count()
