@@ -78,6 +78,8 @@ EXTENSIONS = [
     "q86_seasonal_deviation",             # day-of-week volume anomalies (r4)
     "q87_rolling_active_users",           # sliding distinct DAU/WAU (r4)
     "v18_pq_ann",                         # product-quantization ADC ANN (r4)
+    "q88_full_coverage_customers",        # relational division (r4)
+    "p04_mixture_materialization",        # DoReMi plan application (r4)
 ]
 
 

@@ -721,3 +721,108 @@ def s13_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_milli_avg").desc(), "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# p04 — mixture-plan MATERIALIZATION: apply s12's DoReMi-style plan to the
+# corpus — every document is replicated ``repeat_bp`` times with stochastic
+# rounding (full copies = repeat_bp div 10000; the fractional residual
+# becomes one extra copy for a content-addressed ``residual-bp`` share of
+# docs), the copies are materialized by an explode, and the per-source
+# achieved token mass is certified against the plan's target.  This is the
+# step between planning (s12) and packing (t09/p02): >10000 bp sources
+# upsample (multi-epoch), <10000 bp sources subsample, and the achieved/
+# target ratio shows the discretization error the trainer will actually see.
+#
+# Scale shape: the plan is a bounded per-source frame (broadcast back); the
+# copies explode is linear with fan-out bounded by the largest repeat
+# factor (a corpus-mixture constant, not data-dependent); the final
+# aggregate is source-keyed.  Content-addressed residual selection is
+# partition-count-independent (reshard-safe like s01).
+# ---------------------------------------------------------------------------
+def _p04_oracle() -> str:
+    from delta_lake_spark.functions.sampling import hash_bucket_sql
+
+    toks = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    bucket = hash_bucket_sql("doc_id", "mixcopy")
+    return f"""
+WITH per_source AS (
+  SELECT source, {_S12_W_SQL} AS w,
+         CAST(SUM({toks}) AS BIGINT) AS avail_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(w) AS w_tot FROM per_source),
+plan AS (
+  SELECT source,
+         CAST(({_S12_BUDGET} * w) // w_tot AS BIGINT) AS target_tokens,
+         CAST(((({_S12_BUDGET} * w) // w_tot) * 10000) // avail_tokens AS BIGINT)
+           AS repeat_bp
+  FROM per_source, tot
+),
+doc_copies AS (
+  SELECT d.doc_id, d.source, {toks} AS n_toks,
+         (p.repeat_bp // 10000)
+           + CASE WHEN {bucket} < p.repeat_bp % 10000 THEN 1 ELSE 0 END AS copies
+  FROM documents d JOIN plan p USING (source)
+),
+materialized AS (
+  SELECT doc_id, source, n_toks, t.c AS copy_idx
+  FROM doc_copies, LATERAL unnest(generate_series(1, copies)) AS t(c)
+)
+SELECT p.source,
+       p.target_tokens,
+       CAST(COALESCE(SUM(m.n_toks), 0) AS BIGINT)       AS achieved_tokens,
+       CAST(COALESCE(COUNT(m.doc_id), 0) AS BIGINT)     AS n_rows,
+       CAST((COALESCE(SUM(m.n_toks), 0) * 10000) // p.target_tokens AS BIGINT)
+         AS achieved_bp
+FROM plan p LEFT JOIN materialized m USING (source)
+GROUP BY p.source, p.target_tokens
+ORDER BY p.source
+"""
+
+
+@register("p04_mixture_materialization", oracle=_p04_oracle())
+def p04_mixture_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.sampling import hash_bucket
+
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    plan = s12_mixture_plan(spark, sf_dir).select(
+        "source", "target_tokens", "repeat_bp"
+    )
+    doc_copies = d.join(F.broadcast(plan), "source").select(
+        "doc_id",
+        "source",
+        "target_tokens",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_toks"),
+        (
+            F.expr("repeat_bp div 10000")
+            + F.when(
+                hash_bucket("doc_id", "mixcopy") < F.col("repeat_bp") % 10000, 1
+            ).otherwise(0)
+        ).alias("copies"),
+    )
+    # copies can be 0 for downsampled sources; Spark's sequence(1, 0) would
+    # DESCEND ([1, 0]) instead of emitting nothing, so gate the explode
+    materialized = doc_copies.filter(F.col("copies") >= 1).select(
+        "doc_id",
+        "source",
+        "target_tokens",
+        "n_toks",
+        F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("copy_idx"),
+    )
+    achieved = materialized.groupBy("source").agg(
+        F.sum("n_toks").alias("ach"), F.count("*").alias("nr")
+    )
+    return (
+        plan.join(achieved, "source", "left")
+        .select(
+            "source",
+            "target_tokens",
+            F.coalesce("ach", F.lit(0)).cast("bigint").alias("achieved_tokens"),
+            F.coalesce("nr", F.lit(0)).cast("bigint").alias("n_rows"),
+            F.expr(
+                "CAST((COALESCE(ach, 0) * 10000) div target_tokens AS BIGINT)"
+            ).alias("achieved_bp"),
+        )
+        .orderBy("source")
+    )

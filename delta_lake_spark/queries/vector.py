@@ -1301,7 +1301,9 @@ def v16_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", hyperplane_signature("embedding", dim=_EMB_DIM).alias("sig")
     )
     mask = (1 << _V16_BAND_BITS) - 1
-    bands = sig.select(
+    # persisted: the band frame feeds BOTH self-join sides — without it the
+    # 16x64-term signature folds run twice (the d06/d21 persist convention)
+    bands = sig.persist().select(
         "vec_id",
         F.explode(
             F.array(
@@ -1328,13 +1330,26 @@ def v16_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("nbr"))
         .distinct()
     )
-    va = e.select(F.col("vec_id").alias("src"), F.col("embedding").alias("es"))
-    vb = e.select(F.col("vec_id").alias("nbr"), F.col("embedding").alias("en"))
+    from delta_lake_spark.functions.similarity import dot, l2_norm
+
+    # per-vector norms computed once (each row's norm serves every pair);
+    # dot/(ns*nn) is the identical IEEE expression tree to dot/(sqrt*sqrt)
+    ed = e.select("vec_id", as_double(F.col("embedding")).alias("ed"))
+    va = ed.select(
+        F.col("vec_id").alias("src"),
+        F.col("ed").alias("es"),
+        l2_norm(F.col("ed")).alias("ns"),
+    )
+    vb = ed.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("ed").alias("en"),
+        l2_norm(F.col("ed")).alias("nn"),
+    )
     w = Window.partitionBy("src").orderBy(F.desc("sim"), "nbr")
     return (
         cand.join(va, "src")
         .join(vb, "nbr")
-        .withColumn("sim", cosine(as_double(F.col("es")), as_double(F.col("en"))))
+        .withColumn("sim", dot(F.col("es"), F.col("en")) / (F.col("ns") * F.col("nn")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("src", "nbr", "sim", "rank")

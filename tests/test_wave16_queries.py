@@ -262,3 +262,35 @@ def test_q86_flags_the_anomalous_week(spark, tmp_path):
     assert len(r) == 1  # one event type, all on Mondays (dow 0)
     assert (r[0].dow, r[0].n_weeks, r[0].total_events, r[0].avg_weekly_milli,
             r[0].n_anomalous_weeks) == (0, 3, 9, 3000, 1)
+
+
+def test_p04_downsampled_source_zero_copy_docs_drop(spark, tmp_path):
+    # Force a genuinely downsampled source: the plan budget is 1M tokens,
+    # so give src0 (w=1) MORE tokens than its budget share — repeat_bp
+    # lands under 10000 and ~1/6 of its docs must contribute ZERO copies.
+    # Spark's sequence(1, 0) DESCENDS ([1, 0]); without the copies >= 1
+    # guard those docs would emit 2 phantom copies instead of none.
+    texts, sources = [], []
+    for i in range(2000):  # src0: w=1, 400k tokens total > ~333k share
+        texts.append(("w" + str(i % 7) + " ") * 200)
+        sources.append("src0")
+    for i in range(10):    # src1: w=2, tiny -> heavy upsample
+        texts.append("x y z")
+        sources.append("src1")
+    _write_docs(tmp_path, [t.strip() for t in texts], sources=sources)
+    from delta_lake_spark.queries import QUERIES
+
+    rows = {
+        r.source: r
+        for r in QUERIES["p04_mixture_materialization"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    r0 = rows["src0"]
+    # downsampled: fewer materialized rows than documents (some docs got 0
+    # copies), achieved mass within ~one doc of the target, never above
+    # avail
+    assert r0.n_rows < 2000
+    assert r0.achieved_tokens < 400_000
+    assert 9_000 <= r0.achieved_bp <= 11_000  # lands near the target
+    assert rows["src1"].n_rows > 10  # the upsampled side multiplies
