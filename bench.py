@@ -80,6 +80,8 @@ EXTENSIONS = [
     "v18_pq_ann",                         # product-quantization ADC ANN (r4)
     "q88_full_coverage_customers",        # relational division (r4)
     "p04_mixture_materialization",        # DoReMi plan application (r4)
+    "q89_revenue_gini",                   # exact-integer Gini (r4)
+    "d22_cross_source_dup_matrix",        # dup provenance matrix (r4)
 ]
 
 

@@ -1010,3 +1010,86 @@ def d20_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_join(
         docs, "doc_id", "text", n=2, tau_num=3, tau_den=5
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# d22 — cross-source duplicate overlap matrix: for every pair of sources,
+# how many duplicate relations span them (and how many stay within one
+# source).  The provenance report a corpus curator reads before deciding
+# which feed to drop — here keyed by the SHARED-OPENING fingerprint (md5 of
+# the first 3 normalized tokens): scraped feeds duplicate each other's
+# openings (templates, syndication) long before full texts match, and this
+# corpus has no full-text dups by construction (t01 proves that), so the
+# prefix key is the boundary that actually has provenance signal.  The
+# same matrix runs over any group key.  A group with k_s docs from
+# source s contributes C(k_s, 2) within-source pairs and k_a*k_b pairs to
+# (a, b) — computed from the bounded per-(fingerprint, source) counts, so
+# no doc-level pair surface ever exists.
+#
+# Scale shape: one (fingerprint, source) aggregate over the corpus, a
+# fingerprint-keyed self-join of the GROUP-LEVEL counts only (duplicate
+# groups are rare and small — the join input is orders of magnitude below
+# corpus size), and a bounded (src_a, src_b) rollup.
+# ---------------------------------------------------------------------------
+def _d22_oracle() -> str:
+    from delta_lake_spark.queries.text import _NORM_SQL
+
+    return f"""
+WITH fp AS (
+  SELECT md5(array_to_string(
+           regexp_split_to_array({_NORM_SQL}, '\\s+')[1:3], ' ')) AS f,
+         source
+  FROM documents d
+),
+gs AS (SELECT f, source, COUNT(*) AS k FROM fp GROUP BY f, source),
+dup AS (SELECT f FROM gs GROUP BY f HAVING SUM(k) > 1),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         SUM(CASE WHEN a.source = b.source THEN a.k * (a.k - 1) / 2
+                  ELSE a.k * b.k END) AS n_pairs
+  FROM gs a JOIN gs b ON a.f = b.f AND a.source <= b.source
+  JOIN dup ON dup.f = a.f
+  WHERE a.source < b.source OR (a.source = b.source AND a.k > 1)
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, CAST(n_pairs AS BIGINT) AS n_pairs
+FROM pairs ORDER BY src_a, src_b
+"""
+
+
+@register("d22_cross_source_dup_matrix", oracle=_d22_oracle())
+def d22_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.text import normalize_text, tokens
+
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    prefix_fp = F.md5(
+        F.concat_ws(" ", F.slice(tokens(normalize_text("text")), 1, 3))
+    )
+    gs = (
+        d.select(prefix_fp.alias("f"), "source")
+        .groupBy("f", "source")
+        .agg(F.count("*").alias("k"))
+    )
+    dup = gs.groupBy("f").agg(F.sum("k").alias("tot")).filter(F.col("tot") > 1).select("f")
+    a = gs.select("f", F.col("source").alias("src_a"), F.col("k").alias("ka"))
+    b = gs.select("f", F.col("source").alias("src_b"), F.col("k").alias("kb"))
+    pairs = (
+        a.join(b, "f")
+        .join(dup, "f")
+        .filter(
+            (F.col("src_a") < F.col("src_b"))
+            | ((F.col("src_a") == F.col("src_b")) & (F.col("ka") > 1))
+        )
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("src_a") == F.col("src_b"),
+                    F.col("ka") * (F.col("ka") - 1) / 2,
+                ).otherwise(F.col("ka") * F.col("kb"))
+            )
+            .cast("bigint")
+            .alias("n_pairs")
+        )
+    )
+    return pairs.orderBy("src_a", "src_b")

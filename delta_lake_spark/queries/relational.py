@@ -1696,3 +1696,53 @@ def q88_full_coverage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q89 — revenue concentration as an EXACT-integer Gini coefficient: how
+# unequally is order revenue distributed across customers?  The rank-form
+# identity  G = (2*SUM(i*x_i) - (n+1)*SUM(x)) / (n*SUM(x))  (x ascending)
+# is computed entirely in integer cents — per-customer revenue ranks come
+# from ops.ranking.global_row_number (range partition + broadcast offsets,
+# never a single-partition ORDER BY window), the two sums are one
+# aggregate, and the output is floored milli-units via cross-multiplied
+# integer division.  Float Lorenz-curve integration would not be
+# cross-engine reproducible; this is.
+#
+# Scale shape: one customer-keyed revenue aggregate, the funnel-free global
+# ranking, one scalar aggregate.  Nothing quadratic, nothing collected
+# beyond the P-row partition offsets.
+# ---------------------------------------------------------------------------
+@register(
+    "q89_revenue_gini",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i FROM rev
+)
+SELECT CAST(COUNT(*) AS BIGINT)   AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST((1000 * (2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents)))
+            // (COUNT(*) * SUM(cents)) AS BIGINT) AS gini_milli
+FROM ranked
+""",
+)
+def q89_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.ops.ranking import global_row_number
+
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    ranked = global_row_number(rev, ["cents", "o_custkey"], out_col="i")
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.expr(
+            "CAST((1000 * (2 * SUM(i * cents) - (COUNT(*) + 1) * SUM(cents)))"
+            " div (COUNT(*) * SUM(cents)) AS BIGINT)"
+        ).alias("gini_milli"),
+    )

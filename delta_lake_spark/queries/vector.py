@@ -1697,39 +1697,69 @@ def v18_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cb_rows = vec.filter(F.col("vec_id") < _PQ_K).collect()
     cb = {int(r["vec_id"]): list(r["q"]) for r in cb_rows}
 
-    def sub_sqdist(cid: int, s: int):
-        # exact integer squared distance of q's subspace s to codebook cid
-        terms = None
-        for j in range(_PQ_SUBDIM):
-            d = s * _PQ_SUBDIM + j
-            diff = F.element_at(F.col("q"), d + 1) - F.lit(int(cb[cid][d]))
-            t = diff * diff
-            terms = t if terms is None else terms + t
-        return terms
+    # The codebook rides as ONE literal nested array CB[s][c][j] and the
+    # row's subvectors as qs[s][j]; codes/LUT are nested higher-order
+    # transforms over them.  A flat expression formulation (512 inlined
+    # element_at terms per projection) overflows whole-stage codegen's
+    # method limit and falls back to interpreted eval — measured 5x slower
+    # than this HOF form at sf0.1.
+    cb_col = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(
+                        *[
+                            F.lit(int(cb[c][s * _PQ_SUBDIM + j]))
+                            for j in range(_PQ_SUBDIM)
+                        ]
+                    )
+                    for c in range(_PQ_K)
+                ]
+            )
+            for s in range(_PQ_SUBS)
+        ]
+    )
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1)),
+        lambda s: F.slice(F.col("q"), (s * _PQ_SUBDIM + 1).cast("int"), _PQ_SUBDIM),
+    )
+    base = vec.withColumn("qs", subs).withColumn("cbl", cb_col)
 
-    # per-row codes: argmin over the k codebook entries, per subspace
-    codes_col = F.array(
-        *[
-            F.array_min(
-                F.array(
-                    *[
-                        F.struct(sub_sqdist(c, s).alias("dist"), F.lit(c).alias("c"))
-                        for c in range(_PQ_K)
-                    ]
-                )
-            )["c"].cast("int")
-            for s in range(_PQ_SUBS)
-        ]
+    def sqd(qsub, cbsub):
+        return F.aggregate(
+            F.zip_with(qsub, cbsub, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def per_subspace(inner):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(_PQ_SUBS - 1)),
+            lambda s: inner(
+                F.element_at(F.col("qs"), (s + 1).cast("int")),
+                F.element_at(F.col("cbl"), (s + 1).cast("int")),
+            ),
+        )
+
+    codes_col = per_subspace(
+        lambda qsub, cbs: F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PQ_K - 1)),
+                lambda c: F.struct(
+                    sqd(qsub, F.element_at(cbs, (c + 1).cast("int"))).alias("dist"),
+                    c.cast("int").alias("c"),
+                ),
+            )
+        )["c"]
     )
-    cand = vec.select(F.col("vec_id").alias("vid"), codes_col.alias("codes"))
-    # query-side LUT: per subspace, distances to all k codebook entries
-    lut_col = F.array(
-        *[
-            F.array(*[sub_sqdist(c, s) for c in range(_PQ_K)])
-            for s in range(_PQ_SUBS)
-        ]
+    lut_col = per_subspace(
+        lambda qsub, cbs: F.transform(
+            F.sequence(F.lit(0), F.lit(_PQ_K - 1)),
+            lambda c: sqd(qsub, F.element_at(cbs, (c + 1).cast("int"))),
+        )
     )
-    qdf = vec.filter(F.col("vec_id") < _PQ_NQ).select(
+    cand = base.select(F.col("vec_id").alias("vid"), codes_col.alias("codes"))
+    qdf = base.filter(F.col("vec_id") < _PQ_NQ).select(
         F.col("vec_id").alias("qid"), lut_col.alias("lut")
     )
     adc = (
