@@ -1651,10 +1651,12 @@ def t25_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             feats, F.lit(0).cast("long"), lambda acc, w: acc + _clf_weight(w)
         ).alias("score"),
     )
+    # persisted: the score-arity-sized frame feeds the cumsum AND the
+    # totals — without it the token-explode scoring scan runs twice
     g = sc.groupBy("score").agg(
         F.sum(F.when(F.col("pos"), 1).otherwise(0)).alias("np"),
         F.sum(F.when(F.col("pos"), 0).otherwise(1)).alias("nn"),
-    )
+    ).persist()
     c = global_cumsum(g, "nn", ["score"], out_col="cum_incl").withColumn(
         "cumneg", F.col("cum_incl") - F.col("nn")
     )
@@ -1714,10 +1716,13 @@ FROM tot, s
 )
 def t26_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    # persisted: the bounded confusion matrix feeds three aggregates —
+    # without it the regex-heavy language detection scans the corpus 3x
     conf = (
         d.select("lang", detect_language("text").alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count("*").alias("n"))
+        .persist()
     )
     tot = conf.agg(
         F.sum("n").alias("nd"),
