@@ -82,6 +82,7 @@ EXTENSIONS = [
     "p04_mixture_materialization",        # DoReMi plan application (r4)
     "q89_revenue_gini",                   # exact-integer Gini (r4)
     "d22_cross_source_dup_matrix",        # dup provenance matrix (r4)
+    "t27_quality_rank_correlation",       # exact Spearman calibration (r4)
 ]
 
 

@@ -1745,3 +1745,100 @@ def t26_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((10000 * (nd * agree - chance)) div (nd * nd - chance) AS BIGINT) AS kappa_bp",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# t27 — Spearman rank correlation between two quality signals (the
+# heuristic t03 score vs the t23 bigram-LM score): do the cheap filter and
+# the model-based filter AGREE on document ordering?  The calibration
+# check run before trusting one signal to stand in for the other.  Ranks
+# use exact midrank tie handling in DOUBLED integer units (2*midrank =
+# 2*rank_min + k - 1 — integers even when k is even), built from each
+# score's histogram + ops.ranking.global_cumsum rather than a global RANK
+# window (the funnel).  Pearson-on-ranks moments accumulate in
+# decimal(38,0)/HUGEINT (exact at any corpus size); only the final
+# normalization touches doubles — one sqrt and one division, IEEE-identical
+# in both engines — floored to milli-units.
+# ---------------------------------------------------------------------------
+@register(
+    "t27_quality_rank_correlation",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS ws
+  FROM documents
+),
+bi AS (
+  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-1, 0)+1),
+                                       i -> ws[i] || ' ' || ws[i+1])) AS bg
+  FROM toks WHERE len(ws) >= 2
+),
+uni AS (SELECT unnest(ws) AS w FROM toks),
+c1 AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+c2 AS (SELECT bg, COUNT(*) AS c FROM bi GROUP BY bg),
+v AS (SELECT COUNT(DISTINCT w) AS vsz FROM uni),
+lm AS (
+  SELECT bi.doc_id,
+         CAST(SUM((1000000 * (c2.c + 1)) // (c1.c + v.vsz))
+              // COUNT(*) AS BIGINT) AS y
+  FROM bi
+  JOIN c2 ON bi.bg = c2.bg
+  JOIN c1 ON split_part(bi.bg, ' ', 1) = c1.w
+  CROSS JOIN v
+  GROUP BY bi.doc_id
+),
+q AS (SELECT doc_id, {_QUALITY_SQL} AS x FROM documents d),
+m AS (SELECT q.doc_id, q.x, lm.y FROM q JOIN lm USING (doc_id)),
+rx AS (SELECT doc_id,
+              2 * RANK() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1 AS x2
+       FROM m),
+ry AS (SELECT doc_id,
+              2 * RANK() OVER (ORDER BY y) + COUNT(*) OVER (PARTITION BY y) - 1 AS y2
+       FROM m),
+j AS (SELECT rx.x2::HUGEINT AS x2, ry.y2::HUGEINT AS y2
+      FROM rx JOIN ry USING (doc_id)),
+mo AS (SELECT COUNT(*)::HUGEINT AS n, SUM(x2) AS sx, SUM(y2) AS sy,
+              SUM(x2*x2) AS sxx, SUM(y2*y2) AS syy, SUM(x2*y2) AS sxy
+       FROM j)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(FLOOR(1000 * CAST(n*sxy - sx*sy AS DOUBLE) /
+            sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *
+                 CAST(n*syy - sy*sy AS DOUBLE))) AS BIGINT) AS spearman_milli
+FROM mo
+""",
+)
+def t27_quality_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.text import bigram_lm_scores, quality_score
+    from delta_lake_spark.ops.ranking import global_cumsum
+
+    docs = table_parallel(spark, sf_dir, "documents", "doc_id")
+    lm = bigram_lm_scores(docs, "doc_id", "text").select(
+        "doc_id", F.col("lm_score_micro").alias("y")
+    )
+    q = docs.select("doc_id", quality_score("text").alias("x"))
+    # persisted: both rank passes and the final moments consume this frame
+    m = q.join(lm, "doc_id").persist()
+
+    def with_doubled_midranks(df, col, out):
+        h = df.groupBy(col).agg(F.count("*").alias("_k"))
+        c = global_cumsum(h, "_k", [col], out_col="_ci")
+        r = c.select(col, (2 * F.col("_ci") - F.col("_k") + 1).alias(out))
+        return df.join(r, col)
+
+    j = with_doubled_midranks(with_doubled_midranks(m, "x", "x2"), "y", "y2")
+    dec = "decimal(38,0)"
+    mo = j.agg(
+        F.count("*").cast(dec).alias("n"),
+        F.sum(F.col("x2").cast(dec)).alias("sx"),
+        F.sum(F.col("y2").cast(dec)).alias("sy"),
+        # cast BEFORE multiplying: bigint ranks square past 2^63 at
+        # corpus scale; decimal(38,0) products stay exact
+        F.sum(F.col("x2").cast(dec) * F.col("x2").cast(dec)).alias("sxx"),
+        F.sum(F.col("y2").cast(dec) * F.col("y2").cast(dec)).alias("syy"),
+        F.sum(F.col("x2").cast(dec) * F.col("y2").cast(dec)).alias("sxy"),
+    )
+    return mo.selectExpr(
+        "CAST(n AS BIGINT) AS n_docs",
+        "CAST(FLOOR(1000 * CAST(n*sxy - sx*sy AS DOUBLE) /"
+        " sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *"
+        " CAST(n*syy - sy*sy AS DOUBLE))) AS BIGINT) AS spearman_milli",
+    )
