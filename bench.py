@@ -83,6 +83,7 @@ EXTENSIONS = [
     "q89_revenue_gini",                   # exact-integer Gini (r4)
     "d22_cross_source_dup_matrix",        # dup provenance matrix (r4)
     "t27_quality_rank_correlation",       # exact Spearman calibration (r4)
+    "q90_ship_latency_slo",               # exact latency percentiles (r4)
 ]
 
 

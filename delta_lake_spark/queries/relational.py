@@ -1746,3 +1746,62 @@ def q89_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (COUNT(*) * SUM(cents)) AS BIGINT)"
         ).alias("gini_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q90 — fulfillment-latency SLO percentiles: p50/p90/p99 (exact,
+# interpolated) of order-to-ship latency in whole days, per order priority
+# — the ops-review table behind "are URGENT orders actually faster?".
+# Latency comes from integer epoch-day arithmetic (timezone-immune, like
+# q68/q86); percentile interpolation emits raw doubles, which are
+# hash-stable across engines on integer inputs (q39 precedent: Spark's
+# exact `percentile` and DuckDB's `quantile_cont` agree bit-for-bit).
+#
+# Shape: one fact-sized equi-join (lineitem x orders on orderkey — AQE
+# decides), one bounded (priority) aggregate with map-side partials.
+# ---------------------------------------------------------------------------
+@register(
+    "q90_ship_latency_slo",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       quantile_cont(epoch_us(l.l_shipdate) // {86_400_000_000}
+                     - epoch_us(o.o_orderdate) // {86_400_000_000}, 0.5)  AS p50_days,
+       quantile_cont(epoch_us(l.l_shipdate) // {86_400_000_000}
+                     - epoch_us(o.o_orderdate) // {86_400_000_000}, 0.9)  AS p90_days,
+       quantile_cont(epoch_us(l.l_shipdate) // {86_400_000_000}
+                     - epoch_us(o.o_orderdate) // {86_400_000_000}, 0.99) AS p99_days,
+       CAST(MAX(epoch_us(l.l_shipdate) // {86_400_000_000}
+                - epoch_us(o.o_orderdate) // {86_400_000_000}) AS BIGINT) AS max_days
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def q90_ship_latency_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.catalog import EPOCH_NTZ
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    day = 86_400_000_000
+    lat = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "o_orderpriority",
+            (
+                F.expr(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, l_shipdate) div {day}")
+                - F.expr(f"timestampdiff(MICROSECOND, {EPOCH_NTZ}, o_orderdate) div {day}")
+            ).alias("lat_days"),
+        )
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.expr("percentile(lat_days, 0.5)").alias("p50_days"),
+            F.expr("percentile(lat_days, 0.9)").alias("p90_days"),
+            F.expr("percentile(lat_days, 0.99)").alias("p99_days"),
+            F.max("lat_days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
