@@ -208,18 +208,23 @@ def test_t26_kappa_zero_for_constant_predictor_and_one_for_perfect(spark, tmp_pa
     from delta_lake_spark.queries import QUERIES
 
     # constant prediction (both docs scream English stopwords) over a 50/50
-    # truth split: agreement 1/2 equals chance -> kappa exactly 0
-    _write_docs(tmp_path, ["the and of to with"] * 2, langs=["en", "fr"])
-    r = QUERIES["t26_langid_kappa"](spark, str(tmp_path)).collect()[0]
+    # truth split: agreement 1/2 equals chance -> kappa exactly 0.
+    # NOTE: each corpus gets its OWN directory — t26 persists its bounded
+    # confusion frame, and overwriting the same path would let Spark's
+    # cache manager serve the first corpus's cached plan for the second.
+    a = tmp_path / "a"; a.mkdir()
+    _write_docs(a, ["the and of to with"] * 2, langs=["en", "fr"])
+    r = QUERIES["t26_langid_kappa"](spark, str(a)).collect()[0]
     assert (r.n_docs, r.n_agree, r.kappa_bp) == (2, 1, 0)
 
     # perfect agreement -> kappa exactly 10000
+    b = tmp_path / "b"; b.mkdir()
     _write_docs(
-        tmp_path,
+        b,
         ["the and of to with", "el la de que los"],
         langs=["en", "es"],
     )
-    r = QUERIES["t26_langid_kappa"](spark, str(tmp_path)).collect()[0]
+    r = QUERIES["t26_langid_kappa"](spark, str(b)).collect()[0]
     assert (r.n_docs, r.n_agree, r.kappa_bp) == (2, 2, 10000)
 
 
