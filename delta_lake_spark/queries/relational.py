@@ -1805,3 +1805,338 @@ def q90_ship_latency_slo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q91 — market-basket association rules over order line items: which part
+# pairs co-occur more often than chance?  Support / lift for every pair
+# bought together in >=2 orders, in exact cross-multiplied integers
+# (lift_milli = 1000 * c_ab * N div (c_a * c_b); support in basis points)
+# — the co-occurrence complement of q73's co-purchase PageRank (global
+# importance) and q61's transition matrix (temporal order).
+#
+# Scale shape: the pair surface is the intra-order self-join on
+# l_orderkey with partkey< to half the matrix — fan-out is C(k,2) of the
+# per-order item count (TPC-H: k<=7, so <=21 pairs/order, LINEAR in the
+# fact).  One orderkey exchange builds pairs, one (a,b) aggregate counts
+# them, and the per-part counts frame (a scaling dim) joins back
+# AQE-decided, unhinted.  No global top-k window: the final top-20 is
+# TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@register(
+    "q91_market_basket_lift",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n FROM items
+),
+part_counts AS (
+  SELECT l_partkey, COUNT(*) AS c FROM items GROUP BY l_partkey
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS pair_orders
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 2
+)
+SELECT CAST(p.part_a AS BIGINT) AS part_a,
+       CAST(p.part_b AS BIGINT) AS part_b,
+       CAST(p.pair_orders AS BIGINT) AS pair_orders,
+       CAST((10000 * p.pair_orders) // n.n AS BIGINT) AS support_bp,
+       CAST((1000 * p.pair_orders * n.n) // (ca.c * cb.c) AS BIGINT) AS lift_milli
+FROM pairs p
+CROSS JOIN n_orders n
+JOIN part_counts ca ON ca.l_partkey = p.part_a
+JOIN part_counts cb ON cb.l_partkey = p.part_b
+ORDER BY lift_milli DESC, part_a, part_b
+LIMIT 20
+""",
+)
+def q91_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    )
+    part_counts = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("pair_orders"))
+        .filter(F.col("pair_orders") >= 2)
+    )
+    ca = part_counts.select(
+        F.col("l_partkey").alias("part_a"), F.col("c").alias("c_a")
+    )
+    cb = part_counts.select(
+        F.col("l_partkey").alias("part_b"), F.col("c").alias("c_b")
+    )
+    scored = (
+        pairs.crossJoin(F.broadcast(n_orders))
+        .join(ca, "part_a")
+        .join(cb, "part_b")
+        .select(
+            F.col("part_a").cast("bigint"),
+            F.col("part_b").cast("bigint"),
+            F.col("pair_orders").cast("bigint"),
+            F.expr("CAST((10000 * pair_orders) div n AS BIGINT)").alias(
+                "support_bp"
+            ),
+            F.expr(
+                "CAST((1000 * pair_orders * n) div (c_a * c_b) AS BIGINT)"
+            ).alias("lift_milli"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_milli"), "part_a", "part_b"
+    ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# q92 — retention cohort matrix: group customers by first-order month, then
+# for each (cohort, months-since-first) cell report how many of the cohort
+# ordered again — the classic product-analytics retention triangle, in
+# exact integers (months as y*12+m indexes, retention in basis points).
+#
+# Scale shape: one custkey aggregate finds each customer's cohort, the
+# distinct (custkey, month) activity frame joins back on custkey (same-key
+# exchange reused), and the final matrix is a bounded (cohort, offset)
+# aggregate; cohort sizes re-derive from the matrix's own offset-0 cells —
+# activity at months_since=0 is the cohort-defining order itself, so no
+# second scan and no separate size join is needed.
+# ---------------------------------------------------------------------------
+@register(
+    "q92_retention_cohorts",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT o_custkey,
+         CAST(EXTRACT(YEAR FROM o_orderdate) * 12 + EXTRACT(MONTH FROM o_orderdate) - 1 AS BIGINT) AS midx
+  FROM orders
+),
+first AS (
+  SELECT o_custkey, MIN(midx) AS cohort FROM act GROUP BY o_custkey
+),
+cells AS (
+  SELECT f.cohort, a.midx - f.cohort AS months_since, COUNT(*) AS active_customers
+  FROM act a JOIN first f ON a.o_custkey = f.o_custkey
+  GROUP BY f.cohort, a.midx - f.cohort
+)
+SELECT CAST(c.cohort // 12 AS BIGINT)      AS cohort_year,
+       CAST(c.cohort % 12 + 1 AS BIGINT)   AS cohort_month,
+       CAST(c.months_since AS BIGINT)      AS months_since,
+       CAST(c.active_customers AS BIGINT)  AS active_customers,
+       CAST((10000 * c.active_customers) // s.active_customers AS BIGINT) AS retention_bp
+FROM cells c
+JOIN (SELECT cohort, active_customers FROM cells WHERE months_since = 0) s
+  ON s.cohort = c.cohort
+ORDER BY cohort_year, cohort_month, months_since
+""",
+)
+def q92_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    act = o.select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).cast("bigint").alias("midx"),
+    ).distinct()
+    first = act.groupBy("o_custkey").agg(F.min("midx").alias("cohort"))
+    cells = (
+        act.join(first, "o_custkey")
+        .groupBy("cohort", (F.col("midx") - F.col("cohort")).alias("months_since"))
+        .agg(F.count("*").alias("active_customers"))
+    )
+    sizes = cells.filter(F.col("months_since") == 0).select(
+        "cohort", F.col("active_customers").alias("cohort_size")
+    )
+    return (
+        cells.join(sizes, "cohort")
+        .select(
+            F.expr("CAST(cohort div 12 AS BIGINT)").alias("cohort_year"),
+            F.expr("CAST(cohort % 12 + 1 AS BIGINT)").alias("cohort_month"),
+            F.col("months_since").cast("bigint"),
+            F.col("active_customers").cast("bigint"),
+            F.expr(
+                "CAST((10000 * active_customers) div cohort_size AS BIGINT)"
+            ).alias("retention_bp"),
+        )
+        .orderBy("cohort_year", "cohort_month", "months_since")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q93 — RFM customer segmentation: score every ordering customer 1..5 on
+# Recency (last order date), Frequency (order count), Monetary (revenue
+# cents), then report the segment landscape.  Scores are exact global
+# quintiles computed as ((rank-1)*5) div n + 1 over unique-keyed global
+# row numbers — the SAME closed-form bucket both engines evaluate on
+# integers, so the segmentation is bit-reproducible (NTILE's split rule
+# is engine-defined; this one is ours and portable).
+#
+# Scale shape: customer is a SCALING dim, so the three rankings go through
+# ops.ranking.global_row_number (range partition + broadcast offsets — no
+# single-partition ORDER BY funnel); the three score frames re-join on
+# custkey, and the final (r,f,m) aggregate is bounded at 125 cells.
+# ---------------------------------------------------------------------------
+@register(
+    "q93_rfm_segments",
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+         CAST(DATE_DIFF('day', DATE '1970-01-01', MAX(o_orderdate)) AS BIGINT) AS recency_day,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+n AS (SELECT COUNT(*) AS n FROM rfm),
+scored AS (
+  SELECT o_custkey, monetary_cents,
+         ((ROW_NUMBER() OVER (ORDER BY recency_day, o_custkey) - 1) * 5) // n.n + 1 AS r_score,
+         ((ROW_NUMBER() OVER (ORDER BY frequency, o_custkey) - 1) * 5) // n.n + 1   AS f_score,
+         ((ROW_NUMBER() OVER (ORDER BY monetary_cents, o_custkey) - 1) * 5) // n.n + 1 AS m_score
+  FROM rfm CROSS JOIN n
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+""",
+)
+def q93_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.ops.ranking import global_row_number
+
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("recency_day"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    n = rfm.count()
+
+    # exact closed-form quintile: ((rn-1)*5) div n + 1 on the unique-keyed rank
+    def score_exact(dim: str, out_col: str) -> DataFrame:
+        ranked = global_row_number(rfm, [dim, "o_custkey"], out_col="rn")
+        return ranked.select(
+            "o_custkey",
+            F.expr(f"CAST(((rn - 1) * 5) div {n} + 1 AS BIGINT)").alias(out_col),
+        )
+
+    r = score_exact("recency_day", "r_score")
+    f_ = score_exact("frequency", "f_score")
+    m = score_exact("monetary_cents", "m_score")
+    return (
+        rfm.select("o_custkey", "monetary_cents")
+        .join(r, "o_custkey")
+        .join(f_, "o_custkey")
+        .join(m, "o_custkey")
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q94 — repurchase-interval distribution: days between consecutive orders
+# per customer, bucketed into the retention bands product teams watch
+# (0, 1-7, 8-30, 31-90, 91-365, 365+), with each band's share in basis
+# points — the inter-purchase-time complement of q92's cohort matrix.
+#
+# Scale shape: ONE custkey-keyed window (lag over order date with the
+# orderkey tie-break) produces every interval; the bucket rollup is a
+# bounded 6-row aggregate with map-side partials.  Integer epoch-day
+# arithmetic end to end.
+# ---------------------------------------------------------------------------
+@register(
+    "q94_repurchase_intervals",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey,
+         CAST(DATE_DIFF('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS day,
+         LAG(CAST(DATE_DIFF('day', DATE '1970-01-01', o_orderdate) AS BIGINT))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_day
+  FROM orders
+),
+iv AS (
+  SELECT day - prev_day AS gap FROM seq WHERE prev_day IS NOT NULL
+),
+b AS (
+  SELECT CASE WHEN gap = 0 THEN 'a_same_day'
+              WHEN gap <= 7 THEN 'b_week'
+              WHEN gap <= 30 THEN 'c_month'
+              WHEN gap <= 90 THEN 'd_quarter'
+              WHEN gap <= 365 THEN 'e_year'
+              ELSE 'f_over_year' END AS bucket,
+         gap
+  FROM iv
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(MIN(gap) AS BIGINT) AS min_days,
+       CAST(MAX(gap) AS BIGINT) AS max_days,
+       CAST((10000 * COUNT(*)) // (SELECT COUNT(*) FROM iv) AS BIGINT) AS share_bp
+FROM b GROUP BY bucket ORDER BY bucket
+""",
+)
+def q94_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast(
+        "bigint"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey", day.alias("day"), F.lag(day).over(w).alias("prev_day")
+    )
+    iv = seq.filter(F.col("prev_day").isNotNull()).select(
+        (F.col("day") - F.col("prev_day")).alias("gap")
+    )
+    b = iv.select(
+        F.when(F.col("gap") == 0, "a_same_day")
+        .when(F.col("gap") <= 7, "b_week")
+        .when(F.col("gap") <= 30, "c_month")
+        .when(F.col("gap") <= 90, "d_quarter")
+        .when(F.col("gap") <= 365, "e_year")
+        .otherwise("f_over_year")
+        .alias("bucket"),
+        "gap",
+    )
+    total = iv.agg(F.count("*").alias("t"))
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.min("gap").cast("bigint").alias("min_days"),
+            F.max("gap").cast("bigint").alias("max_days"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_intervals",
+            "min_days",
+            "max_days",
+            F.expr("CAST((10000 * n_intervals) div t AS BIGINT)").alias("share_bp"),
+        )
+        .orderBy("bucket")
+    )

@@ -826,3 +826,93 @@ def p04_mixture_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# s14 — Neyman-allocation stratified sample PLAN: split a 1000-doc sampling
+# budget across sources proportional to N_h * sd_h (stratum size x std dev
+# of n_chars) — the minimum-variance allocation for stratified estimation
+# (Neyman 1934), vs s02's equal-size strata.  High-variance sources get
+# proportionally more of the budget.
+#
+# Exactness: the variance numerator n*SUM(x^2) - SUM(x)^2 is exact integer
+# arithmetic (decimal(38,0) / HUGEINT so a 100-TB corpus cannot overflow);
+# sd_milli takes ONE correctly-rounded IEEE sqrt + one multiply + one
+# divide + floor on identical integer inputs — bit-identical across
+# engines (t27/q39 precedent).  Allocations are cross-multiplied integer
+# division against the summed weights.
+#
+# Scale shape: one bounded groupBy(source) aggregate with map-side
+# partials; the weight total broadcasts back as a 1-row frame.  Nothing
+# else touches the corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "s14_neyman_allocation",
+    oracle="""
+WITH m AS (
+  SELECT source,
+         CAST(COUNT(*) AS HUGEINT) AS n_docs,
+         CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sum_c,
+         CAST(SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sumsq
+  FROM documents GROUP BY source
+),
+sd AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT(CAST(n_docs * sumsq - sum_c * sum_c AS DOUBLE)) * 1000 / n_docs) AS BIGINT) AS sd_milli
+  FROM m
+),
+w AS (
+  SELECT source, n_docs, sd_milli,
+         CAST(n_docs AS HUGEINT) * sd_milli AS weight
+  FROM sd
+),
+tot AS (SELECT SUM(weight) AS total_w FROM w)
+SELECT w.source,
+       CAST(w.n_docs AS BIGINT)   AS n_docs,
+       w.sd_milli                 AS sd_milli,
+       CAST((1000 * w.weight) // t.total_w AS BIGINT)  AS alloc_docs,
+       CAST((10000 * w.weight) // t.total_w AS BIGINT) AS weight_bp
+FROM w CROSS JOIN tot t
+ORDER BY w.source
+""",
+)
+def s14_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    m = d.groupBy("source").agg(
+        F.count("*").cast("decimal(38,0)").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("decimal(38,0)")).alias("sum_c"),
+        F.sum(
+            F.col("n_chars").cast("decimal(38,0)")
+            * F.col("n_chars").cast("decimal(38,0)")
+        ).alias("sumsq"),
+    )
+    sd = m.select(
+        "source",
+        "n_docs",
+        F.expr(
+            "CAST(FLOOR(SQRT(CAST(n_docs * sumsq - sum_c * sum_c AS DOUBLE))"
+            " * 1000 / n_docs) AS BIGINT)"
+        ).alias("sd_milli"),
+    )
+    w = sd.select(
+        "source",
+        "n_docs",
+        "sd_milli",
+        (F.col("n_docs") * F.col("sd_milli")).alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").alias("total_w"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint"),
+            "sd_milli",
+            F.expr("CAST((1000 * weight) div total_w AS BIGINT)").alias(
+                "alloc_docs"
+            ),
+            F.expr("CAST((10000 * weight) div total_w AS BIGINT)").alias(
+                "weight_bp"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1842,3 +1842,94 @@ def t27_quality_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         " sqrt(CAST(n*sxx - sx*sx AS DOUBLE) *"
         " CAST(n*syy - sy*sy AS DOUBLE))) AS BIGINT) AS spearman_milli",
     )
+
+
+# ---------------------------------------------------------------------------
+# t28 — lexical diversity per source: corpus-level type-token ratio
+# (distinct vocabulary / total tokens) and the mean per-document TTR —
+# the low-diversity red flag (template farms, keyword stuffing, generated
+# spam score LOW here) used alongside t03's quality heuristics and t24's
+# boilerplate mining.  All integer: ratios in basis points; the per-doc
+# mean is an exact integer average of per-doc milli-ratios.
+#
+# Scale shape: per-doc TTR is array_distinct/size — pure JVM array fns,
+# ZERO shuffle; the corpus vocabulary needs one (source, token) distinct
+# (map-side combine collapses the Zipf head before the exchange) and a
+# bounded per-source aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "t28_lexical_diversity",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({_TOKENS_SQL}) AS token
+  FROM documents WHERE len(trim(text)) > 0
+),
+corpus AS (
+  SELECT source,
+         COUNT(*) AS total_tokens,
+         COUNT(DISTINCT token) AS vocab
+  FROM tok GROUP BY source
+),
+per_doc AS (
+  SELECT source,
+         (1000 * len(list_distinct({_TOKENS_SQL}))) // len({_TOKENS_SQL}) AS ttr_milli
+  FROM documents WHERE len(trim(text)) > 0
+),
+doc_avg AS (
+  SELECT source, SUM(ttr_milli) // COUNT(*) AS mean_doc_ttr_milli,
+         COUNT(*) AS n_docs
+  FROM per_doc GROUP BY source
+)
+SELECT c.source,
+       CAST(d.n_docs AS BIGINT)        AS n_docs,
+       CAST(c.total_tokens AS BIGINT)  AS total_tokens,
+       CAST(c.vocab AS BIGINT)         AS vocab,
+       CAST((10000 * c.vocab) // c.total_tokens AS BIGINT) AS corpus_ttr_bp,
+       CAST(d.mean_doc_ttr_milli AS BIGINT) AS mean_doc_ttr_milli
+FROM corpus c JOIN doc_avg d ON c.source = d.source
+ORDER BY c.source
+""",
+)
+def t28_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = tokens("text")
+    corpus = (
+        d.select("source", F.explode(toks).alias("token"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.countDistinct("token").alias("vocab"),
+        )
+    )
+    doc_avg = (
+        d.select(
+            "source",
+            F.expr(
+                "CAST((1000 * size(array_distinct(split(trim(text), '\\\\s+'))))"
+                " div size(split(trim(text), '\\\\s+')) AS BIGINT)"
+            ).alias("ttr_milli"),
+        )
+        .groupBy("source")
+        .agg(
+            F.expr("CAST(SUM(ttr_milli) div COUNT(*) AS BIGINT)").alias(
+                "mean_doc_ttr_milli"
+            ),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+    )
+    return (
+        corpus.join(doc_avg, "source")
+        .select(
+            "source",
+            "n_docs",
+            F.col("total_tokens").cast("bigint"),
+            F.col("vocab").cast("bigint"),
+            F.expr("CAST((10000 * vocab) div total_tokens AS BIGINT)").alias(
+                "corpus_ttr_bp"
+            ),
+            "mean_doc_ttr_milli",
+        )
+        .orderBy("source")
+    )

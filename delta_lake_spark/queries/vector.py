@@ -1650,7 +1650,9 @@ _PQ_K = 8  # codes per subspace
 _PQ_NQ = 5  # query vectors
 
 
-def _v18_oracle() -> str:
+def _pq_ctes() -> str:
+    """Shared DuckDB CTE prefix: quantize -> codebook -> codes -> query LUTs
+    -> ADC distances (used by v18's top-k and v19's shortlist+rerank)."""
     return f"""
 WITH v AS (
   SELECT vec_id,
@@ -1682,6 +1684,13 @@ adc AS (
   WHERE codes.vec_id <> lut.qid
   GROUP BY lut.qid, codes.vec_id
 )
+"""
+
+
+def _v18_oracle() -> str:
+    return (
+        _pq_ctes()
+        + """
 SELECT qid, vid, CAST(adc_dist AS BIGINT) AS adc_dist, rank FROM (
   SELECT qid, vid, adc_dist,
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vid) AS rank
@@ -1689,10 +1698,12 @@ SELECT qid, vid, CAST(adc_dist AS BIGINT) AS adc_dist, rank FROM (
 ) t WHERE rank <= 10
 ORDER BY qid, rank
 """
+    )
 
 
-@register("v18_pq_ann", oracle=_v18_oracle())
-def v18_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_adc(spark: SparkSession, sf_dir: str):
+    """Quantized vectors + the PQ asymmetric-distance frame (qid, vid,
+    adc_dist) shared by v18 (top-k) and v19 (shortlist + exact rerank)."""
     vec = _quantized_vectors(spark, sf_dir)
     cb_rows = vec.filter(F.col("vec_id") < _PQ_K).collect()
     cb = {int(r["vec_id"]): list(r["q"]) for r in cb_rows}
@@ -1779,12 +1790,103 @@ def v18_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("adc_dist"),
         )
     )
+    return vec, adc
+
+
+@register("v18_pq_ann", oracle=_v18_oracle())
+def v18_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    _, adc = _pq_adc(spark, sf_dir)
     w = Window.partitionBy("qid").orderBy("adc_dist", "vid")
     return (
         adc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
         .select("qid", "vid", "adc_dist", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# v19 — PQ shortlist + EXACT rerank: the two-stage serving pattern FAISS
+# deploys in production (coarse ADC recall, exact precision).  The PQ ADC
+# stage (v18's machinery) nominates a 50-candidate shortlist per query —
+# cheap, compressed-domain, but lossy — and the rerank stage recomputes
+# TRUE squared distances only for shortlisted pairs, fixing every ordering
+# mistake quantization introduced inside the shortlist.  All exact integer
+# micro-units, so shortlist membership AND the reranked order are
+# bit-identical across engines.
+#
+# Scale shape: stage 1 is v18's broadcast-LUT scan (corpus streams once);
+# stage 2 touches only n_queries x 50 pairs — the bounded query-vector
+# frame broadcasts, and the full-precision vectors are fetched by ONE
+# vid equi-join (at 100 TB: the point lookups against the uncompressed
+# store that make rerank affordable).  No window over the corpus: ranks
+# partition by qid, a bounded key.
+# ---------------------------------------------------------------------------
+_PQ_SHORTLIST = 50
+
+
+def _v19_oracle() -> str:
+    return (
+        _pq_ctes()
+        + f"""
+, short AS (
+  SELECT qid, vid FROM (
+    SELECT qid, vid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vid) AS arank
+    FROM adc
+  ) t WHERE arank <= {_PQ_SHORTLIST}
+),
+exact AS (
+  SELECT s.qid, s.vid, SUM((a.x - b.x) * (a.x - b.x)) AS exact_dist
+  FROM short s
+  JOIN vd a ON a.vec_id = s.qid
+  JOIN vd b ON b.vec_id = s.vid AND b.d = a.d
+  GROUP BY s.qid, s.vid
+)
+SELECT qid, vid, CAST(exact_dist AS BIGINT) AS exact_dist, rank FROM (
+  SELECT qid, vid, exact_dist,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY exact_dist, vid) AS rank
+  FROM exact
+) t WHERE rank <= 10
+ORDER BY qid, rank
+"""
+    )
+
+
+@register("v19_pq_shortlist_rerank", oracle=_v19_oracle())
+def v19_pq_shortlist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    vec, adc = _pq_adc(spark, sf_dir)
+    w = Window.partitionBy("qid").orderBy("adc_dist", "vid")
+    short = (
+        adc.withColumn("arank", F.row_number().over(w))
+        .filter(F.col("arank") <= _PQ_SHORTLIST)
+        .select("qid", "vid")
+    )
+    qvecs = vec.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+    )
+    cand = vec.select(F.col("vec_id").alias("vid"), F.col("q").alias("cq"))
+    exact = (
+        short.join(F.broadcast(qvecs), "qid")
+        .join(cand, "vid")
+        .select(
+            "qid",
+            "vid",
+            F.aggregate(
+                F.zip_with(F.col("qq"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("exact_dist"),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy("exact_dist", "vid")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "vid", "exact_dist", "rank")
         .orderBy("qid", "rank")
     )

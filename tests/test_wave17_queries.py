@@ -1,0 +1,246 @@
+"""Hand-computed differential tests for the wave-17 operators (q91 market
+basket, q92 retention cohorts, q93 RFM segmentation, q94 repurchase
+intervals, t28 lexical diversity, s14 Neyman allocation, v19 PQ shortlist
+rerank) — tiny corpora where the expected output is derivable on paper,
+complementing the DuckDB oracle parity."""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _d(y, m, day):
+    return datetime.datetime(y, m, day)
+
+
+def _write_orders(tmp_path, rows):
+    """rows: (orderkey, custkey, totalprice, date)"""
+    orders = pa.table(
+        {
+            "o_orderkey": [r[0] for r in rows],
+            "o_custkey": [r[1] for r in rows],
+            "o_orderstatus": ["F"] * len(rows),
+            "o_totalprice": [float(r[2]) for r in rows],
+            "o_orderdate": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "o_orderpriority": ["3-MEDIUM"] * len(rows),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+
+
+def _write_lineitem(tmp_path, rows):
+    """rows: (orderkey, partkey)"""
+    li = pa.table(
+        {
+            "l_orderkey": [r[0] for r in rows],
+            "l_partkey": [r[1] for r in rows],
+            "l_suppkey": [1] * len(rows),
+            "l_linenumber": pa.array(range(1, len(rows) + 1), pa.int32()),
+            "l_quantity": [1.0] * len(rows),
+            "l_extendedprice": [10.0] * len(rows),
+            "l_discount": [0.0] * len(rows),
+            "l_tax": [0.0] * len(rows),
+            "l_returnflag": ["N"] * len(rows),
+            "l_linestatus": ["O"] * len(rows),
+            "l_shipdate": pa.array(
+                [_d(2024, 1, 2)] * len(rows), pa.timestamp("us")
+            ),
+        }
+    )
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+
+
+def _write_docs(tmp_path, texts, sources, n_chars=None):
+    docs = pa.table(
+        {
+            "doc_id": list(range(1, len(texts) + 1)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": sources,
+            "n_chars": n_chars or [len(t) for t in texts],
+        }
+    )
+    pq.write_table(docs, str(tmp_path / "documents.parquet"))
+
+
+def test_q91_pair_lift_hand_computed(spark, tmp_path):
+    # orders 1,2 both buy {10,20}; order 3 buys {10,30}; order 4 buys {40}.
+    # Only (10,20) co-occurs >=2x.  N=4, c10=3, c20=2:
+    #   support_bp = 10000*2/4 = 5000
+    #   lift_milli = 1000*2*4 / (3*2) = 1333
+    _write_lineitem(
+        tmp_path,
+        [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 30), (4, 40)],
+    )
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["q91_market_basket_lift"](spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in rows] == [(10, 20, 2, 5000, 1333)]
+
+
+def test_q91_duplicate_lines_count_once(spark, tmp_path):
+    # the same part twice in one order is ONE basket item
+    _write_lineitem(tmp_path, [(1, 10), (1, 10), (1, 20), (2, 10), (2, 20)])
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["q91_market_basket_lift"](spark, str(tmp_path)).collect()
+    # N=2, c10=2, c20=2, pair (10,20)=2: lift = 1000*2*2/(2*2) = 1000
+    assert [tuple(r) for r in rows] == [(10, 20, 2, 10000, 1000)]
+
+
+def test_q92_retention_matrix_hand_computed(spark, tmp_path):
+    # c1: Jan'24, Feb'24, Apr'24; c2: Jan'24 only; c3: Feb'24 x2, Mar'24.
+    _write_orders(
+        tmp_path,
+        [
+            (1, 1, 10.0, _d(2024, 1, 5)),
+            (2, 1, 10.0, _d(2024, 2, 9)),
+            (3, 1, 10.0, _d(2024, 4, 1)),
+            (4, 2, 10.0, _d(2024, 1, 20)),
+            (5, 3, 10.0, _d(2024, 2, 2)),
+            (6, 3, 10.0, _d(2024, 2, 25)),
+            (7, 3, 10.0, _d(2024, 3, 3)),
+        ],
+    )
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["q92_retention_cohorts"](spark, str(tmp_path)).collect()
+    got = [tuple(r) for r in rows]
+    assert got == [
+        (2024, 1, 0, 2, 10000),
+        (2024, 1, 1, 1, 5000),
+        (2024, 1, 3, 1, 5000),
+        (2024, 2, 0, 1, 10000),
+        (2024, 2, 1, 1, 10000),
+    ]
+
+
+def test_q93_distinct_rfm_maps_to_diagonal(spark, tmp_path):
+    # customer k has k orders of 10.00 each, last order on day k ->
+    # recency, frequency, monetary all rank k among n=5 ->
+    # every score = ((k-1)*5) div 5 + 1 = k; segment_cents = k*1000.
+    rows, ok = [], 1
+    for k in range(1, 6):
+        for j in range(k):
+            rows.append((ok, k, 10.0, _d(2024, 1, k - j)))
+            ok += 1
+    _write_orders(tmp_path, rows)
+    from delta_lake_spark.queries import QUERIES
+
+    out = QUERIES["q93_rfm_segments"](spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in out] == [
+        (k, k, k, 1, k * 1000) for k in range(1, 6)
+    ]
+
+
+def test_q94_interval_buckets_hand_computed(spark, tmp_path):
+    # c1: two same-day orders, then +3d, then +37d; c2: +400d.
+    _write_orders(
+        tmp_path,
+        [
+            (1, 1, 10.0, _d(2024, 1, 1)),
+            (2, 1, 10.0, _d(2024, 1, 1)),
+            (3, 1, 10.0, _d(2024, 1, 4)),
+            (4, 1, 10.0, _d(2024, 2, 10)),
+            (5, 2, 10.0, _d(2023, 1, 1)),
+            (6, 2, 10.0, _d(2024, 2, 5)),
+        ],
+    )
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["q94_repurchase_intervals"](spark, str(tmp_path)).collect()
+    got = {r.bucket: (r.n_intervals, r.min_days, r.max_days, r.share_bp) for r in rows}
+    assert got == {
+        "a_same_day": (1, 0, 0, 2500),
+        "b_week": (1, 3, 3, 2500),
+        "d_quarter": (1, 37, 37, 2500),
+        "f_over_year": (1, 400, 400, 2500),
+    }
+
+
+def test_t28_ttr_hand_computed(spark, tmp_path):
+    # source A: "a b a" (2/3 -> 666 milli), "x x x x" (1/4 -> 250 milli);
+    #   corpus: 7 tokens, vocab {a,b,x}=3 -> 4285 bp; doc mean (666+250)//2=458
+    # source B: "p q" -> 1000 milli, corpus 10000 bp.
+    _write_docs(tmp_path, ["a b a", "x x x x", "p q"], ["A", "A", "B"])
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["t28_lexical_diversity"](spark, str(tmp_path)).collect()
+    got = [tuple(r) for r in rows]
+    assert got == [
+        ("A", 2, 7, 3, 4285, 458),
+        ("B", 1, 2, 2, 10000, 1000),
+    ]
+
+
+def test_s14_zero_variance_stratum_gets_nothing(spark, tmp_path):
+    # A: n_chars [10,10] -> sd 0 -> weight 0 -> alloc 0
+    # B: n_chars [10,20] -> pop sd 5 -> sd_milli 5000, weight 2*5000
+    _write_docs(
+        tmp_path,
+        ["aaaaaaaaaa", "bbbbbbbbbb", "cccccccccc", "dddddddddd"],
+        ["A", "A", "B", "B"],
+        n_chars=[10, 10, 10, 20],
+    )
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["s14_neyman_allocation"](spark, str(tmp_path)).collect()
+    got = [tuple(r) for r in rows]
+    assert got == [
+        ("A", 2, 0, 0, 0),
+        ("B", 2, 5000, 1000, 10000),
+    ]
+
+
+def _numpy_pq_rerank(emb, nq=5, k=8, subs=8, subdim=8, shortlist=50, scale=1_000_000):
+    """Integer replication of the v19 pipeline: quantize, static codebook
+    (first k vectors), encode, ADC, shortlist, exact rerank."""
+    q = np.floor(emb.astype(np.float64) * scale).astype(np.int64)
+    cb = q[:k]  # (k, dim)
+    n = q.shape[0]
+    # codes[i][s] = argmin_c sum((q[i,sub]-cb[c,sub])^2), ties -> lower c
+    codes = np.zeros((n, subs), dtype=np.int64)
+    for s in range(subs):
+        sl = slice(s * subdim, (s + 1) * subdim)
+        d = ((q[:, None, sl] - cb[None, :, sl]) ** 2).sum(axis=2)  # (n, k)
+        codes[:, s] = d.argmin(axis=1)  # argmin takes first (lowest c) on ties
+    out = []
+    for qid in range(nq):
+        lut = np.zeros((subs, k), dtype=np.int64)
+        for s in range(subs):
+            sl = slice(s * subdim, (s + 1) * subdim)
+            lut[s] = ((q[qid, sl][None, :] - cb[:, sl]) ** 2).sum(axis=1)
+        adc = np.array(
+            [lut[np.arange(subs), codes[v]].sum() for v in range(n)], dtype=np.int64
+        )
+        cands = [v for v in range(n) if v != qid]
+        cands.sort(key=lambda v: (adc[v], v))
+        short = cands[:shortlist]
+        exact = {v: int(((q[qid] - q[v]) ** 2).sum()) for v in short}
+        short.sort(key=lambda v: (exact[v], v))
+        for rank, v in enumerate(short[:10], start=1):
+            out.append((qid, v, exact[v], rank))
+    return out
+
+
+def test_v19_matches_numpy_differential(spark):
+    sf = "/root/testdata/sf0.001"
+    emb_tbl = pq.read_table(f"{sf}/embeddings.parquet")
+    ids = emb_tbl.column("vec_id").to_numpy()
+    order = np.argsort(ids)
+    emb = np.stack(
+        [np.asarray(x, dtype=np.float32) for x in emb_tbl.column("embedding").to_pylist()]
+    )[order]
+    expected = _numpy_pq_rerank(emb)
+
+    from delta_lake_spark.queries import QUERIES
+
+    got = [
+        (r.qid, r.vid, r.exact_dist, r.rank)
+        for r in QUERIES["v19_pq_shortlist_rerank"](spark, sf).collect()
+    ]
+    assert got == expected
