@@ -84,6 +84,13 @@ EXTENSIONS = [
     "d22_cross_source_dup_matrix",        # dup provenance matrix (r4)
     "t27_quality_rank_correlation",       # exact Spearman calibration (r4)
     "q90_ship_latency_slo",               # exact latency percentiles (r4)
+    "q91_market_basket_lift",             # intra-order pair association (r4)
+    "q92_retention_cohorts",              # monthly cohort matrix (r4)
+    "q93_rfm_segments",                   # funnel-free RFM quintiles (r4)
+    "q94_repurchase_intervals",           # inter-purchase-time bands (r4)
+    "t28_lexical_diversity",              # type-token ratio per source (r4)
+    "s14_neyman_allocation",              # minimum-variance allocation (r4)
+    "v19_pq_shortlist_rerank",            # PQ shortlist + exact rerank (r4)
 ]
 
 

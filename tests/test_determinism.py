@@ -58,6 +58,8 @@ _NAMES = [
     "v17_kmeans_exact",          # integer Lloyd w/ bounded driver collects
     "d21_semantic_dedup_survivors",  # centroid-distance keep rule
     "t25_classifier_auc",        # global_cumsum (partition-count input)
+    "q93_rfm_segments",          # 3x global_row_number (partition-count input)
+    "v19_pq_shortlist_rerank",   # two-stage ADC shortlist + exact rerank
 ]
 # The FULL 160-query oracle-backed registry passed this same two-profile
 # digest sweep (latest full run: round 4, sf0.01 — every digest

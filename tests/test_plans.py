@@ -433,3 +433,38 @@ def test_d21_pair_join_is_cid_equi_join(spark):
     plan = plan_of(QUERIES["d21_semantic_dedup_survivors"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q91_pair_surface_is_orderkey_equi_join(spark):
+    """The basket pair surface must be the intra-order self-join on
+    l_orderkey (bounded C(k,2) fan-out) — never an all-pairs part join;
+    the final top-20 must be TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(QUERIES["q91_market_basket_lift"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q93_rfm_has_no_global_funnel(spark):
+    """All three quintile rankings go through the range-partition global
+    row number — a single-partition ORDER BY window would surface as
+    Exchange SinglePartition before a Window."""
+    plan = plan_of(QUERIES["q93_rfm_segments"](spark, SF_SMOKE), "simple")
+    import re
+
+    assert not re.search(r"Exchange SinglePartition[\s\S]{0,400}?Window", plan)
+
+
+def test_q94_single_custkey_exchange_for_lag(spark):
+    """The repurchase lag window needs exactly one custkey exchange; the
+    bucket rollup is a bounded aggregate and the interval total joins back
+    as a broadcast scalar."""
+    plan = plan_of(QUERIES["q94_repurchase_intervals"](spark, SF_SMOKE), "simple")
+    assert "SortMergeJoin" not in plan
+
+
+def test_v19_rerank_joins_stay_bounded(spark):
+    """The exact-rerank stage must fetch full-precision vectors through
+    equi-joins (query side broadcast) — no nested-loop pairing anywhere
+    in the two-stage plan."""
+    plan = plan_of(QUERIES["v19_pq_shortlist_rerank"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
