@@ -1857,6 +1857,8 @@ LIMIT 20
 )
 def q91_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+    # NOT persisted: the cached distinct frame loses the codegen'd parquet
+    # scan under the self-join and measures ~2x slower than re-scanning
     items = li.select("l_orderkey", "l_partkey").distinct()
     n_orders = items.select(
         F.countDistinct("l_orderkey").cast("bigint").alias("n")
@@ -2022,14 +2024,20 @@ def q93_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_spark.ops.ranking import global_row_number
 
     o = table(spark, sf_dir, "orders")
-    rfm = o.groupBy("o_custkey").agg(
-        F.datediff(F.max("o_orderdate"), F.lit("1970-01-01").cast("date"))
-        .cast("bigint")
-        .alias("recency_day"),
-        F.count("*").cast("bigint").alias("frequency"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-        .cast("bigint")
-        .alias("monetary_cents"),
+    # rfm feeds five consumers (count, three rankings, final join) —
+    # persist so the fact aggregate runs once
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("o_orderdate"), F.lit("1970-01-01").cast("date"))
+            .cast("bigint")
+            .alias("recency_day"),
+            F.count("*").cast("bigint").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .persist()
     )
     n = rfm.count()
 
