@@ -91,6 +91,10 @@ EXTENSIONS = [
     "t28_lexical_diversity",              # type-token ratio per source (r4)
     "s14_neyman_allocation",              # minimum-variance allocation (r4)
     "v19_pq_shortlist_rerank",            # PQ shortlist + exact rerank (r4)
+    "v20_range_search",                   # exact radius retrieval (r4)
+    "q95_supplier_hhi",                   # HHI market concentration (r4)
+    "q96_pareto_customers",               # 80/20 head count (r4)
+    "m07_chunk_dedup_report",             # CAS chunk dedup report (r4)
 ]
 
 

@@ -154,3 +154,97 @@ def m06_stdlib_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# m07 — content-addressed chunk dedup report: split every payload into
+# fixed 64-byte chunks, content-address them (the restic/borg/CAS storage
+# model), and report per media type how many physical chunks a
+# deduplicating store would actually keep — logical vs physical bytes and
+# the dedup saving in basis points.  The storage-planning complement of
+# m01's per-payload metadata (doc-level duplicates are rare; chunk-level
+# sharing is where multimodal stores reclaim space).
+#
+# Scale shape: chunking is a per-row array transform (zero shuffle);
+# the distinct-chunk count is one (media_type, chunk-hash) distinct with
+# map-side combine — hashes shuffle, payload bytes never do.
+# ---------------------------------------------------------------------------
+@register(
+    "m07_chunk_dedup_report",
+    oracle="""
+WITH chunks AS (
+  SELECT CASE ascii(substr(text, 1, 1)) % 3
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+         END AS media_type,
+         unnest(list_transform(range(CAST(ceil(length(text) / 64.0) AS BIGINT)),
+                i -> substr(text, CAST(i * 64 + 1 AS BIGINT), 64))) AS chunk
+  FROM documents WHERE length(text) > 0
+),
+hashed AS (
+  SELECT media_type, md5(chunk) AS h, length(chunk) AS nbytes FROM chunks
+),
+phys AS (
+  SELECT media_type, h, MIN(nbytes) AS nbytes, COUNT(*) AS refs
+  FROM hashed GROUP BY media_type, h
+)
+SELECT media_type,
+       CAST(SUM(refs) AS BIGINT)                          AS logical_chunks,
+       CAST(COUNT(*) AS BIGINT)                           AS physical_chunks,
+       CAST(SUM(refs * nbytes) AS BIGINT)                 AS logical_bytes,
+       CAST(SUM(nbytes) AS BIGINT)                        AS physical_bytes,
+       CAST(10000 - (10000 * SUM(nbytes)) // SUM(refs * nbytes) AS BIGINT) AS saving_bp
+FROM phys GROUP BY media_type ORDER BY media_type
+""",
+)
+def m07_chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
+        F.length("text") > 0
+    )
+    first = F.ascii(F.substring("text", 1, 1))
+    media = (
+        F.when(first % 3 == 0, F.lit("image"))
+        .when(first % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    chunks = d.select(
+        media.alias("media_type"),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.length("text") / F.lit(64.0)).cast("int") - 1,
+                ),
+                lambda i: F.substring(
+                    F.col("text"), (i * 64 + 1).cast("int"), 64
+                ),
+            )
+        ).alias("chunk"),
+    )
+    hashed = chunks.select(
+        "media_type", F.md5("chunk").alias("h"), F.length("chunk").alias("nbytes")
+    )
+    phys = hashed.groupBy("media_type", "h").agg(
+        F.min("nbytes").alias("nbytes"), F.count("*").alias("refs")
+    )
+    return (
+        phys.groupBy("media_type")
+        .agg(
+            F.sum("refs").cast("bigint").alias("logical_chunks"),
+            F.count("*").cast("bigint").alias("physical_chunks"),
+            F.sum(F.col("refs") * F.col("nbytes"))
+            .cast("bigint")
+            .alias("logical_bytes"),
+            F.sum("nbytes").cast("bigint").alias("physical_bytes"),
+        )
+        .select(
+            "media_type",
+            "logical_chunks",
+            "physical_chunks",
+            "logical_bytes",
+            "physical_bytes",
+            F.expr(
+                "CAST(10000 - (10000 * physical_bytes) div logical_bytes AS BIGINT)"
+            ).alias("saving_bp"),
+        )
+        .orderBy("media_type")
+    )

@@ -2148,3 +2148,159 @@ def q94_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q95 — supplier market concentration per nation: the Herfindahl–Hirschman
+# index over supplier revenue shares (sum of squared basis-point shares;
+# 10^8 = monopoly, ~10^8/n = perfect competition), plus the top-supplier
+# share — the antitrust-style concentration read beside q89's Gini (which
+# measures inequality of the whole distribution; HHI weights the head).
+# Shares floor to integer bp before squaring, identically in both engines.
+#
+# Scale shape: one (supplier) revenue aggregate joined to the bounded
+# supplier dim, re-aggregated per nation (25 keys); nation totals derive
+# by re-aggregation — no second fact scan, no window.
+# ---------------------------------------------------------------------------
+@register(
+    "q95_supplier_hhi",
+    oracle="""
+WITH srev AS (
+  SELECT l_suppkey, CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_suppkey
+),
+nrev AS (
+  SELECT n.n_name, s.s_suppkey, r.cents
+  FROM srev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+),
+tot AS (
+  SELECT n_name, SUM(cents) AS total_cents, COUNT(*) AS n_suppliers
+  FROM nrev GROUP BY n_name
+),
+shares AS (
+  SELECT v.n_name, (10000 * v.cents) // t.total_cents AS share_bp
+  FROM nrev v JOIN tot t ON v.n_name = t.n_name
+)
+SELECT s.n_name AS nation,
+       CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+       CAST(t.total_cents AS BIGINT) AS total_cents,
+       CAST(SUM(s.share_bp * s.share_bp) AS BIGINT) AS hhi,
+       CAST(MAX(s.share_bp) AS BIGINT) AS top_share_bp
+FROM shares s JOIN tot t ON s.n_name = t.n_name
+GROUP BY s.n_name, t.n_suppliers, t.total_cents
+ORDER BY nation
+""",
+)
+def q95_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    srev = li.groupBy("l_suppkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    nrev = srev.join(
+        s.select("s_suppkey", "s_nationkey"),
+        srev.l_suppkey == F.col("s_suppkey"),
+    ).join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    tot = nrev.groupBy("n_name").agg(
+        F.sum("cents").alias("total_cents"),
+        F.count("*").alias("n_suppliers"),
+    )
+    shares = nrev.join(F.broadcast(tot), "n_name").select(
+        "n_name",
+        "n_suppliers",
+        "total_cents",
+        F.expr("(10000 * cents) div total_cents").alias("share_bp"),
+    )
+    return (
+        shares.groupBy("n_name", "n_suppliers", "total_cents")
+        .agg(
+            F.sum(F.col("share_bp") * F.col("share_bp"))
+            .cast("bigint")
+            .alias("hhi"),
+            F.max("share_bp").cast("bigint").alias("top_share_bp"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_suppliers").cast("bigint"),
+            F.col("total_cents").cast("bigint"),
+            "hhi",
+            "top_share_bp",
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q96 — Pareto concentration: how few top customers cover 80% of revenue?
+# Customers rank by revenue DESCENDING through the funnel-free global
+# cumsum (negated-cents range partition — no single-partition ORDER BY);
+# the answer is the count whose running total is still short of the 80%
+# mark, plus one.  The head-count complement of q89's Gini and q95's HHI.
+#
+# Scale shape: one customer revenue aggregate, one range-partitioned
+# cumulative sum, one scalar aggregate.  Nothing quadratic.
+# ---------------------------------------------------------------------------
+@register(
+    "q96_pareto_customers",
+    oracle="""
+WITH rev AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT SUM(cents) AS t, COUNT(*) AS n FROM rev),
+run AS (
+  SELECT cents, SUM(cents) OVER (ORDER BY -cents, o_custkey
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM rev
+)
+SELECT CAST(t.n AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN 10 * (run.cum - run.cents) < 8 * t.t THEN 1 ELSE 0 END) AS BIGINT) AS top_n,
+       CAST((10000 * SUM(CASE WHEN 10 * (run.cum - run.cents) < 8 * t.t THEN 1 ELSE 0 END)) // t.n AS BIGINT) AS top_share_of_base_bp
+FROM run CROSS JOIN tot t
+GROUP BY t.n
+""",
+)
+def q96_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.ops.ranking import global_cumsum
+
+    o = table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    run = global_cumsum(
+        rev.withColumn("neg", -F.col("cents")),
+        "cents",
+        ["neg", "o_custkey"],
+        out_col="cum",
+    )
+    tot = rev.agg(F.sum("cents").alias("t"), F.count("*").alias("n"))
+    # a customer is in the 80% head while the PRE-inclusion running total
+    # is still below the mark (cross-multiplied: 10*(cum-cents) < 8*t)
+    return (
+        run.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.sum(
+                F.when(10 * (F.col("cum") - F.col("cents")) < 8 * F.col("t"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("top_n"),
+        )
+        .select(
+            "n_customers",
+            "top_n",
+            F.expr("CAST((10000 * top_n) div n_customers AS BIGINT)").alias(
+                "top_share_of_base_bp"
+            ),
+        )
+    )

@@ -1890,3 +1890,68 @@ def v19_pq_shortlist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vid", "exact_dist", "rank")
         .orderBy("qid", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# v20 — RANGE search (FAISS range_search): every corpus vector within a
+# fixed exact-integer squared distance of each query — the "all matches
+# above threshold" retrieval mode top-k cannot express (dedup-threshold
+# lookups, radius joins, recall-oriented eval sets).  Distances in v17's
+# micro-unit integers, so membership is bit-decidable across engines.
+#
+# Scale shape: the bounded query-vector set broadcasts; the corpus streams
+# once through the distance filter (no shuffle at all — plan-asserted).
+# The LSH/IVF bucketed variants (v02/v04) are the recall-traded scale path;
+# this is the exact one and it is still linear, not quadratic.
+# ---------------------------------------------------------------------------
+_V20_RADIUS = 1_450_000_000_000  # ~1.2 in cosine-space at micro-unit scale
+_V20_NQ = 5
+
+
+def _v20_oracle() -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(FLOOR(x * {_V17_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS vid,
+         list_sum(list_transform(range({_EMB_DIM}),
+                  i -> (a.q[i+1] - b.q[i+1]) * (a.q[i+1] - b.q[i+1]))) AS dist
+  FROM v a, v b
+  WHERE a.vec_id < {_V20_NQ} AND b.vec_id <> a.vec_id
+)
+SELECT qid, vid, CAST(dist AS BIGINT) AS dist
+FROM pairs WHERE dist <= {_V20_RADIUS}
+ORDER BY qid, dist, vid
+"""
+
+
+@register("v20_range_search", oracle=_v20_oracle())
+def v20_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vec = _quantized_vectors(spark, sf_dir)
+    # the bounded query side comes from a plain scan (no input-split
+    # repartition — it broadcasts whole anyway)
+    queries = table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _V20_NQ
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.transform(
+            as_double(F.col("embedding")),
+            lambda x: F.floor(x * F.lit(float(_V17_SCALE))).cast("long"),
+        ).alias("qq"),
+    )
+    cand = vec.select(F.col("vec_id").alias("vid"), F.col("q").alias("cq"))
+    dist = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(F.broadcast(queries), F.col("vid") != F.col("qid"))
+        .select("qid", "vid", dist.alias("dist"))
+        .filter(F.col("dist") <= _V20_RADIUS)
+        .orderBy("qid", "dist", "vid")
+    )

@@ -468,3 +468,42 @@ def test_v19_rerank_joins_stay_bounded(spark):
     in the two-stage plan."""
     plan = plan_of(QUERIES["v19_pq_shortlist_rerank"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
+
+
+def test_v20_range_search_no_corpus_shuffle(spark):
+    """Range search must broadcast the bounded query set and stream the
+    corpus once — the only hash exchange allowed is table_parallel's
+    deliberate input-split repartition, never a join-driven shuffle."""
+    plan = plan_of(QUERIES["v20_range_search"](spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q95_hhi_share_join_broadcasts(spark):
+    """Nation totals (25 rows) must broadcast back onto the supplier
+    shares — never shuffle the share frame to meet a bounded table."""
+    plan = plan_of(QUERIES["q95_supplier_hhi"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q96_pareto_has_no_global_funnel(spark):
+    """The descending cumulative sum must go through the range-partition
+    path: every window in the plan partitions by the cumsum pid column
+    (a global ORDER BY window would carry an empty partition spec)."""
+    plan = plan_of(QUERIES["q96_pareto_customers"](spark, SF_SMOKE), "simple")
+    windows = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert windows, plan
+    for ln in windows:
+        assert "_gr_pid" in ln, ln
+
+
+def test_m07_chunk_dedup_two_bounded_exchanges(spark):
+    """Chunking is a per-row transform; only the (media, hash) distinct
+    aggregate and the bounded media rollup may exchange — and payload
+    bytes never shuffle (only md5 hashes do)."""
+    plan = plan_of(QUERIES["m07_chunk_dedup_report"](spark, SF_SMOKE), "simple")
+    # input-split repartition + (media, hash) distinct + media rollup
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Join" not in plan

@@ -244,3 +244,116 @@ def test_v19_matches_numpy_differential(spark):
         for r in QUERIES["v19_pq_shortlist_rerank"](spark, sf).collect()
     ]
     assert got == expected
+
+
+def _write_embeddings(tmp_path, vecs):
+    """vecs: dict vec_id -> 64-float list"""
+    emb = pa.table(
+        {
+            "vec_id": list(vecs),
+            "embedding": pa.array(
+                [vecs[k] for k in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(emb, str(tmp_path / "embeddings.parquet"))
+
+
+def test_v20_radius_membership_hand_computed(spark, tmp_path):
+    # query 0 at the origin; candidates displaced along dim 0 by
+    # 0.001 (dist 1e6, in), 1.0 (1e12, in), 2.0 (4e12, out of 1.45e12).
+    z = [0.0] * 64
+    _write_embeddings(
+        tmp_path,
+        {
+            0: z,
+            10: [0.001] + z[1:],
+            11: [1.0] + z[1:],
+            12: [2.0] + z[1:],
+        },
+    )
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["v20_range_search"](spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in rows] == [
+        (0, 10, 1_000_000),
+        (0, 11, 1_000_000_000_000),
+    ]
+
+
+def test_q95_two_supplier_monopoly_vs_duopoly(spark, tmp_path):
+    # nation A: s1 has 75% (300c) and s2 25% (100c) of revenue ->
+    # hhi = 7500^2 + 2500^2 = 62_500_000, top 7500.
+    nation = pa.table(
+        {
+            "n_nationkey": [1],
+            "n_name": ["ALPHA"],
+            "n_regionkey": [0],
+            "n_comment": [""],
+        }
+    )
+    pq.write_table(nation, str(tmp_path / "nation.parquet"))
+    supplier = pa.table(
+        {
+            "s_suppkey": [1, 2],
+            "s_name": ["s1", "s2"],
+            "s_nationkey": [1, 1],
+        }
+    )
+    pq.write_table(supplier, str(tmp_path / "supplier.parquet"))
+    li = pa.table(
+        {
+            "l_orderkey": [1, 2],
+            "l_partkey": [1, 1],
+            "l_suppkey": [1, 2],
+            "l_linenumber": pa.array([1, 1], pa.int32()),
+            "l_quantity": [1.0, 1.0],
+            "l_extendedprice": [3.0, 1.0],
+            "l_discount": [0.0, 0.0],
+            "l_tax": [0.0, 0.0],
+            "l_returnflag": ["N", "N"],
+            "l_linestatus": ["O", "O"],
+            "l_shipdate": pa.array([_d(2024, 1, 2)] * 2, pa.timestamp("us")),
+        }
+    )
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["q95_supplier_hhi"](spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in rows] == [("ALPHA", 2, 400, 62_500_000, 7500)]
+
+
+def test_q96_pareto_head_count(spark, tmp_path):
+    # revenues 70/20/10: the 80% head is {70, 20} (pre-inclusion cumsum
+    # 0 and 70 both < 80), the 10 sits outside -> top_n 2 of 3 (6666 bp).
+    _write_orders(
+        tmp_path,
+        [
+            (1, 1, 70.0, _d(2024, 1, 1)),
+            (2, 2, 20.0, _d(2024, 1, 2)),
+            (3, 3, 10.0, _d(2024, 1, 3)),
+        ],
+    )
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["q96_pareto_customers"](spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in rows] == [(3, 2, 6666)]
+
+
+def test_m07_shared_chunk_dedups(spark, tmp_path):
+    # 'A'*64+'B'*64 and 'A'*64 share the A-chunk (media 'video', ascii 65):
+    # logical 3 chunks / 192 B, physical 2 / 128 B -> saving 3334 bp.
+    # 'C'*100 (media 'audio', ascii 67) splits 64+36 with no sharing.
+    _write_docs(
+        tmp_path,
+        ["A" * 64 + "B" * 64, "A" * 64, "C" * 100],
+        ["s1", "s1", "s2"],
+    )
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["m07_chunk_dedup_report"](spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in rows] == [
+        ("audio", 2, 2, 100, 100, 0),
+        ("video", 3, 2, 192, 128, 3334),
+    ]
