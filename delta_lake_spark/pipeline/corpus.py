@@ -119,3 +119,37 @@ class CorpusPipeline:
             )
             .orderBy("split")
         )
+
+    def stream_ingest(self, landing_glob: str, schema, checkpoint_dir: str):
+        """Streaming front door: document files land continuously and each
+        micro-batch runs the SAME gate -> dedup -> split -> append path as
+        :meth:`ingest_batch` — Structured Streaming supplies ordering and
+        restart bookkeeping, the pipeline's own txn markers make every
+        batch exactly-once even if the checkpoint replays one.
+
+        Micro-batch ids from foreachBatch are monotonically increasing,
+        which satisfies both the txn-marker replay rule and the dedup
+        index's id-ordering precondition as long as the landing files
+        themselves arrive in doc_id order (the same contract batch callers
+        hold).  ``availableNow`` drains what's landed then stops; rerunning
+        with the same checkpoint resumes where it left off.
+
+        Returns the StreamingQuery (caller awaits termination).
+        """
+        from delta_lake_spark.streaming.streams import file_stream
+
+        stream = file_stream(
+            self.spark, landing_glob, schema, max_files_per_trigger=1
+        )
+
+        def ingest(batch: DataFrame, batch_id: int) -> None:
+            # foreachBatch epochs start at 0; txn batches are 1-based
+            self.ingest_batch(batch, batch_id=batch_id + 1)
+
+        return (
+            stream.writeStream.foreachBatch(ingest)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )

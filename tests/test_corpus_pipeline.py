@@ -53,3 +53,47 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     # stats() aggregates the corpus by split
     st = {r.split: r.n_docs for r in p.stats().collect()}
     assert sum(st.values()) == n
+
+
+def test_stream_ingest_matches_batch_pipeline(spark, tmp_path):
+    """The streaming front door (foreachBatch over the landing dir) must
+    leave EXACTLY the corpus, quarantine, and dedup-index state the
+    batch-wise ingest_batch calls produce, and a checkpoint-resumed rerun
+    with nothing new landed must change nothing."""
+    import os
+    import time
+
+    docs = table(spark, SF_SMOKE, "documents")
+    b1 = docs.filter("doc_id < 250")
+    b2 = docs.filter("doc_id >= 250")
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # one file per micro-batch, mtime-ordered so file->batch order is the
+    # same doc_id order the batch path uses
+    b1.coalesce(1).write.parquet(str(landing / "b1"))
+    time.sleep(1.1)
+    b2.coalesce(1).write.parquet(str(landing / "b2"))
+
+    streamed = CorpusPipeline(spark, str(tmp_path / "streamed"), min_quality=60)
+    q = streamed.stream_ingest(
+        str(landing) + "/*", docs.schema, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    batch = CorpusPipeline(spark, str(tmp_path / "batch"), min_quality=60)
+    batch.ingest_batch(b1, batch_id=1)
+    batch.ingest_batch(b2, batch_id=2)
+
+    s_corpus = streamed.corpus.read().orderBy("doc_id")
+    b_corpus = batch.corpus.read().orderBy("doc_id")
+    assert s_corpus.collect() == b_corpus.collect()
+    assert streamed.quarantine.read().count() == batch.quarantine.read().count()
+
+    # resume with nothing landed: no new corpus version
+    v = streamed.corpus.latest_version()
+    q2 = streamed.stream_ingest(
+        str(landing) + "/*", docs.schema, str(tmp_path / "ckpt")
+    )
+    q2.awaitTermination(120)
+    assert streamed.corpus.latest_version() == v
