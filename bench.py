@@ -95,6 +95,9 @@ EXTENSIONS = [
     "q95_supplier_hhi",                   # HHI market concentration (r4)
     "q96_pareto_customers",               # 80/20 head count (r4)
     "m07_chunk_dedup_report",             # CAS chunk dedup report (r4)
+    "q97_segment_migration",              # quintile migration matrix (r4)
+    "q98_new_vs_returning",               # acquisition vs retention (r4)
+    "q99_value_bands",                    # power-of-two value histogram (r4)
 ]
 
 

@@ -2304,3 +2304,212 @@ def q96_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q97 — customer value-segment MIGRATION matrix: quintile customers by
+# monetary value in an early and a late period, then count every
+# (early_score -> late_score) transition — the segment-migration report
+# behind "are our best customers staying best?".  Customers absent from a
+# period carry score 0 (new / lapsed rows included, so the matrix is
+# complete).  The same portable closed-form quintile as q93.
+#
+# Scale shape: two customer-sized period aggregates, two funnel-free
+# global rankings, one full outer join on custkey, one bounded (6x6)
+# matrix aggregate.
+# ---------------------------------------------------------------------------
+_Q97_SPLIT = "1996-01-01"
+
+
+def _q97_oracle() -> str:
+    return f"""
+WITH early AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_Q97_SPLIT}' GROUP BY o_custkey
+),
+late AS (
+  SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{_Q97_SPLIT}' GROUP BY o_custkey
+),
+e_scored AS (
+  SELECT o_custkey,
+         ((ROW_NUMBER() OVER (ORDER BY cents, o_custkey) - 1) * 5)
+           // (SELECT COUNT(*) FROM early) + 1 AS score
+  FROM early
+),
+l_scored AS (
+  SELECT o_custkey,
+         ((ROW_NUMBER() OVER (ORDER BY cents, o_custkey) - 1) * 5)
+           // (SELECT COUNT(*) FROM late) + 1 AS score
+  FROM late
+)
+SELECT CAST(COALESCE(e.score, 0) AS BIGINT) AS early_score,
+       CAST(COALESCE(l.score, 0) AS BIGINT) AS late_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM e_scored e FULL OUTER JOIN l_scored l ON e.o_custkey = l.o_custkey
+GROUP BY 1, 2 ORDER BY early_score, late_score
+"""
+
+
+@register("q97_segment_migration", oracle=_q97_oracle())
+def q97_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.ops.ranking import global_row_number
+
+    o = table(spark, sf_dir, "orders")
+
+    def period_scores(cond) -> DataFrame:
+        rev = (
+            o.filter(cond)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("cents")
+            )
+        )
+        n = rev.count()
+        ranked = global_row_number(rev, ["cents", "o_custkey"], out_col="rn")
+        return ranked.select(
+            "o_custkey",
+            F.expr(f"CAST(((rn - 1) * 5) div {n} + 1 AS BIGINT)").alias("score"),
+        )
+
+    split = F.lit(_Q97_SPLIT).cast("timestamp")
+    e = period_scores(F.col("o_orderdate") < split).withColumnRenamed(
+        "score", "e_score"
+    )
+    l = period_scores(F.col("o_orderdate") >= split).withColumnRenamed(
+        "score", "l_score"
+    )
+    return (
+        e.join(l, "o_custkey", "full_outer")
+        .groupBy(
+            F.coalesce("e_score", F.lit(0)).cast("bigint").alias("early_score"),
+            F.coalesce("l_score", F.lit(0)).cast("bigint").alias("late_score"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .orderBy("early_score", "late_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q98 — new-vs-returning revenue split by month: for every order month,
+# how much revenue came from first-ever customers vs repeat ones — the
+# acquisition-vs-retention health read every growth team tracks.  A
+# customer's first month comes from one customer aggregate; each order
+# then classifies by comparing its month to the broadcast-joined first
+# month.  Exact integer cents and basis points.
+#
+# Scale shape: one custkey aggregate + one custkey-keyed join back onto
+# the fact + one bounded (month) aggregate.  No windows.
+# ---------------------------------------------------------------------------
+@register(
+    "q98_new_vs_returning",
+    oracle="""
+WITH om AS (
+  SELECT o_custkey,
+         CAST(EXTRACT(YEAR FROM o_orderdate) * 100 + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS ym,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+),
+first AS (SELECT o_custkey, MIN(ym) AS first_ym FROM om GROUP BY o_custkey)
+SELECT om.ym AS order_month,
+       CAST(SUM(CASE WHEN om.ym = f.first_ym THEN om.cents ELSE 0 END) AS BIGINT) AS new_cents,
+       CAST(SUM(CASE WHEN om.ym > f.first_ym THEN om.cents ELSE 0 END) AS BIGINT) AS returning_cents,
+       CAST(SUM(CASE WHEN om.ym = f.first_ym THEN 1 ELSE 0 END) AS BIGINT)        AS new_orders,
+       CAST(SUM(CASE WHEN om.ym > f.first_ym THEN 1 ELSE 0 END) AS BIGINT)        AS returning_orders,
+       CAST((10000 * SUM(CASE WHEN om.ym = f.first_ym THEN om.cents ELSE 0 END))
+            // SUM(om.cents) AS BIGINT)                                           AS new_share_bp
+FROM om JOIN first f ON om.o_custkey = f.o_custkey
+GROUP BY om.ym ORDER BY order_month
+""",
+)
+def q98_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("ym"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first = om.groupBy("o_custkey").agg(F.min("ym").alias("first_ym"))
+    is_new = F.col("ym") == F.col("first_ym")
+    is_ret = F.col("ym") > F.col("first_ym")
+    return (
+        om.join(first, "o_custkey")
+        .groupBy(F.col("ym").alias("order_month"))
+        .agg(
+            F.sum(F.when(is_new, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("new_cents"),
+            F.sum(F.when(is_ret, F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("returning_cents"),
+            F.sum(F.when(is_new, 1).otherwise(0)).cast("bigint").alias("new_orders"),
+            F.sum(F.when(is_ret, 1).otherwise(0))
+            .cast("bigint")
+            .alias("returning_orders"),
+            F.expr(
+                "CAST((10000 * SUM(CASE WHEN ym = first_ym THEN cents ELSE 0 END))"
+                " div SUM(cents) AS BIGINT)"
+            ).alias("new_share_bp"),
+        )
+        .orderBy("order_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99 — order-value distribution by power-of-two bands: histogram of order
+# totals where the band is the BIT LENGTH of the cent amount (floor(log2)
+# + 1, computed as length(bin(x)) — exact integer in both engines, no
+# float log).  The constant-band profile that replaces quantile scans when
+# all you need is the shape of a money distribution at 100 TB.
+#
+# Scale shape: a single fact-sized projection into one bounded (~20 band)
+# aggregate with map-side partials; the total broadcasts back for shares.
+# ---------------------------------------------------------------------------
+@register(
+    "q99_value_bands",
+    oracle="""
+WITH c AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+  WHERE o_totalprice > 0
+),
+b AS (SELECT LENGTH(bin(cents)) AS band, cents FROM c),
+tot AS (SELECT COUNT(*) AS n FROM c)
+SELECT CAST(b.band AS BIGINT)        AS band_bits,
+       CAST(POWER(2, b.band - 1) AS BIGINT) AS band_low_cents,
+       CAST(COUNT(*) AS BIGINT)      AS n_orders,
+       CAST(MIN(b.cents) AS BIGINT)  AS min_cents,
+       CAST(MAX(b.cents) AS BIGINT)  AS max_cents,
+       CAST((10000 * COUNT(*)) // t.n AS BIGINT) AS share_bp
+FROM b CROSS JOIN tot t
+GROUP BY b.band, t.n ORDER BY band_bits
+""",
+)
+def q99_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = o.filter(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    b = c.select(F.length(F.bin("cents")).cast("bigint").alias("band"), "cents")
+    tot = c.agg(F.count("*").alias("n"))
+    return (
+        b.groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.min("cents").cast("bigint").alias("min_cents"),
+            F.max("cents").cast("bigint").alias("max_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("band").alias("band_bits"),
+            F.expr("CAST(POWER(2, band - 1) AS BIGINT)").alias("band_low_cents"),
+            "n_orders",
+            "min_cents",
+            "max_cents",
+            F.expr("CAST((10000 * n_orders) div n AS BIGINT)").alias("share_bp"),
+        )
+        .orderBy("band_bits")
+    )

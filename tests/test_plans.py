@@ -507,3 +507,22 @@ def test_m07_chunk_dedup_two_bounded_exchanges(spark):
     # input-split repartition + (media, hash) distinct + media rollup
     assert plan.count("Exchange hashpartitioning") <= 3
     assert "Join" not in plan
+
+
+def test_q97_migration_windows_pid_partitioned(spark):
+    """Both period rankings must ride the range-partition path — every
+    window partitions by the ranking pid, never globally."""
+    plan = plan_of(QUERIES["q97_segment_migration"](spark, SF_SMOKE), "simple")
+    windows = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert windows, plan
+    for ln in windows:
+        assert "_gr_pid" in ln, ln
+
+
+def test_q99_value_bands_single_band_exchange(spark):
+    """Band histogram is one fact projection into a bounded aggregate —
+    exactly one hash exchange (the band groupBy); the scalar total joins
+    back broadcast."""
+    plan = plan_of(QUERIES["q99_value_bands"](spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan

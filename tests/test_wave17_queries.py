@@ -357,3 +357,65 @@ def test_m07_shared_chunk_dedups(spark, tmp_path):
         ("audio", 2, 2, 100, 100, 0),
         ("video", 3, 2, 192, 128, 3334),
     ]
+
+
+def test_q97_migration_with_new_and_lapsed(spark, tmp_path):
+    # early: c1 10.00, c2 20.00 -> scores 1, 3 (n=2); late: c2 10.00,
+    # c3 30.00 -> scores 1, 3.  c1 lapses (late 0), c3 is new (early 0).
+    _write_orders(
+        tmp_path,
+        [
+            (1, 1, 10.0, _d(1995, 3, 1)),
+            (2, 2, 20.0, _d(1995, 6, 1)),
+            (3, 2, 10.0, _d(1997, 3, 1)),
+            (4, 3, 30.0, _d(1997, 6, 1)),
+        ],
+    )
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["q97_segment_migration"](spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in rows] == [(0, 3, 1), (1, 0, 1), (3, 1, 1)]
+
+
+def test_q98_same_month_repeat_is_new(spark, tmp_path):
+    # c1: Jan 10.00 then Feb 20.00 (returning); c2: two Feb 5.00 orders —
+    # both in the first month, so both count as NEW revenue.
+    _write_orders(
+        tmp_path,
+        [
+            (1, 1, 10.0, _d(2024, 1, 5)),
+            (2, 1, 20.0, _d(2024, 2, 5)),
+            (3, 2, 5.0, _d(2024, 2, 1)),
+            (4, 2, 5.0, _d(2024, 2, 20)),
+        ],
+    )
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["q98_new_vs_returning"](spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in rows] == [
+        (202401, 1000, 0, 1, 0, 10000),
+        (202402, 1000, 2000, 2, 1, 3333),
+    ]
+
+
+def test_q99_band_is_bit_length(spark, tmp_path):
+    # cents 1 -> band 1 (low 1); 2 and 3 -> band 2 (low 2); 127 -> band 7
+    # (low 64); a zero-price order is excluded.
+    _write_orders(
+        tmp_path,
+        [
+            (1, 1, 0.01, _d(2024, 1, 1)),
+            (2, 1, 0.02, _d(2024, 1, 2)),
+            (3, 1, 0.03, _d(2024, 1, 3)),
+            (4, 1, 1.27, _d(2024, 1, 4)),
+            (5, 1, 0.0, _d(2024, 1, 5)),
+        ],
+    )
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["q99_value_bands"](spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in rows] == [
+        (1, 1, 1, 1, 1, 2500),
+        (2, 2, 2, 2, 3, 5000),
+        (7, 64, 1, 127, 127, 2500),
+    ]
