@@ -98,6 +98,8 @@ EXTENSIONS = [
     "q97_segment_migration",              # quintile migration matrix (r4)
     "q98_new_vs_returning",               # acquisition vs retention (r4)
     "q99_value_bands",                    # power-of-two value histogram (r4)
+    "q100_order_splitting",               # same-week structuring screen (r4)
+    "t29_tokenizer_fertility",            # subword fertility metric (r4)
 ]
 
 

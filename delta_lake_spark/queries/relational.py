@@ -2513,3 +2513,62 @@ def q99_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_bits")
     )
+
+
+# ---------------------------------------------------------------------------
+# q100 — order-splitting (structuring) detection: customers placing 2+
+# orders inside one calendar week, with the week's combined value and how
+# evenly it was split (top order's share in bp — LOW means suspiciously
+# even splitting; 10000 means one dominant order plus noise).  The
+# transaction-structuring screen beside q04's amount-threshold fraud mart.
+# Exact integer epoch-week bucketing and cross-multiplied shares.
+#
+# Scale shape: one (custkey, week) aggregate over the fact with map-side
+# partials, filtered to multi-order cells — no self-join, no window.
+# ---------------------------------------------------------------------------
+@register(
+    "q100_order_splitting",
+    oracle="""
+WITH c AS (
+  SELECT o_custkey,
+         CAST(DATE_DIFF('day', DATE '1970-01-01', o_orderdate) // 7 AS BIGINT) AS wk,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       wk                        AS epoch_week,
+       CAST(COUNT(*) AS BIGINT)  AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST((10000 * MAX(cents)) // SUM(cents) AS BIGINT) AS top_order_bp
+FROM c GROUP BY o_custkey, wk HAVING COUNT(*) >= 2
+ORDER BY custkey, epoch_week
+""",
+)
+def q100_order_splitting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_custkey",
+        F.expr(
+            "CAST(datediff(o_orderdate, DATE '1970-01-01') div 7 AS BIGINT)"
+        ).alias("wk"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        c.groupBy("o_custkey", "wk")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.expr("CAST((10000 * MAX(cents)) div SUM(cents) AS BIGINT)").alias(
+                "top_order_bp"
+            ),
+        )
+        .filter(F.col("n_orders") >= 2)
+        .select(
+            F.col("o_custkey").cast("bigint").alias("custkey"),
+            F.col("wk").alias("epoch_week"),
+            "n_orders",
+            "total_cents",
+            "top_order_bp",
+        )
+        .orderBy("custkey", "epoch_week")
+    )

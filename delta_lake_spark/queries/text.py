@@ -1933,3 +1933,70 @@ def t28_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# t29 — tokenizer fertility comparison: whole-word tokens vs 4-char
+# pseudo-subword chunks (ceil(len/4) per word — the fixed-width stand-in
+# for a BPE segmenter, same spirit as functions/pandas_ops.bpe_ish_token_
+# count but SQL-expressible so it oracle-checks).  FERTILITY — subwords
+# per word, in basis points — is the standard cross-language tokenizer
+# cost metric (high fertility = more sequence positions per word); chars
+# per token in exact milli-units for both granularities.
+#
+# Scale shape: per-row higher-order array functions (zero shuffle) into
+# one bounded (lang) aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "t29_tokenizer_fertility",
+    oracle=f"""
+WITH m AS (
+  SELECT lang,
+         len({_TOKENS_SQL}) AS words,
+         list_sum(list_transform({_TOKENS_SQL}, t -> (length(t) + 3) // 4)) AS subwords,
+         list_sum(list_transform({_TOKENS_SQL}, t -> length(t))) AS word_chars
+  FROM documents WHERE len(trim(text)) > 0
+)
+SELECT lang,
+       CAST(SUM(words) AS BIGINT)    AS n_words,
+       CAST(SUM(subwords) AS BIGINT) AS n_subwords,
+       CAST((10000 * SUM(subwords)) // SUM(words) AS BIGINT) AS fertility_bp,
+       CAST((1000 * SUM(word_chars)) // SUM(words) AS BIGINT) AS chars_per_word_milli,
+       CAST((1000 * SUM(word_chars)) // SUM(subwords) AS BIGINT) AS chars_per_subword_milli
+FROM m GROUP BY lang ORDER BY lang
+""",
+)
+def t29_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = tokens("text")
+    m = d.select(
+        "lang",
+        F.size(toks).cast("long").alias("words"),
+        F.expr(
+            "aggregate(split(trim(text), '\\\\s+'), 0L,"
+            " (acc, t) -> acc + (length(t) + 3) div 4)"
+        ).alias("subwords"),
+        F.expr(
+            "aggregate(split(trim(text), '\\\\s+'), 0L,"
+            " (acc, t) -> acc + length(t))"
+        ).alias("word_chars"),
+    )
+    return (
+        m.groupBy("lang")
+        .agg(
+            F.sum("words").cast("bigint").alias("n_words"),
+            F.sum("subwords").cast("bigint").alias("n_subwords"),
+            F.expr(
+                "CAST((10000 * SUM(subwords)) div SUM(words) AS BIGINT)"
+            ).alias("fertility_bp"),
+            F.expr(
+                "CAST((1000 * SUM(word_chars)) div SUM(words) AS BIGINT)"
+            ).alias("chars_per_word_milli"),
+            F.expr(
+                "CAST((1000 * SUM(word_chars)) div SUM(subwords) AS BIGINT)"
+            ).alias("chars_per_subword_milli"),
+        )
+        .orderBy("lang")
+    )

@@ -419,3 +419,36 @@ def test_q99_band_is_bit_length(spark, tmp_path):
         (2, 2, 2, 2, 3, 5000),
         (7, 64, 1, 127, 127, 2500),
     ]
+
+
+def test_q100_even_split_flags_low_top_share(spark, tmp_path):
+    # c1 places 40.00 + 60.00 in one week (top 6000 bp) and a lone 99.00
+    # in another (not flagged); c2 has three 10.00 orders in one week
+    # (top 3333 bp).  Week boundary: 1970-01-01 is day 0, weeks are
+    # floor(epoch_day / 7).
+    _write_orders(
+        tmp_path,
+        [
+            (1, 1, 40.0, _d(2024, 1, 1)),
+            (2, 1, 60.0, _d(2024, 1, 2)),
+            (3, 1, 99.0, _d(2024, 3, 1)),
+            (4, 2, 10.0, _d(2024, 1, 8)),
+            (5, 2, 10.0, _d(2024, 1, 9)),
+            (6, 2, 10.0, _d(2024, 1, 10)),
+        ],
+    )
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["q100_order_splitting"](spark, str(tmp_path)).collect()
+    got = [(r.custkey, r.n_orders, r.total_cents, r.top_order_bp) for r in rows]
+    assert got == [(1, 2, 10000, 6000), (2, 3, 3000, 3333)]
+
+
+def test_t29_fertility_hand_computed(spark, tmp_path):
+    # "abcd efghi" -> words 2, subwords ceil(4/4)+ceil(5/4) = 1+2 = 3,
+    # chars 9: fertility 15000 bp, 4500 milli chars/word, 3000 /subword.
+    _write_docs(tmp_path, ["abcd efghi"], ["s"])
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["t29_tokenizer_fertility"](spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in rows] == [("en", 2, 3, 15000, 4500, 3000)]
