@@ -100,6 +100,7 @@ EXTENSIONS = [
     "q99_value_bands",                    # power-of-two value histogram (r4)
     "q100_order_splitting",               # same-week structuring screen (r4)
     "t29_tokenizer_fertility",            # subword fertility metric (r4)
+    "q101_clustering_coefficient",        # per-vertex graph density (r4)
 ]
 
 

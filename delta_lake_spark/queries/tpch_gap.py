@@ -1015,3 +1015,103 @@ def q85_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — LOCAL clustering coefficient per vertex of the part co-purchase
+# graph: cc(v) = 2*triangles(v) / (deg(v)*(deg(v)-1)) in exact basis
+# points — the per-vertex community-density metric beside q72's global
+# triangle census (census says HOW MANY triangles; this says WHERE the
+# graph is locally dense).  Top-20 by coefficient with a vertex tie-break.
+#
+# Scale shape: edges come from the same bounded intra-order self-join as
+# q72/q91 (C(k<=7,2) fan-out, linear in the fact); triangles enumerate
+# once through two edge equi-joins with the a<b<c orientation (each
+# triangle counted exactly once) and explode to their three corners; the
+# per-vertex rollup and degree join are vertex-sized.  q72's
+# degree-oriented join is the skew-hardened variant of the same shape.
+# ---------------------------------------------------------------------------
+@register(
+    "q101_clustering_coefficient",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT p, COUNT(*) AS d FROM (
+    SELECT u AS p FROM edges UNION ALL SELECT v AS p FROM edges
+  ) GROUP BY p
+),
+tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+corner AS (
+  SELECT a AS p FROM tris UNION ALL SELECT b FROM tris UNION ALL SELECT c FROM tris
+),
+tv AS (SELECT p, COUNT(*) AS tri FROM corner GROUP BY p)
+SELECT CAST(d.p AS BIGINT) AS part,
+       CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(tv.tri, 0) AS BIGINT) AS triangles,
+       CAST((10000 * 2 * COALESCE(tv.tri, 0)) // (d.d * (d.d - 1)) AS BIGINT) AS cc_bp
+FROM deg d LEFT JOIN tv ON tv.p = d.p
+WHERE d.d >= 2
+ORDER BY cc_bp DESC, part
+LIMIT 20
+""",
+)
+def q101_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .persist()  # consumed by degree, and three times by the triangle join
+    )
+    deg = (
+        edges.select(F.col("u").alias("p"))
+        .unionAll(edges.select(F.col("v").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+        )
+    )
+    corner = (
+        tris.select(F.col("a").alias("p"))
+        .unionAll(tris.select(F.col("b").alias("p")))
+        .unionAll(tris.select(F.col("c").alias("p")))
+    )
+    tv = corner.groupBy("p").agg(F.count(F.lit(1)).alias("tri"))
+    return (
+        deg.join(tv, "p", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("p").cast("bigint").alias("part"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce("tri", F.lit(0)).cast("bigint").alias("triangles"),
+            F.expr(
+                "CAST((10000 * 2 * COALESCE(tri, 0)) div (d * (d - 1)) AS BIGINT)"
+            ).alias("cc_bp"),
+        )
+        .orderBy(F.desc("cc_bp"), "part")
+        .limit(20)
+    )

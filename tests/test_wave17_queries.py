@@ -452,3 +452,21 @@ def test_t29_fertility_hand_computed(spark, tmp_path):
 
     rows = QUERIES["t29_tokenizer_fertility"](spark, str(tmp_path)).collect()
     assert [tuple(r) for r in rows] == [("en", 2, 3, 15000, 4500, 3000)]
+
+
+def test_q101_triangle_plus_tail_coefficients(spark, tmp_path):
+    # Graph: triangle {1,2,3} (each order pairs two parts) plus tail 3-4.
+    # cc(1)=cc(2)=1.0 (deg 2, 1 triangle); cc(3)=2*1/(3*2)=3333bp (deg 3);
+    # cc(4)=deg 1 -> excluded.
+    _write_lineitem(
+        tmp_path,
+        [(1, 1), (1, 2), (2, 2), (2, 3), (3, 1), (3, 3), (4, 3), (4, 4)],
+    )
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["q101_clustering_coefficient"](spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in rows] == [
+        (1, 2, 1, 10000),
+        (2, 2, 1, 10000),
+        (3, 3, 1, 3333),
+    ]
