@@ -101,6 +101,8 @@ EXTENSIONS = [
     "q100_order_splitting",               # same-week structuring screen (r4)
     "t29_tokenizer_fertility",            # subword fertility metric (r4)
     "q101_clustering_coefficient",        # per-vertex graph density (r4)
+    "q102_priority_segment_chi2",         # chi-square independence (r4)
+    "q103_benford_screen",                # leading-digit audit screen (r4)
 ]
 
 

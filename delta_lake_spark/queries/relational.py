@@ -2572,3 +2572,135 @@ def q100_order_splitting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "epoch_week")
     )
+
+
+# ---------------------------------------------------------------------------
+# q102 — chi-square independence screen: is order priority independent of
+# customer market segment?  The full contingency table with each cell's
+# observed count, expected count (milli), and chi-square contribution
+# (milli) — all exact cross-multiplied integers: expected = r*c/N floors
+# to milli-units and the contribution (o*N - r*c)^2 / (r*c*N) floors to
+# milli identically in both engines.  The categorical-drift test beside
+# q62's distribution drift and q86's seasonality monitor.
+#
+# Scale shape: one fact-sized custkey join (AQE-decided), one bounded
+# (priority, segment) aggregate; row/column totals re-derive from the
+# 25-cell table itself and broadcast back.
+# ---------------------------------------------------------------------------
+@register(
+    "q102_priority_segment_chi2",
+    oracle="""
+WITH cells AS (
+  SELECT o.o_orderpriority AS priority, c.c_mktsegment AS segment,
+         CAST(COUNT(*) AS HUGEINT) AS o
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+rt AS (SELECT priority, SUM(o) AS r FROM cells GROUP BY priority),
+ct AS (SELECT segment, SUM(o) AS c FROM cells GROUP BY segment),
+n AS (SELECT SUM(o) AS n FROM cells)
+SELECT cells.priority, cells.segment,
+       CAST(cells.o AS BIGINT) AS observed,
+       CAST((1000 * rt.r * ct.c) // n.n AS BIGINT) AS expected_milli,
+       CAST((1000 * (cells.o * n.n - rt.r * ct.c) * (cells.o * n.n - rt.r * ct.c))
+            // (rt.r * ct.c * n.n) AS BIGINT) AS contrib_milli
+FROM cells JOIN rt USING (priority) JOIN ct USING (segment) CROSS JOIN n
+ORDER BY priority, segment
+""",
+)
+def q102_priority_segment_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cells = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count("*").cast("decimal(38,0)").alias("o"))
+    )
+    rt = cells.groupBy("priority").agg(F.sum("o").alias("r"))
+    ct = cells.groupBy("segment").agg(F.sum("o").alias("c"))
+    n = cells.agg(F.sum("o").alias("n"))
+    return (
+        cells.join(F.broadcast(rt), "priority")
+        .join(F.broadcast(ct), "segment")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "priority",
+            "segment",
+            F.col("o").cast("bigint").alias("observed"),
+            F.expr("CAST((1000 * r * c) div n AS BIGINT)").alias("expected_milli"),
+            F.expr(
+                "CAST((1000 * (o * n - r * c) * (o * n - r * c))"
+                " div (r * c * n) AS BIGINT)"
+            ).alias("contrib_milli"),
+        )
+        .orderBy("priority", "segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q103 — Benford's-law leading-digit screen over order amounts: the share
+# of each leading digit 1..9 of the integer cent amount vs Benford's
+# expected log10(1+1/d) — fabricated or constrained amounts bend this
+# curve, which is why auditors run it first.  The expectation rides as
+# exact basis-point literals (the same nine constants in both engines),
+# so the whole result is integer-exact.
+#
+# Scale shape: one fact projection (leading digit = first char of the
+# integer string) into a 9-row aggregate; the total broadcasts back.
+# ---------------------------------------------------------------------------
+_BENFORD_BP = {1: 3010, 2: 1760, 3: 1249, 4: 969, 5: 791, 6: 669, 7: 579, 8: 511, 9: 457}
+
+
+def _q103_oracle() -> str:
+    case = " ".join(f"WHEN {d} THEN {bp}" for d, bp in _BENFORD_BP.items())
+    return f"""
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+tot AS (SELECT COUNT(*) AS n FROM c)
+SELECT digit,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST((10000 * COUNT(*)) // t.n AS BIGINT) AS share_bp,
+       CAST(CASE digit {case} END AS BIGINT) AS benford_bp,
+       CAST((10000 * COUNT(*)) // t.n - CASE digit {case} END AS BIGINT) AS deviation_bp
+FROM c CROSS JOIN tot t
+GROUP BY digit, t.n ORDER BY digit
+"""
+
+
+@register("q103_benford_screen", oracle=_q103_oracle())
+def q103_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = o.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    benford = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_BP.items() for x in kv]
+    )
+    tot = c.agg(F.count("*").alias("n"))
+    return (
+        c.groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("CAST((10000 * n_orders) div n AS BIGINT)").alias("share_bp"),
+            benford[F.col("digit")].cast("bigint").alias("benford_bp"),
+            (
+                F.expr("CAST((10000 * n_orders) div n AS BIGINT)")
+                - benford[F.col("digit")]
+            )
+            .cast("bigint")
+            .alias("deviation_bp"),
+        )
+        .orderBy("digit")
+    )

@@ -470,3 +470,65 @@ def test_q101_triangle_plus_tail_coefficients(spark, tmp_path):
         (2, 2, 1, 10000),
         (3, 3, 1, 3333),
     ]
+
+
+def test_q102_uniform_table_has_zero_contrib(spark, tmp_path):
+    # two priorities x two segments, perfectly balanced -> every cell's
+    # observed == expected, all contributions 0.
+    import pyarrow as _pa
+
+    cust = _pa.table(
+        {
+            "c_custkey": [1, 2],
+            "c_name": ["a", "b"],
+            "c_nationkey": [1, 1],
+            "c_acctbal": [0.0, 0.0],
+            "c_mktsegment": ["S1", "S2"],
+        }
+    )
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    rows = []
+    ok = 1
+    for cust_k, seg in ((1, "S1"), (2, "S2")):
+        for pri in ("1-URGENT", "2-HIGH"):
+            rows.append((ok, cust_k, 10.0, _d(2024, 1, 1), pri))
+            ok += 1
+    orders = _pa.table(
+        {
+            "o_orderkey": [r[0] for r in rows],
+            "o_custkey": [r[1] for r in rows],
+            "o_orderstatus": ["F"] * len(rows),
+            "o_totalprice": [r[2] for r in rows],
+            "o_orderdate": _pa.array([r[3] for r in rows], _pa.timestamp("us")),
+            "o_orderpriority": [r[4] for r in rows],
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    from delta_lake_spark.queries import QUERIES
+
+    out = QUERIES["q102_priority_segment_chi2"](spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.observed == 1 and r.expected_milli == 1000 and r.contrib_milli == 0
+
+
+def test_q103_digits_and_constants(spark, tmp_path):
+    # cents 19 (digit 1), 19 (1), 250 (2), 9.00->900 (9): shares 5000 /
+    # 2500 / 2500 bp against the Benford constants 3010 / 1760 / 457.
+    _write_orders(
+        tmp_path,
+        [
+            (1, 1, 0.19, _d(2024, 1, 1)),
+            (2, 1, 0.19, _d(2024, 1, 2)),
+            (3, 1, 2.50, _d(2024, 1, 3)),
+            (4, 1, 9.00, _d(2024, 1, 4)),
+        ],
+    )
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["q103_benford_screen"](spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in rows] == [
+        (1, 2, 5000, 3010, 1990),
+        (2, 1, 2500, 1760, 740),
+        (9, 1, 2500, 457, 2043),
+    ]
