@@ -284,9 +284,17 @@ def connected_components(
     round-trip.
     """
     und = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
-    sym = und.unionByName(
-        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    spark = edges.sparkSession
+    sym = (
+        und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # pre-partition on the per-round join key (v) BEFORE persisting: the
+        # cached partitioning satisfies each round's join requirement, so
+        # only the vertex-sized label table shuffles per iteration; core-
+        # count partitions, not shuffle.partitions — the iteration is
+        # scheduling-bound (the q73 PageRank pattern, measured 3x there)
+        .repartition(spark.sparkContext.defaultParallelism, "v")
+        .persist()
+    )
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "label", F.col("node")
     ).persist()

@@ -771,6 +771,15 @@ def q73_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        # pre-partition on the per-round join key BEFORE persisting: a hash
+        # partitioning satisfies the contrib join's ClusteredDistribution
+        # requirement whatever its partition COUNT, so every round reuses
+        # the cached layout and shuffles only the vertex-sized rank table
+        # (the rank side co-partitions to match).  defaultParallelism
+        # (cores), not shuffle.partitions (2x cores): 10 rounds of tiny
+        # tasks are scheduling-bound, and halving the task count measured
+        # 11.9s -> 4.0s warm at sf0.01.
+        .repartition(spark.sparkContext.defaultParallelism, "src")
         .persist()  # joined against the rank table every iteration
     )
     deg = (
