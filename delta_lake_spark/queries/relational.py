@@ -2704,3 +2704,80 @@ def q103_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — order-cadence regularity: which customers order on a schedule?
+# For every customer with >= 3 orders, the coefficient of variation of
+# their inter-order gaps (sd/mean, milli) — LOW cv = subscription-like
+# cadence, the replenishment-detection signal behind auto-reorder
+# nudges.  Gap variance uses the exact integer numerator n*SUMSQ - SUM^2
+# (decimal(38,0) so 100-TB gap sums cannot overflow); ONE correctly-
+# rounded IEEE sqrt per customer on integer inputs keeps it bit-identical
+# cross-engine (s14/t27 precedent).  Top-20 most regular, tie-broken.
+#
+# Scale shape: one custkey-keyed lag window and one custkey aggregate on
+# the SAME exchange; TakeOrderedAndProject for the top-k.
+# ---------------------------------------------------------------------------
+@register(
+    "q104_order_cadence",
+    oracle="""
+WITH seq AS (
+  SELECT o_custkey,
+         CAST(DATE_DIFF('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS day,
+         LAG(CAST(DATE_DIFF('day', DATE '1970-01-01', o_orderdate) AS BIGINT))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+),
+gaps AS (
+  SELECT o_custkey, CAST(day - prev AS HUGEINT) AS g FROM seq WHERE prev IS NOT NULL
+),
+m AS (
+  SELECT o_custkey,
+         COUNT(*) AS n,
+         SUM(g) AS s,
+         SUM(g * g) AS sq
+  FROM gaps GROUP BY o_custkey HAVING COUNT(*) >= 2 AND SUM(g) > 0
+)
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       CAST(n + 1 AS BIGINT) AS n_orders,
+       CAST(s // n AS BIGINT) AS mean_gap_days,
+       CAST(FLOOR(SQRT(CAST(n * sq - s * s AS DOUBLE)) * 1000 / s) AS BIGINT) AS cv_milli
+FROM m
+ORDER BY cv_milli, custkey
+LIMIT 20
+""",
+)
+def q104_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast(
+        "bigint"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select("o_custkey", day.alias("day"), F.lag(day).over(w).alias("prev"))
+    gaps = seq.filter(F.col("prev").isNotNull()).select(
+        "o_custkey", (F.col("day") - F.col("prev")).cast("decimal(38,0)").alias("g")
+    )
+    m = (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("decimal(38,0)").alias("n"),
+            F.sum("g").alias("s"),
+            F.sum(F.col("g") * F.col("g")).alias("sq"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("s") > 0))
+    )
+    # cv = sd/mean = (sqrt(n*sq - s^2)/n) / (s/n) = sqrt(n*sq - s^2)/s
+    return (
+        m.select(
+            F.col("o_custkey").cast("bigint").alias("custkey"),
+            (F.col("n") + 1).cast("bigint").alias("n_orders"),
+            F.expr("CAST(s div n AS BIGINT)").alias("mean_gap_days"),
+            F.expr(
+                "CAST(FLOOR(SQRT(CAST(n * sq - s * s AS DOUBLE)) * 1000 / s)"
+                " AS BIGINT)"
+            ).alias("cv_milli"),
+        )
+        .orderBy("cv_milli", "custkey")
+        .limit(20)
+    )

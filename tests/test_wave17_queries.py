@@ -532,3 +532,24 @@ def test_q103_digits_and_constants(spark, tmp_path):
         (2, 1, 2500, 1760, 740),
         (9, 1, 2500, 457, 2043),
     ]
+
+
+def test_q104_regular_cadence_beats_irregular(spark, tmp_path):
+    # c1 orders every 10 days (gaps 10,10,10 -> cv 0); c2 gaps 5,15 ->
+    # sd/mean = sqrt(2*250-400)/20 = 10/20 -> 500 milli.
+    _write_orders(
+        tmp_path,
+        [
+            (1, 1, 10.0, _d(2024, 1, 1)),
+            (2, 1, 10.0, _d(2024, 1, 11)),
+            (3, 1, 10.0, _d(2024, 1, 21)),
+            (4, 1, 10.0, _d(2024, 1, 31)),
+            (5, 2, 10.0, _d(2024, 1, 1)),
+            (6, 2, 10.0, _d(2024, 1, 6)),
+            (7, 2, 10.0, _d(2024, 1, 21)),
+        ],
+    )
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["q104_order_cadence"](spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in rows] == [(1, 4, 10, 0), (2, 3, 10, 500)]
