@@ -100,7 +100,6 @@ EXTENSIONS = [
     "q99_value_bands",                    # power-of-two value histogram (r4)
     "q100_order_splitting",               # same-week structuring screen (r4)
     "t29_tokenizer_fertility",            # subword fertility metric (r4)
-    "q101_clustering_coefficient",        # per-vertex graph density (r4)
     "q102_priority_segment_chi2",         # chi-square independence (r4)
     "q103_benford_screen",                # leading-digit audit screen (r4)
     "q104_order_cadence",                 # subscription-cadence detection (r4)
@@ -488,7 +487,12 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_GRAPH", "1") != "0":
         try:
             graph: dict[str, float] = {"sf": 0.01}
-            for name in ("q72_triangle_census", "q73_copurchase_pagerank"):
+            for name in (
+                "q72_triangle_census",
+                "q73_copurchase_pagerank",
+                "q101_clustering_coefficient",
+                "d10_dedup_clusters",
+            ):
                 t0 = time.perf_counter()
                 QUERIES[name](spark, "/root/testdata/sf0.01").count()
                 graph[name] = round(time.perf_counter() - t0, 3)

@@ -1093,15 +1093,38 @@ def q101_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    # Orient each edge low-(degree, id) -> high before enumerating (q72's
+    # skew fix): out-degree caps at ~sqrt(2m), so the wedge join's fan-out
+    # is bounded even on hub vertices.  The triangle SET is orientation-
+    # independent, so corner counts — and the oracle's a<b<c enumeration —
+    # are unchanged.  (The naive a<b<c join measured 14.4s at sf0.1; this
+    # form ~1s.)
+    du = deg.select(F.col("p").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("p").alias("v"), F.col("d").alias("dv"))
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .persist()
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tris = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
         .join(
             e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
         )
         .select(
-            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
         )
     )
     corner = (
