@@ -103,6 +103,7 @@ EXTENSIONS = [
     "q102_priority_segment_chi2",         # chi-square independence (r4)
     "q103_benford_screen",                # leading-digit audit screen (r4)
     "q104_order_cadence",                 # subscription-cadence detection (r4)
+    "q105_frequent_triples",              # Apriori level-3 itemsets (r4)
 ]
 
 

@@ -2781,3 +2781,79 @@ def q104_order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cv_milli", "custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q105 — frequent triple itemsets (Apriori level 3): part triples bought
+# together in >= 2 orders with support in bp — the next lattice level
+# above q91's pair rules, and the step where naive miners explode.  Here
+# the candidate surface stays the intra-order self-join: fan-out is
+# C(k<=7,3) <= 35 per order, LINEAR in the fact, never a part-lattice
+# cross product.
+#
+# Scale shape: two chained orderkey equi-joins (same key — ONE exchange
+# feeds both), one bounded (a,b,c) aggregate, TakeOrderedAndProject.
+# ---------------------------------------------------------------------------
+@register(
+    "q105_frequent_triples",
+    oracle="""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+triples AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c,
+         COUNT(*) AS basket_orders
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN items c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+)
+SELECT CAST(part_a AS BIGINT) AS part_a,
+       CAST(part_b AS BIGINT) AS part_b,
+       CAST(part_c AS BIGINT) AS part_c,
+       CAST(basket_orders AS BIGINT) AS basket_orders,
+       CAST((10000 * basket_orders) // n.n AS BIGINT) AS support_bp
+FROM triples CROSS JOIN n_orders n
+ORDER BY basket_orders DESC, part_a, part_b, part_c
+LIMIT 20
+""",
+)
+def q105_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    )
+    a, b, c = items.alias("a"), items.alias("b"), items.alias("c")
+    triples = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .join(
+            c,
+            (F.col("b.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+            F.col("c.l_partkey").alias("part_c"),
+        )
+        .agg(F.count("*").alias("basket_orders"))
+        .filter(F.col("basket_orders") >= 2)
+    )
+    return (
+        triples.crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("part_a").cast("bigint"),
+            F.col("part_b").cast("bigint"),
+            F.col("part_c").cast("bigint"),
+            F.col("basket_orders").cast("bigint"),
+            F.expr("CAST((10000 * basket_orders) div n AS BIGINT)").alias(
+                "support_bp"
+            ),
+        )
+        .orderBy(F.desc("basket_orders"), "part_a", "part_b", "part_c")
+        .limit(20)
+    )

@@ -553,3 +553,20 @@ def test_q104_regular_cadence_beats_irregular(spark, tmp_path):
 
     rows = QUERIES["q104_order_cadence"](spark, str(tmp_path)).collect()
     assert [tuple(r) for r in rows] == [(1, 4, 10, 0), (2, 3, 10, 500)]
+
+
+def test_q105_triple_support(spark, tmp_path):
+    # orders 1,2 both contain {10,20,30}; order 3 has {10,20,40}:
+    # only (10,20,30) reaches 2 baskets; N=3 -> support 6666 bp.
+    _write_lineitem(
+        tmp_path,
+        [
+            (1, 10), (1, 20), (1, 30),
+            (2, 10), (2, 20), (2, 30),
+            (3, 10), (3, 20), (3, 40),
+        ],
+    )
+    from delta_lake_spark.queries import QUERIES
+
+    rows = QUERIES["q105_frequent_triples"](spark, str(tmp_path)).collect()
+    assert [tuple(r) for r in rows] == [(10, 20, 30, 2, 6666)]
