@@ -104,6 +104,7 @@ EXTENSIONS = [
     "q103_benford_screen",                # leading-digit audit screen (r4)
     "q104_order_cadence",                 # subscription-cadence detection (r4)
     "q105_frequent_triples",              # Apriori level-3 itemsets (r4)
+    "s15_kfold_assignment",               # leakage-safe CV folds (r4)
 ]
 
 

@@ -916,3 +916,81 @@ def s14_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# s15 — leakage-safe k-fold cross-validation assignment: every document
+# lands in one of 5 folds keyed on its normalized-content FINGERPRINT
+# (t01's md5 canonical form), so byte-near duplicates can never straddle
+# a train/eval boundary — the same leakage rule as s09's split, at CV
+# granularity.  The report shows each fold's doc/token mass and its
+# deviation from a perfect 1/k share in bp (the balance check before
+# trusting the folds).
+#
+# Scale shape: fold id is a per-row md5 (zero shuffle); one bounded
+# (fold) aggregate + broadcast totals.  Content-addressed, so reshard/
+# re-run/partition-count changes cannot move a document between folds.
+# ---------------------------------------------------------------------------
+_S15_K = 5
+
+
+def _s15_oracle() -> str:
+    norm = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+    bucket = (
+        f"(('0x' || substr(md5('fold:' || md5({norm})), 1, 8))::BIGINT % {_S15_K})"
+    )
+    return f"""
+WITH f AS (
+  SELECT {bucket} AS fold, len({_TOKENS_SQL_S15}) AS toks
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS n, SUM(toks) AS t FROM f)
+SELECT CAST(f.fold AS BIGINT) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f.toks) AS BIGINT) AS n_tokens,
+       CAST((10000 * COUNT(*)) // tot.n AS BIGINT) AS doc_share_bp,
+       CAST((10000 * COUNT(*)) // tot.n - 10000 // {_S15_K} AS BIGINT) AS balance_dev_bp
+FROM f CROSS JOIN tot
+GROUP BY f.fold, tot.n, tot.t
+ORDER BY fold
+"""
+
+
+_TOKENS_SQL_S15 = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+@register("s15_kfold_assignment", oracle=_s15_oracle())
+def s15_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.text import fingerprint, token_count
+
+    d = table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), fingerprint("text"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _S15_K
+    )
+    f = d.select(fold.alias("fold"), token_count("text").cast("long").alias("toks"))
+    tot = f.agg(F.count("*").alias("n"), F.sum("toks").alias("t"))
+    return (
+        f.groupBy("fold")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("fold").cast("bigint"),
+            "n_docs",
+            "n_tokens",
+            F.expr("CAST((10000 * n_docs) div n AS BIGINT)").alias("doc_share_bp"),
+            F.expr(
+                f"CAST((10000 * n_docs) div n - 10000 div {_S15_K} AS BIGINT)"
+            ).alias("balance_dev_bp"),
+        )
+        .orderBy("fold")
+    )

@@ -570,3 +570,26 @@ def test_q105_triple_support(spark, tmp_path):
 
     rows = QUERIES["q105_frequent_triples"](spark, str(tmp_path)).collect()
     assert [tuple(r) for r in rows] == [(10, 20, 30, 2, 6666)]
+
+
+def test_s15_duplicates_share_folds_and_shares_sum(spark, tmp_path):
+    # "Near-identical" docs (same canonical form: case/punct differences)
+    # must land in ONE fold; doc counts conserve.
+    texts = (
+        ["alpha beta gamma", "ALPHA beta,, gamma!!"]  # same fingerprint
+        + [f"doc number {i} words here" for i in range(30)]
+    )
+    _write_docs(tmp_path, texts, ["s"] * len(texts))
+    from delta_lake_spark.queries import QUERIES
+    from delta_lake_spark.catalog import table as _t
+    from delta_lake_spark.functions.text import fingerprint
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["s15_kfold_assignment"](spark, str(tmp_path)).collect()
+    assert sum(r.n_docs for r in rows) == len(texts)
+
+    d = _t(spark, str(tmp_path), "documents").filter(
+        F.col("doc_id").isin(1, 2)
+    ).select(fingerprint("text").alias("fp"))
+    fps = [r.fp for r in d.collect()]
+    assert fps[0] == fps[1]  # identical canonical form -> identical fold key
