@@ -26,72 +26,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup/vector/multimodal/sampling extension families out of it in round 2.
 # This explicit window curates which 50 face the driver.
 #
-# Round-4 rotation (VERDICT r3 task 1 + coverage maximization): the 17
-# oracle queries that were driver-green in r1/r2 but absent from r3's ledger
-# (q13/q18/q21/q22/q24-q26/q31-q33/q35-q38/q41-q43) get their fresh
-# certification row, the judge-named family representatives stay for
-# continuity (d06/v02/m01/s01/t01 + the q02-q04 reference marts), and the
-# REMAINING 25 slots go to round-4 queries that have never had a driver row
-# (every one already green in the local all-oracle sweep,
-# tests/test_oracle_parity.py, and in the two-profile determinism sweep).
-# Cumulative driver-green coverage: 67 (r1-r3) + 25 first-time rows here.
+# Round-5 rotation (VERDICT r4 task 1): all 50 slots go to oracle-backed
+# queries that have NEVER had an external driver row (99 such remained after
+# round 4; cumulative driver-green was 92/191). The long-standing family
+# representatives (3-4 green rows each) are dropped to maximize first-time
+# coverage. Every query below is green in the local all-oracle sweep
+# (tests/test_oracle_parity.py replicates the driver's t2 gate exactly) and
+# in the two-profile determinism + NY-timezone sweeps. Target after this
+# round: cumulative driver-green >= 142/191.
 DRIVER_WINDOW = [
-    # family representatives (r1-r3-certified, kept for continuity)
-    "d06_minhash_lsh_pairs",
-    "v02_embedding_near_dups",
-    "m01_payload_metadata",
-    "s01_hash_split_sample",
-    "t01_dedup_exact",
-    "q02_client_stats",
-    "q03_daily_metrics",
-    "q04_fraud_analysis",
-    # rotated in per VERDICT r3: driver-green in r1/r2, outside r3's window
-    "q13_set_ops",
-    "q18_rollup_flags",
-    "q21_global_stats",
-    "q22_balance_quartiles",
-    "q24_cube_order_mix",
-    "q25_rolling_7d_volume",
-    "q26_exists_urgent_no_failed",
-    "q31_returned_items",
-    "q32_promo_revenue_share",
-    "q33_activity_reconciliation",
-    "q35_orders_above_customer_avg",
-    "q36_unpivot_segment_metrics",
-    "q37_top_supplier_revenue",
-    "q38_monthly_rollup_from_daily",
-    "q41_grouping_sets",
-    "q42_right_join_order_coverage",
-    "q43_coverage_matrix",
-    # first driver row: round-4 dedup / pipeline additions
-    "d10_dedup_clusters",
-    "d17_duplicated_spans",
-    "d20_prefix_filter_jaccard",
-    "d21_semantic_dedup_survivors",
-    "p01_curation_pipeline",
-    "p03_release_pipeline",
-    # first driver row: TPC-H-shape gap closure + analytics
-    "q46_market_share",
-    "q49_order_count_distribution",
-    "q57_min_cost_supplier",
-    "q60_correlation_matrix",
-    "q62_feature_drift",
-    "q66_variant_props",
-    # first driver row: windows / graph / experimentation
-    "q68_peak_concurrency",
-    "q71_scd2_tier_history",
-    "q72_triangle_census",
-    "q73_copurchase_pagerank",
-    "q76_running_distinct_users",
-    "q79_funnel_conversion",
-    "q82_interval_union_coverage",
-    "q83_mad_outliers",
-    # first driver row: sampling / text / vector additions
-    "s09_leakage_safe_split",
-    "s10_weighted_pps_sample",
-    "t21_heavy_hitters",
-    "t22_decontamination",
-    "v16_knn_graph",
+    # newest analytics wave (q84-q105), never driver-certified
+    "q84_dominant_part_suppliers",
+    "q85_rich_inactive_customers",
+    "q86_seasonal_deviation",
+    "q87_rolling_active_users",
+    "q88_full_coverage_customers",
+    "q89_revenue_gini",
+    "q90_ship_latency_slo",
+    "q91_market_basket_lift",
+    "q92_retention_cohorts",
+    "q93_rfm_segments",
+    "q94_repurchase_intervals",
+    "q95_supplier_hhi",
+    "q96_pareto_customers",
+    "q97_segment_migration",
+    "q98_new_vs_returning",
+    "q99_value_bands",
+    "q100_order_splitting",
+    "q101_clustering_coefficient",
+    "q102_priority_segment_chi2",
+    "q103_benford_screen",
+    "q104_order_cadence",
+    "q105_frequent_triples",
+    # text-analysis tail (t23-t29)
+    "t23_bigram_lm_score",
+    "t24_boilerplate_ngrams",
+    "t25_classifier_auc",
+    "t26_langid_kappa",
+    "t27_quality_rank_correlation",
+    "t28_lexical_diversity",
+    "t29_tokenizer_fertility",
+    # sampling tail (s11-s15)
+    "s11_epoch_shuffle",
+    "s12_mixture_plan",
+    "s13_dsir_importance",
+    "s14_neyman_allocation",
+    "s15_kfold_assignment",
+    # vector tail (v17-v20) + cluster-quality report
+    "v17_kmeans_exact",
+    "v18_pq_ann",
+    "v19_pq_shortlist_rerank",
+    "v20_range_search",
+    "v10_cluster_quality",
+    # dedup / multimodal / pipeline never-certified
+    "d13_contamination_scan",
+    "d14_lsh_band_tuning",
+    "d15_semantic_dedup",
+    "d18_containment_pairs",
+    "d22_cross_source_dup_matrix",
+    "m07_chunk_dedup_report",
+    "p02_packing_pipeline",
+    "p04_mixture_materialization",
+    # remaining analytics named in VERDICT r4 tasks
+    "q39_exact_percentile_outliers",
+    "q53_sole_return_suppliers",
+    "q55_table_profile",
 ]
 
 
