@@ -50,17 +50,36 @@ class CorpusPipeline:
 
     def ingest_batch(
         self, docs: DataFrame, batch_id: int, id_col: str = "doc_id",
-        text_col: str = "text",
+        text_col: str = "text", validate_order: bool = False,
     ) -> dict:
         """Run one landing batch through gate -> dedup -> split -> append.
         Returns per-stage counts.  Replaying a committed ``batch_id`` is a
         no-op for the corpus append (txn marker); the dedup index's
-        id-ordering guard rejects genuinely out-of-order data."""
+        id-ordering guard rejects genuinely out-of-order data.
+
+        ``validate_order=True`` additionally checks the batch's minimum
+        ``id_col`` against the index high-water mark BEFORE any side effect
+        (the index's own guard fires only after the quarantine append has
+        committed) — the stream path uses this to fail fast on out-of-order
+        landings (ADVICE r4)."""
         last = self.corpus.last_txn_batch(_TXN_APP) if ManagedTable.is_managed_table(
             self.corpus.path
         ) else None
         if last is not None and batch_id <= last:
             return {"replayed": True, "batch_id": batch_id}
+
+        if validate_order:
+            hwm = self.index.seen_hwm()
+            if hwm is not None:
+                low = docs.agg(F.min(id_col).alias("m")).first()["m"]
+                if low is not None and low <= hwm:
+                    raise ValueError(
+                        f"ingest_batch {batch_id}: landing batch min "
+                        f"{id_col}={low} <= dedup-index high-water mark "
+                        f"{hwm}; landing files arrived out of {id_col} "
+                        f"order (the streaming contract requires id-ordered "
+                        f"landings)"
+                    )
 
         scored = docs.withColumn("quality", quality_score(text_col))
         good = scored.filter(F.col("quality") >= self.min_quality)
@@ -120,36 +139,47 @@ class CorpusPipeline:
             .orderBy("split")
         )
 
-    def stream_ingest(self, landing_glob: str, schema, checkpoint_dir: str):
+    def stream_ingest(
+        self,
+        landing_glob: str,
+        schema,
+        checkpoint_dir: str,
+        max_files_per_trigger: int = 1,
+    ):
         """Streaming front door: document files land continuously and each
         micro-batch runs the SAME gate -> dedup -> split -> append path as
-        :meth:`ingest_batch` — Structured Streaming supplies ordering and
-        restart bookkeeping, the pipeline's own txn markers make every
-        batch exactly-once even if the checkpoint replays one.
+        :meth:`ingest_batch` — Structured Streaming supplies restart
+        bookkeeping, the pipeline's own txn markers make every batch
+        exactly-once even if the checkpoint replays one.
 
         Micro-batch ids from foreachBatch are monotonically increasing,
-        which satisfies both the txn-marker replay rule and the dedup
-        index's id-ordering precondition as long as the landing files
-        themselves arrive in doc_id order (the same contract batch callers
-        hold).  ``availableNow`` drains what's landed then stops; rerunning
-        with the same checkpoint resumes where it left off.
+        which satisfies the txn-marker replay rule.  The dedup index's
+        id-ordering precondition additionally requires the landing FILES to
+        arrive in doc_id order — a contract the file source cannot prove
+        (files sharing an mtime may enter a micro-batch in either order),
+        so every micro-batch is VALIDATED against the index high-water mark
+        before any side effect and the stream fails fast on an out-of-order
+        landing (ADVICE r4; ``validate_order=True`` below).  No
+        ``outputMode`` is set — foreachBatch ignores it.  ``availableNow``
+        drains what's landed then stops; rerunning with the same checkpoint
+        resumes where it left off.
 
         Returns the StreamingQuery (caller awaits termination).
         """
         from delta_lake_spark.streaming.streams import file_stream
 
         stream = file_stream(
-            self.spark, landing_glob, schema, max_files_per_trigger=1
+            self.spark, landing_glob, schema,
+            max_files_per_trigger=max_files_per_trigger,
         )
 
         def ingest(batch: DataFrame, batch_id: int) -> None:
             # foreachBatch epochs start at 0; txn batches are 1-based
-            self.ingest_batch(batch, batch_id=batch_id + 1)
+            self.ingest_batch(batch, batch_id=batch_id + 1, validate_order=True)
 
         return (
             stream.writeStream.foreachBatch(ingest)
             .option("checkpointLocation", checkpoint_dir)
-            .outputMode("update")
             .trigger(availableNow=True)
             .start()
         )

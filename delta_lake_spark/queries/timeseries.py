@@ -1900,9 +1900,11 @@ def q81_ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # detection = running MAX of interval end over preceding rows; island id =
 # running sum of new-island flags) and the final per-island aggregate.
 # Nothing global, nothing quadratic; microsecond integers end to end.
-# Determinism: rows with identical (ts_us) merge into the same island
-# regardless of intra-tie order (equal starts imply equal padded ends), and
-# the (ts_us, event_id) tie-break pins the window order anyway.
+# Determinism: BOTH window passes (flag + island-id running sum) order by
+# the same unique key (s_us, event_id) in Spark and the oracle alike —
+# ordering the running sum by the non-unique (s_us, e_us) would let a
+# tie-group whose flag was computed under the event_id order split across
+# islands in an engine-arbitrary way (ADVICE r4, medium).
 # ---------------------------------------------------------------------------
 _PAD_US = 300_000_000  # 5-minute activity padding per event
 
@@ -1915,7 +1917,7 @@ WITH e AS (
   FROM events
 ),
 flagged AS (
-  SELECT user_id, s_us, e_us,
+  SELECT user_id, event_id, s_us, e_us,
          CASE WHEN s_us > MAX(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
                                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
               THEN 1 ELSE 0 END AS new_island
@@ -1923,7 +1925,7 @@ flagged AS (
 ),
 islands AS (
   SELECT user_id, s_us, e_us,
-         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s_us, event_id
                                ROWS UNBOUNDED PRECEDING) AS island_id
   FROM flagged
 ),
@@ -1957,7 +1959,7 @@ def q82_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s_us", "e_us")
+        .orderBy("s_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     islands = flagged.withColumn("island_id", F.sum("new_island").over(w_run))

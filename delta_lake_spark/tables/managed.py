@@ -3504,10 +3504,19 @@ class ManagedTable:
             with ThreadPoolExecutor(max_workers=min(32, len(missing))) as pool:
                 ns = list(
                     pool.map(
-                        lambda f: _footer_meta(os.path.join(self.path, f["path"]))[1]
-                        or 0,
+                        lambda f: _footer_meta(os.path.join(self.path, f["path"]))[1],
                         missing,
                     )
+                )
+            unreadable = [f["path"] for f, n in zip(missing, ns) if n is None]
+            if unreadable:
+                # An unreadable footer means the file itself is unreadable —
+                # treating it as 0 rows would silently undercount the table
+                # (ADVICE r4).  Surface it instead.
+                raise IOError(
+                    f"count_rows: cannot read parquet footer for "
+                    f"{len(unreadable)} file(s) lacking logged 'rows' "
+                    f"(first: {unreadable[0]}); refusing to undercount"
                 )
             extra = sum(ns)
         return (

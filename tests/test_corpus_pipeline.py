@@ -97,3 +97,38 @@ def test_stream_ingest_matches_batch_pipeline(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert streamed.corpus.latest_version() == v
+
+
+def test_stream_ingest_rejects_out_of_order_landing(spark, tmp_path):
+    """ADVICE r4: the dedup index's id-ordering precondition must be
+    ENFORCED on the stream path, not just documented — a landing file whose
+    doc_ids fall at or below the index high-water mark must fail the stream
+    before any side effect (no quarantine rows, no corpus commit for the
+    bad batch)."""
+    import time
+
+    from py4j.protocol import Py4JJavaError
+    import pytest
+
+    docs = table(spark, SF_SMOKE, "documents")
+    hi = docs.filter("doc_id >= 250")
+    lo = docs.filter("doc_id < 250")
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    # files land in REVERSE doc_id order (high ids first)
+    hi.coalesce(1).write.parquet(str(landing / "b1"))
+    time.sleep(1.1)
+    lo.coalesce(1).write.parquet(str(landing / "b2"))
+
+    p = CorpusPipeline(spark, str(tmp_path / "oo"), min_quality=60)
+    q = p.stream_ingest(str(landing) + "/*", docs.schema, str(tmp_path / "ckpt"))
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination(120)
+    assert "out of doc_id order" in str(ei.value)
+
+    # batch 1 (the high-id file) committed; the out-of-order batch 2 left
+    # no trace — corpus max version is batch 1's, quarantine only batch 1's
+    assert p.corpus.read().agg(F.min("doc_id")).first()[0] >= 250
+    qr = p.quarantine.read()
+    assert qr.filter("_batch_id = 2").isEmpty()

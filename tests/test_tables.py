@@ -1798,3 +1798,37 @@ def test_count_rows_is_metadata_exact(spark, tmp_path):
     assert t.count_rows(v_before) == 150
     t.purge_deletes()
     assert t.count_rows() == 130 == t.read().count()
+
+
+def test_count_rows_pre_feature_fallback_and_unreadable_footer(spark, tmp_path):
+    """Files from pre-'rows' commits fall back to one footer read each; a
+    file whose footer CANNOT be read must raise, not silently count as 0
+    rows (ADVICE r4: the `or 0` undercount hazard)."""
+    import json
+    import os
+
+    import pytest
+
+    t = ManagedTable(spark, str(tmp_path / "cnt2"))
+    t.write(spark.range(100).withColumn("v", F.col("id") * 2))
+
+    # simulate a pre-feature commit: strip the logged 'rows' field from the
+    # commit's add actions
+    log_path = t._log_path(t.latest_version())
+    with open(log_path) as f:
+        entry = json.load(f)
+    for fe in entry["add"]:
+        fe.pop("rows", None)
+    with open(log_path, "w") as f:
+        json.dump(entry, f)
+    t = ManagedTable(spark, t.path)  # drop the in-memory snapshot cache
+
+    # footer fallback still yields the exact count
+    assert t.count_rows() == 100
+
+    # corrupt one data file's footer -> loud failure, never an undercount
+    victim = os.path.join(t.path, entry["add"][0]["path"])
+    with open(victim, "r+b") as f:
+        f.truncate(4)  # keeps the file, destroys the footer
+    with pytest.raises(IOError, match="refusing to undercount"):
+        t.count_rows()
