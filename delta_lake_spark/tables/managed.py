@@ -1820,6 +1820,16 @@ class ManagedTable:
                     # source match), so their images union in here
                     cdc = cdc.unionByName(bysource_cdc)
                 cdc_files = self._write_cdc_dir(cdc)
+            if partition_by and bool(entry.get("optimize_write")):
+                # Delta optimizeWrite applies to MERGE rewrites too:
+                # without it every shuffle task of the rewrite writes a
+                # shard into every touched partition dir (64 tasks x 5
+                # partitions = 320 tiny files at the 10M bench); one
+                # exchange keyed on the partition columns makes it one
+                # right-sized file per partition per commit
+                merged = merged.repartition(
+                    *[F.col(c) for c in partition_by]
+                )
             _dir, files = self._write_commit_dir(merged, partition_by or None)
         finally:
             src.unpersist()
@@ -3524,6 +3534,55 @@ class ManagedTable:
             + extra
             - sum(f.get("dv_rows", 0) for f in missing)
         )
+
+    def show_partitions(self, version: "int | str | None" = None) -> DataFrame:
+        """``SHOW PARTITIONS`` analog (Spark's OptimizeMetadataOnlyQuery,
+        Delta's partition listing): the distinct live partition values of a
+        snapshot, from LOG METADATA only — no data-file scan.
+
+        Partition-only DISTINCTs (e.g. an incremental save's "which dates
+        already exist" anti-join build side) should come from here: the
+        data-scan version schedules one read per live file for an answer
+        the log already holds — at a 1,400-date daily mart that is 1,400
+        single-row file reads, and at 100 TB it is the whole table.
+        Values are cast to the table schema's column types; Hive
+        default-partition markers read back as NULL.  Capped at
+        ``_PARTITION_DISCOVERY_CAP`` distinct values like every other
+        partition-metadata read (past that, the layout is the bug)."""
+        from urllib.parse import unquote
+
+        from pyspark.sql.types import StringType
+
+        entry = self._entry(version)
+        pb = entry.get("partition_by") or []
+        if not pb:
+            raise ValueError("show_partitions: table is not partitioned")
+        seen = {
+            tuple(f["partition"].get(c) for c in pb) for f in entry["files"]
+        }
+        if len(seen) > _PARTITION_DISCOVERY_CAP:
+            raise ValueError(
+                f"show_partitions: {len(seen)} distinct partition values "
+                f"exceeds the {_PARTITION_DISCOVERY_CAP} metadata cap"
+            )
+
+        def _decode(v: "str | None") -> "str | None":
+            if v is None or v == "__HIVE_DEFAULT_PARTITION__":
+                return None
+            return unquote(v)
+
+        rows = sorted(
+            (tuple(_decode(v) for v in t) for t in seen),
+            key=lambda t: tuple("" if v is None else v for v in t),
+        )
+        types = {
+            f.name: f.dataType
+            for f in StructType.fromJson(entry["schema"]).fields
+        }
+        raw = self.spark.createDataFrame(
+            rows, StructType([StructField(c, StringType(), True) for c in pb])
+        )
+        return raw.select(*[F.col(c).cast(types[c]).alias(c) for c in pb])
 
     def set_property(self, key: str, value: "str | None") -> int:
         """Generic user table property (``ALTER TABLE ... SET TBLPROPERTIES``

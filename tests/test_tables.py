@@ -1832,3 +1832,54 @@ def test_count_rows_pre_feature_fallback_and_unreadable_footer(spark, tmp_path):
         f.truncate(4)  # keeps the file, destroys the footer
     with pytest.raises(IOError, match="refusing to undercount"):
         t.count_rows()
+
+
+def test_show_partitions_metadata_only(spark, tmp_path):
+    """show_partitions() returns typed distinct partition values from the
+    log alone — including a NULL partition (Hive default dir) — and raises
+    on unpartitioned tables."""
+    import datetime
+
+    import pytest
+
+    t = ManagedTable(spark, str(tmp_path / "sp"))
+    df = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 1)), (2, datetime.date(2024, 1, 2)),
+         (3, None), (4, datetime.date(2024, 1, 1))],
+        "id bigint, d date",
+    )
+    t.write(df, partition_by=["d"])
+    got = t.show_partitions()
+    assert [f.dataType.simpleString() for f in got.schema.fields] == ["date"]
+    vals = sorted((r.d for r in got.collect()), key=lambda v: (v is None, v))
+    assert vals == [datetime.date(2024, 1, 1), datetime.date(2024, 1, 2), None]
+
+    # delete one partition's rows (CoW) -> its value drops from the listing
+    t.delete_where([("d", "=", datetime.date(2024, 1, 2))])
+    assert t.show_partitions().count() == 2
+    # time travel sees the old listing
+    assert t.show_partitions(version=0).count() == 3
+
+    u = ManagedTable(spark, str(tmp_path / "sp2"))
+    u.write(spark.range(3))
+    with pytest.raises(ValueError, match="not partitioned"):
+        u.show_partitions()
+
+
+def test_merge_honors_optimize_write_property(spark, tmp_path):
+    """With the optimize_write table property set, a MERGE rewrite exchanges
+    on the partition columns first, so each touched partition gets ONE new
+    file instead of one shard per shuffle task."""
+    t = ManagedTable(spark, str(tmp_path / "ow"))
+    base = spark.range(10_000).withColumn("g", (F.col("id") % 5).cast("string"))
+    t.write(base.repartition("g"), partition_by=["g"])
+    t.set_optimize_write(True)
+    v0_files = t._entry()["files"]
+    assert len(v0_files) == 5
+
+    src = spark.range(10_000).withColumn("g", (F.col("id") % 5).cast("string"))
+    t.merge(src, ["id"])
+    entry = t._entry()
+    # all 5 partitions touched; optimize_write keeps it to 1 file each
+    assert len(entry["files"]) == 5
+    assert t.read().count() == 10_000
