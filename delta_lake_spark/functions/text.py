@@ -161,17 +161,24 @@ def bigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
     equi-joins (AQE broadcasts them when small) + one per-doc aggregate;
     V rides as a broadcast 1-row cross join — no driver collection.
     """
-    from delta_lake_spark.functions.dedup_sql import token_shingle_seq_sql
+    from delta_lake_spark.functions.dedup_sql import (
+        _shingle_transform_sql,
+        normalize_sql,
+        tokens_sql,
+    )
 
+    # tokenize ONCE and persist: the bigram explode, the unigram counts,
+    # and the vocabulary size are three traversals of the same token
+    # arrays — without the persist each re-runs the normalize+split regex
+    # over the full corpus (measured 8.2 -> 2.3 s warm on t27 at sf0.1)
     toks = docs.selectExpr(
-        f"{id_col} AS doc_id", f"{token_shingle_seq_sql(text_col, 2)} AS bgs"
-    )
-    bi = toks.select("doc_id", F.explode("bgs").alias("bg")).withColumn(
-        "w1", F.substring_index("bg", " ", 1)
-    )
-    uni = docs.selectExpr(
-        f"explode({token_shingle_seq_sql(text_col, 1)}) AS w"
-    )
+        f"{id_col} AS doc_id",
+        f"{tokens_sql(normalize_sql(text_col))} AS ws",
+    ).persist()
+    bi = toks.selectExpr(
+        "doc_id", f"explode({_shingle_transform_sql('ws', 2)}) AS bg"
+    ).withColumn("w1", F.substring_index("bg", " ", 1))
+    uni = toks.selectExpr("explode(ws) AS w")
     c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
     c2 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
     vsz = uni.agg(F.count_distinct("w").alias("vsz"))

@@ -308,10 +308,13 @@ def p03_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
         F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
     )
+    # xxhash64 grams, not md5: the hash only keys the internal train-vs-eval
+    # join (t22's rationale — 8-byte bigints vs 32-char strings through the
+    # explode), while the oracle joins on its own representation
     grams = docs.selectExpr(
         "doc_id",
         "source",
-        f"transform({token_shingles_sql('text', _T22_N)}, s -> md5(s)) AS gs",
+        f"transform({token_shingles_sql('text', _T22_N)}, s -> xxhash64(s)) AS gs",
     )
     from delta_lake_spark.queries.dedup import _D13_CONTAMINATED_BP
 
@@ -335,6 +338,11 @@ def p03_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = docs.filter(F.col("source") != _T22_EVAL_SRC).join(
         contaminated, "doc_id", "left_anti"
     )
+    # Persisting surv here was measured and REJECTED (r5 stage audit,
+    # sf0.1, 3 cleared-cache trials each): 12.9 s without vs 13.5 s with —
+    # near_dedup's internal base persist already caches the expensive
+    # shingle/minhash work, so materializing the survivors' text column
+    # only adds storage traffic for bigram_lm_scores' three traversals.
     surv = near_dedup(clean, "doc_id", "text", min_jaccard_bp=_DEDUP_TH)
     # the two exact global-ranking stages below each materialize their
     # input eagerly (partition-count collect); persisting the scored frame

@@ -1390,12 +1390,17 @@ def t22_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_spark.functions.dedup_sql import token_shingles_sql
 
     docs = table_parallel(spark, sf_dir, "documents", "doc_id")
+    # the gram hash never surfaces — it only keys the train-vs-eval equi-join
+    # and the distinct count, so any collision-free-in-practice hash gives
+    # the same result set.  xxhash64 (8-byte bigint) moves ~4x less data
+    # through the explode/shuffle than md5's 32-char strings (the oracle
+    # joins on its own md5 grams; set equality is hash-independent).
     grams = docs.selectExpr(
         "doc_id",
         "source",
-        f"transform({token_shingles_sql('text', _T22_N)}, s -> md5(s)) AS gs",
+        f"transform({token_shingles_sql('text', _T22_N)}, s -> xxhash64(s)) AS gs",
     )
-    # token_shingles_sql already array_distinct's the shingles; md5 is
+    # token_shingles_sql already array_distinct's the shingles; the hash is
     # injective on distinct strings for our purposes, so gs stays distinct
     flat = grams.select(
         "doc_id",

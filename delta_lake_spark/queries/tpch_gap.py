@@ -341,26 +341,36 @@ LIMIT 20
 """,
 )
 def q53_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     l = table(spark, sf_dir, "lineitem")
-    # one pass over lineitem: per-order supplier/breadth and return-breadth
-    per_order = l.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(
-            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-        ).alias("n_ret_supps"),
+    # ONE pass over lineitem (was two — the r4 shape re-scanned the fact for
+    # the returned rows): collapse to per-(order, supplier) with the
+    # returned-line count, then derive order breadth and return breadth via
+    # an order-partitioned window over that MUCH smaller frame.  numwait
+    # counts qualifying l1 ROWS, so it sums n_r_lines, not pairs.
+    pair = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_r_lines")
+    )
+    w = Window.partitionBy("l_orderkey")
+    marked = pair.withColumn("n_supps", F.count("*").over(w)).withColumn(
+        "n_ret_supps",
+        F.sum(F.when(F.col("n_r_lines") > 0, 1).otherwise(0)).over(w),
     )
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = table(spark, sf_dir, "supplier")
     waits = (
-        l.filter(F.col("l_returnflag") == "R")
-        .join(o, l.l_orderkey == o.o_orderkey)
-        .join(per_order, l.l_orderkey == F.col("po_orderkey"))
-        .filter((F.col("n_supps") >= 2) & (F.col("n_ret_supps") == 1))
+        marked.filter(
+            (F.col("n_r_lines") > 0)
+            & (F.col("n_supps") >= 2)
+            & (F.col("n_ret_supps") == 1)
+        )
+        .join(o, marked.l_orderkey == o.o_orderkey, "left_semi")
     )
     return (
         waits.join(s, waits.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_r_lines").cast("bigint").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
@@ -555,26 +565,27 @@ LIMIT 100
 """,
 )
 def q57_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     l = table(spark, sf_dir, "lineitem")
     pair = l.groupBy("l_partkey", "l_suppkey").agg(
         F.floor(
             F.sum(_dec("l_extendedprice")).cast("double") / F.count("*") * 100
         ).alias("avg_price_c")
     )
-    best = pair.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
-        F.min("avg_price_c").alias("min_price_c")
-    )
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "PROMO") & (F.col("p_size") <= 15)
     )
     s = table(spark, sf_dir, "supplier")
+    # argmin via a part-partitioned window instead of a second aggregate +
+    # self-join (the r4 shape re-computed `pair` for the min frame): the
+    # selective part filter joins FIRST (it prunes per-part groups whole,
+    # so the per-part min is unchanged), then one window pass keeps ties
+    w = Window.partitionBy("l_partkey")
     return (
-        pair.join(
-            best,
-            (pair.l_partkey == F.col("b_partkey"))
-            & (pair.avg_price_c == F.col("min_price_c")),
-        )
-        .join(p, pair.l_partkey == p.p_partkey)
+        pair.join(p, pair.l_partkey == p.p_partkey)
+        .withColumn("min_price_c", F.min("avg_price_c").over(w))
+        .filter(F.col("avg_price_c") == F.col("min_price_c"))
         .join(s, pair.l_suppkey == s.s_suppkey)
         .select(
             "p_partkey",
