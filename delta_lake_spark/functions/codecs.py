@@ -129,3 +129,32 @@ def synth_media_payload(doc_id: int) -> tuple[str, bytes]:
     n = 64 + doc_id % 32
     samples = [((doc_id * 31 + i * 17) % 4096) - 2048 for i in range(n)]
     return "audio/wav", encode_wav_pcm16(8000, samples)
+
+
+def bmp24_row_sums(data: bytes) -> list[int]:
+    """Per-pixel-row byte sums (BGR, padding excluded) of a 24-bit BMP, in
+    TOP-DOWN visual order — the per-frame unit for image frame sampling."""
+    sig, _fsize, _r1, _r2, offset = _BMP_HEADER.unpack_from(data, 0)
+    if sig != b"BM":
+        raise ValueError("not a BMP payload")
+    (hsize, width, height, _planes, bpp, comp, *_rest) = _BMP_INFO.unpack_from(data, 14)
+    if hsize < 40 or bpp != 24 or comp != 0 or height <= 0:
+        raise ValueError(f"unsupported BMP flavor (bpp={bpp}, comp={comp})")
+    row_size = (width * 3 + 3) & ~3
+    sums = []
+    for y in range(height):  # stored bottom-up
+        base = offset + y * row_size
+        sums.append(sum(data[base : base + width * 3]))
+    sums.reverse()  # return top-down
+    return sums
+
+
+def wav_pcm16_samples(data: bytes) -> tuple[int, list[int]]:
+    """(sample_rate, samples) of a mono 16-bit PCM WAV."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+            raise ValueError("only mono 16-bit PCM supported")
+        rate = w.getframerate()
+        n = w.getnframes()
+        samples = list(struct.unpack(f"<{n}h", w.readframes(n)))
+    return rate, samples

@@ -51,13 +51,19 @@ def m01_payload_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# m02 — stubbed decode + frame-sample + feature-extract over mapInPandas.
-# No oracle: the Arrow-batched python stage is not SQL-expressible (the
-# driver records a rows-only check).  Aggregated to stay schema-stable.
+# m02 — decode + frame-sample + feature-extract over mapInPandas, on
+# GENUINE media bytes: with_media_payload carries real encoded BMP/WAV
+# payloads through Arrow and decode_frames parses them with the stdlib
+# codecs (magic-byte sniffing; the deterministic stub survives only as the
+# unknown-format fallback — VERDICT r4 task 8).  No oracle: the
+# Arrow-batched python stage is not SQL-expressible (the driver records a
+# rows-only check).  Aggregated to stay schema-stable.
 # ---------------------------------------------------------------------------
 @register("m02_frame_features")
 def m02_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = with_payload(table_parallel(spark, sf_dir, "documents", "doc_id"))
+    from delta_lake_spark.functions.multimodal import with_media_payload
+
+    d = with_media_payload(table_parallel(spark, sf_dir, "documents", "doc_id"))
     frames = decode_frames(d)
     return (
         frames.groupBy("media_type")
@@ -73,16 +79,21 @@ def m02_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # m03 — frame sampling: the cardinality-expanding multimodal stage (one row
-# per sampled frame).  Rows-only like m02 (Arrow-batched python); the
-# differential unit test in test_pandas_ops.py checks the stub against a
-# pure-python recomputation.  Aggregated per doc bucket for schema
-# stability.
+# per sampled frame), on GENUINE media bytes — pixel-row frames for BMP
+# payloads, PCM-sample-window frames for WAV (format-aware framing in
+# functions/multimodal._payload_frames; byte windows only for unknown
+# formats).  Rows-only like m02 (Arrow-batched python); the differential
+# unit test in test_pandas_ops.py re-derives every frame with the same
+# codecs driver-side.  Aggregated per doc bucket for schema stability.
 # ---------------------------------------------------------------------------
 @register("m03_sampled_frames")
 def m03_sampled_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_lake_spark.functions.multimodal import sample_frames
+    from delta_lake_spark.functions.multimodal import (
+        sample_frames,
+        with_media_payload,
+    )
 
-    d = with_payload(table_parallel(spark, sf_dir, "documents", "doc_id"))
+    d = with_media_payload(table_parallel(spark, sf_dir, "documents", "doc_id"))
     frames = sample_frames(d, every_k=4)
     return (
         frames.groupBy((F.col("doc_id") % 10).alias("doc_bucket"))

@@ -40,7 +40,9 @@ def test_label_centroids_match_numpy(spark):
         assert abs(r["max_dist"] - dists.max()) < 1e-9
 
 
-def test_sample_frames_matches_python(spark):
+def test_sample_frames_unknown_bytes_fallback_matches_python(spark):
+    """Unknown-format payloads (text bytes) still frame as fixed byte
+    windows — the stub fallback of the format-aware framing."""
     from delta_lake_spark.catalog import table
     from delta_lake_spark.functions.multimodal import sample_frames, with_payload
     from tests.conftest import SF_SMOKE
@@ -59,6 +61,96 @@ def test_sample_frames_matches_python(spark):
             chunk = b[i * 100 : (i + 1) * 100]
             want.append((r.doc_id, i, len(chunk), sum(chunk)))
     assert got == sorted(want)
+
+
+def test_sample_frames_parses_genuine_media_bytes(spark):
+    """m03's framing on real payloads: BMP frames are pixel ROWS (genuine
+    header + padded-BGR-row parsing), WAV frames are PCM sample windows —
+    re-derived driver-side with the same stdlib codecs, via an INDEPENDENT
+    python replica (struct/wave directly, not the library under test)."""
+    import struct
+    import wave as wavemod
+    import io
+
+    from delta_lake_spark.catalog import table
+    from delta_lake_spark.functions.codecs import synth_media_payload
+    from delta_lake_spark.functions.multimodal import (
+        sample_frames,
+        with_media_payload,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 24)
+    d = with_media_payload(docs)
+    got = sorted(map(tuple, sample_frames(d, every_k=4).collect()))
+
+    want = []
+    for r in docs.select("doc_id").collect():
+        media, payload = synth_media_payload(int(r.doc_id))
+        frames = []
+        if media == "image/bmp":
+            width, height = struct.unpack_from("<ii", payload, 18)
+            offset = struct.unpack_from("<2sIHHI", payload, 0)[4]
+            row_size = (width * 3 + 3) & ~3
+            rows = []
+            for y in range(height):  # stored bottom-up
+                base = offset + y * row_size
+                rows.append(sum(payload[base : base + width * 3]))
+            rows.reverse()
+            frames = [(width * 3, s) for s in rows]
+        else:
+            with wavemod.open(io.BytesIO(payload), "rb") as w:
+                n = w.getnframes()
+                samples = struct.unpack(f"<{n}h", w.readframes(n))
+            for i in range(0, max(n, 1), 100):
+                win = samples[i : i + 100]
+                frames.append((2 * len(win), sum(abs(s) for s in win)))
+        for i in range(0, len(frames), 4):
+            want.append((r.doc_id, i, frames[i][0], frames[i][1]))
+    assert got == sorted(want) and got
+
+
+def test_decode_frames_parses_genuine_media_bytes(spark):
+    """m02's decode seam on real payloads: BMP rows decode through genuine
+    header parsing (width/height/channel means), WAV through genuine PCM
+    parsing (rate/duration/RMS) — checked against a driver-side decode of
+    the same bytes; media_type comes from the MAGIC BYTES, not the stub."""
+    from delta_lake_spark.catalog import table
+    from delta_lake_spark.functions.codecs import (
+        decode_bmp24,
+        decode_wav_pcm16,
+        synth_media_payload,
+    )
+    from delta_lake_spark.functions.multimodal import (
+        decode_frames,
+        with_media_payload,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 24)
+    got = {
+        r.doc_id: r
+        for r in decode_frames(with_media_payload(docs)).collect()
+    }
+    assert len(got) == 24
+    for r in docs.select("doc_id").collect():
+        media, payload = synth_media_payload(int(r.doc_id))
+        g = got[r.doc_id]
+        assert g.features[0] == float(len(payload))
+        if media == "image/bmp":
+            d = decode_bmp24(payload)
+            assert g.media_type == 0 and g.n_frames == d["height"]
+            assert g.features[1:] == [
+                float(d["width"]), float(d["height"]), float(d["mean_r_milli"])
+            ]
+        else:
+            d = decode_wav_pcm16(payload)
+            assert g.media_type == 1
+            assert g.n_frames == d["n_samples"] // 160 + 1
+            assert g.features[1:] == [
+                float(d["sample_rate"]), float(d["duration_ms"]),
+                float(d["rms_milli"]),
+            ]
 
 
 def test_arrow_digest_matches_driver_replica(spark):
