@@ -285,3 +285,64 @@ def test_sync_guards_and_replay(spark, tmp_path):
     # would otherwise reject the already-applied snapshot)
     scd2_sync(t, snap, KEYS, TRACKED, _ts(6), txn_app="sync", txn_batch=1)
     assert t.latest_version() == v and _chain(t) == before
+
+
+def test_scd2_apply_emits_exact_cdf_images_in_one_commit(spark, tmp_path):
+    """Composition contract (VERDICT r4 task 9): scd2_apply over a
+    CDF-ENABLED dimension must emit, in the single merge commit, the exact
+    change images — update_preimage/update_postimage for the closed-out
+    row (is_current True->False, eff_to set) and an insert for the new
+    current row.  SCD2 and CDF were previously tested separately."""
+    t = _init(spark, tmp_path, [(1, "bronze", "DE", _ts(1)), (2, "gold", "FR", _ts(1))])
+    t.enable_cdf()
+    v_before = t.latest_version()
+
+    scd2_apply(
+        t,
+        _rows(spark, [(1, "silver", "DE", _ts(5)), (3, "new", "IT", _ts(5))]),
+        KEYS,
+        TRACKED,
+        "ts",
+    )
+    v = t.latest_version()
+    assert v == v_before + 1  # close-out + insert land in ONE commit
+
+    # change_feed covers (from, to]: the merge commit alone
+    feed = sorted(
+        (
+            r._change_type,
+            r.cust_id,
+            r.tier,
+            r.eff_from,
+            r.eff_to,
+            r.is_current,
+        )
+        for r in t.change_feed(v_before, v).collect()
+    )
+    assert feed == [
+        # new key 3 and key 1's new current row: inserts
+        ("insert", 1, "silver", _ts(5), None, True),
+        ("insert", 3, "new", _ts(5), None, True),
+        # key 1's old current row: exact close-out pre/post images
+        ("update_postimage", 1, "bronze", _ts(1), _ts(5), False),
+        ("update_preimage", 1, "bronze", _ts(1), None, True),
+    ]
+    # untouched key 2 appears in NO image
+    assert all(row[1] != 2 for row in feed)
+
+    # CDF replay on top of the pre-commit snapshot equals the new snapshot
+    pre = {
+        (r.cust_id, r.tier, r.eff_from, r.eff_to, r.is_current)
+        for r in t.read(version=v_before).collect()
+    }
+    for row in feed:
+        tag, payload = row[0], row[1:]
+        if tag in ("insert", "update_postimage"):
+            pre.add(payload)
+        elif tag in ("delete", "update_preimage"):
+            pre.remove(payload)
+    post = {
+        (r.cust_id, r.tier, r.eff_from, r.eff_to, r.is_current)
+        for r in t.read().collect()
+    }
+    assert pre == post
