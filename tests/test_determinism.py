@@ -60,13 +60,17 @@ _NAMES = [
     "t25_classifier_auc",        # global_cumsum (partition-count input)
     "q93_rfm_segments",          # 3x global_row_number (partition-count input)
     "v19_pq_shortlist_rerank",   # two-stage ADC shortlist + exact rerank
+    "q53_sole_return_suppliers", # r5 rewrite: order-partitioned breadth window
+    "q57_min_cost_supplier",     # r5 rewrite: part-partitioned argmin window
+    "q101_clustering_coefficient",  # r5 rewrite: corner explode + shared edges
 ]
-# The FULL 160-query oracle-backed registry passed this same two-profile
-# digest sweep (latest full run: round 4, sf0.01 — every digest
+# The FULL 191-query oracle-backed registry passed this same two-profile
+# digest sweep (latest full run: round 5, sf0.01 — every digest
 # byte-identical between local[3]/3-partition/128MB-split and
-# local[8]/17-partition/256KB-split profiles; the wave-16/17 additions
-# q82-q87/t24-t26/s13/v17/v18/d21 each swept green on landing; too slow
-# for every suite run) — re-run it with:
+# local[8]/17-partition/256KB-split profiles, re-run after the r5 rewrites
+# q53/q57/q101/kmeans-centroid-collect/bigram-tokenize-once/q82-tie-fix;
+# an America/New_York-JVM run of the same 191 diffed clean against the
+# UTC profile too; too slow for every suite run) — re-run it with:
 # python tests/determinism_child.py <sf> local[3] 3 134217728 a.tsv
 # $(python -c 'from delta_lake_spark.queries import ORACLE; print(*sorted(ORACLE))')
 # and diff against a local[8]/17/262144 run.  Notably this covers the exact
