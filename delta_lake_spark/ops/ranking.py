@@ -45,7 +45,12 @@ def global_row_number(
     negate or invert the column instead, keeping range partitioning valid)."""
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # defaultParallelism (cores), not shuffle.partitions (2x cores): the
+        # range exchange + offset collect + broadcast join sequence is
+        # scheduling-bound (the q73 lesson — halving tiny-task count there
+        # measured 3x); P still scales with the cluster, which is all the
+        # prefix-sum construction needs
+        num_partitions = spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     ranged = (
         df.repartitionByRange(num_partitions, *cols)
@@ -120,7 +125,12 @@ def global_cumsum(
     are exact partial sums)."""
     spark = df.sparkSession
     if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # defaultParallelism (cores), not shuffle.partitions (2x cores): the
+        # range exchange + offset collect + broadcast join sequence is
+        # scheduling-bound (the q73 lesson — halving tiny-task count there
+        # measured 3x); P still scales with the cluster, which is all the
+        # prefix-sum construction needs
+        num_partitions = spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     val = F.col(value) if isinstance(value, str) else value
     ranged = (
