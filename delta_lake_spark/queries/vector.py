@@ -1701,9 +1701,12 @@ ORDER BY qid, rank
     )
 
 
-def _pq_adc(spark: SparkSession, sf_dir: str):
+def _pq_adc(spark: SparkSession, sf_dir: str, ivf: bool = False):
     """Quantized vectors + the PQ asymmetric-distance frame (qid, vid,
-    adc_dist) shared by v18 (top-k) and v19 (shortlist + exact rerank)."""
+    adc_dist) shared by v18 (top-k), v19 (shortlist + exact rerank), and —
+    with ``ivf=True`` — v21 (IVF-PQ: ADC computed only within the query's
+    coarse bucket, so each query scans one inverted list instead of the
+    whole code table)."""
     vec = _quantized_vectors(spark, sf_dir)
     cb_rows = vec.filter(F.col("vec_id") < _PQ_K).collect()
     cb = {int(r["vec_id"]): list(r["q"]) for r in cb_rows}
@@ -1769,13 +1772,35 @@ def _pq_adc(spark: SparkSession, sf_dir: str):
             lambda c: sqd(qsub, F.element_at(cbs, (c + 1).cast("int"))),
         )
     )
-    cand = base.select(F.col("vec_id").alias("vid"), codes_col.alias("codes"))
+    # IVF coarse bucket on the QUANTIZED integers (sign of q[1..4]):
+    # integer comparisons, so bucket membership is bit-decidable in both
+    # engines (doubles in [0, 1/scale) floor to 0 and land deterministically)
+    bucket_col = sum(
+        (
+            F.when(F.element_at(F.col("q"), j + 1) > 0, F.lit(2**j)).otherwise(
+                F.lit(0)
+            )
+            for j in range(4)
+        ),
+        F.lit(0),
+    )
+    cand = base.select(
+        F.col("vec_id").alias("vid"),
+        codes_col.alias("codes"),
+        bucket_col.alias("cbucket"),
+    )
     qdf = base.filter(F.col("vec_id") < _PQ_NQ).select(
-        F.col("vec_id").alias("qid"), lut_col.alias("lut")
+        F.col("vec_id").alias("qid"),
+        lut_col.alias("lut"),
+        bucket_col.alias("qbucket"),
+    )
+    join_cond = (
+        (F.col("cbucket") == F.col("qbucket")) & (F.col("vid") != F.col("qid"))
+        if ivf
+        else (F.col("vid") != F.col("qid"))
     )
     adc = (
-        cand.crossJoin(F.broadcast(qdf))
-        .filter(F.col("vid") != F.col("qid"))
+        cand.join(F.broadcast(qdf), join_cond)
         .select(
             "qid",
             "vid",
@@ -1888,6 +1913,63 @@ def v19_pq_shortlist_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= 10)
         .select("qid", "vid", "exact_dist", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# v21 — IVF-PQ ANN (the full FAISS IVFPQ index shape): the coarse IVF
+# quantizer (v04's deterministic sign buckets, here on the exact-integer
+# quantized vectors) partitions the code table into inverted lists, and
+# the PQ/ADC machinery (v18) scores ONLY the query's own list (nprobe=1).
+# This is the composition production vector stores actually deploy — the
+# bucket bounds the scan, the codes bound the bytes — completing the
+# family: v04 IVF alone, v18 PQ alone, v19 PQ+exact-rerank, v21 IVF+PQ.
+# Recall vs v18 is the standard nprobe=1 trade, measurable with v07's
+# methodology.
+#
+# Scale shape: encoding stays a zero-shuffle map; the query side is a
+# 5-row broadcast carrying (LUT, bucket); candidates stream once through
+# a broadcast join whose bucket equality prunes ~15/16 of pairs BEFORE
+# the 8-lookup ADC sum; ranks partition by qid.  At 100 TB the inverted
+# lists would be bucket-partitioned storage (VectorIndex's layout) and
+# nprobe=1 reads one partition per query.
+# ---------------------------------------------------------------------------
+def _v21_oracle() -> str:
+    bucket = (
+        "(CASE WHEN q[1] > 0 THEN 1 ELSE 0 END + CASE WHEN q[2] > 0 THEN 2 ELSE 0 END"
+        " + CASE WHEN q[3] > 0 THEN 4 ELSE 0 END + CASE WHEN q[4] > 0 THEN 8 ELSE 0 END)"
+    )
+    return (
+        _pq_ctes()
+        + f"""
+, bk AS (SELECT vec_id, {bucket} AS bucket FROM v),
+adcb AS (
+  SELECT adc.qid, adc.vid, adc.adc_dist
+  FROM adc
+  JOIN bk bq ON bq.vec_id = adc.qid
+  JOIN bk bc ON bc.vec_id = adc.vid AND bc.bucket = bq.bucket
+)
+SELECT qid, vid, CAST(adc_dist AS BIGINT) AS adc_dist, rank FROM (
+  SELECT qid, vid, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vid) AS rank
+  FROM adcb
+) t WHERE rank <= 10
+ORDER BY qid, rank
+"""
+    )
+
+
+@register("v21_ivfpq_ann", oracle=_v21_oracle())
+def v21_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    _, adc = _pq_adc(spark, sf_dir, ivf=True)
+    w = Window.partitionBy("qid").orderBy("adc_dist", "vid")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "vid", "adc_dist", "rank")
         .orderBy("qid", "rank")
     )
 
