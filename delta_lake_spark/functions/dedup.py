@@ -283,10 +283,22 @@ def connected_components(
     unpersisted; the fixpoint check is a 1-row aggregate, the only driver
     round-trip.
     """
-    und = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
     spark = edges.sparkSession
     sym = (
-        und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # symmetrize in ONE pass over the (often expensive) edge plan: a
+        # two-branch union re-executes the upstream per branch — for d10
+        # that is the whole LSH candidate + verify pipeline twice (the
+        # q101 corner-union lesson); exploding both orientations inline
+        # evaluates it once
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a).alias("u"), F.col(b).alias("v")),
+                    F.struct(F.col(b).alias("u"), F.col(a).alias("v")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
         # pre-partition on the per-round join key (v) BEFORE persisting: the
         # cached partitioning satisfies each round's join requirement, so
         # only the vertex-sized label table shuffles per iteration; core-
