@@ -1437,12 +1437,20 @@ FROM a2 GROUP BY cid ORDER BY cluster_id
 
 
 def _quantized_vectors(spark: SparkSession, sf_dir: str):
-    return table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
-        "vec_id",
-        F.transform(
-            as_double(F.col("embedding")),
-            lambda x: F.floor(x * F.lit(float(_V17_SCALE))).cast("long"),
-        ).alias("q"),
+    # persisted: v17's Lloyd rounds scan this 3x, and the plan-equal cached
+    # relation is shared across the whole exact-integer family (v17/v18/
+    # v19/v20/v21/d21) within a session — the spherical_kmeans `v` persist
+    # rationale, applied to the quantized projection
+    return (
+        table_parallel(spark, sf_dir, "embeddings", "vec_id")
+        .select(
+            "vec_id",
+            F.transform(
+                as_double(F.col("embedding")),
+                lambda x: F.floor(x * F.lit(float(_V17_SCALE))).cast("long"),
+            ).alias("q"),
+        )
+        .persist()
     )
 
 
