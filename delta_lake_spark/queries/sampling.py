@@ -994,3 +994,100 @@ def s15_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# s16 — epoch-ANNEALED mixture schedule: the curriculum-scheduling layer s12
+# stops short of.  Real pretraining runs anneal their source mixture across
+# epochs — start near-uniform (coverage / warm-up), end at the
+# quality/size-derived weights (exploitation); published schedules (e.g.
+# Doremi-style reweighting, staged curricula) are per-epoch weight tables
+# exactly like this.  The anneal is LINEAR interpolation between the
+# uniform weight and s12's source weight over E epochs in exact integer
+# milli-units (a temperature-style w^(1/T) would ride float pow — not
+# cross-engine-reproducible), so every per-epoch weight, share, and token
+# target is hash-exact.
+#
+# Scale shape: one per-source aggregate over the corpus (same single
+# shuffle as s12), cross-joined with a LITERAL epoch range and a broadcast
+# 1-row total — the schedule itself is (n_sources x E) metadata.
+# ---------------------------------------------------------------------------
+_S16_EPOCHS = 4
+_S16_BUDGET = 1_000_000  # tokens per epoch
+
+
+@register(
+    "s16_annealed_mixture_schedule",
+    oracle=f"""
+WITH per_source AS (
+  SELECT source,
+         {_S12_W_SQL} AS w,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS avail_tokens
+  FROM documents
+  GROUP BY source
+),
+tot AS (SELECT SUM(w) AS w_tot, COUNT(*) AS n_src FROM per_source),
+sched AS (
+  SELECT s.source, s.avail_tokens, e.range AS epoch,
+         -- alpha ramps 0 -> 1000 milli across epochs 0..E-1
+         (e.range * 1000) // ({_S16_EPOCHS} - 1) AS alpha_milli,
+         -- blended weight in milli-units: (1-a)*uniform + a*weighted,
+         -- uniform = w_tot/n_src so both terms share the w_tot denominator
+         ((1000 - (e.range * 1000) // ({_S16_EPOCHS} - 1)) * w_tot) // n_src
+           + ((e.range * 1000) // ({_S16_EPOCHS} - 1)) * s.w AS blend_milli
+  FROM per_source s, tot, range({_S16_EPOCHS}) e
+),
+norm AS (SELECT epoch, SUM(blend_milli) AS blend_tot FROM sched GROUP BY epoch)
+SELECT sched.epoch,
+       sched.source,
+       CAST(sched.alpha_milli AS BIGINT)  AS alpha_milli,
+       CAST((sched.blend_milli * 10000) // norm.blend_tot AS BIGINT) AS weight_bp,
+       CAST(({_S16_BUDGET} * sched.blend_milli) // norm.blend_tot AS BIGINT)
+         AS target_tokens,
+       CAST((({_S16_BUDGET} * sched.blend_milli) // norm.blend_tot) * 10000
+            // sched.avail_tokens AS BIGINT) AS repeat_bp
+FROM sched JOIN norm USING (epoch)
+ORDER BY epoch, source
+""",
+)
+def s16_annealed_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = (F.substring("source", 4, 10).cast("int") % 4 + 1).alias("w")
+    per_source = d.groupBy("source").agg(
+        F.first(w).alias("w"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("bigint")
+        .alias("avail_tokens"),
+    )
+    tot = per_source.agg(F.sum("w").alias("w_tot"), F.count("*").alias("n_src"))
+    epochs = spark.range(_S16_EPOCHS).select(F.col("id").alias("epoch"))
+    sched = (
+        per_source.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(epochs))
+        .selectExpr(
+            "source",
+            "avail_tokens",
+            "epoch",
+            f"(epoch * 1000) div ({_S16_EPOCHS} - 1) AS alpha_milli",
+            f"((1000 - (epoch * 1000) div ({_S16_EPOCHS} - 1)) * w_tot) div n_src"
+            f" + ((epoch * 1000) div ({_S16_EPOCHS} - 1)) * w AS blend_milli",
+        )
+    )
+    norm = sched.groupBy(F.col("epoch").alias("n_epoch")).agg(
+        F.sum("blend_milli").alias("blend_tot")
+    )
+    return (
+        sched.join(F.broadcast(norm), sched.epoch == F.col("n_epoch"))
+        .selectExpr(
+            "epoch",
+            "source",
+            "CAST(alpha_milli AS BIGINT) AS alpha_milli",
+            "CAST((blend_milli * 10000) div blend_tot AS BIGINT) AS weight_bp",
+            f"CAST(({_S16_BUDGET} * blend_milli) div blend_tot AS BIGINT)"
+            " AS target_tokens",
+            f"CAST((({_S16_BUDGET} * blend_milli) div blend_tot) * 10000"
+            " div avail_tokens AS BIGINT) AS repeat_bp",
+        )
+        .orderBy("epoch", "source")
+    )
