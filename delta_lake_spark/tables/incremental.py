@@ -58,9 +58,19 @@ def anti_join_append(
     the reference's Gold refresh does it (anti-join then plain ``append``):
     no target rewrite at all — the cheapest possible incremental write when
     the target is append-only (e.g. date-keyed daily marts).
+
+    Keys compare NULL-SAFELY: under plain SQL equality a NULL key "never
+    exists", so a NULL-keyed row (e.g. the out-of-range date bucket of a
+    daily mart) would re-append on EVERY run — unbounded duplicate growth
+    for an operator whose whole contract is idempotent incrementality
+    (found live in the ref10m repeat-save, r5).
     """
     existing = table.read().select(*keys).distinct()
-    fresh = source.join(existing, keys, "left_anti")
+    cond = None
+    for k in keys:
+        c = source[k].eqNullSafe(existing[k])
+        cond = c if cond is None else (cond & c)
+    fresh = source.join(existing, cond, "left_anti")
     return table.write(fresh, mode="append")
 
 

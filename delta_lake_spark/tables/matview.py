@@ -89,7 +89,28 @@ class IncrementalAggView:
             json.dump({"base_version": base_version}, f)
         os.replace(tmp, self._state_path())  # atomic on POSIX
 
+    def _require_nonnull_keys(self, df: DataFrame, what: str) -> None:
+        """The non-null-key precondition, ENFORCED (it was only documented):
+        MERGE matches on SQL equality, which never matches NULL — a NULL
+        group key would silently insert a fresh duplicate view row on every
+        refresh instead of updating the NULL group.  Checked on the rows
+        entering each aggregation (bounded: the changed slice, not the
+        view), so violation is a loud error, not corruption."""
+        cond = None
+        for k in self.keys:
+            c = F.col(k).isNull()
+            cond = c if cond is None else (cond | c)
+        bad = df.filter(cond).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"{type(self).__name__}: NULL value in grouping key(s) "
+                f"{self.keys} in {what}; incremental view maintenance "
+                "requires non-null keys (MERGE matches on SQL equality). "
+                "Filter or coalesce the key in the base first."
+            )
+
     def _aggregate(self, df: DataFrame, signed: bool) -> DataFrame:
+        self._require_nonnull_keys(df, "the aggregation input")
         sign = F.col("_sign") if signed else F.lit(1)
         zero = F.lit(0).cast(_DEC)
         aggs = [F.sum(sign).cast("bigint").alias("n")] + [

@@ -89,6 +89,19 @@ class IncrementalSketchView:
         os.replace(tmp, self._state_path())  # atomic on POSIX
 
     def _sketch_agg(self, df: DataFrame) -> DataFrame:
+        # enforce the documented non-null-key precondition (matview's
+        # rationale: MERGE matches on SQL equality, a NULL group key would
+        # silently duplicate the NULL group's view row every refresh)
+        cond = None
+        for k in self.keys:
+            c = F.col(k).isNull()
+            cond = c if cond is None else (cond | c)
+        if df.filter(cond).limit(1).count():
+            raise ValueError(
+                f"IncrementalSketchView: NULL value in grouping key(s) "
+                f"{self.keys}; incremental view maintenance requires "
+                "non-null keys (MERGE matches on SQL equality)."
+            )
         return df.groupBy(*self.keys).agg(
             F.count(F.lit(1)).alias("n"),
             *[

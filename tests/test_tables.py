@@ -1883,3 +1883,53 @@ def test_merge_honors_optimize_write_property(spark, tmp_path):
     # all 5 partitions touched; optimize_write keeps it to 1 file each
     assert len(entry["files"]) == 5
     assert t.read().count() == 10_000
+
+
+def test_anti_join_append_null_key_is_idempotent(spark, tmp_path):
+    """r5 NULL-key family: under plain SQL equality a NULL key 'never
+    exists', so a NULL-keyed mart row re-appends on every run.  The op must
+    compare keys null-safely — repeat appends of the same (incl. NULL-key)
+    rows are no-ops."""
+    import datetime
+
+    t = ManagedTable(spark, str(tmp_path / "aja"))
+    rows = spark.createDataFrame(
+        [(datetime.date(2024, 1, 1), 10), (None, 99)], "d date, v int"
+    )
+    t.write(rows)
+    assert t.read().count() == 2
+    v = t.latest_version()
+    anti_join_append(t, rows, ["d"])  # nothing new -> no duplicate NULL row
+    assert t.read().count() == 2
+    # genuinely fresh key still appends (alongside the replayed NULL row)
+    more = spark.createDataFrame(
+        [(datetime.date(2024, 1, 2), 20), (None, 99)], "d date, v int"
+    )
+    anti_join_append(t, more, ["d"])
+    assert t.read().count() == 3
+    assert t.read().filter("d is null").count() == 1
+
+
+def test_incremental_views_reject_null_group_keys(spark, tmp_path):
+    """The documented non-null-key precondition of the incremental views is
+    now ENFORCED: a NULL group key raises a clear error instead of silently
+    duplicating that group's view row on every refresh."""
+    import pytest
+
+    from delta_lake_spark.tables.matview import IncrementalAggView
+    from delta_lake_spark.tables.sketchview import IncrementalSketchView
+
+    base = ManagedTable(spark, str(tmp_path / "b"))
+    base.write(
+        spark.createDataFrame([("a", 1), (None, 2)], "k string, v int")
+    )
+    mv = IncrementalAggView(
+        spark, base, str(tmp_path / "mv"), keys=["k"], sums={"s": "v"}
+    )
+    with pytest.raises(ValueError, match="NULL value in grouping key"):
+        mv.refresh()
+    sv = IncrementalSketchView(
+        spark, base, str(tmp_path / "sv"), keys=["k"], ndv={"dv": "v"}
+    )
+    with pytest.raises(ValueError, match="NULL value in grouping key"):
+        sv.refresh()
