@@ -309,7 +309,7 @@ def arrow_payload_digest(
     which is the right hatch for binary-heavy columns where pandas
     boxing of ``bytes`` objects dominates the stage cost.
 
-    The digest itself mirrors the stub-decode flavor of m02: length,
+    The digest itself mirrors the unknown-format fallback flavor: length,
     boundary bytes, and a checksum over the first 64 bytes — deterministic
     pure-python byte math, differentially tested against a driver-side
     replica.
