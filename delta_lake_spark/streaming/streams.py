@@ -164,8 +164,9 @@ def interval_join(
     lower: str = "0 seconds",
     upper: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on ``key`` within a time interval:
+    """Stream-stream join on ``key`` within a time interval:
     ``right_ts`` in [left_ts - lower, left_ts + upper].
 
     Both sides carry watermarks and the join condition bounds event-time
@@ -174,9 +175,19 @@ def interval_join(
     forever).  The micro-batch analog of the binned range join
     (ops/range_join.py) — same idea, with the watermark as the bin expiry.
 
+    ``how="left_outer"`` emits null-padded left rows — but only ONCE THE
+    WATERMARK PASSES their match window (Spark cannot know "no match will
+    arrive" any earlier), so unmatched rows near the head of the stream
+    surface a watermark-delay later than their inner twins.  Outer
+    stream-stream joins REQUIRE exactly this watermark + time-bound
+    combination; the differential test drives the eviction with a
+    watermark-advancing sentinel batch.
+
     The right timestamp column is renamed ``<right_ts>_r`` (both survive
     into the output for the caller to diff).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer, got {how!r}")
     lname, rname = left_ts, right_ts + "_r"
     l = as_event_time(left, left_ts).withWatermark(left_ts, watermark)
     r = (
@@ -190,7 +201,7 @@ def interval_join(
         & (F.col(rname) >= F.col(lname) - F.expr(f"INTERVAL {lower}"))
         & (F.col(rname) <= F.col(lname) + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond, "inner").drop(key + "_r")
+    return l.join(r, cond, how).drop(key + "_r")
 
 
 def stream_dedup_ingest(

@@ -401,3 +401,82 @@ def test_stream_scd2_matches_batch_rebuild(spark, tmp_path):
         dim, ["user_id"], ["tier"], "ts", ckpt,
     ))
     assert dim.latest_version() == v
+
+
+def test_left_outer_interval_join_matches_batch(spark, tmp_path, events_batch):
+    """Outer stream-stream join semantics (r5): null-padded left rows emit
+    only once the watermark passes their match window, so the test appends
+    a far-future sentinel batch to drive eviction, then diffs against the
+    batch left join over the real (non-sentinel) data."""
+    import datetime
+
+    from delta_lake_spark.streaming import interval_join
+
+    d = tmp_path / "oj_landing"
+    d.mkdir()
+    eb = events_batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    eb.coalesce(1).write.parquet(str(d / "f0"))
+    # sentinel pair ~100 days past the corpus: advances BOTH sides'
+    # watermarks far beyond every real row's match window
+    far = eb.agg(F.max("ts")).first()[0] + datetime.timedelta(days=100)
+    sentinel = spark.createDataFrame(
+        [(10_000_001, far, -1, "click", 0.0, "{}"),
+         (10_000_002, far, -1, "view", 0.0, "{}")],
+        eb.schema,
+    )
+    import time as _t
+
+    _t.sleep(1.1)  # strictly later mtime -> second micro-batch
+    sentinel.coalesce(1).write.parquet(str(d / "f1"))
+
+    glob = str(d) + "/*"
+    schema = eb.schema
+    clicks = file_stream(spark, glob, schema, max_files_per_trigger=1).filter(
+        F.col("event_type") == "click"
+    )
+    views = file_stream(spark, glob, schema, max_files_per_trigger=1).filter(
+        F.col("event_type") == "view"
+    )
+    joined = interval_join(
+        clicks.select("user_id", "ts", F.col("event_id").alias("click_id")),
+        views.select("user_id", "ts", F.col("event_id").alias("view_id")),
+        key="user_id",
+        upper="30 minutes",
+        watermark="1 hour",
+        how="left_outer",
+    ).select("user_id", "click_id", "view_id")
+    out = str(tmp_path / "oj_out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "oj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q)
+
+    got = sorted(
+        (r.user_id, r.click_id, r.view_id)
+        for r in spark.read.parquet(out).collect()
+        if r.click_id < 10_000_000  # drop the sentinel's own row
+    )
+    c = eb.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    v = eb.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("vts"),
+        F.col("event_id").alias("view_id"),
+    )
+    want = sorted(
+        (r.user_id, r.click_id, r.view_id)
+        for r in c.join(
+            v,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("vts") >= F.col("cts"))
+            & (F.col("vts") <= F.col("cts") + F.expr("INTERVAL 30 minutes")),
+            "left",
+        ).select("user_id", "click_id", "view_id").collect()
+    )
+    assert got == want
+    # the outer join genuinely adds null-padded rows over the inner form
+    assert any(vid is None for _, _, vid in got)
