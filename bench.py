@@ -105,6 +105,8 @@ EXTENSIONS = [
     "q104_order_cadence",                 # subscription-cadence detection (r4)
     "q105_frequent_triples",              # Apriori level-3 itemsets (r4)
     "s15_kfold_assignment",               # leakage-safe CV folds (r4)
+    "v21_ivfpq_ann",                      # IVF-PQ bucket-scoped ADC (r5)
+    "s16_annealed_mixture_schedule",      # epoch-annealed mixture (r5)
 ]
 
 
