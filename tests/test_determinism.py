@@ -64,11 +64,12 @@ _NAMES = [
     "q57_min_cost_supplier",     # r5 rewrite: part-partitioned argmin window
     "q101_clustering_coefficient",  # r5 rewrite: corner explode + shared edges
 ]
-# The FULL 191-query oracle-backed registry passed this same two-profile
-# digest sweep (latest full run: round 5, sf0.01 — every digest
+# The FULL 193-query oracle-backed registry passed this same two-profile
+# digest sweep (latest full run: round-5 close, sf0.01 — every digest
 # byte-identical between local[3]/3-partition/128MB-split and
-# local[8]/17-partition/256KB-split profiles, re-run after the r5 rewrites
-# q53/q57/q101/kmeans-centroid-collect/bigram-tokenize-once/q82-tie-fix;
+# local[8]/17-partition/256KB-split profiles, re-run after ALL r5 changes
+# incl. q53/q57/q101, kmeans centroid collect + vector persists, bigram
+# tokenize-once, q82 tie fix, CC one-pass symmetrization, v21/s16;
 # an America/New_York-JVM run of the same 191 diffed clean against the
 # UTC profile too; too slow for every suite run) — re-run it with:
 # python tests/determinism_child.py <sf> local[3] 3 134217728 a.tsv
