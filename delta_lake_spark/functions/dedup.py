@@ -97,24 +97,38 @@ def band_keys(sig: Column) -> Column:
     return F.array(*bands)
 
 
-def minhash_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_candidate_pairs(
+    docs: DataFrame, id_col: str, text_col: str, tokens_col: str | None = None
+) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline -> verified candidate pairs with
     exact shingle-Jaccard (intersection/union sizes as integers).
 
     Returns columns: id_a, id_b, inter_size, union_size, jaccard_bp
     (jaccard in basis points, floor(10000*|∩|/|∪|) — integer, oracle-stable).
+
+    ``tokens_col``: optional pre-tokenized array column (the normalized
+    whitespace tokens, i.e. ``tokens(normalize_text(text))``).  A pipeline
+    that already tokenized the corpus (p03 tokenizes ONCE for contamination
+    grams + dedup shingles + LM scoring) passes it to skip the
+    normalize+split regex pass here; shingle values are identical.
     """
     from delta_lake_spark.functions.dedup_sql import (
+        _shingle_transform_sql,
         band_keys_sql,
         hashed_shingles_sql,
         minhash_sig_sql,
         token_shingles_sql,
     )
 
+    shingles = (
+        f"array_distinct({_shingle_transform_sql(tokens_col, 3)})"
+        if tokens_col is not None
+        else token_shingles_sql(text_col)
+    )
     base = (
         docs.select(
             F.col(id_col).alias("_id"),
-            F.expr(token_shingles_sql(text_col)).alias("_sh"),
+            F.expr(shingles).alias("_sh"),
         )
         # hash each shingle ONCE to a materialized column, then take the 16
         # permutation minima over the hashed array (identical values to
@@ -250,7 +264,11 @@ def winnow_fingerprints(text: Column | str, window: int = 4) -> Column:
 
 
 def near_dedup(
-    docs: DataFrame, id_col: str, text_col: str, min_jaccard_bp: int = 8000
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard_bp: int = 8000,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Greedy near-duplicate removal: drop every document that has a
     more-canonical (lower-id) near-dup above the threshold.
@@ -258,8 +276,10 @@ def near_dedup(
     One LSH candidate pass + one anti-join — the standard first-cut corpus
     dedup.  Chains (a~b~c with a!~c) keep their middle member; full
     transitive collapse is ``dedup_clusters`` (connected components).
+    ``tokens_col`` forwards a pre-tokenized column (see
+    minhash_candidate_pairs).
     """
-    pairs = minhash_candidate_pairs(docs, id_col, text_col)
+    pairs = minhash_candidate_pairs(docs, id_col, text_col, tokens_col=tokens_col)
     losers = (
         pairs.filter(F.col("jaccard_bp") >= min_jaccard_bp)
         .select(F.col("id_b").alias(id_col))

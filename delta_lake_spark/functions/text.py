@@ -148,7 +148,10 @@ def quality_score(text: Column | str) -> Column:
     return (len_score + stop_score + F.lit(20) - punct_penalty).cast("long")
 
 
-def bigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
+def bigram_lm_scores(
+    docs, id_col: str = "doc_id", text_col: str = "text",
+    tokens_col: str | None = None,
+):
     """Per-document add-one-smoothed bigram LM score in exact integer
     MICRO-units (the KenLM-style perplexity-proxy quality signal, with the
     log/float path replaced by per-term integer flooring so the score is
@@ -170,25 +173,41 @@ def bigram_lm_scores(docs, id_col: str = "doc_id", text_col: str = "text"):
     # tokenize ONCE and persist: the bigram explode, the unigram counts,
     # and the vocabulary size are three traversals of the same token
     # arrays — without the persist each re-runs the normalize+split regex
-    # over the full corpus (measured 8.2 -> 2.3 s warm on t27 at sf0.1)
-    toks = docs.selectExpr(
-        f"{id_col} AS doc_id",
-        f"{tokens_sql(normalize_sql(text_col))} AS ws",
-    ).persist()
+    # over the full corpus (measured 8.2 -> 2.3 s warm on t27 at sf0.1).
+    # ``tokens_col``: the caller already tokenized (p03's tokenize-once
+    # frame) — project it instead of re-splitting; the persist still
+    # matters because it materializes whatever upstream produced the rows
+    # (e.g. the dedup anti-join) exactly once for the three traversals.
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(tokens_col).alias("ws")
+        ).persist()
+        if tokens_col is not None
+        else docs.selectExpr(
+            f"{id_col} AS doc_id",
+            f"{tokens_sql(normalize_sql(text_col))} AS ws",
+        ).persist()
+    )
     bi = toks.selectExpr(
         "doc_id", f"explode({_shingle_transform_sql('ws', 2)}) AS bg"
     ).withColumn("w1", F.substring_index("bg", " ", 1))
     uni = toks.selectExpr("explode(ws) AS w")
-    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    # V = |vocab| = row count of the unigram count table: persist c1 (it
+    # also feeds the term join) and read the count on the driver — one
+    # traversal instead of a separate count_distinct shuffle + 1-row
+    # broadcast cross join (p03/t23 stage audit, r6).  A count collapses to
+    # one long at any corpus scale.
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1")).persist()
+    vsz = c1.count()
     c2 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
-    vsz = uni.agg(F.count_distinct("w").alias("vsz"))
     term = (
         bi.join(c2, "bg")
         .join(c1, bi["w1"] == c1["w"])
-        .crossJoin(F.broadcast(vsz))
         .select(
             "doc_id",
-            F.expr("(1000000 * (c2 + 1)) div (c1 + vsz)").alias("micro"),
+            F.expr(f"(1000000 * (c2 + 1)) div (c1 + {int(vsz)})").alias(
+                "micro"
+            ),
         )
     )
     return term.groupBy("doc_id").agg(

@@ -32,17 +32,16 @@ _PID = "_gr_pid"
 _OFF = "_gr_offset"
 
 
-def global_row_number(
+def _global_row_number_with_total(
     df: DataFrame,
     order_by: list[str | Column],
     *,
-    out_col: str = "rn",
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Exact global ``row_number() OVER (ORDER BY order_by)`` computed with
-    P-way parallelism.  ``order_by`` must be a unique key (add a tie-break);
-    ascending order only (wrap a column in ``F.desc`` is NOT supported —
-    negate or invert the column instead, keeping range partitioning valid)."""
+    out_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """Core of :func:`global_row_number`; also returns the exact total row
+    count, which the per-partition count collect already produced — callers
+    needing N (ntile bucket math) get it without a second count job."""
     spark = df.sparkSession
     if num_partitions is None:
         # defaultParallelism (cores), not shuffle.partitions (2x cores): the
@@ -67,11 +66,29 @@ def global_row_number(
         acc += n
     off = spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
     w = Window.partitionBy(_PID).orderBy(*cols)
-    return (
+    ranked = (
         ranged.join(F.broadcast(off), _PID)
         .withColumn(out_col, F.row_number().over(w) + F.col(_OFF))
         .drop(_PID, _OFF)
     )
+    return ranked, acc
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[str | Column],
+    *,
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global ``row_number() OVER (ORDER BY order_by)`` computed with
+    P-way parallelism.  ``order_by`` must be a unique key (add a tie-break);
+    ascending order only (wrap a column in ``F.desc`` is NOT supported —
+    negate or invert the column instead, keeping range partitioning valid)."""
+    ranked, _ = _global_row_number_with_total(
+        df, order_by, out_col=out_col, num_partitions=num_partitions
+    )
+    return ranked
 
 
 def global_ntile(
@@ -86,26 +103,29 @@ def global_ntile(
     the first ``N % n`` buckets get ``N // n + 1`` rows, the rest ``N // n``)
     via :func:`global_row_number` — no single-partition stage."""
     rn = "_gr_rn"
-    ranked = global_row_number(
+    # total rides out of the offset collect global_row_number already does —
+    # the previous separate count job + 1-row broadcast join were pure
+    # per-query overhead (p03 stage audit, r6)
+    ranked, total = _global_row_number_with_total(
         df, order_by, out_col=rn, num_partitions=num_partitions
     )
-    total = ranked.agg(F.count("*").alias("_gr_total"))
-    # NTILE bucket math on exact integers (all SQL-side, no Python rounding):
+    # NTILE bucket math on exact integers (Python ints -> literals, same
+    # values the SQL-side computation produced):
     #   base_sz = N // n; rem = N % n; cut = rem * (base_sz + 1)
     #   rn <= cut  -> bucket = (rn - 1) / (base_sz + 1) + 1
     #   rn >  cut  -> bucket = rem + (rn - 1 - cut) / base_sz + 1
-    base_sz = F.floor(F.col("_gr_total") / n)
-    rem = F.col("_gr_total") % n
+    base_sz = total // n
+    rem = total % n
     cut = rem * (base_sz + 1)
     r0 = F.col(rn) - 1
-    bucket = F.when(
-        F.col(rn) <= cut, F.floor(r0 / (base_sz + 1)) + 1
-    ).otherwise(rem + F.floor((r0 - cut) / base_sz) + 1)
-    return (
-        ranked.join(F.broadcast(total))
-        .withColumn(out_col, bucket.cast("int"))
-        .drop(rn, "_gr_total")
-    )
+    if base_sz == 0:
+        # fewer rows than buckets: every row is alone in bucket rn
+        bucket = F.col(rn)
+    else:
+        bucket = F.when(
+            F.col(rn) <= cut, F.floor(r0 / (base_sz + 1)) + 1
+        ).otherwise(rem + F.floor((r0 - cut) / base_sz) + 1)
+    return ranked.withColumn(out_col, bucket.cast("int")).drop(rn)
 
 
 def global_cumsum(

@@ -612,12 +612,30 @@ ORDER BY vec_id
     )
 
 
+def _spherical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v09 spherical k-means assignment (vec_id, cl, sim), built once per
+    session and shared by its whole consumer family (v09/v10/d15/s06).
+
+    spherical_kmeans runs driver-side centroid collects per Lloyd round, so
+    CacheManager plan-equality alone cannot share the work across consumers —
+    each would re-run the collects.  The session memo runs Lloyd once; the
+    persisted assignment (3 small columns) is what all four queries scan.
+    """
+    from delta_lake_spark.functions.clustering import spherical_kmeans
+    from delta_lake_spark.ops.session_cache import session_cached
+
+    def build() -> DataFrame:
+        e = table_parallel(spark, sf_dir, "embeddings", "vec_id")
+        return spherical_kmeans(e, k=_KM_K, iters=_KM_ITERS)
+
+    return session_cached(
+        spark, ("spherical_assignment", sf_dir, _KM_K, _KM_ITERS), build
+    )
+
+
 @register("v09_kmeans_clusters", oracle=_v09_oracle())
 def v09_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_lake_spark.functions.clustering import spherical_kmeans
-
-    e = table_parallel(spark, sf_dir, "embeddings", "vec_id")
-    return spherical_kmeans(e, k=_KM_K, iters=_KM_ITERS).orderBy("vec_id")
+    return _spherical_assignment(spark, sf_dir).orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------
@@ -672,14 +690,12 @@ ORDER BY fa.vec_id
 
 @register("d15_semantic_dedup", oracle=_d15_oracle())
 def d15_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_lake_spark.functions.clustering import spherical_kmeans
-
     e = table_parallel(spark, sf_dir, "embeddings", "vec_id")
     v = e.select("vec_id", as_double(F.col("embedding")).alias("e"))
     # fa is referenced three times (both pair sides + the anti-join left);
-    # persist so the Lloyd iterations run once, not per reference (the d06
-    # persisted-signatures pattern).
-    fa = spherical_kmeans(e, k=_KM_K, iters=_KM_ITERS).select("vec_id", "cl").persist()
+    # the session-cached assignment is already persisted, so every reference
+    # reads the cached 3-column frame and Lloyd never re-runs.
+    fa = _spherical_assignment(spark, sf_dir).select("vec_id", "cl")
     a = fa.select(F.col("vec_id").alias("id_a"), F.col("cl").alias("cl_a"))
     b = fa.select(F.col("vec_id").alias("id_b"), F.col("cl").alias("cl_b"))
     va = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
@@ -744,11 +760,9 @@ ORDER BY cl, rnk
 def s06_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from delta_lake_spark.functions.clustering import spherical_kmeans
     from delta_lake_spark.functions.sampling import hash_bucket
 
-    e = table_parallel(spark, sf_dir, "embeddings", "vec_id")
-    fa = spherical_kmeans(e, k=_KM_K, iters=_KM_ITERS).select("vec_id", "cl")
+    fa = _spherical_assignment(spark, sf_dir).select("vec_id", "cl")
     b = hash_bucket("vec_id", "s06")
     thinned = fa.withColumn("b", b).filter(F.col("b") < _S06_RATE_BP)
     rnk = F.row_number().over(Window.partitionBy("cl").orderBy("b", "vec_id"))
@@ -797,10 +811,7 @@ ORDER BY cl
 
 @register("v10_cluster_quality", oracle=_v10_oracle())
 def v10_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_lake_spark.functions.clustering import spherical_kmeans
-
-    e = table_parallel(spark, sf_dir, "embeddings", "vec_id")
-    fa = spherical_kmeans(e, k=_KM_K, iters=_KM_ITERS)
+    fa = _spherical_assignment(spark, sf_dir)
     return (
         fa.groupBy("cl")
         .agg(
@@ -1437,21 +1448,24 @@ FROM a2 GROUP BY cid ORDER BY cluster_id
 
 
 def _quantized_vectors(spark: SparkSession, sf_dir: str):
-    # persisted: v17's Lloyd rounds scan this 3x, and the plan-equal cached
-    # relation is shared across the whole exact-integer family (v17/v18/
-    # v19/v20/v21/d21) within a session — the spherical_kmeans `v` persist
-    # rationale, applied to the quantized projection
-    return (
-        table_parallel(spark, sf_dir, "embeddings", "vec_id")
-        .select(
+    # session-memoized + persisted: v17's Lloyd rounds scan this 3x, and the
+    # cached relation is shared across the whole exact-integer family (v17/
+    # v18/v19/v20/v21/d21) within a session — the spherical_kmeans `v`
+    # persist rationale, applied to the quantized projection.  The memo (vs
+    # the previous bare .persist() + CacheManager plan-equality) also stops
+    # each consumer re-registering an already-cached plan.
+    from delta_lake_spark.ops.session_cache import session_cached
+
+    def build():
+        return table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
             "vec_id",
             F.transform(
                 as_double(F.col("embedding")),
                 lambda x: F.floor(x * F.lit(float(_V17_SCALE))).cast("long"),
             ).alias("q"),
         )
-        .persist()
-    )
+
+    return session_cached(spark, ("quantized_vectors", sf_dir, _V17_SCALE), build)
 
 
 def _assign_to_centroids(vec: DataFrame, cents: dict[int, list[int]]) -> DataFrame:
@@ -1489,23 +1503,35 @@ def _trunc_div(s: int, n: int) -> int:
 
 
 def _kmeans_final_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cid, dist) after seed -> assign -> update -> assign."""
-    vec = _quantized_vectors(spark, sf_dir)
-    # seed centroids: the first k vectors (k x dim metadata collect)
-    c0_rows = vec.filter(F.col("vec_id") < _V17_K).collect()
-    cents = {int(r["vec_id"]): list(r["q"]) for r in c0_rows}
-    # one Lloyd update: (cid, dim)-keyed partial agg, k*dim rows collected
-    a1 = _assign_to_centroids(vec, cents)
-    upd = (
-        a1.select("cid", F.posexplode("q").alias("d", "x"))
-        .groupBy("cid", "d")
-        .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
-        .collect()
+    """(vec_id, q, cid, dist) after seed -> assign -> update -> assign,
+    session-memoized: the two driver-side collects (seed rows + Lloyd
+    update) run once per session; v17 and d21 both consume the persisted
+    assignment instead of re-running them."""
+    from delta_lake_spark.ops.session_cache import session_cached
+
+    def build() -> DataFrame:
+        vec = _quantized_vectors(spark, sf_dir)
+        # seed centroids: the first k vectors (k x dim metadata collect)
+        c0_rows = vec.filter(F.col("vec_id") < _V17_K).collect()
+        cents = {int(r["vec_id"]): list(r["q"]) for r in c0_rows}
+        # one Lloyd update: (cid, dim)-keyed partial agg, k*dim rows collected
+        a1 = _assign_to_centroids(vec, cents)
+        upd = (
+            a1.select("cid", F.posexplode("q").alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(F.sum("x").alias("sx"), F.count("*").alias("n"))
+            .collect()
+        )
+        new_cents = {cid: list(v) for cid, v in cents.items()}
+        for r in upd:
+            new_cents[int(r["cid"])][int(r["d"])] = _trunc_div(
+                int(r["sx"]), int(r["n"])
+            )
+        return _assign_to_centroids(vec, new_cents)
+
+    return session_cached(
+        spark, ("kmeans_final_assignment", sf_dir, _V17_K, _V17_SCALE), build
     )
-    new_cents = {cid: list(v) for cid, v in cents.items()}
-    for r in upd:
-        new_cents[int(r["cid"])][int(r["d"])] = _trunc_div(int(r["sx"]), int(r["n"]))
-    return _assign_to_centroids(vec, new_cents)
 
 
 @register("v17_kmeans_exact", oracle=_v17_oracle())
