@@ -68,23 +68,31 @@ class CorpusPipeline:
         if last is not None and batch_id <= last:
             return {"replayed": True, "batch_id": batch_id}
 
+        scored = docs.withColumn("quality", quality_score(text_col))
+        # ONE stats pass before any side effect (ADVICE r5): the order-guard
+        # min, the batch size, and the quarantine count previously ran as
+        # three separate jobs (validate_order's standalone min doubled the
+        # source read on every well-ordered micro-batch); folding them into
+        # a single aggregate keeps the fail-fast contract at one pass.
+        pre = scored.agg(
+            F.min(F.col(id_col)).alias("low"),
+            F.count(F.lit(1)).alias("n_in"),
+            F.count_if(F.col("quality") < self.min_quality).alias("n_bad"),
+        ).first()
+        low, n_in, n_bad = pre["low"], pre["n_in"], pre["n_bad"]
         if validate_order:
             hwm = self.index.seen_hwm()
-            if hwm is not None:
-                low = docs.agg(F.min(id_col).alias("m")).first()["m"]
-                if low is not None and low <= hwm:
-                    raise ValueError(
-                        f"ingest_batch {batch_id}: landing batch min "
-                        f"{id_col}={low} <= dedup-index high-water mark "
-                        f"{hwm}; landing files arrived out of {id_col} "
-                        f"order (the streaming contract requires id-ordered "
-                        f"landings)"
-                    )
+            if hwm is not None and low is not None and low <= hwm:
+                raise ValueError(
+                    f"ingest_batch {batch_id}: landing batch min "
+                    f"{id_col}={low} <= dedup-index high-water mark "
+                    f"{hwm}; landing files arrived out of {id_col} "
+                    f"order (the streaming contract requires id-ordered "
+                    f"landings)"
+                )
 
-        scored = docs.withColumn("quality", quality_score(text_col))
         good = scored.filter(F.col("quality") >= self.min_quality)
         bad = scored.filter(F.col("quality") < self.min_quality)
-        n_bad = bad.count()
         if n_bad:
             self.quarantine.write(
                 bad.withColumn("_batch_id", F.lit(batch_id)),
@@ -114,7 +122,6 @@ class CorpusPipeline:
             txn_app=_TXN_APP,
             txn_batch=batch_id,
         )
-        n_in = docs.count()
         n_kept = enriched.count()
         return {
             "replayed": False,

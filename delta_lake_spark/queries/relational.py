@@ -303,16 +303,38 @@ ORDER BY o_custkey, rn
 """,
 )
 def q11_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
-    return (
+    # Physical strategy (r6, VERDICT r5 task 5): bounded-buffer hash
+    # aggregation, not the ranking window.  The window plan DOES get
+    # Spark's Partial+Final WindowGroupLimit, but with ~10 orders per
+    # customer spread randomly across input partitions the map-side top-3
+    # keeps essentially every row (each key appears ~once per partition)
+    # while still paying a full local sort of the input — two 15M-row
+    # sorts for nothing.  The hash-agg shape never sorts the corpus: one
+    # (custkey)-keyed exchange, then an array_sort over each customer's
+    # ~10-element list.  Measured on the 100-copy corpus (15M orders):
+    # window 16.5 s -> agg 12.3 s, identical output (exceptAll = 0 both
+    # ways).  Per-key buffers are bounded by the data model's orders-per-
+    # customer (~41 max in TPC-H); for unbounded per-key cardinality the
+    # WindowGroupLimit plan is the safer shape.
+    # Sort key: ascending (-price, orderkey) == price DESC, orderkey ASC;
+    # double negation is an exact IEEE sign flip, so -(-p) round-trips.
+    s = F.struct(
+        (-F.col("o_totalprice")).alias("_negp"),
+        F.col("o_orderkey").alias("k"),
+    )
+    top3 = (
         table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.slice(F.array_sort(F.collect_list(s)), 1, 3).alias("top3"))
+    )
+    return (
+        top3.select("o_custkey", F.posexplode("top3").alias("_pos", "_s"))
         .select(
             "o_custkey",
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).alias("rn"),
+            F.col("_s.k").alias("o_orderkey"),
+            (-F.col("_s._negp")).alias("o_totalprice"),
+            (F.col("_pos") + 1).cast("int").alias("rn"),
         )
-        .filter(F.col("rn") <= 3)
         .orderBy("o_custkey", "rn")
     )
 

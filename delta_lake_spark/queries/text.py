@@ -1395,6 +1395,11 @@ def t22_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the same result set.  xxhash64 (8-byte bigint) moves ~4x less data
     # through the explode/shuffle than md5's 32-char strings (the oracle
     # joins on its own md5 grams; set equality is hash-independent).
+    # Birthday bound (ADVICE r5): P(any 64-bit collision) ~ d^2 / 2^65 for
+    # d distinct grams — ~3e-9 at d=10M, ~3e-5 at d=1B, ~50% only at
+    # d~5e9.  A 100 TB corpus approaching billions of DISTINCT grams
+    # should either shard the join by a gram prefix or widen to the
+    # 128-bit md5 path; at this repo's scales the trade is safe.
     grams = docs.selectExpr(
         "doc_id",
         "source",

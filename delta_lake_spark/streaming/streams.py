@@ -183,11 +183,19 @@ def interval_join(
     combination; the differential test drives the eviction with a
     watermark-advancing sentinel batch.
 
+    ``how="right_outer"`` / ``how="full_outer"`` (r6) complete Spark's
+    stream-stream join matrix: unmatched RIGHT rows null-pad the left side
+    under the same watermark-eviction contract, and for these modes the
+    output ``key`` column is ``coalesce(left key, right key)`` (a
+    right-unmatched row has no left key to report).
+
     The right timestamp column is renamed ``<right_ts>_r`` (both survive
     into the output for the caller to diff).
     """
-    if how not in ("inner", "left_outer"):
-        raise ValueError(f"how must be inner|left_outer, got {how!r}")
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
+        raise ValueError(
+            f"how must be inner|left_outer|right_outer|full_outer, got {how!r}"
+        )
     lname, rname = left_ts, right_ts + "_r"
     l = as_event_time(left, left_ts).withWatermark(left_ts, watermark)
     r = (
@@ -201,7 +209,12 @@ def interval_join(
         & (F.col(rname) >= F.col(lname) - F.expr(f"INTERVAL {lower}"))
         & (F.col(rname) <= F.col(lname) + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond, how).drop(key + "_r")
+    joined = l.join(r, cond, how)
+    if how in ("right_outer", "full_outer"):
+        joined = joined.withColumn(
+            key, F.coalesce(F.col(key), F.col(key + "_r"))
+        )
+    return joined.drop(key + "_r")
 
 
 def stream_dedup_ingest(

@@ -64,11 +64,23 @@ def anti_join_append(
     daily mart) would re-append on EVERY run — unbounded duplicate growth
     for an operator whose whole contract is idempotent incrementality
     (found live in the ref10m repeat-save, r5).
+
+    The existing-side key columns are RENAMED before the join (ADVICE r5):
+    when the caller derives ``source`` from this same table's ``read()``
+    (shared lineage), ``source[k]``/``existing[k]`` resolve to the same
+    attribute and Spark raises an ambiguous/trivially-true join analysis
+    error; distinct right-side names make the eqNullSafe condition
+    unambiguous regardless of lineage.
     """
-    existing = table.read().select(*keys).distinct()
+    renamed = {k: f"_aj_{k}" for k in keys}
+    existing = (
+        table.read()
+        .select(*[F.col(k).alias(renamed[k]) for k in keys])
+        .distinct()
+    )
     cond = None
     for k in keys:
-        c = source[k].eqNullSafe(existing[k])
+        c = source[k].eqNullSafe(existing[renamed[k]])
         cond = c if cond is None else (cond & c)
     fresh = source.join(existing, cond, "left_anti")
     return table.write(fresh, mode="append")

@@ -3548,7 +3548,15 @@ class ManagedTable:
         Values are cast to the table schema's column types; Hive
         default-partition markers read back as NULL.  Capped at
         ``_PARTITION_DISCOVERY_CAP`` distinct values like every other
-        partition-metadata read (past that, the layout is the bug)."""
+        partition-metadata read (past that, the layout is the bug).
+
+        Deletion-vector awareness (ADVICE r5): a file whose rows are ALL
+        masked by a merge-on-read deletion vector (``dv_rows == rows``)
+        contributes no live rows, so it does not witness its partition —
+        matching ``count_rows``'s DV-aware semantics.  A partition is
+        listed iff at least one of its files still has unmasked rows (an
+        anti-join built on this listing therefore correctly re-appends
+        data for a fully-DV-deleted partition)."""
         from urllib.parse import unquote
 
         from pyspark.sql.types import StringType
@@ -3558,7 +3566,9 @@ class ManagedTable:
         if not pb:
             raise ValueError("show_partitions: table is not partitioned")
         seen = {
-            tuple(f["partition"].get(c) for c in pb) for f in entry["files"]
+            tuple(f["partition"].get(c) for c in pb)
+            for f in entry["files"]
+            if not ("rows" in f and f.get("dv_rows", 0) >= f["rows"])
         }
         if len(seen) > _PARTITION_DISCOVERY_CAP:
             raise ValueError(

@@ -242,13 +242,18 @@ def test_q32_scaling_dim_unhinted_aqe_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_q11_window_topk_uses_group_limit_pushdown(spark):
-    """q11's rank<=3 filter must plan as Partial+Final WindowGroupLimit —
-    map-side top-3 per key BEFORE the shuffle, so the exchanged volume is
-    O(3 x keys) not O(rows). This is the property that keeps the ranking
-    window sublinear at 100x (BENCH_SCALE100.json)."""
+def test_q11_topk_uses_bounded_hash_agg_not_window_sort(spark):
+    """q11's top-3-per-key must plan as a partial/final hash aggregation
+    (map-side combine, per-key bounded arrays) with NO window operator and
+    NO corpus-wide sort before the exchange.  The previous WindowGroupLimit
+    plan double-sorted the corpus for a map-side thin that keeps ~every row
+    when keys are spread across partitions (~10 orders/customer); the agg
+    shape cut 100x-scale time 16.5 -> 12.3 s (BENCH_SCALE100.json, r6)."""
     plan = plan_of(QUERIES["q11_top3_orders_per_customer"](spark, SF_SMOKE))
-    assert "WindowGroupLimit" in plan
+    assert "ObjectHashAggregate" in plan
+    assert "partial_collect_list" in plan  # map-side combine present
+    assert "WindowGroupLimit" not in plan
+    assert "RunningWindowFunction" not in plan and "Window " not in plan
 
 
 def test_d13_contamination_plan_shape(spark):

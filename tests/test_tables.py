@@ -1933,3 +1933,57 @@ def test_incremental_views_reject_null_group_keys(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL value in grouping key"):
         sv.refresh()
+
+
+def test_show_partitions_dv_aware(spark, tmp_path):
+    """ADVICE r5: a partition whose rows are ALL masked by merge-on-read
+    deletion vectors must drop out of show_partitions (matching count_rows'
+    DV-aware semantics) — an anti-join built on the listing re-appends data
+    for such a partition.  A partially-DV-deleted partition stays listed."""
+    import datetime
+
+    d1, d2 = datetime.date(2024, 1, 1), datetime.date(2024, 1, 2)
+    t = ManagedTable(spark, str(tmp_path / "spdv"))
+    df = spark.createDataFrame(
+        [(1, d1), (2, d1), (3, d2), (4, d2)], "id bigint, d date"
+    )
+    t.write(df, partition_by=["d"])
+    assert t.show_partitions().count() == 2
+
+    # fully DV-delete partition d2 -> only d1 remains listed
+    t.delete_where([("d", "=", d2)], mode="merge_on_read")
+    assert t.count_rows() == 2
+    vals = [r.d for r in t.show_partitions().collect()]
+    assert vals == [d1]
+    # time travel still sees both
+    assert t.show_partitions(version=0).count() == 2
+
+    # partially DV-delete d1 -> still listed (live rows remain)
+    t.delete_where([("id", "=", 1)], mode="merge_on_read")
+    assert [r.d for r in t.show_partitions().collect()] == [d1]
+
+    # purge materializes the deletes; listing is unchanged
+    t.purge_deletes()
+    assert [r.d for r in t.show_partitions().collect()] == [d1]
+
+
+def test_anti_join_append_shared_lineage(spark, tmp_path):
+    """ADVICE r5: anti_join_append must accept a source DERIVED FROM the
+    target's own read() (shared lineage) — the eqNullSafe condition on raw
+    attributes previously made that an ambiguous self-join."""
+    from delta_lake_spark.tables.incremental import anti_join_append
+
+    t = ManagedTable(spark, str(tmp_path / "ajshared"))
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    # derive the source from the same table's read(): shift keys so one
+    # collides (k=2) and one is fresh (k=3)
+    src = t.read().select((F.col("k") + 1).alias("k"), F.col("v"))
+    anti_join_append(t, src, ["k"])
+    got = sorted((r.k, r.v) for r in t.read().collect())
+    assert got == [(1, "a"), (2, "b"), (3, "b")]
+    # idempotent: replaying the same derived source appends nothing
+    src2 = ManagedTable(spark, str(tmp_path / "ajshared")).read().select(
+        F.col("k"), F.col("v")
+    )
+    anti_join_append(t, src2, ["k"])
+    assert t.read().count() == 3
