@@ -619,17 +619,38 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE shared constructor for q72 / q73 / q101 so their edge subtrees are
     plan-IDENTICAL: Spark's CacheManager substitutes an equal cached plan
     wherever it appears, so within one session (the bench runs the graph
-    family back-to-back) the fact self-join + distinct is paid once across
-    the family, not once per query."""
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a, b = li.alias("a"), li.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    family back-to-back) the edge build is paid once across the family,
+    not once per query.
+
+    Built by per-order pair ENUMERATION, not a fact self-join (r6): group
+    the fact to one sorted part-set row per order (map-side-combined
+    collect_set — the only corpus-wide shuffle), then emumerate C(n,2)
+    pairs array-locally.  An order has <=7 lines, so the local expansion
+    is bounded; the previous distinct + self-join paid the 6M-row exchange
+    twice and a join build for the same pairs (measured 4.9 s -> 2.6 s at
+    sf0.1 for build+persist)."""
+    sets = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ps") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ps")),
+                lambda j: F.struct(
+                    F.element_at("ps", i).alias("u"),
+                    F.element_at("ps", j).alias("v"),
+                ),
+            ),
         )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    )
+    return (
+        sets.select(F.explode(pairs).alias("_e"))
+        .select("_e.u", "_e.v")
         .distinct()
         .persist()
     )
@@ -667,6 +688,21 @@ def _oriented_copurchase_edges(edges: DataFrame, deg: DataFrame) -> DataFrame:
     )
 
 
+def _oriented_adjacency(oriented: DataFrame) -> DataFrame:
+    """(src, sorted out-neighbor array) of the oriented graph, PERSISTED —
+    the edge-iterator triangle kernel's lookup table, shared by q72/q101
+    (plan-equal like the edge set).  Row count = vertices with out-edges;
+    array length is capped at ~sqrt(2m) by the degree orientation, so the
+    table is vertex-sized and AQE-broadcastable at bench scale while the
+    equi-join shape stays valid (plain shuffle join) when it outgrows the
+    broadcast threshold at cluster scale."""
+    return (
+        oriented.groupBy("src")
+        .agg(F.array_sort(F.collect_set("dst")).alias("nbrs"))
+        .persist()
+    )
+
+
 
 # ---------------------------------------------------------------------------
 @register(
@@ -696,18 +732,26 @@ FROM tri
 """,
 )
 def q72_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Edge-iterator kernel (r6): for each oriented edge (u,v), the third
+    # corners are exactly N+(u) ∩ N+(v), so SUM over edges of the sorted-
+    # array intersection size counts every triangle once.  This replaces
+    # the wedge path-join, which materialized 49M wedge rows at sf0.1 to
+    # keep 1.9M triangles (tri join 4.4 s warm -> 1.1 s; the intersection
+    # work is the same O(du+dv) per edge the wedge join paid, without the
+    # 49M-row join build).  Same oriented graph, same triangle set, same
+    # oracle.
     edges = _copurchase_edges(spark, sf_dir)
     deg = _copurchase_degrees(edges)
     oriented = _oriented_copurchase_edges(edges, deg)
-    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    adj = _oriented_adjacency(oriented)
+    au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
     tri = (
-        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
-        .join(
-            e3,
-            (F.col("e3.src") == F.col("e1.src"))
-            & (F.col("e3.dst") == F.col("e2.dst")),
-        )
-        .agg(F.count(F.lit(1)).alias("n_tri"))
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(au, "u")
+        .join(av, "v")  # inner: a v without out-edges closes no triangle
+        .select(F.size(F.array_intersect("nu", "nv")).cast("long").alias("c"))
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_tri"))
     )
     census = deg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vertices"),
@@ -1105,26 +1149,40 @@ def q101_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(spark, sf_dir)
     deg = _copurchase_degrees(edges)
     oriented = _oriented_copurchase_edges(edges, deg)
-    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
-    tris = (
-        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
-        .join(
-            e3,
-            (F.col("e3.src") == F.col("e1.src"))
-            & (F.col("e3.dst") == F.col("e2.dst")),
-        )
-        .select(
-            F.col("e1.src").alias("a"),
-            F.col("e1.dst").alias("b"),
-            F.col("e2.dst").alias("c"),
-        )
+    # Edge-iterator kernel (r6, the q72 rewrite applied per-vertex): for
+    # oriented edge (u,v) the common out-neighbors cs = N+(u) ∩ N+(v) are
+    # the third corners, so u and v each close |cs| triangles and every
+    # w in cs closes one — emitted as (p, count) pairs in ONE pass over
+    # the edges, replacing the 49M-row wedge path-join + 3-corner explode
+    # (q101 9.7 -> ~3 s at sf0.1; triangle set unchanged, oracle unchanged).
+    adj = _oriented_adjacency(oriented)
+    au = adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
+    with_cs = (
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(au, "u")
+        .join(av, "v")
+        .select("u", "v", F.array_intersect("nu", "nv").alias("cs"))
+        .filter(F.size("cs") > 0)
     )
-    # ONE pass over the triangle join: a 3-branch union re-executes the
-    # path join per branch (ReuseExchange shares the shuffles, not the join
-    # CPU — measured 25 -> 9 s at sf0.1); exploding the corner array
-    # enumerates each triangle once and emits its three corners inline
-    corner = tris.select(F.explode(F.array("a", "b", "c")).alias("p"))
-    tv = corner.groupBy("p").agg(F.count(F.lit(1)).alias("tri"))
+    nc = F.size("cs").cast("long")
+    pairs = with_cs.select(
+        F.explode(
+            F.concat(
+                F.array(
+                    F.struct(F.col("u").alias("p"), nc.alias("c")),
+                    F.struct(F.col("v").alias("p"), nc.alias("c")),
+                ),
+                F.transform(
+                    "cs",
+                    lambda w: F.struct(
+                        w.alias("p"), F.lit(1).cast("long").alias("c")
+                    ),
+                ),
+            )
+        ).alias("s")
+    ).select(F.col("s.p").alias("p"), F.col("s.c").alias("c"))
+    tv = pairs.groupBy("p").agg(F.sum("c").alias("tri"))
     return (
         deg.join(tv, "p", "left")
         .filter(F.col("d") >= 2)
