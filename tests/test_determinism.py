@@ -62,16 +62,19 @@ _NAMES = [
     "v19_pq_shortlist_rerank",   # two-stage ADC shortlist + exact rerank
     "q53_sole_return_suppliers", # r5 rewrite: order-partitioned breadth window
     "q57_min_cost_supplier",     # r5 rewrite: part-partitioned argmin window
-    "q101_clustering_coefficient",  # r5 rewrite: corner explode + shared edges
+    "q101_clustering_coefficient",  # r6 rewrite: edge-iterator adjacency kernel
+    "q72_triangle_census",       # r6 rewrite: array_intersect triangle count
 ]
 # The FULL 193-query oracle-backed registry passed this same two-profile
-# digest sweep (latest full run: round-5 close, sf0.01 — every digest
+# digest sweep (latest full run: round-6 close, sf0.01 — every digest
 # byte-identical between local[3]/3-partition/128MB-split and
-# local[8]/17-partition/256KB-split profiles, re-run after ALL r5 changes
-# incl. q53/q57/q101, kmeans centroid collect + vector persists, bigram
-# tokenize-once, q82 tie fix, CC one-pass symmetrization, v21/s16;
-# an America/New_York-JVM run of the same 191 diffed clean against the
-# UTC profile too; too slow for every suite run) — re-run it with:
+# local[8]/17-partition/256KB-split profiles, re-run after ALL r6 changes
+# incl. the q11 bounded-agg rewrite, the q72/q101 edge-iterator kernel +
+# per-order edge enumeration, session-cached kmeans assignments, the
+# global_ntile literal-total and bigram vocab-count job cuts, and the p03
+# tokenize-once frame; an America/New_York-JVM run of the same 193 diffed
+# byte-identical against the UTC profile too; too slow for every suite
+# run) — re-run it with:
 # python tests/determinism_child.py <sf> local[3] 3 134217728 a.tsv
 # $(python -c 'from delta_lake_spark.queries import ORACLE; print(*sorted(ORACLE))')
 # and diff against a local[8]/17/262144 run.  Notably this covers the exact

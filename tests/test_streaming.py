@@ -576,3 +576,93 @@ def test_interval_join_rejects_unknown_how():
 
     with pytest.raises(ValueError, match="full_outer"):
         interval_join(None, None, key="k", how="left_semi")
+
+
+def test_right_outer_interval_join_matches_batch(spark, tmp_path, events_batch):
+    """Right-outer stream-stream join (r6): the mirror of the left_outer
+    differential — null-padded RIGHT rows (views with no click in window)
+    emit after watermark eviction and match the batch right join."""
+    import datetime
+
+    from delta_lake_spark.streaming import interval_join
+
+    d = tmp_path / "roj_landing"
+    d.mkdir()
+    eb = events_batch.withColumn("ts", F.col("ts").cast("timestamp"))
+    eb.coalesce(1).write.parquet(str(d / "f0"))
+    far = eb.agg(F.max("ts")).first()[0] + datetime.timedelta(days=100)
+    sentinel = spark.createDataFrame(
+        [(10_000_001, far, -1, "click", 0.0, "{}"),
+         (10_000_002, far, -1, "view", 0.0, "{}")],
+        eb.schema,
+    )
+    import time as _t
+
+    _t.sleep(1.1)
+    sentinel.coalesce(1).write.parquet(str(d / "f1"))
+
+    glob = str(d) + "/*"
+    schema = eb.schema
+    clicks = file_stream(spark, glob, schema, max_files_per_trigger=1).filter(
+        F.col("event_type") == "click"
+    )
+    views = file_stream(spark, glob, schema, max_files_per_trigger=1).filter(
+        F.col("event_type") == "view"
+    )
+    joined = interval_join(
+        clicks.select("user_id", "ts", F.col("event_id").alias("click_id")),
+        views.select("user_id", "ts", F.col("event_id").alias("view_id")),
+        key="user_id",
+        upper="30 minutes",
+        watermark="1 hour",
+        how="right_outer",
+    ).select("user_id", "click_id", "view_id")
+    out = str(tmp_path / "roj_out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "roj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    drain(q)
+
+    def nkey(t):
+        return tuple((x is None, 0 if x is None else x) for x in t)
+
+    got = sorted(
+        (
+            (r.user_id, r.click_id, r.view_id)
+            for r in spark.read.parquet(out).collect()
+            if (r.click_id or 0) < 10_000_000 and (r.view_id or 0) < 10_000_000
+        ),
+        key=nkey,
+    )
+    c = eb.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u1"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+    )
+    v = eb.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u2"), F.col("ts").alias("vts"),
+        F.col("event_id").alias("view_id"),
+    )
+    want = sorted(
+        [
+            (r.user_id, r.click_id, r.view_id)
+            for r in c.join(
+                v,
+                (F.col("u1") == F.col("u2"))
+                & (F.col("vts") >= F.col("cts"))
+                & (F.col("vts") <= F.col("cts") + F.expr("INTERVAL 30 minutes")),
+                "right",
+            )
+            .select(
+                F.coalesce("u1", "u2").alias("user_id"), "click_id", "view_id"
+            )
+            .collect()
+        ],
+        key=nkey,
+    )
+    assert got == want
+    # unmatched right rows present (views with no click in window)
+    assert any(cid is None for _, cid, _ in got)
