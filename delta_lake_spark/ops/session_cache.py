@@ -27,6 +27,7 @@ from collections.abc import Callable
 from threading import Lock
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 
 _LOCK = Lock()
 _CACHE: dict[tuple, DataFrame] = {}
@@ -50,6 +51,11 @@ def session_cached(
     with _LOCK:
         hit = _CACHE.get(full)
     if hit is not None:
+        if persist and hit.storageLevel == StorageLevel.NONE:
+            # an external spark.catalog.clearCache() stripped the block
+            # registration but left the memo entry: re-register instead of
+            # silently recomputing uncached on every subsequent hit
+            hit.persist()
         return hit
     df = builder()
     if persist:

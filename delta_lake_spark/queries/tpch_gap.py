@@ -791,6 +791,10 @@ def q72_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _PR_TOTAL = 1_000_000_000_000  # total initial mass, pico-units
 _PR_ITERS = 10
+# broadcast the rank table only while it is comfortably broadcast-sized
+# (~24 bytes/vertex -> ~50MB at this cap); larger graphs take the
+# src-partitioned no-broadcast shape
+_PR_BCAST_MAX_VERTICES = 2_000_000
 
 
 def _pagerank_oracle() -> str:
@@ -833,26 +837,39 @@ FROM r{_PR_ITERS} ORDER BY rank_pico DESC, l_partkey LIMIT 25
 @register("q73_copurchase_pagerank", oracle=_pagerank_oracle())
 def q73_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _copurchase_edges(spark, sf_dir)
+    sym = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    # Pre-partition on the AGGREGATION key (dst) BEFORE persisting (r6): the
+    # cached hash partitioning satisfies the per-round groupBy(dst)'s
+    # ClusteredDistribution whatever its partition COUNT, so with the
+    # vertex-sized rank table BROADCAST into the contrib join, a round runs
+    # with ZERO edge-scale exchanges — the previous src-partitioned shape
+    # shuffled all 2.4M contributions every round (10-iteration loop 6.7 s
+    # -> 2.0-3.0 s warm at sf0.1, identical ranks).  defaultParallelism
+    # (cores), not shuffle.partitions (2x cores): 10 rounds of tiny tasks
+    # are scheduling-bound (measured 3x at sf0.01 in r5).
+    #
+    # The broadcast is gated on the vertex count collected below: ranks are
+    # vertex-sized, and the hint is only right while they fit the broadcast
+    # budget — past _PR_BCAST_MAX_VERTICES the loop flips to the
+    # src-partitioned shape (cached edge layout feeds the JOIN, the
+    # vertex-sized tables shuffle) that needs no broadcast at any scale.
+    deg_src = sym.groupBy(F.col("src").alias("p")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    n = deg_src.count()  # the one driver scalar (vertex count)
+    small = n <= _PR_BCAST_MAX_VERTICES
     direct = (
-        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
-        # pre-partition on the per-round join key BEFORE persisting: a hash
-        # partitioning satisfies the contrib join's ClusteredDistribution
-        # requirement whatever its partition COUNT, so every round reuses
-        # the cached layout and shuffles only the vertex-sized rank table
-        # (the rank side co-partitions to match).  defaultParallelism
-        # (cores), not shuffle.partitions (2x cores): 10 rounds of tiny
-        # tasks are scheduling-bound, and halving the task count measured
-        # 11.9s -> 4.0s warm at sf0.01.
-        .repartition(spark.sparkContext.defaultParallelism, "src")
-        .persist()  # joined against the rank table every iteration
+        sym.repartition(
+            spark.sparkContext.defaultParallelism, "dst" if small else "src"
+        ).persist()
     )
     deg = (
         direct.groupBy(F.col("src").alias("p"))
         .agg(F.count(F.lit(1)).alias("d"))
         .persist()
     )
-    n = deg.count()  # the one driver scalar (vertex count)
     init = _PR_TOTAL // n
     base = (15 * init) // 100
     # localCheckpoint (eager) rather than persist: it TRUNCATES the logical
@@ -865,7 +882,10 @@ def q73_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     for _ in range(_PR_ITERS):
         contrib = (
-            direct.join(ranks, direct["src"] == ranks["p"])
+            direct.join(
+                F.broadcast(ranks) if small else ranks,
+                direct["src"] == ranks["p"],
+            )
             .groupBy(F.col("dst").alias("cp"))
             .agg(F.sum(F.expr("r DIV d")).alias("s"))
         )

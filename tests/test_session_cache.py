@@ -52,3 +52,23 @@ def test_exact_kmeans_assignment_memoized(spark):
     b = _kmeans_final_assignment(spark, SF_SMOKE)
     assert a is b
     session_cache.clear(spark)
+
+
+def test_hit_survives_external_clearcache(spark):
+    """spark.catalog.clearCache() strips block registration but leaves the
+    memo entry; the next hit must re-register the persist instead of
+    recomputing uncached forever."""
+    from pyspark.storagelevel import StorageLevel
+
+    session_cache.clear(spark)
+    key = ("test_session_cache", "clearcache")
+    df = session_cache.session_cached(spark, key, lambda: spark.range(7))
+    assert df.storageLevel != StorageLevel.NONE
+    spark.catalog.clearCache()
+    assert df.storageLevel == StorageLevel.NONE
+    hit = session_cache.session_cached(
+        spark, key, lambda: (_ for _ in ()).throw(AssertionError("rebuilt"))
+    )
+    assert hit is df
+    assert hit.storageLevel != StorageLevel.NONE
+    session_cache.clear(spark)
