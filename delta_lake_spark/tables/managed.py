@@ -3556,7 +3556,17 @@ class ManagedTable:
         matching ``count_rows``'s DV-aware semantics.  A partition is
         listed iff at least one of its files still has unmasked rows (an
         anti-join built on this listing therefore correctly re-appends
-        data for a fully-DV-deleted partition)."""
+        data for a fully-DV-deleted partition).
+
+        Partition-evolution safety (r6 audit): a file written under an
+        OLDER spec that lacks one of the current partition columns holds
+        rows whose values for that column are UNKNOWN to the log — listing
+        them as NULL would let a metadata anti-join re-append data those
+        files already hold (and eqNullSafe-match genuinely-NULL fresh
+        rows).  Metadata cannot answer for such snapshots, so this raises;
+        use ``read().select(partition cols).distinct()`` (a data scan)
+        until the legacy files are rewritten under the current spec
+        (e.g. ``rewrite_partitions`` / OPTIMIZE migration)."""
         from urllib.parse import unquote
 
         from pyspark.sql.types import StringType
@@ -3565,11 +3575,23 @@ class ManagedTable:
         pb = entry.get("partition_by") or []
         if not pb:
             raise ValueError("show_partitions: table is not partitioned")
-        seen = {
-            tuple(f["partition"].get(c) for c in pb)
+        live = [
+            f
             for f in entry["files"]
             if not ("rows" in f and f.get("dv_rows", 0) >= f["rows"])
-        }
+        ]
+        legacy = [
+            f for f in live if not set(pb) <= set(f.get("partition") or {})
+        ]
+        if legacy:
+            raise ValueError(
+                f"show_partitions: {len(legacy)} live file(s) predate the "
+                f"current partition spec {pb} (partition evolution) — their "
+                f"values for the new column(s) are unknown to the log, so a "
+                f"metadata-only listing would be wrong; data-scan instead: "
+                f"read().select({pb!r}).distinct()"
+            )
+        seen = {tuple(f["partition"].get(c) for c in pb) for f in live}
         if len(seen) > _PARTITION_DISCOVERY_CAP:
             raise ValueError(
                 f"show_partitions: {len(seen)} distinct partition values "

@@ -1987,3 +1987,32 @@ def test_anti_join_append_shared_lineage(spark, tmp_path):
     )
     anti_join_append(t, src2, ["k"])
     assert t.read().count() == 3
+
+
+def test_show_partitions_refuses_after_partition_evolution(spark, tmp_path):
+    """r6 audit: files written under an older partition spec hold rows whose
+    values for the NEW partition column are unknown to the log — a
+    metadata listing that reported them as NULL would let the anti-join
+    repeat-save pattern re-append data those files already hold.  The
+    metadata path must refuse and point at the data scan."""
+    import datetime
+
+    t = ManagedTable(spark, str(tmp_path / "spevo"))
+    d1, d2, d3 = (datetime.date(2024, 1, i) for i in (1, 2, 3))
+    t.write(spark.createDataFrame([(1, d1), (2, d2)], "id bigint, d date"))
+    t.set_partitioning(["d"])
+    t.write(
+        spark.createDataFrame([(3, d3)], "id bigint, d date"), mode="append"
+    )
+    with pytest.raises(ValueError, match="partition evolution"):
+        t.show_partitions()
+    # the recommended data scan gives the full truth
+    got = sorted(r.d for r in t.read().select("d").distinct().collect())
+    assert got == [d1, d2, d3]
+    # a snapshot written entirely under the current spec lists fine
+    u = ManagedTable(spark, str(tmp_path / "spok"))
+    u.write(
+        spark.createDataFrame([(1, d1), (3, d3)], "id bigint, d date"),
+        partition_by=["d"],
+    )
+    assert sorted(r.d for r in u.show_partitions().collect()) == [d1, d3]
