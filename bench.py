@@ -499,6 +499,10 @@ def main() -> None:
         "p03_release_pipeline",
         "s12_mixture_plan",
         "q81_ab_experiment_readout",
+        "t30_calibration_bins",      # r6: classifier reliability table
+        "v22_rrf_hybrid_search",     # r6: BM25+cosine RRF fusion
+        "s17_temperature_mixture",   # r6: alpha=0.5 mixture scaling
+        "p05_forgetting_pipeline",   # r6: takedown + near-dup expansion
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

@@ -395,3 +395,180 @@ def p03_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("position")
     )
+
+
+# ---------------------------------------------------------------------------
+# p05 — RIGHT-TO-BE-FORGOTTEN purge pipeline as ONE oracle-checked query:
+# the takedown flow a training-data owner executes on a removal request —
+#
+#     seed selection (the requested doc_ids; here the deterministic
+#     predicate doc_id % 97 == 3 stands in for the request table)
+#     -> near-dup EXPANSION (d10's verified MinHash-LSH clusters: every
+#        document in the same duplicate cluster as a seed is also purged —
+#        removing the requested copy but training on its near-duplicates
+#        would defeat the request)
+#     -> per-source removal report (docs/tokens removed, residual corpus)
+#
+# The expansion step is the point: purge requests name ONE copy; the
+# pipeline must find the transitive duplicate closure.  Seeds are taken
+# from ALL documents (requests are not length-gated) while the duplicate
+# graph uses d10's exact gated semantics, so an ungated seed purges only
+# itself.  The oracle expresses the same closure as d10's RECURSIVE
+# reachability CTE.
+#
+# Scale shape: seed selection is a map-side filter; the expansion reuses
+# d10's plan (banded LSH candidates -> exact verify -> O(E)-per-round label
+# propagation) plus one broadcast semi-join of the k-bounded seeded
+# component set; the report is one groupBy(source) over a corpus-sized
+# frame with the removal flag attached by a broadcast join (removed sets
+# are request-sized, not corpus-sized).
+# ---------------------------------------------------------------------------
+_P05_SEED_MOD = 97
+_P05_SEED_REM = 3
+
+
+def _p05_oracle() -> str:
+    from delta_lake_spark.queries.dedup import (
+        _BAND_SELECTS,
+        _SHINGLES_SQL,
+        _SIG_COLS,
+    )
+
+    return f"""
+WITH RECURSIVE base AS ({_SHINGLES_SQL}),
+sigs AS (SELECT doc_id, sh, {_SIG_COLS} FROM base),
+banded AS ({_BAND_SELECTS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN base x ON x.doc_id = id_a JOIN base y ON y.doc_id = id_b
+  WHERE CAST(FLOOR(len(list_intersect(x.sh, y.sh)) * 10000.0 /
+        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))) AS BIGINT)
+        >= {_DEDUP_TH}
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(src, node) AS (
+  SELECT DISTINCT u, u FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+),
+comp AS (SELECT node, MIN(src) AS component FROM reach GROUP BY node),
+seeds AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % {_P05_SEED_MOD} = {_P05_SEED_REM}
+),
+seedcomp AS (
+  SELECT DISTINCT component FROM comp JOIN seeds ON comp.node = seeds.doc_id
+),
+removed AS (
+  SELECT doc_id FROM seeds
+  UNION
+  SELECT node AS doc_id FROM comp
+  WHERE component IN (SELECT component FROM seedcomp)
+),
+flagged AS (
+  SELECT d.source,
+         len(regexp_split_to_array(trim(d.text), '\\s+')) AS n_toks,
+         (d.doc_id % {_P05_SEED_MOD} = {_P05_SEED_REM}) AS is_seed,
+         (r.doc_id IS NOT NULL) AS is_removed
+  FROM documents d LEFT JOIN removed r USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN is_seed THEN 1 ELSE 0 END) AS BIGINT) AS n_seeds,
+       CAST(SUM(CASE WHEN is_removed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(SUM(CASE WHEN is_removed AND NOT is_seed THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_expanded,
+       CAST(COUNT(*) - SUM(CASE WHEN is_removed THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_after,
+       CAST(SUM(CASE WHEN is_removed THEN n_toks ELSE 0 END) AS BIGINT)
+         AS tokens_removed,
+       CAST((SUM(CASE WHEN is_removed THEN 1 ELSE 0 END) * 10000) // COUNT(*)
+            AS BIGINT) AS removed_bp
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("p05_forgetting_pipeline", oracle=_p05_oracle())
+def p05_forgetting_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+
+    docs_all = table_parallel(spark, sf_dir, "documents", "doc_id")
+    gated = docs_all.filter(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
+    )
+    pairs = minhash_candidate_pairs(gated, "doc_id", "text").filter(
+        F.col("jaccard_bp") >= _DEDUP_TH
+    )
+    comps = connected_components(pairs)
+    seeds = docs_all.filter(
+        F.col("doc_id") % _P05_SEED_MOD == _P05_SEED_REM
+    ).select("doc_id")
+    seed_comp = (
+        comps.join(seeds, comps["id"] == seeds["doc_id"])
+        .select("component")
+        .distinct()
+    )
+    expanded = comps.join(F.broadcast(seed_comp), "component").select(
+        F.col("id").alias("doc_id")
+    )
+    removed = seeds.union(expanded).distinct()
+    flagged = (
+        docs_all.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_toks"),
+            (F.col("doc_id") % _P05_SEED_MOD == _P05_SEED_REM).alias(
+                "is_seed"
+            ),
+        )
+        .join(
+            F.broadcast(removed.withColumn("is_removed", F.lit(True))),
+            "doc_id",
+            "left",
+        )
+        .withColumn("is_removed", F.coalesce("is_removed", F.lit(False)))
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("is_seed"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_seeds"),
+            F.sum(F.when(F.col("is_removed"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.sum(
+                F.when(F.col("is_removed") & ~F.col("is_seed"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_expanded"),
+            F.expr(
+                "CAST(COUNT(*) - SUM(CASE WHEN is_removed THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_after"),
+            F.sum(F.when(F.col("is_removed"), F.col("n_toks")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            F.expr(
+                "CAST((SUM(CASE WHEN is_removed THEN 1 ELSE 0 END) * 10000)"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("removed_bp"),
+        )
+        .orderBy("source")
+    )

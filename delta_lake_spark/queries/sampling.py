@@ -1091,3 +1091,74 @@ def s16_annealed_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("epoch", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# s17 — TEMPERATURE-scaled mixture (the mC4/XLM-R alpha-sampling rule):
+# source weights proportional to (token count)^alpha with alpha = 0.5,
+# flattening the natural distribution so long-tail sources are upsampled
+# without letting any single giant source dominate an epoch.  alpha = 0.5
+# makes the weight FLOOR(SQRT(tokens)) — sqrt is correctly rounded IEEE in
+# both engines and the operand is an exact integer, so the floored weight
+# (and therefore every share below) is bit-identical without any float
+# accumulation.  Shares and the upsampling boost are exact integer floor
+# divisions over a broadcast 1-row totals frame.
+#
+# Scale shape: one groupBy(source) shuffle (bounded arity), a 1-row totals
+# aggregate broadcast back — identical plan to s12's mixture planning.
+# ---------------------------------------------------------------------------
+@register(
+    "s17_temperature_mixture",
+    oracle="""
+WITH per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents
+  GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS wgt
+  FROM per_source
+),
+tot AS (SELECT SUM(n_tokens) AS tok_tot, SUM(wgt) AS w_tot FROM w)
+SELECT source, n_docs, n_tokens,
+       CAST((n_tokens * 10000) // tok_tot AS BIGINT) AS nat_share_bp,
+       CAST((wgt * 10000) // w_tot AS BIGINT) AS temp_share_bp,
+       CAST(((wgt * 10000) // w_tot) * 1000
+            // GREATEST((n_tokens * 10000) // tok_tot, 1) AS BIGINT)
+         AS boost_milli
+FROM w, tot
+ORDER BY source
+""",
+)
+def s17_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    per_source = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.expr(
+            "CAST(SUM(size(split(trim(text), '\\\\s+'))) AS BIGINT)"
+        ).alias("n_tokens"),
+    )
+    w = per_source.withColumn(
+        "wgt", F.expr("CAST(FLOOR(SQRT(n_tokens)) AS BIGINT)")
+    )
+    tot = w.agg(
+        F.sum("n_tokens").alias("tok_tot"), F.sum("wgt").alias("w_tot")
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "CAST((n_tokens * 10000) div tok_tot AS BIGINT) AS nat_share_bp",
+            "CAST((wgt * 10000) div w_tot AS BIGINT) AS temp_share_bp",
+            "CAST(((wgt * 10000) div w_tot) * 1000"
+            " div GREATEST((n_tokens * 10000) div tok_tot, 1) AS BIGINT)"
+            " AS boost_milli",
+        )
+        .orderBy("source")
+    )

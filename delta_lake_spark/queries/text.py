@@ -675,11 +675,10 @@ _T13_QUERIES = [
 ]
 _T13_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _T13_QUERIES)
 
-
-@register(
-    "t13_bm25_search",
-    oracle=f"""
-WITH toks AS (
+# The BM25 scoring CTE chain ending in bm25(query_id, doc_id, score) —
+# shared by t13's ranked retrieval and v22's hybrid-fusion oracle so the
+# lexical leg of RRF is term-identical to the certified BM25 scorer.
+_BM25_CTES = f"""toks AS (
   SELECT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, '\\s+')) AS w
   FROM documents
 ),
@@ -710,20 +709,16 @@ contrib AS (
             // (tf * 1000000 * t_tokens
                 + 1200 * (250 * t_tokens + 750 * dl * n_docs))) AS c
   FROM posting
-)
-SELECT query_id, doc_id, score, rnk FROM (
-  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score,
-         ROW_NUMBER() OVER (
-           PARTITION BY query_id
-           ORDER BY CAST(SUM(c) AS BIGINT) DESC, doc_id) AS rnk
-  FROM contrib GROUP BY query_id, doc_id) t
-WHERE rnk <= 5
-ORDER BY query_id, rnk
-""",
-)
-def t13_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+),
+bm25 AS (
+  SELECT query_id, doc_id, CAST(SUM(c) AS BIGINT) AS score
+  FROM contrib GROUP BY query_id, doc_id
+)"""
 
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, score) BM25 frame for the fixed t13 query set —
+    the shared lexical leg of t13 (ranked retrieval) and v22 (RRF fusion)."""
     from delta_lake_spark.functions.text import normalize_text, tokens
 
     d = table_parallel(spark, sf_dir, "documents", "doc_id")
@@ -760,9 +755,29 @@ def t13_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + 1200 * (250 * t_tokens + 750 * dl * n_docs))"
         ),
     )
-    score = contrib.groupBy("query_id", "doc_id").agg(
+    return contrib.groupBy("query_id", "doc_id").agg(
         F.sum("c").cast("bigint").alias("score")
     )
+
+
+@register(
+    "t13_bm25_search",
+    oracle=f"""
+WITH {_BM25_CTES}
+SELECT query_id, doc_id, score, rnk FROM (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id
+           ORDER BY score DESC, doc_id) AS rnk
+  FROM bm25) t
+WHERE rnk <= 5
+ORDER BY query_id, rnk
+""",
+)
+def t13_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    score = bm25_scores(spark, sf_dir)
     rnk = F.row_number().over(
         Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
     )
@@ -2009,4 +2024,90 @@ def t29_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_subword_milli"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t30 — classifier RELIABILITY TABLE (calibration bins): t25 certifies the
+# quality classifier's ranking power (AUC); t30 certifies its CALIBRATION —
+# score deciles vs observed positive rate, the table a reliability diagram /
+# ECE computation plots before a score threshold goes into the curation
+# keep-rule.  Bins are exact global NTILE(10) buckets over (score, doc_id)
+# so bucket membership is deterministic under ties; per-bin positive rate
+# and mean score are exact integers (integer sums, truncating div — both
+# engines truncate toward zero, probed).
+#
+# Scale shape: one per-row fold (no token explode — t16's inference shape),
+# then the decile assignment runs through ops.ranking.global_ntile (range
+# partition + broadcast offsets, never a single-partition window) and the
+# report aggregate has arity 10.
+# ---------------------------------------------------------------------------
+@register(
+    "t30_calibration_bins",
+    oracle=f"""
+WITH sc AS (
+  SELECT doc_id, (lang = 'en') AS pos,
+         (SELECT CAST(COALESCE(SUM({_CLF_W_SQL}), 0) AS BIGINT) FROM
+            (SELECT unnest(regexp_split_to_array({_NORM_SQL}, '\\s+')) AS w) tk
+          WHERE length(w) >= 3) AS score
+  FROM documents d
+),
+binned AS (
+  SELECT doc_id, pos, score,
+         NTILE(10) OVER (ORDER BY score, doc_id) AS decile
+  FROM sc
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST((SUM(CASE WHEN pos THEN 1 ELSE 0 END) * 10000) // COUNT(*)
+            AS BIGINT) AS pos_rate_bp,
+       CAST((SUM(score) * 1000) // COUNT(*) AS BIGINT) AS mean_score_milli,
+       CAST(MIN(score) AS BIGINT) AS min_score,
+       CAST(MAX(score) AS BIGINT) AS max_score
+FROM binned
+GROUP BY decile
+ORDER BY decile
+""",
+)
+def t30_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.ops.ranking import global_ntile
+
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    feats = _clf_feats()
+    sc = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("pos"),
+        F.aggregate(
+            feats, F.lit(0).cast("long"), lambda acc, w: acc + _clf_weight(w)
+        ).alias("score"),
+    )
+    binned = global_ntile(sc, 10, ["score", "doc_id"], out_col="decile")
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("pos"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pos"),
+            F.expr(
+                "CAST((SUM(CASE WHEN pos THEN 1 ELSE 0 END) * 10000)"
+                " div COUNT(*) AS BIGINT)"
+            ).alias("pos_rate_bp"),
+            F.expr("CAST((SUM(score) * 1000) div COUNT(*) AS BIGINT)").alias(
+                "mean_score_milli"
+            ),
+            F.min("score").cast("bigint").alias("min_score"),
+            F.max("score").cast("bigint").alias("max_score"),
+        )
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            "n_docs",
+            "n_pos",
+            "pos_rate_bp",
+            "mean_score_milli",
+            "min_score",
+            "max_score",
+        )
+        .orderBy("decile")
     )

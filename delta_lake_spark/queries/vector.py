@@ -2071,3 +2071,110 @@ def v20_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= _V20_RADIUS)
         .orderBy("qid", "dist", "vid")
     )
+
+
+# ---------------------------------------------------------------------------
+# v22 — HYBRID retrieval via Reciprocal Rank Fusion (RRF, the standard
+# lexical+vector fusion rule: score = sum over systems of 1/(60 + rank)):
+# the lexical leg is t13's certified integer BM25 over the fixed 5-query
+# set; the vector leg is v01's certified cosine top-k, with query_id k
+# retrieving by example from embedding k-1 (query-by-example hybrid).  Both
+# legs contribute their top-20; fusion happens in exact integers
+# (1000000 div (60 + rank)) so the fused ranking is bit-identical across
+# engines — floats only ever ORDER the vector leg, which the v01 family
+# already certifies as bit-stable.
+#
+# Scale shape: each leg keeps its own certified plan (broadcast query set
+# against the postings / candidate scan; per-query top-k windows over
+# matched rows only); the fusion full-outer join runs over two
+# (n_queries x k)-row frames — bounded, never corpus-sized.
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_LIST = 20
+
+
+def _v22_oracle() -> str:
+    from delta_lake_spark.queries.text import _BM25_CTES
+
+    return f"""
+WITH {_BM25_CTES},
+lexr AS (
+  SELECT query_id, doc_id, lrnk FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS lrnk
+    FROM bm25) t
+  WHERE lrnk <= {_RRF_LIST}
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+vrank AS (
+  SELECT query_id, doc_id, vrnk FROM (
+    SELECT a.vec_id + 1 AS query_id, b.vec_id AS doc_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                              ORDER BY {_COS_SQL} DESC, b.vec_id) AS vrnk
+    FROM (SELECT * FROM v WHERE vec_id < 5) a
+    JOIN v b ON a.vec_id <> b.vec_id) t
+  WHERE vrnk <= {_RRF_LIST}
+),
+fused AS (
+  SELECT query_id, doc_id,
+         CAST(COALESCE(lrnk, 0) AS BIGINT) AS lex_rank,
+         CAST(COALESCE(vrnk, 0) AS BIGINT) AS vec_rank,
+         CAST(COALESCE(1000000 // ({_RRF_K} + lrnk), 0)
+              + COALESCE(1000000 // ({_RRF_K} + vrnk), 0) AS BIGINT)
+           AS rrf_micro
+  FROM lexr FULL JOIN vrank USING (query_id, doc_id)
+)
+SELECT query_id, doc_id, lex_rank, vec_rank, rrf_micro, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY rrf_micro DESC, doc_id) AS rank
+  FROM fused) t
+WHERE rank <= 10
+ORDER BY query_id, rank
+"""
+
+
+@register("v22_rrf_hybrid_search", oracle=_v22_oracle())
+def v22_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from delta_lake_spark.queries.text import bm25_scores
+
+    lex_w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    lexr = (
+        bm25_scores(spark, sf_dir)
+        .withColumn("lrnk", F.row_number().over(lex_w))
+        .filter(F.col("lrnk") <= _RRF_LIST)
+        .select("query_id", "doc_id", "lrnk")
+    )
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    candidates = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("cvec")
+    )
+    vrank = cosine_topk(queries, candidates, k=_RRF_LIST).select(
+        (F.col("qid") + 1).alias("query_id"),
+        F.col("vid").alias("doc_id"),
+        F.col("rank").alias("vrnk"),
+    )
+    fused = lexr.join(vrank, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.expr("CAST(COALESCE(lrnk, 0) AS BIGINT)").alias("lex_rank"),
+        F.expr("CAST(COALESCE(vrnk, 0) AS BIGINT)").alias("vec_rank"),
+        F.expr(
+            f"CAST(COALESCE(1000000 div ({_RRF_K} + lrnk), 0)"
+            f" + COALESCE(1000000 div ({_RRF_K} + vrnk), 0) AS BIGINT)"
+        ).alias("rrf_micro"),
+    )
+    fuse_w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), "doc_id"
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(fuse_w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "doc_id", "lex_rank", "vec_rank", "rrf_micro", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,114 @@
+"""Semantic invariants for the r6 wave-2 queries (t30 / v22 / s17 / p05).
+
+The oracle-parity sweep (test_oracle_parity.py) certifies Spark == DuckDB;
+these tests pin the INTENT of each query so a future edit that changes both
+sides in lockstep still trips an alarm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from delta_lake_spark.queries import QUERIES
+from tests.conftest import SF_CORRECT
+
+
+def test_t30_bins_partition_the_corpus(spark):
+    rows = QUERIES["t30_calibration_bins"](spark, SF_CORRECT).collect()
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    n = sum(r["n_docs"] for r in rows)
+    assert n == 500  # every document lands in exactly one bin
+    # NTILE sizing: first N % 10 bins get one extra row
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for r in rows:
+        assert 0 <= r["n_pos"] <= r["n_docs"]
+        assert r["pos_rate_bp"] == r["n_pos"] * 10000 // r["n_docs"]
+        assert r["min_score"] <= r["max_score"]
+    # deciles are ordered by score: bin k's max never exceeds bin k+1's min
+    # (ties may share a boundary score across adjacent bins)
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_score"] <= hi["min_score"]
+
+
+def test_v22_fusion_members_come_from_a_leg(spark):
+    out = QUERIES["v22_rrf_hybrid_search"](spark, SF_CORRECT).collect()
+    assert {r["query_id"] for r in out} == {1, 2, 3, 4, 5}
+    for r in out:
+        # every fused doc was nominated by at least one leg
+        assert r["lex_rank"] > 0 or r["vec_rank"] > 0
+        expect = 0
+        if r["lex_rank"]:
+            expect += 1000000 // (60 + r["lex_rank"])
+        if r["vec_rank"]:
+            expect += 1000000 // (60 + r["vec_rank"])
+        assert r["rrf_micro"] == expect
+    # per query: exactly 10 results, ranks 1..10, rrf non-increasing
+    for q in range(1, 6):
+        qr = sorted((r for r in out if r["query_id"] == q), key=lambda r: r["rank"])
+        assert [r["rank"] for r in qr] == list(range(1, 11))
+        assert all(a["rrf_micro"] >= b["rrf_micro"] for a, b in zip(qr, qr[1:]))
+    # a doc present in BOTH legs must outrank the same-rank single-leg doc:
+    # fusion actually fuses (at least one both-legs doc exists in the corpus)
+    assert any(r["lex_rank"] > 0 and r["vec_rank"] > 0 for r in out)
+
+
+def test_s17_temperature_flattens_the_mixture(spark):
+    rows = QUERIES["s17_temperature_mixture"](spark, SF_CORRECT).collect()
+    assert len(rows) == 20
+    tot_nat = sum(r["nat_share_bp"] for r in rows)
+    tot_temp = sum(r["temp_share_bp"] for r in rows)
+    # floor-division shares sum to <= 10000 and within rounding slack
+    assert 10000 - 20 <= tot_nat <= 10000
+    assert 10000 - 20 <= tot_temp <= 10000
+    # alpha=0.5 FLATTENS: the largest source's share shrinks, the smallest
+    # source's share grows (strict when shares differ)
+    big = max(rows, key=lambda r: r["n_tokens"])
+    small = min(rows, key=lambda r: r["n_tokens"])
+    assert big["temp_share_bp"] <= big["nat_share_bp"]
+    assert small["temp_share_bp"] >= small["nat_share_bp"]
+    assert big["boost_milli"] <= 1000 <= small["boost_milli"]
+
+
+def test_p05_purges_whole_duplicate_clusters(spark):
+    from delta_lake_spark.functions.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+    from delta_lake_spark.queries.curation import (
+        _DEDUP_TH,
+        _P05_SEED_MOD,
+        _P05_SEED_REM,
+    )
+
+    out = {r["source"]: r for r in QUERIES["p05_forgetting_pipeline"](spark, SF_CORRECT).collect()}
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    # per-source doc conservation
+    per_src = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(out) == set(per_src)
+    for s, r in out.items():
+        assert r["n_docs"] == per_src[s]
+        # removal = seeds + non-seed expansion, and seeds are always purged
+        assert r["n_removed"] == r["n_seeds"] + r["n_expanded"]
+        assert r["n_after"] == r["n_docs"] - r["n_removed"]
+    # independent closure check: recompute components and assert every
+    # cluster containing a seed is fully inside the removed mass
+    gated = docs.filter(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
+    pairs = minhash_candidate_pairs(gated, "doc_id", "text").filter(
+        F.col("jaccard_bp") >= _DEDUP_TH
+    )
+    comps = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    seeds = {
+        r["doc_id"]
+        for r in docs.filter(
+            F.col("doc_id") % _P05_SEED_MOD == _P05_SEED_REM
+        ).collect()
+    }
+    seeded_components = {comps[d] for d in seeds if d in comps}
+    expected_removed = seeds | {
+        d for d, c in comps.items() if c in seeded_components
+    }
+    total_removed = sum(r["n_removed"] for r in out.values())
+    assert total_removed == len(expected_removed)
+    total_expanded = sum(r["n_expanded"] for r in out.values())
+    assert total_expanded == len(expected_removed - seeds)
