@@ -418,10 +418,12 @@ def p03_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale shape: seed selection is a map-side filter; the expansion reuses
 # d10's plan (banded LSH candidates -> exact verify -> O(E)-per-round label
-# propagation) plus one broadcast semi-join of the k-bounded seeded
-# component set; the report is one groupBy(source) over a corpus-sized
-# frame with the removal flag attached by a broadcast join (removed sets
-# are request-sized, not corpus-sized).
+# propagation) plus one broadcast semi-join of the seeded component set
+# (bounded by the request size); the report is one groupBy(source) over a
+# corpus-sized frame.  The removal-flag join is left UNHINTED on purpose:
+# removed is usually request-sized (AQE broadcasts it at runtime), but in a
+# heavily-duplicated corpus where most clusters contain a seed it grows to
+# corpus scale, and a forced broadcast would be the scale hazard.
 # ---------------------------------------------------------------------------
 _P05_SEED_MOD = 97
 _P05_SEED_REM = 3
@@ -537,7 +539,7 @@ def p05_forgetting_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .join(
-            F.broadcast(removed.withColumn("is_removed", F.lit(True))),
+            removed.withColumn("is_removed", F.lit(True)),
             "doc_id",
             "left",
         )
