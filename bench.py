@@ -348,9 +348,18 @@ def main() -> None:
                 "t04_langid_confusion",
                 "q04_fraud_analysis",
                 "q11_top3_orders_per_customer",
+                "p05_forgetting_pipeline",  # r6: LSH + CC expansion at 100x
             ]
             sc100: dict[str, float] = {}
+            # non-headline heavy entries need their own sf0.1 reference for
+            # the ratio (headline ones reuse the times{} measurements)
+            ref01 = dict(times)
             for name in heavy:
+                if name not in ref01:
+                    QUERIES[name](spark, sf_dir).count()
+                    t0 = time.perf_counter()
+                    QUERIES[name](spark, sf_dir).count()
+                    ref01[name] = round(time.perf_counter() - t0, 3)
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf10x_dir).count()
                 first = time.perf_counter() - t0
@@ -363,7 +372,7 @@ def main() -> None:
                 "queries": sc100,
                 "total_warm": round(sum(sc100.values()), 3),
                 "ratio_vs_sf0.1": {
-                    n: round(sc100[n] / times[n], 2) for n in sc100 if times.get(n)
+                    n: round(sc100[n] / ref01[n], 2) for n in sc100 if ref01.get(n)
                 },
             }
         except Exception as exc:
@@ -503,6 +512,7 @@ def main() -> None:
         "v22_rrf_hybrid_search",     # r6: BM25+cosine RRF fusion
         "s17_temperature_mixture",   # r6: alpha=0.5 mixture scaling
         "p05_forgetting_pipeline",   # r6: takedown + near-dup expansion
+        "q106_k_anonymity",          # r6: governance release audit
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

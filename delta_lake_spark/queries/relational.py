@@ -2879,3 +2879,87 @@ def q105_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("basket_orders"), "part_a", "part_b", "part_c")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q106 — k-anonymity / l-diversity audit (the data-governance gate a dataset
+# faces before release): group customers into equivalence classes by their
+# quasi-identifiers (nation x account-balance band — the attributes an
+# attacker can link from outside), band the classes by size (a class of
+# size k means every member is k-anonymous), and report per band the class
+# count, row mass, and the MINIMUM l-diversity (distinct values of the
+# sensitive attribute, mktsegment, within a class — a class can be large
+# yet still leak if every member shares one sensitive value).  Size-1
+# classes are the re-identifiable rows; the bp share quantifies release
+# risk.  All integers: the balance band is FLOOR over an IEEE double
+# division (bit-identical cross-engine), everything after is counts.
+#
+# Scale shape: one groupBy(quasi) shuffle (class arity << rows), one
+# bounded groupBy(band) over the class frame, one 1-row total broadcast.
+# ---------------------------------------------------------------------------
+_Q106_BAND_SQL = """CASE
+  WHEN n = 1 THEN '1 (re-identifiable)'
+  WHEN n BETWEEN 2 AND 4 THEN '2-4'
+  WHEN n BETWEEN 5 AND 9 THEN '5-9'
+  ELSE '10+' END"""
+_Q106_ORDER_SQL = "CASE WHEN n = 1 THEN 1 WHEN n <= 4 THEN 2 WHEN n <= 9 THEN 3 ELSE 4 END"
+
+
+@register(
+    "q106_k_anonymity",
+    oracle=f"""
+WITH classes AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+  FROM customer
+  GROUP BY c_nationkey, CAST(FLOOR(c_acctbal / 1000) AS BIGINT)
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_rows_total FROM classes)
+SELECT {_Q106_BAND_SQL} AS size_band,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST((SUM(n) * 10000) // n_rows_total AS BIGINT) AS rows_bp,
+       CAST(MIN(l_div) AS BIGINT) AS min_l_diversity,
+       CAST(SUM(CASE WHEN l_div < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS homogeneous_classes
+FROM classes, tot
+GROUP BY {_Q106_BAND_SQL}, {_Q106_ORDER_SQL}, n_rows_total
+ORDER BY {_Q106_ORDER_SQL}
+""",
+)
+def q106_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    classes = (
+        c.withColumn(
+            "bal_band", F.expr("CAST(FLOOR(c_acctbal / 1000) AS BIGINT)")
+        )
+        .groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct("c_mktsegment").cast("bigint").alias("l_div"),
+        )
+    )
+    tot = classes.agg(F.sum("n").cast("bigint").alias("n_rows_total"))
+    return (
+        classes.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.expr(_Q106_BAND_SQL).alias("size_band"),
+            F.expr(_Q106_ORDER_SQL).alias("_band_order"),
+            F.col("n_rows_total"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_classes"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.expr(
+                "CAST((SUM(n) * 10000) div FIRST(n_rows_total) AS BIGINT)"
+            ).alias("rows_bp"),
+            F.min("l_div").cast("bigint").alias("min_l_diversity"),
+            F.sum(F.when(F.col("l_div") < 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("homogeneous_classes"),
+        )
+        .orderBy("_band_order")
+        .drop("_band_order", "n_rows_total")
+    )

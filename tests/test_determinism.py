@@ -65,9 +65,9 @@ _NAMES = [
     "q101_clustering_coefficient",  # r6 rewrite: edge-iterator adjacency kernel
     "q72_triangle_census",       # r6 rewrite: array_intersect triangle count
 ]
-# The four r6 wave-2 additions (t30 calibration bins, v22 RRF hybrid,
-# s17 temperature mixture, p05 forgetting pipeline) passed the same
-# two-profile + NY-timezone sweep on landing.
+# The five r6 wave-2/3 additions (t30 calibration bins, v22 RRF hybrid,
+# s17 temperature mixture, p05 forgetting pipeline, q106 k-anonymity)
+# passed the same two-profile + NY-timezone sweep on landing.
 # The FULL 193-query oracle-backed registry passed this same two-profile
 # digest sweep (latest full run: round-6 close, sf0.01 — every digest
 # byte-identical between local[3]/3-partition/128MB-split and

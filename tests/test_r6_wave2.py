@@ -1,4 +1,4 @@
-"""Semantic invariants for the r6 wave-2 queries (t30 / v22 / s17 / p05).
+"""Semantic invariants for the r6 wave-2/3 queries (t30 / v22 / s17 / p05 / q106).
 
 The oracle-parity sweep (test_oracle_parity.py) certifies Spark == DuckDB;
 these tests pin the INTENT of each query so a future edit that changes both
@@ -112,3 +112,26 @@ def test_p05_purges_whole_duplicate_clusters(spark):
     assert total_removed == len(expected_removed)
     total_expanded = sum(r["n_expanded"] for r in out.values())
     assert total_expanded == len(expected_removed - seeds)
+
+
+def test_q106_bands_conserve_customers(spark):
+    rows = QUERIES["q106_k_anonymity"](spark, SF_CORRECT).collect()
+    docs = spark.read.parquet(f"{SF_CORRECT}/customer.parquet")
+    n = docs.count()
+    assert sum(r["n_rows"] for r in rows) == n  # every customer in one band
+    order = [
+        "1 (re-identifiable)",
+        "2-4",
+        "5-9",
+        "10+",
+    ]
+    assert [r["size_band"] for r in rows] == [b for b in order if b in {x["size_band"] for x in rows}]
+    for r in rows:
+        assert r["n_classes"] >= 1
+        # a size-1 class has exactly one sensitive value
+        if r["size_band"] == "1 (re-identifiable)":
+            assert r["n_rows"] == r["n_classes"]
+            assert r["min_l_diversity"] == 1
+            assert r["homogeneous_classes"] == r["n_classes"]
+        assert 0 <= r["rows_bp"] <= 10000
+        assert r["min_l_diversity"] >= 1
