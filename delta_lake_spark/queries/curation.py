@@ -367,13 +367,26 @@ def p03_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = near_dedup(
         clean, "doc_id", "text", min_jaccard_bp=_DEDUP_TH, tokens_col="ws"
     )
-    # the two exact global-ranking stages below each materialize their
-    # input eagerly (partition-count collect); persisting the scored frame
-    # bounds the expensive upstream (LSH dedup + LM scoring) to ONE run
+    # the two exact global-ranking stages below each launch several jobs
+    # (range-partitioner sampling, offset collects, final pass) and EACH job
+    # re-runs Catalyst over this point's lineage — here the whole LSH-dedup
+    # + bigram-LM plan, so planning cost dwarfed execution.  localCheckpoint
+    # severs the lineage: those jobs now plan over a trivial cached
+    # relation.  Measured at sf0.1 (quiet box, alternating trials): ranking
+    # tail 4.7-7.4 s (persist) -> ~1.7 s (checkpoint), full query ~9.1 s ->
+    # ~6.0 s cache-cleared.  Trade documented: a lost executor cannot
+    # recompute a checkpointed block (lineage is gone) — fine for a
+    # session-scoped release build; a 100-TB release run materializes the
+    # survivor scores as a managed table at this exact point anyway (the
+    # release manifest), which cuts lineage the same way.  Also measured
+    # and REJECTED: checkpointing surv before the LM scorer (3.7-4.1 s vs
+    # 2.9-3.1 s warm full-query, alternating trials) — the extra eager
+    # materialization pass costs more than the planning it saves, because
+    # bigram_lm_scores' internal persist already bounds re-execution.
     scored = (
         bigram_lm_scores(surv, "doc_id", tokens_col="ws")
         .select("doc_id", "lm_score_micro")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     kept = (
         global_ntile(scored, 10, ["lm_score_micro", "doc_id"], out_col="dec")
