@@ -513,6 +513,7 @@ def main() -> None:
         "s17_temperature_mixture",   # r6: alpha=0.5 mixture scaling
         "p05_forgetting_pipeline",   # r6: takedown + near-dup expansion
         "q106_k_anonymity",          # r6: governance release audit
+        "t31_zipf_rank_bands",       # r6: corpus Zipf audit
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

@@ -718,16 +718,27 @@ bm25 AS (
 
 def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, doc_id, score) BM25 frame for the fixed t13 query set —
-    the shared lexical leg of t13 (ranked retrieval) and v22 (RRF fusion)."""
-    from delta_lake_spark.functions.text import normalize_text, tokens
+    the shared lexical leg of t13 (ranked retrieval) and v22 (RRF fusion).
 
-    d = table_parallel(spark, sf_dir, "documents", "doc_id")
-    toks = d.select(
-        "doc_id", F.explode(tokens(normalize_text("text"))).alias("w")
-    ).filter(F.length("w") >= 3)
-    tf = toks.groupBy("doc_id", "w").agg(
-        F.count("*").cast("bigint").alias("tf")
-    )
+    The (doc_id, term, tf) postings table — the one corpus-sized traversal
+    here — is session-cached per sf_dir (the ops.session_cache pattern the
+    k-means/quantized-vector families use), so t13 and v22 pay the
+    tokenize+count scan once per session; dl/df/totals derive from the
+    cached postings.  This mirrors production retrieval, where the inverted
+    index is a maintained artifact, not a per-query rebuild."""
+    from delta_lake_spark.functions.text import normalize_text, tokens
+    from delta_lake_spark.ops.session_cache import session_cached
+
+    def _build_tf() -> DataFrame:
+        d = table_parallel(spark, sf_dir, "documents", "doc_id")
+        toks = d.select(
+            "doc_id", F.explode(tokens(normalize_text("text"))).alias("w")
+        ).filter(F.length("w") >= 3)
+        return toks.groupBy("doc_id", "w").agg(
+            F.count("*").cast("bigint").alias("tf")
+        )
+
+    tf = session_cached(spark, ("bm25_tf", sf_dir), _build_tf)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
     stats = dl.agg(
         F.count("*").cast("bigint").alias("n_docs"),
@@ -2110,4 +2121,81 @@ def t30_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_score",
         )
         .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t31 — Zipf rank-frequency audit (corpus-statistics health check): rank the
+# vocabulary by corpus frequency and aggregate into power-of-two rank bands
+# (1, 2-3, 4-7, ...).  Zipf's law predicts rank x freq roughly constant, so
+# the per-band mean_rank_freq column reads as a flat line over a natural
+# corpus and bends sharply on templated/synthetic text — the corpus-level
+# companion to t20's per-doc vocabulary richness.  The band id is
+# length(bin(rank)) - 1 == floor(log2(rank)) computed in pure integers (no
+# float log whose boundary rounding could differ across engines); ranks come
+# from the funnel-free global ranking over (-freq, word).
+#
+# Scale shape: one (word) shuffle with map-side combine collapses the corpus
+# to vocabulary size; ranking runs the range-partition + broadcast-offsets
+# path over the vocab frame; the band aggregate has arity log2(vocab).
+# ---------------------------------------------------------------------------
+@register(
+    "t31_zipf_rank_bands",
+    oracle=f"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array({_NORM_SQL}, '\\s+')) AS w FROM documents
+),
+vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM words GROUP BY w),
+ranked AS (
+  SELECT w, freq,
+         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS BIGINT) AS rnk
+  FROM vocab
+)
+SELECT CAST(length(bin(rnk)) - 1 AS BIGINT) AS band,
+       CAST(MIN(rnk) AS BIGINT) AS rank_lo,
+       CAST(MAX(rnk) AS BIGINT) AS rank_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(freq) AS BIGINT) AS occurrences,
+       CAST((SUM(freq) * 10000) // (SELECT SUM(freq) FROM vocab) AS BIGINT)
+         AS occ_share_bp,
+       CAST(SUM(rnk * freq) // COUNT(*) AS BIGINT) AS mean_rank_freq
+FROM ranked
+GROUP BY length(bin(rnk)) - 1
+ORDER BY band
+""",
+)
+def t31_zipf_rank_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.text import normalize_text, tokens
+    from delta_lake_spark.ops.ranking import global_row_number
+
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    vocab = (
+        d.select(F.explode(tokens(normalize_text("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    # global ranking is ascending-only (range partitioning): rank by the
+    # negated frequency with the word as unique tie-break
+    ranked = global_row_number(
+        vocab.withColumn("neg_freq", -F.col("freq")),
+        ["neg_freq", "w"],
+        out_col="rnk",
+    )
+    tot = vocab.agg(F.sum("freq").alias("tot_freq"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(F.expr("CAST(length(bin(rnk)) - 1 AS BIGINT)").alias("band"))
+        .agg(
+            F.min("rnk").cast("bigint").alias("rank_lo"),
+            F.max("rnk").cast("bigint").alias("rank_hi"),
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("freq").cast("bigint").alias("occurrences"),
+            F.expr(
+                "CAST((SUM(freq) * 10000) div FIRST(tot_freq) AS BIGINT)"
+            ).alias("occ_share_bp"),
+            F.expr("CAST(SUM(rnk * freq) div COUNT(*) AS BIGINT)").alias(
+                "mean_rank_freq"
+            ),
+        )
+        .orderBy("band")
     )

@@ -135,3 +135,21 @@ def test_q106_bands_conserve_customers(spark):
             assert r["homogeneous_classes"] == r["n_classes"]
         assert 0 <= r["rows_bp"] <= 10000
         assert r["min_l_diversity"] >= 1
+
+
+def test_t31_bands_partition_the_vocabulary(spark):
+    rows = QUERIES["t31_zipf_rank_bands"](spark, SF_CORRECT).collect()
+    # bands are contiguous powers of two from rank 1
+    assert [r["band"] for r in rows] == list(range(len(rows)))
+    for r in rows:
+        assert r["rank_lo"] >= 2 ** r["band"]
+        assert r["rank_hi"] <= 2 ** (r["band"] + 1) - 1
+        assert r["n_words"] == r["rank_hi"] - r["rank_lo"] + 1
+    # ranks cover 1..vocab with no gaps across bands
+    assert rows[0]["rank_lo"] == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b["rank_lo"] == a["rank_hi"] + 1
+    # occurrence shares sum to <= 10000 (floor division)
+    assert sum(r["occ_share_bp"] for r in rows) <= 10000
+    # rank-1 word is the most frequent: band 0 mean_rank_freq equals its freq
+    assert rows[0]["n_words"] == 1
