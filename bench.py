@@ -514,6 +514,7 @@ def main() -> None:
         "p05_forgetting_pipeline",   # r6: takedown + near-dup expansion
         "q106_k_anonymity",          # r6: governance release audit
         "t31_zipf_rank_bands",       # r6: corpus Zipf audit
+        "v23_sq_recall",             # r6: int8-SQ recall audit
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

@@ -2178,3 +2178,139 @@ def v22_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "lex_rank", "vec_rank", "rrf_micro", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# v23 — int8-SQ recall audit (completes the eval family: v07 measures the
+# IVF buckets, v10 the k-means clusters, v23 the scalar quantizer): per
+# query, recall@10 of (a) the RAW int8 integer-dot ranking — the pure
+# quantization loss if codes alone served results — and (b) v08's
+# production path (top-40 coarse candidates, exact re-rank) against the
+# exact cosine top-10.  The gap between the two columns is exactly what
+# the re-rank stage buys; the tuning loop any SQ deployment runs before
+# picking its candidate budget.  Output is integer hit counts / recall bp
+# (hash-stable; the float sims only ORDER the legs, v01-certified).
+#
+# Scale shape: composes the certified v01/v08 plans (broadcast query sets,
+# corpus streamed once per leg); the audit joins are (queries x 10)-row
+# frames.
+# ---------------------------------------------------------------------------
+@register(
+    "v23_sq_recall",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+n AS (SELECT vec_id, e, {_Q_SQL} AS q FROM v),
+exact AS (
+  SELECT qid, vid FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS vid,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank
+    FROM (SELECT * FROM v WHERE vec_id < 5) a
+    JOIN v b ON a.vec_id <> b.vec_id
+  ) t WHERE rank <= 10
+),
+coarse AS (
+  SELECT qid, vid, qscore,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qscore DESC, vid) AS crank
+  FROM (
+    SELECT a.vec_id AS qid, b.vec_id AS vid, {_QDOT_SQL} AS qscore
+    FROM (SELECT * FROM n WHERE vec_id < 5) a
+    JOIN n b ON a.vec_id <> b.vec_id
+  ) raw
+),
+raw10 AS (SELECT qid, vid FROM coarse WHERE crank <= 10),
+rerank AS (
+  SELECT qid, vid FROM (
+    SELECT c.qid, c.vid,
+           ROW_NUMBER() OVER (PARTITION BY c.qid ORDER BY
+             list_dot_product(va.e, vb.e) / (sqrt(list_dot_product(va.e, va.e)) *
+             sqrt(list_dot_product(vb.e, vb.e))) DESC, c.vid) AS rank
+    FROM (SELECT qid, vid FROM coarse WHERE crank <= {_QUANT_C}) c
+    JOIN v va ON va.vec_id = c.qid
+    JOIN v vb ON vb.vec_id = c.vid
+  ) t WHERE rank <= 10
+)
+SELECT e.qid,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(COUNT(r10.vid) AS BIGINT) AS hits_raw_codes,
+       CAST(COUNT(rr.vid) AS BIGINT) AS hits_reranked,
+       CAST((COUNT(r10.vid) * 10000) // COUNT(*) AS BIGINT) AS recall_raw_bp,
+       CAST((COUNT(rr.vid) * 10000) // COUNT(*) AS BIGINT) AS recall_rerank_bp
+FROM exact e
+LEFT JOIN raw10 r10 ON r10.qid = e.qid AND r10.vid = e.vid
+LEFT JOIN rerank rr ON rr.qid = e.qid AND rr.vid = e.vid
+GROUP BY e.qid
+ORDER BY e.qid
+""",
+)
+def v23_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from delta_lake_spark.functions.similarity import qdot, quantize_int8
+
+    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        "vec_id", "embedding"
+    )
+    # exact leg (v01 semantics)
+    queries_f = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cands_f = e.select(
+        F.col("vec_id").alias("vid"), F.col("embedding").alias("cvec")
+    )
+    exact = cosine_topk(queries_f, cands_f, k=10).select("qid", "vid")
+    # quantized legs (v08 semantics)
+    codes = e.select("vec_id", quantize_int8(F.col("embedding")).alias("q"))
+    queries_q = codes.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+    )
+    coarse_w = Window.partitionBy("qid").orderBy(F.desc("qscore"), "vid")
+    coarse = (
+        codes.select(F.col("vec_id").alias("vid"), F.col("q").alias("cq"))
+        .crossJoin(F.broadcast(queries_q))
+        .filter(F.col("qid") != F.col("vid"))
+        .select("qid", "vid", qdot(F.col("qq"), F.col("cq")).alias("qscore"))
+        .withColumn("crank", F.row_number().over(coarse_w))
+        .filter(F.col("crank") <= _QUANT_C)
+    )
+    raw10 = coarse.filter(F.col("crank") <= 10).select("qid", "vid")
+    rerank_w = Window.partitionBy("qid").orderBy(F.desc("sim"), "vid")
+    rerank = (
+        coarse.select("qid", "vid")
+        .join(queries_f, "qid")
+        .join(cands_f, "vid")
+        .withColumn(
+            "sim", cosine(as_double(F.col("qvec")), as_double(F.col("cvec")))
+        )
+        .withColumn("rank", F.row_number().over(rerank_w))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "vid")
+    )
+    r10 = raw10.withColumnRenamed("vid", "rvid")
+    rr = rerank.withColumnRenamed("vid", "xvid")
+    return (
+        exact.join(
+            r10,
+            (exact["qid"] == r10["qid"]) & (exact["vid"] == r10["rvid"]),
+            "left",
+        )
+        .drop(r10["qid"])
+        .join(
+            rr,
+            (exact["qid"] == rr["qid"]) & (exact["vid"] == rr["xvid"]),
+            "left",
+        )
+        .drop(rr["qid"])
+        .groupBy(exact["qid"])
+        .agg(
+            F.count("*").cast("bigint").alias("n_exact"),
+            F.count("rvid").cast("bigint").alias("hits_raw_codes"),
+            F.count("xvid").cast("bigint").alias("hits_reranked"),
+            F.expr(
+                "CAST((COUNT(rvid) * 10000) div COUNT(*) AS BIGINT)"
+            ).alias("recall_raw_bp"),
+            F.expr(
+                "CAST((COUNT(xvid) * 10000) div COUNT(*) AS BIGINT)"
+            ).alias("recall_rerank_bp"),
+        )
+        .orderBy("qid")
+    )

@@ -153,3 +153,16 @@ def test_t31_bands_partition_the_vocabulary(spark):
     assert sum(r["occ_share_bp"] for r in rows) <= 10000
     # rank-1 word is the most frequent: band 0 mean_rank_freq equals its freq
     assert rows[0]["n_words"] == 1
+
+
+def test_v23_rerank_dominates_raw_codes(spark):
+    rows = QUERIES["v23_sq_recall"](spark, SF_CORRECT).collect()
+    assert [r["qid"] for r in rows] == [0, 1, 2, 3, 4]
+    for r in rows:
+        assert r["n_exact"] == 10
+        # the re-rank stage can only help: it reorders a superset of the
+        # raw-code top-10 by the exact metric
+        assert r["hits_reranked"] >= r["hits_raw_codes"]
+        assert 0 <= r["hits_raw_codes"] <= 10
+        assert r["recall_raw_bp"] == r["hits_raw_codes"] * 1000
+        assert r["recall_rerank_bp"] == r["hits_reranked"] * 1000
