@@ -65,12 +65,13 @@ _NAMES = [
     "q101_clustering_coefficient",  # r6 rewrite: edge-iterator adjacency kernel
     "q72_triangle_census",       # r6 rewrite: array_intersect triangle count
 ]
-# The five r6 wave-2/3 additions (t30 calibration bins, v22 RRF hybrid,
-# s17 temperature mixture, p05 forgetting pipeline, q106 k-anonymity)
-# passed the same two-profile + NY-timezone sweep on landing, and the
-# FULL 198-query registry was re-swept at round-6 session-2 close (after
-# the p03 localCheckpoint cut and all five additions): zero digest diffs
-# across local[3]/3/128MB, local[8]/17/256KB, and an America/New_York JVM.
+# The seven r6 session-2 additions (t30 calibration bins, v22 RRF hybrid,
+# s17 temperature mixture, p05 forgetting pipeline, q106 k-anonymity,
+# t31 Zipf bands, v23 SQ recall) each passed the two-profile +
+# NY-timezone sweep on landing, and the FULL 200-query registry was
+# re-swept at session close (after the p03 localCheckpoint cut and the
+# session-cached BM25 postings): zero digest diffs across
+# local[3]/3/128MB, local[8]/17/256KB, and an America/New_York JVM.
 # The FULL 193-query oracle-backed registry passed this same two-profile
 # digest sweep (latest full run: round-6 close, sf0.01 — every digest
 # byte-identical between local[3]/3-partition/128MB-split and
