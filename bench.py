@@ -515,6 +515,7 @@ def main() -> None:
         "q106_k_anonymity",          # r6: governance release audit
         "t31_zipf_rank_bands",       # r6: corpus Zipf audit
         "v23_sq_recall",             # r6: int8-SQ recall audit
+        "m08_media_header_audit",    # r6: oracle-checked byte decode
     ):
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()

@@ -259,3 +259,87 @@ def m07_chunk_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# m08 — media HEADER AUDIT, oracle-checked end to end (upgrades the
+# multimodal family beyond rows-only): with_media_payload synthesizes
+# genuine BMP/WAV bytes (pure functions of doc_id), Spark parses the REAL
+# bytes JVM-side (little-endian header fields via substring/hex/conv on the
+# BINARY column — no python in the parse path), and the DuckDB oracle
+# states the CLOSED-FORM truth from doc_id arithmetic alone, never seeing a
+# byte.  Any drift in the encoder, the Arrow binary transfer, or the
+# byte-offset parsing breaks the hash match — this is the decode-path
+# certification the codec stubs could not give.
+#
+# Scale shape: one mapInPandas synthesis pass (the object-store read seam),
+# a per-row JVM header parse (zero shuffle), one bounded groupBy(media_type)
+# aggregate.
+# ---------------------------------------------------------------------------
+def _le_int(col: str, pos: int, nbytes: int) -> str:
+    """SQL for the little-endian unsigned int at 1-based byte ``pos``."""
+    parts = ", ".join(
+        f"hex(substring({col}, {pos + i}, 1))" for i in range(nbytes - 1, -1, -1)
+    )
+    return f"CAST(conv(concat({parts}), 16, 10) AS BIGINT)"
+
+
+@register(
+    "m08_media_header_audit",
+    oracle="""
+WITH synth AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END
+           AS media_type,
+         8 + doc_id % 5 AS w,
+         8 + doc_id % 3 AS h,
+         64 + doc_id % 32 AS n_samp
+  FROM documents
+),
+sized AS (
+  SELECT media_type,
+         CASE WHEN media_type = 'image/bmp'
+              THEN 54 + ((w * 3 + 3) // 4) * 4 * h
+              ELSE 44 + 2 * n_samp END AS payload_bytes,
+         CASE WHEN media_type = 'image/bmp' THEN w ELSE 8000 END AS primary_dim,
+         CASE WHEN media_type = 'image/bmp' THEN w * h ELSE n_samp END AS units
+  FROM synth
+)
+SELECT media_type,
+       CAST(COUNT(*) AS BIGINT) AS n_payloads,
+       CAST(SUM(payload_bytes) AS BIGINT) AS total_payload_bytes,
+       CAST(MIN(primary_dim) AS BIGINT) AS min_primary_dim,
+       CAST(MAX(primary_dim) AS BIGINT) AS max_primary_dim,
+       CAST(SUM(units) AS BIGINT) AS total_units
+FROM sized
+GROUP BY media_type
+ORDER BY media_type
+""",
+)
+def m08_media_header_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_spark.functions.multimodal import with_media_payload
+
+    d = with_media_payload(table_parallel(spark, sf_dir, "documents", "doc_id"))
+    # real byte-level header parsing, JVM-side: BMP width/height are LE
+    # int32 at offsets 19/23 (1-based); the canonical 44-byte WAV header
+    # puts the sample rate at 25 and the data-chunk byte count at 41.
+    parsed = d.selectExpr(
+        "media_type",
+        "CAST(length(payload) AS BIGINT) AS payload_bytes",
+        f"CASE WHEN media_type = 'image/bmp' THEN {_le_int('payload', 19, 4)} "
+        f"     ELSE {_le_int('payload', 25, 4)} END AS primary_dim",
+        f"CASE WHEN media_type = 'image/bmp' "
+        f"     THEN {_le_int('payload', 19, 4)} * {_le_int('payload', 23, 4)} "
+        f"     ELSE {_le_int('payload', 41, 4)} div 2 END AS units",
+    )
+    return (
+        parsed.groupBy("media_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_payloads"),
+            F.sum("payload_bytes").cast("bigint").alias("total_payload_bytes"),
+            F.min("primary_dim").cast("bigint").alias("min_primary_dim"),
+            F.max("primary_dim").cast("bigint").alias("max_primary_dim"),
+            F.sum("units").cast("bigint").alias("total_units"),
+        )
+        .orderBy("media_type")
+    )

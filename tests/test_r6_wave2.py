@@ -166,3 +166,39 @@ def test_v23_rerank_dominates_raw_codes(spark):
         assert 0 <= r["hits_raw_codes"] <= 10
         assert r["recall_raw_bp"] == r["hits_raw_codes"] * 1000
         assert r["recall_rerank_bp"] == r["hits_reranked"] * 1000
+
+
+def test_m08_header_parse_matches_python_decoders(spark):
+    """The JVM byte-parse must agree with the stdlib decoders on the same
+    payloads (a third, independent leg beside the closed-form oracle)."""
+    from delta_lake_spark.functions.codecs import (
+        decode_bmp24,
+        decode_wav_pcm16,
+        synth_media_payload,
+    )
+
+    rows = {r["media_type"]: r for r in QUERIES["m08_media_header_audit"](spark, SF_CORRECT).collect()}
+    assert set(rows) == {"image/bmp", "audio/wav"}
+    n_docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet").count()
+    assert rows["image/bmp"]["n_payloads"] + rows["audio/wav"]["n_payloads"] == n_docs
+    # python-side ground truth over every doc id
+    exp = {"image/bmp": [0, 0, 0], "audio/wav": [0, 0, 0]}  # n, bytes, units
+    dims = {"image/bmp": [], "audio/wav": []}
+    for i in range(n_docs):
+        mt, payload = synth_media_payload(i)
+        exp[mt][0] += 1
+        exp[mt][1] += len(payload)
+        if mt == "image/bmp":
+            meta = decode_bmp24(payload)
+            exp[mt][2] += meta["width"] * meta["height"]
+            dims[mt].append(meta["width"])
+        else:
+            meta = decode_wav_pcm16(payload)
+            exp[mt][2] += meta["n_samples"]
+            dims[mt].append(meta["sample_rate"])
+    for mt, r in rows.items():
+        assert r["n_payloads"] == exp[mt][0]
+        assert r["total_payload_bytes"] == exp[mt][1]
+        assert r["total_units"] == exp[mt][2]
+        assert r["min_primary_dim"] == min(dims[mt])
+        assert r["max_primary_dim"] == max(dims[mt])
