@@ -65,15 +65,15 @@ _NAMES = [
     "q101_clustering_coefficient",  # r6 rewrite: edge-iterator adjacency kernel
     "q72_triangle_census",       # r6 rewrite: array_intersect triangle count
 ]
-# The seven r6 session-2 additions (t30 calibration bins, v22 RRF hybrid,
+# The eight r6 session-2 additions (t30 calibration bins, v22 RRF hybrid,
 # s17 temperature mixture, p05 forgetting pipeline, q106 k-anonymity,
-# t31 Zipf bands, v23 SQ recall) each passed the two-profile +
-# NY-timezone sweep on landing, and the FULL 200-query registry was
-# re-swept at session close (after the p03 localCheckpoint cut and the
-# session-cached BM25 postings): zero digest diffs across
+# t31 Zipf bands, v23 SQ recall, m08 media header audit) each passed the
+# two-profile + NY-timezone sweep on landing, and the FULL 201-query
+# registry was re-swept at session close (after the p03 localCheckpoint
+# cut and the session-cached BM25 postings): zero digest diffs across
 # local[3]/3/128MB, local[8]/17/256KB, and an America/New_York JVM.
-# The FULL 193-query oracle-backed registry passed this same two-profile
-# digest sweep (latest full run: round-6 close, sf0.01 — every digest
+# Earlier full run for the record: the 193-query registry passed the same
+# sweep at round-6 session-1 close (sf0.01 — every digest
 # byte-identical between local[3]/3-partition/128MB-split and
 # local[8]/17-partition/256KB-split profiles, re-run after ALL r6 changes
 # incl. the q11 bounded-agg rewrite, the q72/q101 edge-iterator kernel +
