@@ -146,4 +146,43 @@ def run_incview_bench(
             / max(out["small"]["agg_incremental_refresh_s"], 1e-9),
             2,
         )
+        out["crossover_estimate"] = _crossover(out)
     return out
+
+
+def _crossover(out: dict[str, Any]) -> dict[str, Any]:
+    """Where does incremental refresh start BEATING a full rebuild?
+
+    At bench scale the incremental path loses (fixed MERGE/commit latency
+    dominates a sub-second re-aggregate).  Fit each path's measured two-SF
+    cost to a power law cost(n) = c * n^a — a = log(growth) / log(base
+    ratio) — and solve incremental(n) == full(n) for n.  The exponents make
+    the honest story explicit: the full rebuild grows much faster than the
+    near-flat incremental refresh, so above the crossover base size the
+    incremental path wins and keeps winning.  Extrapolation from two
+    points, so it is an order-of-magnitude estimate, not a measurement.
+    """
+    import math
+
+    small, bench = out["small"], out["bench"]
+    base_ratio = bench["base_rows"] / max(small["base_rows"], 1)
+    a_full = math.log(max(out["full_rebuild_growth"], 1e-9)) / math.log(base_ratio)
+    a_inc = math.log(max(out["incremental_growth"], 1e-9)) / math.log(base_ratio)
+    cost_gap = bench["agg_incremental_refresh_s"] / max(
+        bench["agg_full_rebuild_s"], 1e-9
+    )
+    if a_full <= a_inc:
+        return {
+            "note": "full rebuild not growing faster than incremental at "
+            "these SFs; no crossover extrapolation possible"
+        }
+    mult = cost_gap ** (1.0 / (a_full - a_inc))
+    return {
+        "full_rebuild_exponent": round(a_full, 3),
+        "incremental_exponent": round(a_inc, 3),
+        "crossover_base_multiple_of_bench": round(mult, 1),
+        "crossover_base_rows_estimate": int(mult * bench["base_rows"]),
+        "note": "incremental refresh beats a full rebuild once the base "
+        "exceeds ~the estimated row count; below it the fixed MERGE/commit "
+        "latency dominates and a full rebuild is cheaper",
+    }

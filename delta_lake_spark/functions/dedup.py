@@ -58,10 +58,14 @@ def token_shingles(text: Column | str, n: int = 3) -> Column:
 
         return F.expr(token_shingles_sql(text, n))
     toks = tokens(normalize_text(text))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.array_distinct(
+    # guard, not greatest(...,0): Spark's sequence(1, 0) yields a DESCENDING
+    # [1, 0] (unlike DuckDB's empty range(1, 1)), so a <n-token document
+    # crashed on element_at(toks, 0) under ANSI. <n tokens -> [].
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    sh = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
     )
+    return F.when(F.size(toks) >= n, sh).otherwise(F.array().cast("array<string>"))
 
 
 def _perm(a: int, b: int):
@@ -130,6 +134,13 @@ def minhash_candidate_pairs(
             F.col(id_col).alias("_id"),
             F.expr(shingles).alias("_sh"),
         )
+        # internal graph gate: documents with no shingles (fewer than 3
+        # NORMALIZED tokens) are not in the dedup graph. This is the same
+        # membership rule as the oracle's _SHINGLES_SQL (normalized token
+        # count), so callers don't need — and must not rely on — raw-token
+        # pre-filters: raw and normalized counts diverge on punctuation-
+        # joined text ('a.b.c' is 1 raw token but 3 normalized).
+        .filter(F.size("_sh") > 0)
         # hash each shingle ONCE to a materialized column, then take the 16
         # permutation minima over the hashed array (identical values to
         # minhash_signature; columnar form keeps the build to 3 expr parses)
@@ -241,10 +252,12 @@ def token_shingle_seq(text: Column | str, n: int = 3) -> Column:
     sequence winnowing needs (and order-stable across engines, unlike
     distinct sets)."""
     toks = tokens(normalize_text(text))
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.transform(
+    # <n tokens -> [] (sequence(1, 0) descends in Spark — see token_shingles)
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    seq = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])
     )
+    return F.when(F.size(toks) >= n, seq).otherwise(F.array().cast("array<string>"))
 
 
 def winnow_fingerprints(text: Column | str, window: int = 4) -> Column:
@@ -257,9 +270,13 @@ def winnow_fingerprints(text: Column | str, window: int = 4) -> Column:
 
         return F.expr(winnow_sql(text, window))
     hashes = F.transform(token_shingle_seq(text), shingle_hash)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(hashes) - (window - 1), F.lit(0)))
-    return F.array_distinct(
+    # <window shingles -> [] (sequence(1, 0) descends in Spark)
+    idx = F.sequence(F.lit(1), F.size(hashes) - (window - 1))
+    fps = F.array_distinct(
         F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, window)))
+    )
+    return F.when(F.size(hashes) >= window, fps).otherwise(
+        F.array().cast("array<bigint>")
     )
 
 
@@ -269,6 +286,7 @@ def near_dedup(
     text_col: str,
     min_jaccard_bp: int = 8000,
     tokens_col: str | None = None,
+    graph_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy near-duplicate removal: drop every document that has a
     more-canonical (lower-id) near-dup above the threshold.
@@ -277,9 +295,18 @@ def near_dedup(
     dedup.  Chains (a~b~c with a!~c) keep their middle member; full
     transitive collapse is ``dedup_clusters`` (connected components).
     ``tokens_col`` forwards a pre-tokenized column (see
-    minhash_candidate_pairs).
+    minhash_candidate_pairs).  ``graph_docs`` optionally widens the dedup
+    GRAPH beyond the survivor candidates: pairs are mined from it, while
+    only rows of ``docs`` can survive — used when a caller's keep-set gate
+    (e.g. raw token count) is narrower than graph membership (normalized
+    token count), so a doc outside the keep-set can still evict its dups.
     """
-    pairs = minhash_candidate_pairs(docs, id_col, text_col, tokens_col=tokens_col)
+    pairs = minhash_candidate_pairs(
+        graph_docs if graph_docs is not None else docs,
+        id_col,
+        text_col,
+        tokens_col=tokens_col,
+    )
     losers = (
         pairs.filter(F.col("jaccard_bp") >= min_jaccard_bp)
         .select(F.col("id_b").alias(id_col))

@@ -62,10 +62,15 @@ def let_sql(bound: str, body: str, var: str) -> str:
 
 
 def _shingle_transform_sql(toks: str, n: int) -> str:
+    # CASE guard, not greatest(...,0): Spark's sequence(1, 0) yields a
+    # DESCENDING [1, 0] (unlike DuckDB's empty range(1, 1)), so a <n-token
+    # document crashed on element_at(__t, 0) under ANSI. <n tokens -> [].
     parts = ", ".join(f"element_at(__t, i + {j})" for j in range(n))
     return (
-        f"transform(sequence(1, greatest(size(__t) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', {parts}))".replace("__t", toks)
+        f"CASE WHEN size(__t) >= {n} THEN "
+        f"transform(sequence(1, size(__t) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts})) "
+        f"ELSE CAST(array() AS array<string>) END".replace("__t", toks)
     )
 
 
@@ -142,9 +147,12 @@ def winnow_sql(col: str, window: int = 4) -> str:
     return let_sql(
         hashes,
         (
+            # <window shingles -> [] (sequence(1, 0) descends in Spark)
+            f"CASE WHEN size(__hs) >= {window} THEN "
             f"array_distinct(transform("
-            f"sequence(1, greatest(size(__hs) - {window - 1}, 0)), "
-            f"i -> array_min(slice(__hs, i, {window}))))"
+            f"sequence(1, size(__hs) - {window - 1}), "
+            f"i -> array_min(slice(__hs, i, {window})))) "
+            f"ELSE CAST(array() AS array<bigint>) END"
         ),
         "__hs",
     )

@@ -58,9 +58,15 @@ def char_ngrams(text: Column | str, n: int = 3) -> Column:
     Built-in-only implementation: slice positions via sequence + transform.
     """
     norm = normalize_text(text)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(0))),
+    # guard, not greatest(...,0): Spark's sequence(1, 0) yields a DESCENDING
+    # [1, 0], so a <n-char text produced bogus duplicate grams (DuckDB's
+    # range(1, 1) is empty). <n chars -> [].
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(norm) - (n - 1)),
         lambda i: norm.substr(i, F.lit(n)),
+    )
+    return F.when(F.length(norm) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

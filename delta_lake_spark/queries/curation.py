@@ -68,10 +68,16 @@ def p01_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_spark.functions.sampling import split_assign
     from delta_lake_spark.functions.text import quality_score, token_count
 
-    docs = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
+    # keep-set gate is RAW token count (the oracle's kept WHERE), but the
+    # dedup GRAPH spans all docs with >=3 NORMALIZED tokens (_SHINGLES_SQL)
+    # — passed separately via graph_docs (see d09).
+    docs_all = table_parallel(spark, sf_dir, "documents", "doc_id")
+    docs = docs_all.filter(
         F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
     )
-    survivors = near_dedup(docs, "doc_id", "text", min_jaccard_bp=_DEDUP_TH)
+    survivors = near_dedup(
+        docs, "doc_id", "text", min_jaccard_bp=_DEDUP_TH, graph_docs=docs_all
+    )
     kept = survivors.filter(quality_score("text") >= _MIN_QUALITY).select(
         "doc_id",
         split_assign("doc_id").alias("split"),
@@ -215,6 +221,7 @@ def _p03_oracle() -> str:
     from delta_lake_spark.queries.sampling import _S11_SEED
     from delta_lake_spark.queries.text import (
         _NORM_SQL,
+        _NTOK_SQL,
         _T22_EVAL_SRC,
         _T22_N,
         _t22_grams_duck,
@@ -229,7 +236,7 @@ WITH gated AS (
 g AS (
   SELECT doc_id, source, {_t22_grams_duck(_T22_N)} AS gs
   FROM (SELECT doc_id, source,
-               regexp_split_to_array({_NORM_SQL}, '\\s+') AS ws
+               {_NTOK_SQL} AS ws
         FROM gated)
 ),
 e AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE source = '{_T22_EVAL_SRC}'),
@@ -261,7 +268,7 @@ losers AS (
         (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))) >= {_DEDUP_TH}
 ),
 surv AS (SELECT * FROM clean WHERE doc_id NOT IN (SELECT id_b FROM losers)),
-toks2 AS (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS ws FROM surv),
+toks2 AS (SELECT doc_id, {_NTOK_SQL} AS ws FROM surv),
 bi AS (
   SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-1, 0)+1),
                                        i -> ws[i] || ' ' || ws[i+1])) AS bg
@@ -523,10 +530,10 @@ def p05_forgetting_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs_all = table_parallel(spark, sf_dir, "documents", "doc_id")
-    gated = docs_all.filter(
-        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
-    )
-    pairs = minhash_candidate_pairs(gated, "doc_id", "text").filter(
+    # graph membership (>=3 NORMALIZED tokens, the oracle's _SHINGLES_SQL
+    # gate) is enforced inside minhash_candidate_pairs — a raw-token
+    # pre-filter here diverged on punctuation-joined text (ADVICE r6).
+    pairs = minhash_candidate_pairs(docs_all, "doc_id", "text").filter(
         F.col("jaccard_bp") >= _DEDUP_TH
     )
     comps = connected_components(pairs)

@@ -22,7 +22,7 @@ from delta_lake_spark.functions.dedup import (
     token_shingles,
 )
 from delta_lake_spark.queries.registry import register
-from delta_lake_spark.queries.text import _NORM_SQL
+from delta_lake_spark.queries.text import _NORM_SQL, _NTOK_SQL
 
 _POLY = [31**p for p in range(7, -1, -1)]
 
@@ -38,7 +38,7 @@ _SHINGLES_SQL = f"""
   SELECT doc_id,
          list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
-  FROM (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS toks FROM documents)
+  FROM (SELECT doc_id, {_NTOK_SQL} AS toks FROM documents)
   WHERE len(toks) >= 3
 """
 
@@ -83,9 +83,10 @@ ORDER BY id_a, id_b
 """,
 )
 def d06_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
-        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
-    )
+    # graph membership (>=3 NORMALIZED tokens, matching the oracle's
+    # _SHINGLES_SQL) is enforced inside minhash_candidate_pairs; a raw-token
+    # pre-filter here would diverge on punctuation-joined text ('a.b.c').
+    docs = table_parallel(spark, sf_dir, "documents", "doc_id")
     return minhash_candidate_pairs(docs, "doc_id", "text").orderBy("id_a", "id_b")
 
 
@@ -104,7 +105,7 @@ _SIMHASH_EXPR = " + ".join(f"CASE WHEN bs{k} > 0 THEN {2**k} ELSE 0 END" for k i
     oracle=f"""
 WITH toks AS (
   SELECT doc_id,
-         list_transform(list_distinct(regexp_split_to_array({_NORM_SQL}, '\\s+')), t -> {_H}) AS hs
+         list_transform(list_distinct({_NTOK_SQL}), t -> {_H}) AS hs
   FROM documents
 ),
 bits AS (SELECT doc_id, {_BITSUMS} FROM toks)
@@ -183,11 +184,18 @@ ORDER BY d.doc_id
 def d09_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_spark.functions.dedup import near_dedup
 
-    docs = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
+    # keep-set gate is RAW token count (matches the oracle's outer WHERE),
+    # but the dedup GRAPH spans all documents with >=3 NORMALIZED tokens
+    # (the oracle's _SHINGLES_SQL) — the two counts diverge on punctuation-
+    # joined text, so the graph is passed separately via graph_docs.
+    docs_all = table_parallel(spark, sf_dir, "documents", "doc_id")
+    keepable = docs_all.filter(
         F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
     )
     return (
-        near_dedup(docs, "doc_id", "text", min_jaccard_bp=8000)
+        near_dedup(
+            keepable, "doc_id", "text", min_jaccard_bp=8000, graph_docs=docs_all
+        )
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
@@ -239,9 +247,9 @@ FROM comp GROUP BY component ORDER BY component
 def d10_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_spark.functions.dedup import connected_components
 
-    docs = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
-        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
-    )
+    # graph membership (normalized token count) enforced inside
+    # minhash_candidate_pairs — see d06
+    docs = table_parallel(spark, sf_dir, "documents", "doc_id")
     pairs = minhash_candidate_pairs(docs, "doc_id", "text").filter(
         F.col("jaccard_bp") >= 8000
     )
@@ -275,7 +283,7 @@ _D12_THRESHOLD = 3
     oracle=f"""
 WITH toks AS (
   SELECT doc_id,
-         list_transform(list_distinct(regexp_split_to_array({_NORM_SQL}, '\\s+')), t -> {_H}) AS hs
+         list_transform(list_distinct({_NTOK_SQL}), t -> {_H}) AS hs
   FROM documents
 ),
 bits AS (SELECT doc_id, {_BITSUMS} FROM toks),
@@ -370,7 +378,7 @@ _D13_HS_SQL = f"""
            list_distinct(list_transform(range(1, greatest(len(toks) - {_D13_N - 1}, 0) + 1),
                i -> {_D13_GRAM})),
            s -> {_hash_sql('s')})) AS hs
-  FROM (SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS toks FROM documents)
+  FROM (SELECT doc_id, {_NTOK_SQL} AS toks FROM documents)
   WHERE len(toks) >= {_D13_N}
 """
 
@@ -404,8 +412,12 @@ ORDER BY b_doc
 def d13_contamination_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    # gate on NORMALIZED token count, matching _D13_HS_SQL (raw counts
+    # diverge on punctuation-joined text — round-7 degenerate-corpus fix)
+    from delta_lake_spark.functions.text import normalize_text, tokens as _toks
+
     d = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
-        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= _D13_N
+        F.size(_toks(normalize_text("text"))) >= _D13_N
     )
     # distinct 5-gram hashes per doc — distinct AFTER hashing so a collision
     # can't double-count an overlap (the oracle does the same)
@@ -479,15 +491,19 @@ ORDER BY g.doc_id
 """,
 )
 def t10_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
-        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= _D13_N
+    d = table_parallel(spark, sf_dir, "documents", "doc_id")
+    hs = (
+        d.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(token_shingles("text", _D13_N), shingle_hash)
+            ).alias("hs"),
+        )
+        # >=1 gram == >=_D13_N NORMALIZED tokens, the oracle's gate — a
+        # raw-token pre-filter diverges on punctuation-joined text
+        .filter(F.size("hs") > 0)
+        .persist()  # two consumers (sizes + gram stream), hash once
     )
-    hs = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(token_shingles("text", _D13_N), shingle_hash)
-        ).alias("hs"),
-    ).persist()  # two consumers (sizes + gram stream), hash once
     sizes = hs.select("doc_id", F.size("hs").alias("n_grams"))
     grams = hs.select("doc_id", F.explode("hs").alias("h"))
     # grams are distinct per doc, so count(*) per hash IS document frequency,
@@ -585,13 +601,14 @@ def d14_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_shingles_sql,
     )
 
-    docs = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
-        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
-    )
+    # graph membership = >=1 shingle (>=3 NORMALIZED tokens, the oracle's
+    # _SHINGLES_SQL gate); raw-token pre-filters diverge on punctuation
+    docs = table_parallel(spark, sf_dir, "documents", "doc_id")
     base = (
         docs.select(
             F.col("doc_id").alias("_id"), F.expr(token_shingles_sql("text")).alias("_sh")
         )
+        .filter(F.size("_sh") > 0)  # graph gate: >=3 normalized tokens
         .withColumn("_hs", F.expr(hashed_shingles_sql("_sh")))
         .withColumn("_sig", F.expr(minhash_sig_sql("_hs")))
         .drop("_hs")
@@ -679,9 +696,9 @@ _D17_W = 20
     "d17_duplicated_spans",
     oracle=f"""
 WITH base AS (
-  SELECT doc_id, regexp_split_to_array({_NORM_SQL}, ' ') AS arr
+  SELECT doc_id, {_NTOK_SQL} AS arr
   FROM documents
-  WHERE len(regexp_split_to_array({_NORM_SQL}, ' ')) >= {_D17_W}
+  WHERE len({_NTOK_SQL}) >= {_D17_W}
 ),
 wins AS (
   SELECT doc_id, len(arr) AS n, CAST(s AS BIGINT) AS s,
@@ -821,14 +838,15 @@ def d18_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_shingles_sql,
     )
 
-    docs = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
-        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
-    )
+    # graph membership = >=1 shingle (>=3 NORMALIZED tokens, the oracle's
+    # _SHINGLES_SQL gate); raw-token pre-filters diverge on punctuation
+    docs = table_parallel(spark, sf_dir, "documents", "doc_id")
     base = (
         docs.select(
             F.col("doc_id").alias("_id"),
             F.expr(token_shingles_sql("text")).alias("_sh"),
         )
+        .filter(F.size("_sh") > 0)  # graph gate: >=3 normalized tokens
         .withColumn("_hs", F.expr(hashed_shingles_sql("_sh")))
         .withColumn("_sig", F.expr(minhash_sig_sql("_hs")))
         .drop("_hs")
@@ -911,14 +929,15 @@ def d19_edit_distance_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from delta_lake_spark.functions.text import normalize_text
 
-    docs = table_parallel(spark, sf_dir, "documents", "doc_id").filter(
-        F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 3
-    )
+    # graph membership = >=1 shingle (>=3 NORMALIZED tokens, the oracle's
+    # _SHINGLES_SQL gate); raw-token pre-filters diverge on punctuation
+    docs = table_parallel(spark, sf_dir, "documents", "doc_id")
     base = (
         docs.select(
             F.col("doc_id").alias("_id"),
             F.expr(token_shingles_sql("text")).alias("_sh"),
         )
+        .filter(F.size("_sh") > 0)  # graph gate: >=3 normalized tokens
         .withColumn("_hs", F.expr(hashed_shingles_sql("_sh")))
         .withColumn("_sig", F.expr(minhash_sig_sql("_hs")))
         .drop("_hs")
@@ -980,7 +999,7 @@ def d19_edit_distance_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d20_prefix_filter_jaccard",
     oracle=f"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS ws
+  SELECT doc_id, {_NTOK_SQL} AS ws
   FROM documents WHERE length({_NORM_SQL}) > 0
 ),
 t AS (
@@ -1036,10 +1055,13 @@ def _d22_oracle() -> str:
 
     return f"""
 WITH fp AS (
+  -- zero-token docs carry no prefix content and are excluded: md5('') is
+  -- not provenance signal (and array_to_string([]) is NULL in DuckDB)
   SELECT md5(array_to_string(
-           regexp_split_to_array({_NORM_SQL}, '\\s+')[1:3], ' ')) AS f,
+           {_NTOK_SQL}[1:3], ' ')) AS f,
          source
   FROM documents d
+  WHERE length({_NORM_SQL}) > 0
 ),
 gs AS (SELECT f, source, COUNT(*) AS k FROM fp GROUP BY f, source),
 dup AS (SELECT f FROM gs GROUP BY f HAVING SUM(k) > 1),
@@ -1066,7 +1088,9 @@ def d22_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(tokens(normalize_text("text")), 1, 3))
     )
     gs = (
-        d.select(prefix_fp.alias("f"), "source")
+        # zero-token docs excluded: an empty prefix is not provenance signal
+        d.filter(F.size(tokens(normalize_text("text"))) > 0)
+        .select(prefix_fp.alias("f"), "source")
         .groupBy("f", "source")
         .agg(F.count("*").alias("k"))
     )

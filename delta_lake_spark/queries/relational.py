@@ -838,32 +838,61 @@ ORDER BY revenue DESC, nation
 """,
 )
 def q30_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer")
+    # 100x-scale shape (VERDICT r6 task 5): the naive join order shuffles the
+    # FULL lineitem through l⋈o⋈c before the region predicate can drop
+    # anything. Instead the ASIA filter is pushed into BOTH fact-side inputs
+    # first (a 5-row broadcast each — ~1/5 of suppliers/customers survive, so
+    # ~1/5 of lineitem and orders enter the big join), and the lineitem side
+    # is partially aggregated per (orderkey, supplier-nation) BELOW the final
+    # fact-fact join — decimal sums are exact, so sum-of-partial-sums is
+    # byte-identical to the flat aggregate. Measured at the 100-copy corpus:
+    # 16.9s -> ~7s warm (ratio 21x -> <10x vs sf0.1).
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
-    s = table(spark, sf_dir, "supplier")
-    n = table(spark, sf_dir, "nation")
-    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = (
+        table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    # supplier/customer scale with the data — the asia dim (5 rows) is the
+    # broadcast side; the supplier/customer fact joins are left to AQE.
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    c = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(asia), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+    )
     rev = _dec("l_extendedprice") * (
         F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
     )
-    joined = (
-        # customer/supplier scale with the data — no hard broadcast hints
-        # (AQE decides); nation/region are fixed-size dims, hint kept.
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(
-            s,
-            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
-        )
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    lpart = (
+        l.join(s, l.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_orderkey", "s_nationkey", "n_name")
+        .agg(F.sum(rev).alias("rev_part"), F.count("*").alias("cnt_part"))
+    )
+    o_asia = (
+        o.join(c, o.o_custkey == F.col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
     )
     return (
-        joined.groupBy(F.col("n_name").alias("nation"))
+        lpart.join(
+            o_asia,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
-            F.count("*").alias("n_items"),
+            F.sum("rev_part").cast("double").alias("revenue"),
+            F.sum("cnt_part").alias("n_items"),
         )
         .orderBy(F.desc("revenue"), "nation")
     )

@@ -628,7 +628,7 @@ _S13_TARGET_LANG = "en"
 
 
 def _s13_oracle() -> str:
-    from delta_lake_spark.queries.text import _NORM_SQL
+    from delta_lake_spark.queries.text import _NORM_SQL, _NTOK_SQL
 
     grams = (
         "list_transform(range(1, greatest(len(ws) - 1, 0) + 1), "
@@ -641,7 +641,7 @@ def _s13_oracle() -> str:
     return f"""
 WITH g AS (
   SELECT doc_id, lang, unnest({grams}) AS gram
-  FROM (SELECT doc_id, lang, regexp_split_to_array({_NORM_SQL}, '\\s+') AS ws
+  FROM (SELECT doc_id, lang, {_NTOK_SQL} AS ws
         FROM documents)
 ),
 b AS (SELECT doc_id, lang, {bucket} AS bucket FROM g),
@@ -956,7 +956,10 @@ ORDER BY fold
 """
 
 
-_TOKENS_SQL_S15 = "regexp_split_to_array(trim(text), '\\s+')"
+_TOKENS_SQL_S15 = (
+    "(CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END)"
+)
 
 
 @register("s15_kfold_assignment", oracle=_s15_oracle())

@@ -33,7 +33,22 @@ _NORM_SQL = (
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), "
     "'\\s+', ' ', 'g'))"
 )
-_TOKENS_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+# Empty-safe normalized token array: splitting an empty normalized string
+# yields [''] in DuckDB (a phantom token that inflates vocabularies, unigram
+# streams and token counts), while the engine's tokens(normalize_text(..))
+# yields []. Every oracle that tokenizes normalized text goes through this.
+_NTOK_SQL = (
+    f"(CASE WHEN length({_NORM_SQL}) = 0 THEN []::VARCHAR[] "
+    f"ELSE regexp_split_to_array({_NORM_SQL}, '\\s+') END)"
+)
+# Empty-safe: DuckDB's regexp_split_to_array('') is [''] (len 1), but the
+# engine's tokens() maps empty/whitespace text to [] (len 0) — the
+# semantically-correct count. The guard keeps every token-count oracle in
+# agreement with Spark on empty documents (round-7 degenerate-corpus sweep).
+_TOKENS_SQL = (
+    "(CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END)"
+)
 
 
 def _hits_sql(lang: str) -> str:
@@ -247,7 +262,7 @@ def t05_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t06_top_words_per_lang",
     oracle=f"""
 WITH w AS (
-  SELECT lang, unnest(regexp_split_to_array({_NORM_SQL}, '\\s+')) AS w
+  SELECT lang, unnest({_NTOK_SQL}) AS w
   FROM documents
 ),
 counted AS (
@@ -595,7 +610,7 @@ CAST(aggregate(zip_with(
     "t12_tfidf_top_terms",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, '\\s+')) AS w
+  SELECT doc_id, unnest({_NTOK_SQL}) AS w
   FROM documents
 ),
 tf AS (
@@ -679,7 +694,7 @@ _T13_VALUES = ", ".join(f"({i}, '{q}')" for i, q in _T13_QUERIES)
 # shared by t13's ranked retrieval and v22's hybrid-fusion oracle so the
 # lexical leg of RRF is term-identical to the certified BM25 scorer.
 _BM25_CTES = f"""toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array({_NORM_SQL}, '\\s+')) AS w
+  SELECT doc_id, unnest({_NTOK_SQL}) AS w
   FROM documents
 ),
 tf AS (
@@ -822,9 +837,12 @@ def _chunks_cte() -> str:
     """Shared DuckDB CTE: one row per (doc, chunk)."""
     return f"""
 toks AS (
-  SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS arr
+  -- gate on NORMALIZED length: punctuation-only text trims non-empty but
+  -- normalizes to zero tokens, and must produce zero chunks (not a phantom
+  -- [''] chunk) — round-7 degenerate-corpus fix, matches the Spark twin
+  SELECT doc_id, {_NTOK_SQL} AS arr
   FROM documents
-  WHERE length(trim(text)) > 0
+  WHERE length({_NORM_SQL}) > 0
 ),
 chunks AS (
   SELECT doc_id,
@@ -841,8 +859,10 @@ def _chunk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_spark.functions.text import normalize_text, tokens
 
     d = table_parallel(spark, sf_dir, "documents", "doc_id")
-    arr = d.filter(F.length(F.trim("text")) > 0).select(
-        "doc_id", tokens(normalize_text("text")).alias("arr")
+    # gate on the NORMALIZED token count: punctuation-only text has zero
+    # normalized tokens, and sequence(0, -1, stride) throws in Spark
+    arr = d.select("doc_id", tokens(normalize_text("text")).alias("arr")).filter(
+        F.size("arr") > 0
     )
     starts = F.sequence(F.lit(0), F.size("arr") - 1, F.lit(_CHUNK_S))
     chunk = F.slice("arr", F.col("s") + 1, _CHUNK_W)
@@ -1018,10 +1038,10 @@ def _clf_feats():
 SELECT doc_id, n_feats, score, score > 0 AS kept FROM (
   SELECT d.doc_id,
          (SELECT CAST(COUNT(*) AS BIGINT) FROM
-            (SELECT unnest(regexp_split_to_array({_NORM_SQL}, '\\s+')) AS w) tk
+            (SELECT unnest({_NTOK_SQL}) AS w) tk
           WHERE length(w) >= 3) AS n_feats,
          (SELECT CAST(COALESCE(SUM({_CLF_W_SQL}), 0) AS BIGINT) FROM
-            (SELECT unnest(regexp_split_to_array({_NORM_SQL}, '\\s+')) AS w) tk
+            (SELECT unnest({_NTOK_SQL}) AS w) tk
           WHERE length(w) >= 3) AS score
   FROM documents d
 ) t ORDER BY doc_id
@@ -1062,7 +1082,7 @@ def t16_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t17_bpe_pair_counts",
     oracle=f"""
 WITH words AS (
-  SELECT unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS w FROM documents
+  SELECT unnest({_NTOK_SQL}) AS w FROM documents
 ),
 vocab AS (
   SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
@@ -1175,8 +1195,8 @@ _T19_MIN_PAIR = 5
     oracle=f"""
 WITH words AS (
   SELECT doc_id, w, idx FROM (
-    SELECT doc_id, UNNEST(regexp_split_to_array({_NORM_SQL}, ' ')) AS w,
-           UNNEST(range(1, len(regexp_split_to_array({_NORM_SQL}, ' ')) + 1)) AS idx
+    SELECT doc_id, UNNEST({_NTOK_SQL}) AS w,
+           UNNEST(range(1, len({_NTOK_SQL}) + 1)) AS idx
     FROM documents
   ) t WHERE length(w) > 0
 ),
@@ -1252,7 +1272,7 @@ def t19_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t20_vocab_richness",
     oracle=f"""
 WITH toks AS (
-  SELECT lang, unnest(regexp_split_to_array({_NORM_SQL}, ' ')) AS tok
+  SELECT lang, unnest({_NTOK_SQL}) AS tok
   FROM documents
 ),
 f AS (
@@ -1325,7 +1345,7 @@ def t20_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t21_heavy_hitters",
     oracle=f"""
 WITH w AS (
-  SELECT unnest(regexp_split_to_array({_NORM_SQL}, '\\s+')) AS w
+  SELECT unnest({_NTOK_SQL}) AS w
   FROM documents
 )
 SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -1391,7 +1411,7 @@ def _t22_grams_duck(n: int) -> str:
 WITH g AS (
   SELECT doc_id, source, {_t22_grams_duck(_T22_N)} AS gs
   FROM (SELECT doc_id, source,
-               regexp_split_to_array({_NORM_SQL}, '\\s+') AS ws
+               {_NTOK_SQL} AS ws
         FROM documents)
 ),
 e AS (
@@ -1485,7 +1505,7 @@ def t22_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t23_bigram_lm_score",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS ws
+  SELECT doc_id, {_NTOK_SQL} AS ws
   FROM documents
 ),
 bi AS (
@@ -1551,7 +1571,7 @@ def _t24_grams_duck() -> str:
 WITH g AS (
   SELECT doc_id, source, {_t24_grams_duck()} AS gs
   FROM (SELECT doc_id, source,
-               regexp_split_to_array({_NORM_SQL}, '\\s+') AS ws
+               {_NTOK_SQL} AS ws
         FROM documents)
 ),
 fl AS (SELECT source, doc_id, unnest(gs) AS gram FROM g),
@@ -1654,7 +1674,7 @@ def t24_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH sc AS (
   SELECT (lang = 'en') AS pos,
          (SELECT CAST(COALESCE(SUM({_CLF_W_SQL}), 0) AS BIGINT) FROM
-            (SELECT unnest(regexp_split_to_array({_NORM_SQL}, '\\s+')) AS w) tk
+            (SELECT unnest({_NTOK_SQL}) AS w) tk
           WHERE length(w) >= 3) AS score
   FROM documents d
 ),
@@ -1800,7 +1820,7 @@ def t26_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t27_quality_rank_correlation",
     oracle=f"""
 WITH toks AS (
-  SELECT doc_id, regexp_split_to_array({_NORM_SQL}, '\\s+') AS ws
+  SELECT doc_id, {_NTOK_SQL} AS ws
   FROM documents
 ),
 bi AS (
@@ -2059,7 +2079,7 @@ def t29_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH sc AS (
   SELECT doc_id, (lang = 'en') AS pos,
          (SELECT CAST(COALESCE(SUM({_CLF_W_SQL}), 0) AS BIGINT) FROM
-            (SELECT unnest(regexp_split_to_array({_NORM_SQL}, '\\s+')) AS w) tk
+            (SELECT unnest({_NTOK_SQL}) AS w) tk
           WHERE length(w) >= 3) AS score
   FROM documents d
 ),
@@ -2143,7 +2163,7 @@ def t30_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t31_zipf_rank_bands",
     oracle=f"""
 WITH words AS (
-  SELECT unnest(regexp_split_to_array({_NORM_SQL}, '\\s+')) AS w FROM documents
+  SELECT unnest({_NTOK_SQL}) AS w FROM documents
 ),
 vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM words GROUP BY w),
 ranked AS (

@@ -1,0 +1,145 @@
+"""Adversarial-corpus parity: the text/dedup/curation query families must
+match their DuckDB oracles on DEGENERATE documents, not just the generated
+corpus.
+
+Why this exists (round 7): the shingle kernel's ``sequence(1,
+greatest(size-2, 0))`` produces a DESCENDING ``[1, 0]`` in Spark when a
+document has fewer than 3 normalized tokens (DuckDB's ``range(1, 1)`` is
+empty), so a document like ``"a.b !!! ??"`` — 3 raw tokens, 2 after
+normalization — CRASHED every shingle-based query with
+INVALID_ARRAY_INDEX_IN_ELEMENT_AT.  The driver's corpus never contains such
+documents, so the standard parity sweep could not see it; a 100 TB web crawl
+absolutely would.  This suite runs the affected queries end-to-end on a
+corpus built from exactly those edge shapes, against the same DuckDB oracle
+gate the driver uses.
+
+The corpus deliberately covers, for every hazard found in the round-7 audit:
+- punctuation-joined tokens (raw count < normalized count: ``a.b.c``)
+- punctuation-only tokens   (raw count > normalized count: ``!!! ?? ...``)
+- empty / whitespace-only text
+- single-character words (bigram kernels: ``sequence(1, 0)`` over chars)
+- 1- and 2-token documents (below every n-gram window)
+- normal documents that near-dup each other (the graph must still form)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from delta_lake_spark.catalog import TABLES
+from delta_lake_spark.queries import ORACLE, QUERIES
+from tests.conftest import SF_SMOKE
+from tests.oracle_harness import compare_one, duck_connection
+
+# Every oracle-backed query whose plan tokenizes/shingles document text.
+# (Embedding/vector and relational families read other tables and are
+# unaffected by document-text degeneracy; they stay in the main sweep.)
+TEXT_QUERIES = sorted(
+    name
+    for name in ORACLE
+    if name.startswith(("d0", "d1", "d2", "t0", "t1", "t2", "t3", "p0"))
+)
+
+_BASE_DOC = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the dog dreams of chasing rabbits through "
+    "green fields all day long"
+)
+
+_DEGENERATE_TEXTS = [
+    "",                          # empty
+    "   ",                       # whitespace only
+    "!!! ??? ...",               # 3 raw tokens, 0 normalized
+    "a.b !!! ??",                # 3 raw tokens, 1 normalized token ("a b" -> 2)
+    "a.b.c",                     # 1 raw token, 3 normalized
+    "x",                         # single 1-char word
+    "a i o u e",                 # five 1-char words (bigram kernels)
+    "hello world",               # 2 tokens: below the 3-shingle window
+    "one",                       # 1 token
+    "...a...",                   # 1 normalized token from punctuation shell
+    "word word word word",       # repetition, 4 tokens
+    "ab",                        # 2-char doc (char-trigram kernels)
+    "ééé café naïve",  # non-ascii -> normalization strips
+    "1 2 3 4 5",                 # digit tokens
+    "a-b c-d e-f",               # hyphenated: 3 raw, 6 normalized
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_dir(spark, tmp_path_factory):
+    """sf-dir clone of sf0.001 with documents replaced by the adversarial
+    corpus: degenerate rows + enough normal rows that every pipeline stage
+    (LSH banding, quality gates, splits, packing) still has data."""
+    out = str(tmp_path_factory.mktemp("degen_sf"))
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(
+                os.path.join(SF_SMOKE, f"{t}.parquet"),
+                os.path.join(out, f"{t}.parquet"),
+            )
+    rows = []
+    langs = ["en", "de", "fr"]
+    # source names follow the driver corpus's srcN convention — mixture
+    # queries (p04/s12) parse the numeric suffix as part of the contract
+    sources = ["src0", "src1", "src2"]
+    for i, txt in enumerate(_DEGENERATE_TEXTS):
+        rows.append(
+            (i, txt, langs[i % len(langs)], sources[i % len(sources)], len(txt))
+        )
+    # normal docs, including exact and near duplicates so dedup graphs form
+    next_id = len(_DEGENERATE_TEXTS)
+    for j in range(40):
+        words = _BASE_DOC.split()
+        if j % 4 == 1:
+            words = words[:-1] + ["variant"]
+        elif j % 4 == 2:
+            words = list(reversed(words))
+        elif j % 4 == 3:
+            words = words + [f"suffix{j}"]
+        txt = " ".join(words)
+        rows.append(
+            (
+                next_id + j,
+                txt,
+                langs[j % len(langs)],
+                sources[j % len(sources)],
+                len(txt),
+            )
+        )
+    # single parquet FILE (pyarrow), matching the driver corpus layout —
+    # duck_connection points read_parquet at '<dir>/documents.parquet'
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(cols[0], pa.int64()),
+                "text": pa.array(cols[1], pa.string()),
+                "lang": pa.array(cols[2], pa.string()),
+                "source": pa.array(cols[3], pa.string()),
+                "n_chars": pa.array(cols[4], pa.int64()),
+            }
+        ),
+        os.path.join(out, "documents.parquet"),
+    )
+    return out
+
+
+@pytest.fixture(scope="module")
+def degen_duck(degenerate_dir):
+    con = duck_connection(degenerate_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", TEXT_QUERIES)
+def test_degenerate_parity(spark, degen_duck, degenerate_dir, name):
+    res = compare_one(
+        spark, degen_duck, name, QUERIES[name], ORACLE[name], degenerate_dir
+    )
+    assert res.ok, f"{name}: {res.detail}"
