@@ -377,9 +377,11 @@ def p03_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the two exact global-ranking stages below each launch several jobs
     # (range-partitioner sampling, offset collects, final pass) and EACH job
     # re-runs Catalyst over this point's lineage — here the whole LSH-dedup
-    # + bigram-LM plan, so planning cost dwarfed execution.  localCheckpoint
-    # severs the lineage: those jobs now plan over a trivial cached
-    # relation.  Measured at sf0.1 (quiet box, alternating trials): ranking
+    # + bigram-LM plan, so planning cost dwarfed execution.  pin() (eager
+    # checkpoint, ops/lineage.py) severs the lineage: those jobs now plan
+    # over a trivial cached relation.  Local by default;
+    # SPARK_GRAFT_RELIABLE_CHECKPOINT=1 switches to a reliable checkpoint
+    # that survives executor loss on a multi-node cluster (ADVICE r6).  Measured at sf0.1 (quiet box, alternating trials): ranking
     # tail 4.7-7.4 s (persist) -> ~1.7 s (checkpoint), full query ~9.1 s ->
     # ~6.0 s cache-cleared.  Trade documented: a lost executor cannot
     # recompute a checkpointed block (lineage is gone) — fine for a
@@ -390,10 +392,11 @@ def p03_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2.9-3.1 s warm full-query, alternating trials) — the extra eager
     # materialization pass costs more than the planning it saves, because
     # bigram_lm_scores' internal persist already bounds re-execution.
-    scored = (
+    from delta_lake_spark.ops.lineage import pin
+
+    scored = pin(
         bigram_lm_scores(surv, "doc_id", tokens_col="ws")
         .select("doc_id", "lm_score_micro")
-        .localCheckpoint(eager=True)
     )
     kept = (
         global_ntile(scored, 10, ["lm_score_micro", "doc_id"], out_col="dec")

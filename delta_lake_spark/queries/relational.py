@@ -838,15 +838,17 @@ ORDER BY revenue DESC, nation
 """,
 )
 def q30_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 100x-scale shape (VERDICT r6 task 5): the naive join order shuffles the
-    # FULL lineitem through l⋈o⋈c before the region predicate can drop
+    # 100x-scale shape (VERDICT r6 task 5): the naive join order shuffled the
+    # FULL lineitem through l⋈o⋈c before the region predicate could drop
     # anything. Instead the ASIA filter is pushed into BOTH fact-side inputs
     # first (a 5-row broadcast each — ~1/5 of suppliers/customers survive, so
-    # ~1/5 of lineitem and orders enter the big join), and the lineitem side
-    # is partially aggregated per (orderkey, supplier-nation) BELOW the final
-    # fact-fact join — decimal sums are exact, so sum-of-partial-sums is
-    # byte-identical to the flat aggregate. Measured at the 100-copy corpus:
-    # 16.9s -> ~7s warm (ratio 21x -> <10x vs sf0.1).
+    # ~1/5 of lineitem and orders enter the big fact-fact join). Measured at
+    # the 100-copy corpus (60M lineitem): 16.9 -> 8.8s warm; sf0.1 also
+    # improved 0.65 -> ~0.48s. A partial aggregate per (orderkey,
+    # supplier-nation) BELOW the final join was measured and REJECTED: the
+    # extra shuffle cost 2x at sf0.1 (0.92s) for ~3% at 100x (8.6s) — the
+    # per-order group barely reduces rows, so map-side combine has nothing
+    # to combine.
     o = table(spark, sf_dir, "orders")
     l = table(spark, sf_dir, "lineitem")
     asia = (
@@ -874,25 +876,23 @@ def q30_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _dec("l_extendedprice") * (
         F.lit(1).cast("decimal(8,4)") - F.col("l_discount").cast("decimal(8,4)")
     )
-    lpart = (
-        l.join(s, l.l_suppkey == F.col("s_suppkey"))
-        .groupBy("l_orderkey", "s_nationkey", "n_name")
-        .agg(F.sum(rev).alias("rev_part"), F.count("*").alias("cnt_part"))
+    l_asia = l.join(s, l.l_suppkey == F.col("s_suppkey")).select(
+        "l_orderkey", "s_nationkey", "n_name", rev.alias("rv")
     )
     o_asia = (
         o.join(c, o.o_custkey == F.col("c_custkey"))
         .select("o_orderkey", "c_nationkey")
     )
     return (
-        lpart.join(
+        l_asia.join(
             o_asia,
             (F.col("l_orderkey") == F.col("o_orderkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum("rev_part").cast("double").alias("revenue"),
-            F.sum("cnt_part").alias("n_items"),
+            F.sum("rv").cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
         )
         .orderBy(F.desc("revenue"), "nation")
     )

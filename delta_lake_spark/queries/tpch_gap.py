@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from delta_lake_spark.catalog import table
+from delta_lake_spark.ops.lineage import pin
 from delta_lake_spark.queries.registry import register
 
 DEC = "decimal(18,2)"
@@ -872,14 +873,16 @@ def q73_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     init = _PR_TOTAL // n
     base = (15 * init) // 100
-    # localCheckpoint (eager) rather than persist: it TRUNCATES the logical
+    # pin() = eager checkpoint rather than persist: it TRUNCATES the logical
     # plan each round — with a fixed 10-iteration chain, an untruncated
     # lineage makes plan compilation itself the bottleneck (explain-string
     # blowup / driver OOM in a default-heap session).  The checkpointed
-    # table is vertex-sized, so executor-memory cost is trivial.
-    ranks = deg.select(
+    # table is vertex-sized, so executor-memory cost is trivial.  Local by
+    # default; SPARK_GRAFT_RELIABLE_CHECKPOINT=1 switches to a reliable
+    # checkpoint that survives executor loss (ops/lineage.py).
+    ranks = pin(deg.select(
         "p", "d", F.lit(init).cast("bigint").alias("r")
-    ).localCheckpoint(eager=True)
+    ))
     for _ in range(_PR_ITERS):
         contrib = (
             direct.join(
@@ -899,8 +902,8 @@ def q73_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.expr("85 * COALESCE(s, 0) DIV 100")
                 ).cast("bigint").alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
+        ranks = pin(ranks)
     return (
         ranks.select(F.col("p").cast("bigint").alias("l_partkey"),
                      F.col("r").alias("rank_pico"))
@@ -956,7 +959,8 @@ def q75_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(c_custkey * 7919 DIV 10) % c_custkey"),
         ).otherwise(F.col("c_custkey")).alias("anc"),
         F.when(F.col("c_custkey") >= 10, F.lit(1)).otherwise(F.lit(0)).alias("hops"),
-    ).localCheckpoint(eager=True)
+    )
+    labels = pin(labels)
     for _ in range(10):  # ceil(log2(max_depth)) rounds; fixpoint-checked
         l1, l2 = labels.alias("l1"), labels.alias("l2")
         nxt = (
@@ -967,8 +971,8 @@ def q75_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l2.anc").alias("anc"),
                 (F.col("l1.hops") + F.col("l2.hops")).alias("hops"),
             )
-            .localCheckpoint(eager=True)
         )
+        nxt = pin(nxt)
         changed = (
             nxt.alias("n")
             .join(labels.alias("o"), F.col("n.k") == F.col("o.k"))
