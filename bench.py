@@ -137,6 +137,22 @@ def main() -> None:
     spark.range(1).count()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Pre-run load snapshot, taken BEFORE the headline section: until r7
+    # host_load_start was measured after ~1 min of 32-thread bench work, so
+    # it recorded the bench's OWN load and an idle-box launch still read
+    # 9-12 (the r6/r7 "contended capture" confusion).  /proc/loadavg is
+    # read here, when the only Spark activity so far is session init.
+    pre_run_load = {}
+    try:
+        with open("/proc/loadavg") as fh:
+            la = fh.read().split()
+        pre_run_load = {
+            "load_1m": float(la[0]),
+            "load_5m": float(la[1]),
+            "load_15m": float(la[2]),
+        }
+    except OSError:
+        pass
     # Two passes per query; report the warm (best) time as the headline —
     # mirrors the reference's methodology (inputs cached before timing,
     # BASELINE.md) — and the cold first-pass total for completeness.
@@ -208,7 +224,10 @@ def main() -> None:
     payload = {
         "cold_total": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "host_load_start": _host_load(),
+        # pre-run loadavg (true launch-time state) + the sibling census
+        # from _host_load (the census is load-independent, so taking it
+        # post-headline is fine; the LOAD numbers must be pre-run)
+        "host_load_start": {**_host_load(), **pre_run_load},
     }
 
     # Extension-family timings (round-2+ operators) — reported separately so

@@ -40,7 +40,7 @@ from tests.oracle_harness import compare_one, duck_connection
 TEXT_QUERIES = sorted(
     name
     for name in ORACLE
-    if name.startswith(("d0", "d1", "d2", "t0", "t1", "t2", "t3", "p0"))
+    if name.startswith(("d0", "d1", "d2", "t0", "t1", "t2", "t3", "p0", "s0", "s1"))
 )
 
 _BASE_DOC = (
