@@ -65,6 +65,13 @@ _NAMES = [
     "q101_clustering_coefficient",  # r6 rewrite: edge-iterator adjacency kernel
     "q72_triangle_census",       # r6 rewrite: array_intersect triangle count
 ]
+# Round-7 re-run (after the degenerate-input kernel hardening — guarded
+# shingle/winnow/char-ngram sequences, the internal minhash graph gate,
+# graph_docs in near_dedup, the q30 join-order rewrite, and the
+# ops/lineage pin() refactor): the FULL 201-query registry diffed
+# byte-identical between local[3]/3/128MB and local[8]/17/256KB at
+# sf0.01, and the 201-query DuckDB hash sweep passed under an
+# America/New_York plain driver session the same day.
 # The eight r6 session-2 additions (t30 calibration bins, v22 RRF hybrid,
 # s17 temperature mixture, p05 forgetting pipeline, q106 k-anonymity,
 # t31 Zipf bands, v23 SQ recall, m08 media header audit) each passed the
