@@ -15,6 +15,38 @@ from delta_lake_spark.catalog import table, table_parallel
 from delta_lake_spark.functions.similarity import as_double, cosine, cosine_topk
 from delta_lake_spark.queries.registry import register
 
+
+# ---------------------------------------------------------------------------
+# Embedding validity gate (round 7, adversarial-corpus hardening). Two
+# classes of corrupt embedding row are treated as invalid INPUT and
+# excluded from every vector-family read (and from every oracle, which
+# reads the same gated subquery, so both engines agree row-for-row):
+#
+# - ZERO-NORM vectors (a failed upstream model call): cosine and every
+#   normalized-dot semantic is 0/0 on them — ANSI Spark raises
+#   DIVIDE_BY_ZERO, DuckDB folds to NaN, and NaN's sort position then
+#   diverges between engines. The norm test is the deterministic
+#   left-to-right fold both engines share (functions/similarity.dot); a
+#   NaN coordinate also fails it (NaN > 0 is false in both engines).
+# - OUT-OF-DOMAIN magnitudes (|x| > 100, incl. +-inf): real embedding
+#   models emit unit-ish coordinates; the exact-integer kernels (v17
+#   Lloyd at scale 1e6, the PQ codebooks) quantize to BIGINT assuming
+#   bounded coordinates, and a corrupt 1e30 coordinate overflows the
+#   integer domain (ANSI ARITHMETIC_OVERFLOW / DuckDB bigint error).
+#   |x| <= 100 keeps the worst squared-distance fold at
+#   64 * (2*100*1e6)^2 = 2.6e18 < 2^63.
+# ---------------------------------------------------------------------------
+_EMB_MAX_ABS = 100.0
+
+
+def _nz(df: DataFrame) -> DataFrame:
+    from delta_lake_spark.functions.similarity import as_double, dot
+
+    v = as_double(F.col("embedding"))
+    in_domain = ~F.exists(v, lambda x: F.abs(x) > F.lit(_EMB_MAX_ABS))
+    return df.filter((dot(v, v) > 0) & in_domain)
+
+
 _COS_SQL = (
     "list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * "
     "sqrt(list_dot_product(b.e, b.e)))"
@@ -27,7 +59,7 @@ _COS_SQL = (
 @register(
     "v01_cosine_topk",
     oracle=f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings)
 SELECT qid, vid, sim, rank FROM (
   SELECT a.vec_id AS qid, b.vec_id AS vid, {_COS_SQL} AS sim,
          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank
@@ -39,11 +71,11 @@ ORDER BY qid, rank
 """,
 )
 def v01_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
+    e = _nz(table(spark, sf_dir, "embeddings"))
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    candidates = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+    candidates = _nz(table_parallel(spark, sf_dir, "embeddings", "vec_id")).select(
         F.col("vec_id").alias("vid"), F.col("embedding").alias("cvec")
     )
     return (
@@ -86,7 +118,7 @@ def _v02_oracle() -> str:
         "sqrt(list_dot_product(vb.e, vb.e)))"
     )
     return f"""
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
 s AS (SELECT vec_id, ({sig}) AS sig FROM v),
 bands AS (SELECT vec_id, r.range AS band,
                  (sig >> (r.range * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1} AS key
@@ -107,7 +139,7 @@ ORDER BY id_a, id_b
 def v02_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_spark.functions.similarity import hyperplane_signature
 
-    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+    e = _nz(table_parallel(spark, sf_dir, "embeddings", "vec_id")).select(
         "vec_id", "label", "embedding"
     )
     sig = e.select(
@@ -167,7 +199,7 @@ def v02_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v03_label_pair_affinity",
     oracle=f"""
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 200)
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings WHERE vec_id < 200)
 SELECT a.label AS label_a, b.label AS label_b,
        COUNT(*) AS n_pairs,
        FLOOR(CAST(SUM(CAST({_COS_SQL} AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) * 10000) / 10000 AS avg_sim
@@ -177,7 +209,7 @@ ORDER BY label_a, label_b
 """,
 )
 def v03_label_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200).select(
+    e = _nz(table(spark, sf_dir, "embeddings")).filter(F.col("vec_id") < 200).select(
         "vec_id", "label", "embedding"
     )
     a = e.select(F.col("vec_id").alias("ida"), F.col("label").alias("label_a"), F.col("embedding").alias("ea"))
@@ -209,7 +241,7 @@ _BUCKET_SQL = (
 @register(
     "v04_bucketed_ann",
     oracle=f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket FROM embeddings)
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings)
 SELECT qid, vid, sim, rank FROM (
   SELECT a.vec_id AS qid, b.vec_id AS vid, {_COS_SQL} AS sim,
          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank
@@ -229,7 +261,7 @@ def v04_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         return out
 
-    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").withColumn(
+    e = _nz(table_parallel(spark, sf_dir, "embeddings", "vec_id")).withColumn(
         "bucket", bucket(F.col("embedding"))
     )
     queries = e.filter(F.col("vec_id") < 5).select(
@@ -273,7 +305,7 @@ def v04_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v06_multiprobe_ann",
     oracle=f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket FROM embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
 q AS (SELECT vec_id, e, xor(bucket, m.flip) AS probe
       FROM v, (SELECT unnest([0, 1, 2, 4, 8]) AS flip) m
       WHERE vec_id < 5)
@@ -295,7 +327,7 @@ def v06_multiprobe_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         return out
 
-    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").withColumn(
+    e = _nz(table_parallel(spark, sf_dir, "embeddings", "vec_id")).withColumn(
         "bucket", bucket(F.col("embedding"))
     )
     probes = (
@@ -359,7 +391,7 @@ ORDER BY v.vec_id
 def d11_embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = v02_embedding_near_dups(spark, sf_dir)
     dups = pairs.select(F.col("id_b").alias("vec_id")).distinct()
-    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").select("vec_id", "label")
+    e = _nz(table_parallel(spark, sf_dir, "embeddings", "vec_id")).select("vec_id", "label")
     return e.join(dups, "vec_id", "left_anti").orderBy("vec_id")
 
 
@@ -372,7 +404,7 @@ def d11_embedding_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame
 def v05_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_spark.functions.pandas_ops import label_centroids
 
-    e = table(spark, sf_dir, "embeddings")
+    e = _nz(table(spark, sf_dir, "embeddings"))
     return (
         label_centroids(e)
         .select("label", "n", F.size("centroid").alias("dim"), "mean_dist", "max_dist")
@@ -390,7 +422,7 @@ def v05_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v07_ann_recall",
     oracle=f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket FROM embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
 exact AS (
   SELECT qid, vid FROM (
     SELECT a.vec_id AS qid, b.vec_id AS vid,
@@ -475,7 +507,7 @@ _QDOT_SQL = (
 @register(
     "v08_quantized_ann",
     oracle=f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
 n AS (SELECT vec_id, e, {_Q_SQL} AS q FROM v),
 coarse AS (
   SELECT qid, vid, qscore FROM (
@@ -509,7 +541,7 @@ def v08_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from delta_lake_spark.functions.similarity import qdot, quantize_int8
 
-    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").select("vec_id", "embedding")
+    e = _nz(table_parallel(spark, sf_dir, "embeddings", "vec_id")).select("vec_id", "embedding")
     codes = e.select("vec_id", quantize_int8(F.col("embedding")).alias("q"))
     queries = codes.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("q").alias("qq")
@@ -567,7 +599,7 @@ def _km_ctes(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _EMB_DIM) -> tup
     oracles; returns (ctes, name-of-final-centroid-CTE)."""
     cos = _km_cos
     ctes = [
-        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings)",
         f"c0 AS (SELECT vec_id AS cl, e AS c FROM v WHERE vec_id < {k})",
     ]
     for it in range(1, iters + 1):
@@ -625,7 +657,7 @@ def _spherical_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_spark.ops.session_cache import session_cached
 
     def build() -> DataFrame:
-        e = table_parallel(spark, sf_dir, "embeddings", "vec_id")
+        e = _nz(table_parallel(spark, sf_dir, "embeddings", "vec_id"))
         return spherical_kmeans(e, k=_KM_K, iters=_KM_ITERS)
 
     return session_cached(
@@ -690,7 +722,7 @@ ORDER BY fa.vec_id
 
 @register("d15_semantic_dedup", oracle=_d15_oracle())
 def d15_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table_parallel(spark, sf_dir, "embeddings", "vec_id")
+    e = _nz(table_parallel(spark, sf_dir, "embeddings", "vec_id"))
     v = e.select("vec_id", as_double(F.col("embedding")).alias("e"))
     # fa is referenced three times (both pair sides + the anti-join left);
     # the session-cached assignment is already persisted, so every reference
@@ -844,7 +876,7 @@ def v10_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v14_hard_negatives",
     oracle=f"""
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings)
 SELECT qid, q_label, vid, n_label, sim, rank FROM (
   SELECT a.vec_id AS qid, a.label AS q_label,
          b.vec_id AS vid, b.label AS n_label, {_COS_SQL} AS sim,
@@ -860,13 +892,13 @@ ORDER BY qid, rank
 def v14_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    e = table(spark, sf_dir, "embeddings")
+    e = _nz(table(spark, sf_dir, "embeddings"))
     queries = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("qvec"),
     )
-    cands = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+    cands = _nz(table_parallel(spark, sf_dir, "embeddings", "vec_id")).select(
         F.col("vec_id").alias("vid"),
         F.col("label").alias("n_label"),
         F.col("embedding").alias("cvec"),
@@ -916,7 +948,7 @@ _PSIM_SQL = (
 @register(
     "v11_matryoshka_ann",
     oracle=f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
 p AS (SELECT vec_id, e, list_slice(e, 1, {_MRL_DIMS}) AS pe FROM v),
 coarse AS (
   SELECT qid, vid, psim FROM (
@@ -948,7 +980,7 @@ ORDER BY qid, rank
 def v11_matryoshka_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+    e = _nz(table_parallel(spark, sf_dir, "embeddings", "vec_id")).select(
         "vec_id", "embedding"
     )
     p = e.select(
@@ -1002,7 +1034,7 @@ _NDCG_P = [1000000, 1630929, 2130929, 2561605, 2948457, 3304664, 3637997, 395346
 @register(
     "v12_ndcg_eval",
     oracle=f"""
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
 scored AS (
   SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS vid, b.label AS clabel,
          {_COS_SQL} AS sim
@@ -1040,7 +1072,7 @@ ORDER BY r.qid
 def v12_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+    e = _nz(table_parallel(spark, sf_dir, "embeddings", "vec_id")).select(
         "vec_id", "label", "embedding"
     )
     q = e.filter(F.col("vec_id") < 5).select(
@@ -1118,7 +1150,7 @@ def v12_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v13_filtered_ann",
     oracle=f"""
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket FROM embeddings),
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
 q AS (SELECT vec_id, e, xor(bucket, m.flip) AS probe
       FROM v, (SELECT unnest([0, 1, 2, 4, 8]) AS flip) m
       WHERE vec_id < 5)
@@ -1141,7 +1173,7 @@ def v13_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0))
         return out
 
-    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").withColumn(
+    e = _nz(table_parallel(spark, sf_dir, "embeddings", "vec_id")).withColumn(
         "bucket", bucket(F.col("embedding"))
     )
     probes = (
@@ -1194,7 +1226,7 @@ def v13_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v15_label_diversified_topk",
     oracle=f"""
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
 scored AS (
   SELECT a.vec_id AS qid, b.vec_id AS vid, b.label AS label, {_COS_SQL} AS sim,
          ROW_NUMBER() OVER (PARTITION BY a.vec_id, b.label
@@ -1214,11 +1246,11 @@ ORDER BY qid, rank
 def v15_label_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    e = table(spark, sf_dir, "embeddings")
+    e = _nz(table(spark, sf_dir, "embeddings"))
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    cands = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+    cands = _nz(table_parallel(spark, sf_dir, "embeddings", "vec_id")).select(
         F.col("vec_id").alias("vid"),
         F.col("label").alias("label"),
         F.col("embedding").alias("cvec"),
@@ -1279,7 +1311,7 @@ def _v16_oracle() -> str:
         "sqrt(list_dot_product(vb.e, vb.e)))"
     )
     return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
 s AS (SELECT vec_id, ({sig}) AS sig FROM v),
 bands AS (SELECT vec_id, r.range AS band,
                  (sig >> (r.range * {_V16_BAND_BITS})) & {(1 << _V16_BAND_BITS) - 1} AS key
@@ -1305,7 +1337,7 @@ def v16_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from delta_lake_spark.functions.similarity import hyperplane_signature
 
-    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+    e = _nz(table_parallel(spark, sf_dir, "embeddings", "vec_id")).select(
         "vec_id", "embedding"
     )
     sig = e.select(
@@ -1404,7 +1436,7 @@ def _v17_ctes() -> str:
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(FLOOR(x * {_V17_SCALE}) AS BIGINT)) AS q
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings
 ),
 vd AS (SELECT vec_id, r.range AS d, q[r.range + 1] AS x FROM v, range({_EMB_DIM}) r),
 c0 AS (SELECT vec_id AS cid, d, x AS cx FROM vd WHERE vec_id < {_V17_K}),
@@ -1457,7 +1489,7 @@ def _quantized_vectors(spark: SparkSession, sf_dir: str):
     from delta_lake_spark.ops.session_cache import session_cached
 
     def build():
-        return table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+        return _nz(table_parallel(spark, sf_dir, "embeddings", "vec_id")).select(
             "vec_id",
             F.transform(
                 as_double(F.col("embedding")),
@@ -1580,7 +1612,7 @@ def _d21_oracle() -> str:
     )
     return f"""
 WITH {_v17_ctes()},
-ve AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+ve AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
 dropped AS (
   SELECT DISTINCT CASE WHEN a.dist < b.dist THEN a.vec_id
                        WHEN b.dist < a.dist THEN b.vec_id
@@ -1603,7 +1635,7 @@ def d21_semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_spark.functions.similarity import dot, l2_norm
 
     assign = _kmeans_final_assignment(spark, sf_dir).select("vec_id", "cid", "dist")
-    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+    e = _nz(table_parallel(spark, sf_dir, "embeddings", "vec_id")).select(
         "vec_id", "label", as_double(F.col("embedding")).alias("e")
     )
     # persist: BOTH self-join sides read this frame — without it the whole
@@ -1692,7 +1724,7 @@ WITH v AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(FLOOR(x * {_V17_SCALE}) AS BIGINT)) AS q
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings
 ),
 vd AS (SELECT vec_id, r.range AS d, q[r.range + 1] AS x FROM v, range({_EMB_DIM}) r),
 cb AS (SELECT vec_id AS c, d, x AS cx FROM vd WHERE vec_id < {_PQ_K}),
@@ -2030,7 +2062,7 @@ WITH v AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(FLOOR(x * {_V17_SCALE}) AS BIGINT)) AS q
-  FROM embeddings
+  FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings
 ),
 pairs AS (
   SELECT a.vec_id AS qid, b.vec_id AS vid,
@@ -2050,7 +2082,7 @@ def v20_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = _quantized_vectors(spark, sf_dir)
     # the bounded query side comes from a plain scan (no input-split
     # repartition — it broadcasts whole anyway)
-    queries = table(spark, sf_dir, "embeddings").filter(
+    queries = _nz(table(spark, sf_dir, "embeddings")).filter(
         F.col("vec_id") < _V20_NQ
     ).select(
         F.col("vec_id").alias("qid"),
@@ -2106,7 +2138,7 @@ lexr AS (
     FROM bm25) t
   WHERE lrnk <= {_RRF_LIST}
 ),
-v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
 vrank AS (
   SELECT query_id, doc_id, vrnk FROM (
     SELECT a.vec_id + 1 AS query_id, b.vec_id AS doc_id,
@@ -2147,11 +2179,11 @@ def v22_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lrnk") <= _RRF_LIST)
         .select("query_id", "doc_id", "lrnk")
     )
-    e = table(spark, sf_dir, "embeddings")
+    e = _nz(table(spark, sf_dir, "embeddings"))
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    candidates = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+    candidates = _nz(table_parallel(spark, sf_dir, "embeddings", "vec_id")).select(
         F.col("vec_id").alias("vid"), F.col("embedding").alias("cvec")
     )
     vrank = cosine_topk(queries, candidates, k=_RRF_LIST).select(
@@ -2198,7 +2230,7 @@ def v22_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v23_sq_recall",
     oracle=f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
 n AS (SELECT vec_id, e, {_Q_SQL} AS q FROM v),
 exact AS (
   SELECT qid, vid FROM (
@@ -2247,7 +2279,7 @@ def v23_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from delta_lake_spark.functions.similarity import qdot, quantize_int8
 
-    e = table_parallel(spark, sf_dir, "embeddings", "vec_id").select(
+    e = _nz(table_parallel(spark, sf_dir, "embeddings", "vec_id")).select(
         "vec_id", "embedding"
     )
     # exact leg (v01 semantics)

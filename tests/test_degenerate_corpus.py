@@ -40,7 +40,13 @@ from tests.oracle_harness import compare_one, duck_connection
 TEXT_QUERIES = sorted(
     name
     for name in ORACLE
-    if name.startswith(("d0", "d1", "d2", "t0", "t1", "t2", "t3", "p0", "s0", "s1"))
+    if name.startswith(
+        # documents-derived families (text/dedup/curation/sampling + the
+        # multimodal payloads synthesized from document bytes) and the
+        # embedding-derived vector family — the fixture plants degenerate
+        # rows in BOTH tables
+        ("d0", "d1", "d2", "t0", "t1", "t2", "t3", "p0", "s0", "s1", "m0", "v0", "v1", "v2")
+    )
 )
 
 _BASE_DOC = (
@@ -126,6 +132,38 @@ def degenerate_dir(spark, tmp_path_factory):
             }
         ),
         os.path.join(out, "documents.parquet"),
+    )
+
+    # embeddings: the REAL sf0.001 vectors (so LSH buckets / IVF lists /
+    # label structure stay populated) plus adversarial rows a web-scale
+    # embedding table absolutely contains: the all-zero vector (cosine
+    # 0/0), denormal-tiny and huge magnitudes (float32 under/overflow in
+    # norm folds), an exact duplicate and an exact negation of vector 0,
+    # and a constant vector.
+    emb = pq.read_table(os.path.join(SF_SMOKE, "embeddings.parquet"))
+    dim = len(emb.column("embedding")[0].as_py())
+    base_vec = emb.column("embedding")[0].as_py()
+    next_vid = max(v.as_py() for v in emb.column("vec_id")) + 1
+    adv_rows = [
+        (next_vid + 0, [0.0] * dim, 3),                       # zero vector
+        (next_vid + 1, [1e-30] * dim, 4),                     # denormal-tiny
+        (next_vid + 2, [1e30] * dim, 5),                      # huge magnitude
+        (next_vid + 3, list(base_vec), 6),                    # exact duplicate
+        (next_vid + 4, [-x for x in base_vec], 7),            # exact negation
+        (next_vid + 5, [0.5] * dim, 8),                       # constant vector
+    ]
+    adv = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in adv_rows], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in adv_rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in adv_rows], pa.int32()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([emb.cast(adv.schema), adv]),
+        os.path.join(out, "embeddings.parquet"),
     )
     return out
 

@@ -261,9 +261,13 @@ def _write_embeddings(tmp_path, vecs):
 
 
 def test_v20_radius_membership_hand_computed(spark, tmp_path):
-    # query 0 at the origin; candidates displaced along dim 0 by
-    # 0.001 (dist 1e6, in), 1.0 (1e12, in), 2.0 (4e12, out of 1.45e12).
-    z = [0.0] * 64
+    # query 0 is the unit vector along dim 63 (a zero-vector query would be
+    # excluded by the round-7 embedding validity gate — zero-norm rows are
+    # invalid input engine-wide); every candidate shares that dim-63
+    # component, so the pairwise L2 distances reduce to the dim-0
+    # displacements exactly as before: 0.001 (dist 1e6, in), 1.0 (1e12,
+    # in), 2.0 (4e12, out of 1.45e12).
+    z = [0.0] * 63 + [1.0]
     _write_embeddings(
         tmp_path,
         {
