@@ -28,23 +28,29 @@ from delta_lake_spark.queries.registry import register
 #   diverges between engines. The norm test is the deterministic
 #   left-to-right fold both engines share (functions/similarity.dot); a
 #   NaN coordinate also fails it (NaN > 0 is false in both engines).
-# - OUT-OF-DOMAIN magnitudes (|x| > 100, incl. +-inf): real embedding
-#   models emit unit-ish coordinates; the exact-integer kernels (v17
-#   Lloyd at scale 1e6, the PQ codebooks) quantize to BIGINT assuming
-#   bounded coordinates, and a corrupt 1e30 coordinate overflows the
-#   integer domain (ANSI ARITHMETIC_OVERFLOW / DuckDB bigint error).
-#   |x| <= 100 keeps the worst squared-distance fold at
-#   64 * (2*100*1e6)^2 = 2.6e18 < 2^63.
+# - OUT-OF-DOMAIN magnitudes (||v|| > 150, incl. any +-inf coordinate):
+#   real embedding models emit unit-ish coordinates; the exact-integer
+#   kernels (v17 Lloyd at scale 1e6, the PQ codebooks) quantize to BIGINT
+#   assuming bounded coordinates, and a corrupt 1e30 coordinate overflows
+#   the integer domain (ANSI ARITHMETIC_OVERFLOW / DuckDB bigint error).
+#   ||v|| <= 150 bounds every coordinate by 150, keeping the worst
+#   squared-distance fold at 64 * (2*150*1e6)^2 = 5.8e18 < 2^63.
+#
+# Both tests read off the SAME single sumsq fold (0 < sumsq <= 150^2), so
+# the gate costs one O(dim) pass per row — measured: the earlier two-fold
+# form (separate norm + exists(|x|>bound)) doubled v01's candidate-scan
+# cost; this form is one fold. A NaN/inf coordinate makes sumsq NaN/inf,
+# which fails the range test in both engines identically.
 # ---------------------------------------------------------------------------
-_EMB_MAX_ABS = 100.0
+_EMB_MAX_SUMSQ = 150.0 * 150.0
 
 
 def _nz(df: DataFrame) -> DataFrame:
     from delta_lake_spark.functions.similarity import as_double, dot
 
     v = as_double(F.col("embedding"))
-    in_domain = ~F.exists(v, lambda x: F.abs(x) > F.lit(_EMB_MAX_ABS))
-    return df.filter((dot(v, v) > 0) & in_domain)
+    sumsq = dot(v, v)
+    return df.filter((sumsq > 0) & (sumsq <= F.lit(_EMB_MAX_SUMSQ)))
 
 
 _COS_SQL = (
@@ -59,7 +65,7 @@ _COS_SQL = (
 @register(
     "v01_cosine_topk",
     oracle=f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings)
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) <= 22500.0) embeddings)
 SELECT qid, vid, sim, rank FROM (
   SELECT a.vec_id AS qid, b.vec_id AS vid, {_COS_SQL} AS sim,
          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank
@@ -118,7 +124,7 @@ def _v02_oracle() -> str:
         "sqrt(list_dot_product(vb.e, vb.e)))"
     )
     return f"""
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) <= 22500.0) embeddings),
 s AS (SELECT vec_id, ({sig}) AS sig FROM v),
 bands AS (SELECT vec_id, r.range AS band,
                  (sig >> (r.range * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1} AS key
@@ -199,7 +205,7 @@ def v02_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v03_label_pair_affinity",
     oracle=f"""
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings WHERE vec_id < 200)
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) <= 22500.0) embeddings WHERE vec_id < 200)
 SELECT a.label AS label_a, b.label AS label_b,
        COUNT(*) AS n_pairs,
        FLOOR(CAST(SUM(CAST({_COS_SQL} AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) * 10000) / 10000 AS avg_sim
@@ -241,7 +247,7 @@ _BUCKET_SQL = (
 @register(
     "v04_bucketed_ann",
     oracle=f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings)
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) <= 22500.0) embeddings)
 SELECT qid, vid, sim, rank FROM (
   SELECT a.vec_id AS qid, b.vec_id AS vid, {_COS_SQL} AS sim,
          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY {_COS_SQL} DESC, b.vec_id) AS rank
@@ -305,7 +311,7 @@ def v04_bucketed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v06_multiprobe_ann",
     oracle=f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) <= 22500.0) embeddings),
 q AS (SELECT vec_id, e, xor(bucket, m.flip) AS probe
       FROM v, (SELECT unnest([0, 1, 2, 4, 8]) AS flip) m
       WHERE vec_id < 5)
@@ -422,7 +428,7 @@ def v05_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v07_ann_recall",
     oracle=f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) <= 22500.0) embeddings),
 exact AS (
   SELECT qid, vid FROM (
     SELECT a.vec_id AS qid, b.vec_id AS vid,
@@ -507,7 +513,7 @@ _QDOT_SQL = (
 @register(
     "v08_quantized_ann",
     oracle=f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) <= 22500.0) embeddings),
 n AS (SELECT vec_id, e, {_Q_SQL} AS q FROM v),
 coarse AS (
   SELECT qid, vid, qscore FROM (
@@ -599,7 +605,7 @@ def _km_ctes(k: int = _KM_K, iters: int = _KM_ITERS, dim: int = _EMB_DIM) -> tup
     oracles; returns (ctes, name-of-final-centroid-CTE)."""
     cos = _km_cos
     ctes = [
-        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings)",
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) <= 22500.0) embeddings)",
         f"c0 AS (SELECT vec_id AS cl, e AS c FROM v WHERE vec_id < {k})",
     ]
     for it in range(1, iters + 1):
@@ -876,7 +882,7 @@ def v10_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v14_hard_negatives",
     oracle=f"""
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings)
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) <= 22500.0) embeddings)
 SELECT qid, q_label, vid, n_label, sim, rank FROM (
   SELECT a.vec_id AS qid, a.label AS q_label,
          b.vec_id AS vid, b.label AS n_label, {_COS_SQL} AS sim,
@@ -948,7 +954,7 @@ _PSIM_SQL = (
 @register(
     "v11_matryoshka_ann",
     oracle=f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) <= 22500.0) embeddings),
 p AS (SELECT vec_id, e, list_slice(e, 1, {_MRL_DIMS}) AS pe FROM v),
 coarse AS (
   SELECT qid, vid, psim FROM (
@@ -1034,7 +1040,7 @@ _NDCG_P = [1000000, 1630929, 2130929, 2561605, 2948457, 3304664, 3637997, 395346
 @register(
     "v12_ndcg_eval",
     oracle=f"""
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) <= 22500.0) embeddings),
 scored AS (
   SELECT a.vec_id AS qid, a.label AS qlabel, b.vec_id AS vid, b.label AS clabel,
          {_COS_SQL} AS sim
@@ -1150,7 +1156,7 @@ def v12_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v13_filtered_ann",
     oracle=f"""
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e, {_BUCKET_SQL} AS bucket FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) <= 22500.0) embeddings),
 q AS (SELECT vec_id, e, xor(bucket, m.flip) AS probe
       FROM v, (SELECT unnest([0, 1, 2, 4, 8]) AS flip) m
       WHERE vec_id < 5)
@@ -1226,7 +1232,7 @@ def v13_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v15_label_diversified_topk",
     oracle=f"""
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) <= 22500.0) embeddings),
 scored AS (
   SELECT a.vec_id AS qid, b.vec_id AS vid, b.label AS label, {_COS_SQL} AS sim,
          ROW_NUMBER() OVER (PARTITION BY a.vec_id, b.label
@@ -1311,7 +1317,7 @@ def _v16_oracle() -> str:
         "sqrt(list_dot_product(vb.e, vb.e)))"
     )
     return f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) <= 22500.0) embeddings),
 s AS (SELECT vec_id, ({sig}) AS sig FROM v),
 bands AS (SELECT vec_id, r.range AS band,
                  (sig >> (r.range * {_V16_BAND_BITS})) & {(1 << _V16_BAND_BITS) - 1} AS key
@@ -1436,7 +1442,7 @@ def _v17_ctes() -> str:
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(FLOOR(x * {_V17_SCALE}) AS BIGINT)) AS q
-  FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings
+  FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) <= 22500.0) embeddings
 ),
 vd AS (SELECT vec_id, r.range AS d, q[r.range + 1] AS x FROM v, range({_EMB_DIM}) r),
 c0 AS (SELECT vec_id AS cid, d, x AS cx FROM vd WHERE vec_id < {_V17_K}),
@@ -1612,7 +1618,7 @@ def _d21_oracle() -> str:
     )
     return f"""
 WITH {_v17_ctes()},
-ve AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
+ve AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) <= 22500.0) embeddings),
 dropped AS (
   SELECT DISTINCT CASE WHEN a.dist < b.dist THEN a.vec_id
                        WHEN b.dist < a.dist THEN b.vec_id
@@ -1724,7 +1730,7 @@ WITH v AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(FLOOR(x * {_V17_SCALE}) AS BIGINT)) AS q
-  FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings
+  FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) <= 22500.0) embeddings
 ),
 vd AS (SELECT vec_id, r.range AS d, q[r.range + 1] AS x FROM v, range({_EMB_DIM}) r),
 cb AS (SELECT vec_id AS c, d, x AS cx FROM vd WHERE vec_id < {_PQ_K}),
@@ -2062,7 +2068,7 @@ WITH v AS (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
                         x -> CAST(FLOOR(x * {_V17_SCALE}) AS BIGINT)) AS q
-  FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings
+  FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) <= 22500.0) embeddings
 ),
 pairs AS (
   SELECT a.vec_id AS qid, b.vec_id AS vid,
@@ -2138,7 +2144,7 @@ lexr AS (
     FROM bm25) t
   WHERE lrnk <= {_RRF_LIST}
 ),
-v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) <= 22500.0) embeddings),
 vrank AS (
   SELECT query_id, doc_id, vrnk FROM (
     SELECT a.vec_id + 1 AS query_id, b.vec_id AS doc_id,
@@ -2230,7 +2236,7 @@ def v22_rrf_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "v23_sq_recall",
     oracle=f"""
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND len(list_filter(embedding::DOUBLE[], x -> abs(x) > 100.0)) = 0) embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM (SELECT * FROM embeddings WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0 AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) <= 22500.0) embeddings),
 n AS (SELECT vec_id, e, {_Q_SQL} AS q FROM v),
 exact AS (
   SELECT qid, vid FROM (
