@@ -27,78 +27,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # This explicit window curates which 50 face the driver.
 #
 # Round-7 rotation (VERDICT r6 task 2, the final certification close-out):
-# after round 6 the cumulative external ledger stands at 192/201 oracle-backed
-# queries hard-certified; exactly 9 have never faced the external gate — q48
-# (the documented r6 leftover) plus the 8 operators born in round 6. Those 9
-# take the window head. The remaining 41 slots re-certify the longest-ago
-# rows: of the 192 certified queries, the oldest latest-certification round is
-# r3 (42 queries — every r1/r2 row was re-certified in r3); 41 of those 42
-# fill the tail, dropping only q01_pricing_summary, which is the flagship
-# smoke-checked via entry() every round and already holds r1+r2+r3 external
-# green rows (the most of any query). Every query below is green in the local
-# all-oracle sweep (tests/test_oracle_parity.py replicates the driver's t2
-# gate exactly) and in the two-profile determinism + NY-timezone sweeps.
-# Target after this round: cumulative driver-green 201/201 — every
-# oracle-backed query externally certified at least once. See CERTIFIED.json
-# (regenerated by tools/certified_ledger.py) for the full provenance table.
+# Round-8 window (VERDICT r7 task 2 — the recency ratchet): the external
+# certification program completed in round 7 (cumulative 201/201 oracle-backed
+# queries hard-certified; see CERTIFIED.json). From this round on the window
+# holds the 50 queries whose *latest* external certification is oldest —
+# computed deterministically by `python tools/certified_ledger.py --stalest
+# 50` (sort by latest certified round, ties by name). This round that is
+# q01_pricing_summary (last certified r3; every other r3 row was re-certified
+# in r7's tail) plus the 49 oldest r4 rows, so after r8 no query's external
+# check is older than r4 and the histogram advances one round per round.
+# Every query below is green in the local all-oracle sweep
+# (tests/test_oracle_parity.py replicates the driver's t2 gate exactly) and
+# in the two-profile determinism + NY-timezone sweeps.
 DRIVER_WINDOW = [
-    # --- the 9 never-certified: r6 newcomers + the documented q48 leftover
-    "q48_nation_trade_volume",
-    "t30_calibration_bins",
-    "t31_zipf_rank_bands",
-    "v22_rrf_hybrid_search",
-    "v23_sq_recall",
-    "s17_temperature_mixture",
-    "p05_forgetting_pipeline",
-    "q106_k_anonymity",
-    "m08_media_header_audit",
-    # --- 41 re-certifications: latest external green row is round 3
     # dedup family
-    "d07_simhash",
-    "d08_ngram_jaccard",
-    "d09_near_dedup_survivors",
-    "d11_embedding_dedup_survivors",
-    "d12_simhash_near_pairs",
+    "d06_minhash_lsh_pairs",
+    "d10_dedup_clusters",
+    "d17_duplicated_spans",
+    "d20_prefix_filter_jaccard",
+    "d21_semantic_dedup_survivors",
+    # multimodal family
+    "m01_payload_metadata",
+    # pipeline family
+    "p01_curation_pipeline",
+    "p03_release_pipeline",
     # relational / time-series analytics
-    "q05_topk_customers",
-    "q06_customers_without_orders",
-    "q07_customers_with_open_orders",
-    "q08_distinct_segments",
-    "q09_date_spine_ffill",
-    "q10_rate_changes",
-    "q11_top3_orders_per_customer",
-    "q12_running_total_per_customer",
-    "q14_order_tiers_by_year",
-    "q15_part_string_ops",
-    "q16_json_props",
-    "q17_pivot_status",
-    "q19_asof_event_rates",
-    "q20_spine_invariants",
-    "q23_user_event_gaps",
-    "q27_user_sessions",
-    "q28_sketch_aggregates",
-    "q29_shipping_priority",
-    "q30_local_supplier_volume",
-    "q34_shipments_after_urgent_orders",
-    "q40_sketch_accuracy",
+    "q01_pricing_summary",
+    "q02_client_stats",
+    "q03_daily_metrics",
+    "q04_fraud_analysis",
+    "q13_set_ops",
+    "q18_rollup_flags",
+    "q21_global_stats",
+    "q22_balance_quartiles",
+    "q24_cube_order_mix",
+    "q25_rolling_7d_volume",
+    "q26_exists_urgent_no_failed",
+    "q31_returned_items",
+    "q32_promo_revenue_share",
+    "q33_activity_reconciliation",
+    "q35_orders_above_customer_avg",
+    "q36_unpivot_segment_metrics",
+    "q37_top_supplier_revenue",
+    "q38_monthly_rollup_from_daily",
+    "q41_grouping_sets",
+    "q42_right_join_order_coverage",
+    "q43_coverage_matrix",
+    "q46_market_share",
+    "q49_order_count_distribution",
+    "q57_min_cost_supplier",
+    "q60_correlation_matrix",
+    "q62_feature_drift",
+    "q66_variant_props",
+    "q68_peak_concurrency",
+    "q71_scd2_tier_history",
+    "q72_triangle_census",
+    "q73_copurchase_pagerank",
+    "q76_running_distinct_users",
+    "q79_funnel_conversion",
+    "q82_interval_union_coverage",
+    "q83_mad_outliers",
     # sampling family
-    "s02_fixed_size_stratified",
-    "s03_source_mixture",
+    "s01_hash_split_sample",
+    "s09_leakage_safe_split",
+    "s10_weighted_pps_sample",
     # text-analysis family
-    "t02_token_stats",
-    "t03_quality_scores",
-    "t04_langid_confusion",
-    "t05_winnow_fingerprints",
-    "t06_top_words_per_lang",
-    "t07_repetition_stats",
-    "t08_pii_scan",
-    "t09_token_budget_packing",
+    "t01_dedup_exact",
+    "t21_heavy_hitters",
+    "t22_decontamination",
     # vector family
-    "v01_cosine_topk",
-    "v03_label_pair_affinity",
-    "v04_bucketed_ann",
-    "v06_multiprobe_ann",
-    "v07_ann_recall",
+    "v02_embedding_near_dups",
 ]
 
 

@@ -166,6 +166,14 @@ def _crossover(out: dict[str, Any]) -> dict[str, Any]:
 
     small, bench = out["small"], out["bench"]
     base_ratio = bench["base_rows"] / max(small["base_rows"], 1)
+    if base_ratio <= 1:
+        # log(base_ratio) would be 0 (ZeroDivisionError) or negative
+        # (nonsense exponents) — refuse the fit rather than crash the
+        # whole bench payload build (ADVICE r7).
+        return {
+            "note": "measured SFs have non-increasing base_rows "
+            f"(ratio {base_ratio:.3g}); power-law fit undefined"
+        }
     a_full = math.log(max(out["full_rebuild_growth"], 1e-9)) / math.log(base_ratio)
     a_inc = math.log(max(out["incremental_growth"], 1e-9)) / math.log(base_ratio)
     cost_gap = bench["agg_incremental_refresh_s"] / max(

@@ -37,9 +37,29 @@ def _reliable() -> bool:
 def _ensure_checkpoint_dir(df: DataFrame) -> None:
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
-        # local fallback so the flag works without cluster setup; a real
-        # multi-node run should point this at shared storage instead
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark_graft_ckpt_"))
+        master = sc.master or ""
+        if not master.startswith("local"):
+            # On a real cluster a driver-local tmp dir is NOT shared
+            # storage: executors would write checkpoint blocks to
+            # node-local paths and the reliability the flag advertises
+            # would be silently absent. Fail fast instead (ADVICE r7).
+            raise RuntimeError(
+                f"{_ENV_FLAG}=1 on non-local master {master!r} requires a "
+                "cluster-visible checkpoint dir (HDFS/S3): call "
+                "sparkContext.setCheckpointDir() or set spark.checkpoint.dir"
+            )
+        import warnings
+
+        # local fallback so the flag works without cluster setup; the dir
+        # lives for the JVM's lifetime (session-scoped scratch, not durable)
+        path = tempfile.mkdtemp(prefix="spark_graft_ckpt_")
+        warnings.warn(
+            f"reliable checkpoint dir unset; provisioned local tmp dir "
+            f"{path} (session-scoped — point setCheckpointDir at shared "
+            "storage on a real cluster)",
+            stacklevel=3,
+        )
+        sc.setCheckpointDir(path)
 
 
 def pin(df: DataFrame) -> DataFrame:

@@ -26,8 +26,12 @@ from delta_lake_spark.queries.registry import register
 #   normalized-dot semantic is 0/0 on them — ANSI Spark raises
 #   DIVIDE_BY_ZERO, DuckDB folds to NaN, and NaN's sort position then
 #   diverges between engines. The norm test is the deterministic
-#   left-to-right fold both engines share (functions/similarity.dot); a
-#   NaN coordinate also fails it (NaN > 0 is false in both engines).
+#   left-to-right fold both engines share (functions/similarity.dot).
+#   NOTE: a NaN coordinate is NOT caught by the > 0 test — both Spark and
+#   DuckDB order NaN greater than any number, so `NaN > 0` is TRUE in
+#   both; NaN/inf rows are excluded by the UPPER bound instead
+#   (`NaN <= _EMB_MAX_SUMSQ` is false in both engines). Do not relax the
+#   magnitude bound believing the norm test alone catches NaN.
 # - OUT-OF-DOMAIN magnitudes (||v|| > 150, incl. any +-inf coordinate):
 #   real embedding models emit unit-ish coordinates; the exact-integer
 #   kernels (v17 Lloyd at scale 1e6, the PQ codebooks) quantize to BIGINT

@@ -65,7 +65,21 @@ def build() -> dict:
     return ledger
 
 
+def stalest(n: int = 50) -> list[str]:
+    """The n oracle-backed queries whose latest external certification is
+    oldest (VERDICT r7 task 2's recency ratchet).  Ties broken by name so
+    the rotation is deterministic round-over-round."""
+    ledger = build()
+    latest = {q: max(r) for q, r in ledger["hard_certified_rounds"].items()}
+    return sorted(latest, key=lambda q: (latest[q], q))[:n]
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--stalest":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+        for q in stalest(n):
+            print(q)
+        return
     ledger = build()
     out = os.path.join(REPO, "CERTIFIED.json")
     with open(out, "w") as f:
