@@ -127,8 +127,62 @@ def _section(name: str | None) -> None:
     _SECTION_T0.extend([now, name] if name else [now])
 
 
+def _read_loadavg() -> dict:
+    try:
+        with open("/proc/loadavg") as fh:
+            la = fh.read().split()
+        return {
+            "load_1m": float(la[0]),
+            "load_5m": float(la[1]),
+            "load_15m": float(la[2]),
+        }
+    except OSError:
+        return {}
+
+
+def _idle_gate() -> dict:
+    """Wait (bounded) for the host to go idle before timing anything.
+
+    The r6/r7 history shows contended captures keep happening when the
+    capture is launched alongside sibling processes — the committed
+    idle-box numbers and the driver-run numbers then diverge by pure host
+    load.  So every capture self-gates (VERDICT r7 task 5): poll
+    /proc/loadavg until load_1m < SPARK_GRAFT_BENCH_MAX_LOAD (default 2.0)
+    or SPARK_GRAFT_BENCH_IDLE_WAIT seconds (default 300) elapse, then
+    proceed regardless and RECORD the outcome — a bounded wait can't stall
+    the driver, and a timed-out gate is visible in the payload instead of
+    masquerading as a clean capture.  Disable with
+    SPARK_GRAFT_BENCH_IDLE_GATE=0.
+    """
+    gate: dict = {"enabled": os.environ.get(
+        "SPARK_GRAFT_BENCH_IDLE_GATE", "1") != "0"}
+    if not gate["enabled"]:
+        return gate
+    max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "300"))
+    gate.update(max_load=max_load, max_wait_s=max_wait)
+    t0 = time.perf_counter()
+    while True:
+        la = _read_loadavg()
+        waited = round(time.perf_counter() - t0, 1)
+        if not la or la["load_1m"] < max_load:
+            gate.update(outcome="idle", waited_s=waited, **la)
+            return gate
+        if waited >= max_wait:
+            gate.update(outcome="timeout_proceeding_contended",
+                        waited_s=waited, **la)
+            return gate
+        print(
+            f"# idle gate: load_1m {la['load_1m']:.2f} >= {max_load}, "
+            f"waiting ({waited:.0f}/{max_wait:.0f}s)...",
+            file=sys.stderr,
+        )
+        time.sleep(10)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    idle_gate = _idle_gate()
     from delta_lake_spark.session import get_spark
     from delta_lake_spark.queries import QUERIES
 
@@ -142,17 +196,7 @@ def main() -> None:
     # it recorded the bench's OWN load and an idle-box launch still read
     # 9-12 (the r6/r7 "contended capture" confusion).  /proc/loadavg is
     # read here, when the only Spark activity so far is session init.
-    pre_run_load = {}
-    try:
-        with open("/proc/loadavg") as fh:
-            la = fh.read().split()
-        pre_run_load = {
-            "load_1m": float(la[0]),
-            "load_5m": float(la[1]),
-            "load_15m": float(la[2]),
-        }
-    except OSError:
-        pass
+    pre_run_load = _read_loadavg()
     # Two passes per query; report the warm (best) time as the headline —
     # mirrors the reference's methodology (inputs cached before timing,
     # BASELINE.md) — and the cold first-pass total for completeness.
@@ -228,6 +272,7 @@ def main() -> None:
         # from _host_load (the census is load-independent, so taking it
         # post-headline is fine; the LOAD numbers must be pre-run)
         "host_load_start": {**_host_load(), **pre_run_load},
+        "idle_gate": idle_gate,
     }
 
     # Extension-family timings (round-2+ operators) — reported separately so

@@ -147,7 +147,99 @@ def run_incview_bench(
             2,
         )
         out["crossover_estimate"] = _crossover(out)
+        est = out["crossover_estimate"].get("crossover_base_rows_estimate")
+        if est and os.environ.get("SPARK_GRAFT_INCVIEW_XOVER", "1") != "0":
+            try:
+                out["crossover_measured"] = _measure_at_crossover(
+                    spark, sf_dir, os.path.join(work_dir, "xover"), est
+                )
+            except Exception as exc:  # keep the payload alive
+                out["crossover_measured"] = {
+                    "error": f"{type(exc).__name__}: {exc}"
+                }
     return out
+
+
+def _measure_at_crossover(
+    spark: SparkSession, sf_dir: str, work_dir: str, est_rows: int
+) -> dict[str, Any]:
+    """Turn the two-point extrapolation into a data point (VERDICT r7
+    task 6): build a base of ~est_rows by replicating the bench orders
+    with shifted order keys (same customer-key domain — a growing fact
+    over a stable dim, which is the realistic shape), then time one
+    incremental refresh vs one full rebuild at that size.  If the fitted
+    crossover is right, the two times land within ~±30% of each other.
+    Capped at 16x the estimate's bench base to bound bench wall-clock.
+    """
+    shutil.rmtree(work_dir, ignore_errors=True)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    bench_rows = orders.count()
+    copies = max(2, min(round(est_rows / bench_rows), 100))
+    rep = orders.select(
+        F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("_c"),
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        "o_totalprice",
+    ).select(
+        (F.col("o_orderkey") * copies + F.col("_c")).alias("o_orderkey"),
+        "o_custkey",
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    base = ManagedTable(spark, f"{work_dir}/base")
+    base.write(rep)
+    n_rows = base.read().count()
+
+    agg_view = IncrementalAggView(
+        spark, base, f"{work_dir}/agg", keys=["o_custkey"],
+        sums={"total": "o_totalprice"},
+    )
+    agg_view.refresh()
+
+    delta_n = max(n_rows // 100, 100)
+    max_key = base.read().agg(F.max("o_orderkey")).first()[0]
+    delta = spark.range(delta_n).select(
+        (F.col("id") + max_key + 1).alias("o_orderkey"),
+        (F.col("id") % 5000 + 1).alias("o_custkey"),
+        F.lit("1-URGENT").alias("o_orderpriority"),
+        (F.col("id") % 997 + 1.0).alias("o_totalprice"),
+    )
+    base.write(delta, mode="append")
+
+    t0 = time.perf_counter()
+    st = agg_view.refresh()
+    inc_s = round(time.perf_counter() - t0, 3)
+    assert st["mode"] == "incremental"
+
+    t0 = time.perf_counter()
+    (
+        base.read()
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("decimal(28,6)")
+            .alias("total"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{work_dir}/rebuild")
+    )
+    full_s = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(work_dir, ignore_errors=True)
+    return {
+        "target_rows": est_rows,
+        "measured_base_rows": n_rows,
+        "copies_of_bench_orders": copies,
+        "agg_incremental_refresh_s": inc_s,
+        "agg_full_rebuild_s": full_s,
+        "incremental_over_full_ratio": round(inc_s / max(full_s, 1e-9), 2),
+        "note": "full rebuild timed as write-to-parquet (what a real "
+        "rebuild does), incremental as the view's MERGE refresh; at the "
+        "fitted crossover the two should be within ~±30%",
+    }
 
 
 def _crossover(out: dict[str, Any]) -> dict[str, Any]:

@@ -316,6 +316,16 @@ def q11_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ways).  Per-key buffers are bounded by the data model's orders-per-
     # customer (~41 max in TPC-H); for unbounded per-key cardinality the
     # WindowGroupLimit plan is the safer shape.
+    # Re-measured head-to-head at 100x (r8, VERDICT r7 task 3), 15M orders,
+    # warm min-of-2, all shapes output-identical (exceptAll = 0 both ways):
+    #   agg (this shape)                 14.96 s   <- kept
+    #   window + rn<=3 (WindowGroupLimit) 21.25 s  rejected: two full sorts
+    #   two-phase agg keyed (custkey,partition_id) 26.58 s  rejected: the
+    #     map-side hash map explodes to ~48M groups (1.5M keys x 32 pids)
+    #   insertion fold (aggregate() keeping a 3-slot array) 21.57 s
+    #     rejected: higher-order-function per-element overhead beats the
+    #     one array_sort it saves
+    # (3-arg max_by(x, y, n) is not in Spark 4.1's registry — probed r8.)
     # Sort key: ascending (-price, orderkey) == price DESC, orderkey ASC;
     # double negation is an exact IEEE sign flip, so -(-p) round-trips.
     s = F.struct(

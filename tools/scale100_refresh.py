@@ -44,6 +44,11 @@ HEAVY = [
     "q04_fraud_analysis",
     "q11_top3_orders_per_customer",
     "p05_forgetting_pipeline",
+    # r8 (VERDICT r7 task 4): the iterative graph pair — per-round shuffle
+    # growth and lineage are the classic 100x failure shapes, so they need
+    # standing scale evidence, not a one-off.
+    "q73_copurchase_pagerank",
+    "d10_dedup_clusters",
 ]
 
 
