@@ -45,9 +45,18 @@ def client_stats_mart(orders: DataFrame, customer: DataFrame, nation: DataFrame)
 
 def daily_rates(events: DataFrame) -> DataFrame:
     """Daily rate series from the events stream (the corpus' stand-in for
-    currency_rates, FIXTURES.md §5); MAX keeps it order-independent."""
-    return events.groupBy(F.dayofmonth("ts").alias("rate_day")).agg(
-        F.max("value").alias("rate")
+    currency_rates, FIXTURES.md §5); MAX keeps it order-independent.
+
+    Rate-domain gate (degenerate suite r8): a currency rate is positive and
+    bounded — crawl-quality event values (1e154, negatives, zero) are not
+    valid rates, and an out-of-domain value overflows the mart's
+    DECIMAL(10,2) conversion cast under ANSI.  The gate (0 < value < 1e6)
+    is applied identically in q03's DuckDB oracle.
+    """
+    return (
+        events.filter((F.col("value") > 0) & (F.col("value") < 1e6))
+        .groupBy(F.dayofmonth("ts").alias("rate_day"))
+        .agg(F.max("value").alias("rate"))
     )
 
 

@@ -121,8 +121,9 @@ def q02_client_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_daily_metrics",
     oracle="""
 WITH rates AS (
+  -- rate-domain gate: mirrors pipeline/marts.daily_rates (r8)
   SELECT EXTRACT(day FROM ts) AS rate_day, MAX(value) AS rate
-  FROM events GROUP BY 1
+  FROM events WHERE value > 0 AND value < 1e6 GROUP BY 1
 ),
 conv AS (
   SELECT
@@ -328,7 +329,13 @@ def q11_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (3-arg max_by(x, y, n) is not in Spark 4.1's registry — probed r8.)
     # Sort key: ascending (-price, orderkey) == price DESC, orderkey ASC;
     # double negation is an exact IEEE sign flip, so -(-p) round-trips.
+    # A leading coalesce(+inf) field makes a NULL price sort LAST — the
+    # DESC NULLS LAST behavior of a real ROW_NUMBER window in both engines
+    # (negating NULL keeps NULL, which array_sort would otherwise place
+    # FIRST ascending; degenerate suite r8).  For non-null prices the extra
+    # field equals _negp, so the ordering is unchanged.
     s = F.struct(
+        F.coalesce(-F.col("o_totalprice"), F.lit(float("inf"))).alias("_sk"),
         (-F.col("o_totalprice")).alias("_negp"),
         F.col("o_orderkey").alias("k"),
     )
@@ -357,8 +364,10 @@ def q11_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_running_total_per_customer",
     oracle="""
 SELECT o_custkey, o_orderkey,
+       -- NULLS FIRST: engine-wide convention (Spark ascending default) —
+       -- a NULL order date sorts to the start of the running total (r8)
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
 FROM orders
 ORDER BY o_custkey, o_orderkey
@@ -498,16 +507,26 @@ def q15_part_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   event_type,
   COUNT(*)                                               AS n_events,
-  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-FROM events
+  CAST(SUM(TRY_CAST(k AS BIGINT)) AS BIGINT)             AS sum_k,
+  MAX(TRY_CAST(k AS BIGINT))                             AS max_k
+FROM (
+  -- malformed-JSON rule (r8): invalid JSON extracts to NULL (Spark's
+  -- get_json_object is lenient; DuckDB errors without the json_valid
+  -- gate) and non-numeric fields TRY_CAST to NULL in both engines
+  SELECT event_type,
+         CASE WHEN json_valid(props)
+              THEN json_extract_string(props, '$.k') END AS k
+  FROM events
+) t
 GROUP BY event_type
 ORDER BY event_type
 """,
 )
 def q16_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast mirrors the oracle's TRY_CAST: a JSON field holding a
+    # non-numeric string is NULL, not a crash (degenerate suite r8)
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return (
         e.groupBy("event_type")
         .agg(
@@ -618,7 +637,10 @@ def q21_global_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT quartile, COUNT(*) AS n, MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
 FROM (
   SELECT c_acctbal,
-         NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+         -- NULLS FIRST: the engine-wide null-ordering convention is
+         -- Spark's default (NULL sorts as the smallest value ascending);
+         -- DuckDB defaults to NULLS LAST so the oracle states it (r8)
+         NTILE(4) OVER (ORDER BY c_acctbal NULLS FIRST, c_custkey) AS quartile
   FROM customer
 ) t
 GROUP BY quartile
@@ -983,8 +1005,13 @@ def q32_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(p, l.l_partkey == p.p_partkey)
         .groupBy(F.year("l_shipdate").alias("ship_year"))
         .agg(
+            # try_divide: a year whose net revenue is exactly zero (possible
+            # on crawl-quality data with negative/zero prices) must yield a
+            # NULL share, matching DuckDB's divide-by-zero-is-NULL (degenerate
+            # suite r8)
             F.floor(
-                F.sum(promo).cast("double") / F.sum(rev).cast("double") * 10000
+                F.try_divide(F.sum(promo).cast("double"), F.sum(rev).cast("double"))
+                * 10000
             ).cast("long").alias("promo_share_bp"),
             F.count("*").alias("n_items"),
         )
@@ -1092,12 +1119,20 @@ def q36_unpivot_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
         )
     )
-    return wide.unpivot(
-        ids=["c_mktsegment"],
-        values=["n_cust", "total_bal"],
-        variableColumnName="metric",
-        valueColumnName="value",
-    ).orderBy("c_mktsegment", "metric")
+    return (
+        wide.unpivot(
+            ids=["c_mktsegment"],
+            values=["n_cust", "total_bal"],
+            variableColumnName="metric",
+            valueColumnName="value",
+        )
+        # UNPIVOT drops NULL cells — SQL UNPIVOT's default in both
+        # engines; Spark's DataFrame API keeps them, so state it (a
+        # segment whose only members have NULL balances otherwise emits a
+        # NULL total_bal row the oracle never produces; r8)
+        .filter(F.col("value").isNotNull())
+        .orderBy("c_mktsegment", "metric")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1554,7 +1589,11 @@ def q47_supplier_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Plan shape: ONE partial-aggregated groupBy scan, no window, no second
 # pass; at 100 TB this is the only shape a corr matrix should have.
 # ---------------------------------------------------------------------------
-_Q60_DEC = "DECIMAL(18,2)"
+# DECIMAL(19,2), not (18,2): DuckDB evaluates DECIMAL(18)xDECIMAL(18)
+# products in INT64 and a schema-domain price of 1e9 overflows the square;
+# width 19 forces INT128 evaluation in DuckDB while Spark widens the
+# product to DECIMAL(38,4) — both exact (degenerate suite r8)
+_Q60_DEC = "DECIMAL(19,2)"
 
 
 def _q60_r_sql(x: str, y: str) -> str:
@@ -1590,9 +1629,9 @@ FROM (
 def q60_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
-        F.col("l_quantity").cast("decimal(18,2)").alias("q"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("p"),
-        F.col("l_discount").cast("decimal(18,2)").alias("d"),
+        F.col("l_quantity").cast("decimal(19,2)").alias("q"),
+        F.col("l_extendedprice").cast("decimal(19,2)").alias("p"),
+        F.col("l_discount").cast("decimal(19,2)").alias("d"),
     )
     m = li.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
@@ -1614,9 +1653,14 @@ def q60_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         sxy = F.col(f"s{x}{y}").cast("double")
         sxx = F.col(f"s{x}{x}").cast("double")
         syy = F.col(f"s{y}{y}").cast("double")
+        # try_divide: a zero-variance group (single row, or a constant
+        # column) has an undefined correlation — NULL in both engines
+        # (DuckDB's 0/0 is NULL; degenerate suite r8)
         return F.round(
-            (nd * sxy - sx * sy)
-            / F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+            F.try_divide(
+                nd * sxy - sx * sy,
+                F.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)),
+            ),
             6,
         )
 
@@ -1642,18 +1686,30 @@ def q60_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q66_variant_props",
     oracle="""
 SELECT event_type,
-       CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS BIGINT) AS k_bucket,
+       CAST(k // 25 AS BIGINT)                                 AS k_bucket,
        COUNT(*)                                                AS n_events,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-FROM events
+       CAST(SUM(k) AS BIGINT)                                  AS sum_k
+FROM (
+  -- malformed-JSON rule (r8): invalid JSON parses to a NULL variant in
+  -- Spark (try_parse_json) and must extract to NULL here too; non-numeric
+  -- fields TRY_CAST to NULL in both engines
+  SELECT event_type,
+         TRY_CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS BIGINT) AS k
+  FROM events
+) t
 GROUP BY event_type, k_bucket
 ORDER BY event_type, k_bucket
 """,
 )
 def q66_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    v = e.select("event_type", F.parse_json("props").alias("v"))
-    k = F.variant_get("v", "$.k", "long")
+    # try_parse_json / try_variant_get: crawl-quality payloads contain
+    # malformed JSON and non-numeric fields — both become NULL, mirroring
+    # the oracle's json_valid + TRY_CAST gates (degenerate suite r8)
+    v = e.select("event_type", F.try_parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "long")
     return (
         v.select("event_type", k.alias("k"))
         .groupBy("event_type", F.expr("k DIV 25").alias("k_bucket"))
@@ -2066,9 +2122,10 @@ WITH rfm AS (
 n AS (SELECT COUNT(*) AS n FROM rfm),
 scored AS (
   SELECT o_custkey, monetary_cents,
-         ((ROW_NUMBER() OVER (ORDER BY recency_day, o_custkey) - 1) * 5) // n.n + 1 AS r_score,
-         ((ROW_NUMBER() OVER (ORDER BY frequency, o_custkey) - 1) * 5) // n.n + 1   AS f_score,
-         ((ROW_NUMBER() OVER (ORDER BY monetary_cents, o_custkey) - 1) * 5) // n.n + 1 AS m_score
+         -- NULLS FIRST on both keys: engine-wide null-ordering convention (r8)
+         ((ROW_NUMBER() OVER (ORDER BY recency_day NULLS FIRST, o_custkey NULLS FIRST) - 1) * 5) // n.n + 1 AS r_score,
+         ((ROW_NUMBER() OVER (ORDER BY frequency NULLS FIRST, o_custkey NULLS FIRST) - 1) * 5) // n.n + 1   AS f_score,
+         ((ROW_NUMBER() OVER (ORDER BY monetary_cents NULLS FIRST, o_custkey NULLS FIRST) - 1) * 5) // n.n + 1 AS m_score
   FROM rfm CROSS JOIN n
 )
 SELECT CAST(r_score AS BIGINT) AS r_score,
@@ -2102,23 +2159,23 @@ def q93_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = rfm.count()
 
-    # exact closed-form quintile: ((rn-1)*5) div n + 1 on the unique-keyed rank
-    def score_exact(dim: str, out_col: str) -> DataFrame:
-        ranked = global_row_number(rfm, [dim, "o_custkey"], out_col="rn")
-        return ranked.select(
-            "o_custkey",
-            F.expr(f"CAST(((rn - 1) * 5) div {n} + 1 AS BIGINT)").alias(out_col),
-        )
-
-    r = score_exact("recency_day", "r_score")
-    f_ = score_exact("frequency", "f_score")
-    m = score_exact("monetary_cents", "m_score")
+    # exact closed-form quintile: ((rn-1)*5) div n + 1 on the unique-keyed
+    # rank.  Scores are CHAINED rankings on one DataFrame, not three ranked
+    # branches joined back on o_custkey: a NULL customer key (crawl-quality
+    # orders) never equi-joins (NULL != NULL), so the join form silently
+    # dropped that group while the oracle's windows kept it (r8).
+    d = rfm
+    for dim, out_col in [
+        ("recency_day", "r_score"),
+        ("frequency", "f_score"),
+        ("monetary_cents", "m_score"),
+    ]:
+        d = global_row_number(d, [dim, "o_custkey"], out_col="_rn")
+        d = d.withColumn(
+            out_col, F.expr(f"CAST(((_rn - 1) * 5) div {n} + 1 AS BIGINT)")
+        ).drop("_rn")
     return (
-        rfm.select("o_custkey", "monetary_cents")
-        .join(r, "o_custkey")
-        .join(f_, "o_custkey")
-        .join(m, "o_custkey")
-        .groupBy("r_score", "f_score", "m_score")
+        d.groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count("*").cast("bigint").alias("n_customers"),
             F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
@@ -2144,8 +2201,10 @@ def q93_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH seq AS (
   SELECT o_custkey,
          CAST(DATE_DIFF('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS day,
+         -- NULLS FIRST: engine-wide null-ordering convention (r8); a
+         -- NULL-date order sorts first so it never manufactures a NULL gap
          LAG(CAST(DATE_DIFF('day', DATE '1970-01-01', o_orderdate) AS BIGINT))
-           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_day
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS prev_day
   FROM orders
 ),
 iv AS (
@@ -2511,9 +2570,12 @@ def q98_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(is_ret, 1).otherwise(0))
             .cast("bigint")
             .alias("returning_orders"),
+            # zero-guard keeps exact `div` semantics while matching DuckDB's
+            # `// 0 -> NULL` on a month whose cents net to zero (r8)
             F.expr(
-                "CAST((10000 * SUM(CASE WHEN ym = first_ym THEN cents ELSE 0 END))"
-                " div SUM(cents) AS BIGINT)"
+                "CAST(CASE WHEN SUM(cents) = 0 THEN NULL ELSE"
+                " (10000 * SUM(CASE WHEN ym = first_ym THEN cents ELSE 0 END))"
+                " div SUM(cents) END AS BIGINT)"
             ).alias("new_share_bp"),
         )
         .orderBy("order_month")

@@ -20,10 +20,17 @@ from delta_lake_spark.queries.registry import register
 
 def _sparse_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily rate series with gaps (mirrors currency_rates' weekend gaps,
-    FIXTURES.md §3): only days where some event value exceeded 480."""
+    FIXTURES.md §3): only days where some event value exceeded 480.
+
+    Rate-domain gate (degenerate suite r8, same policy as
+    pipeline/marts.daily_rates): a rate is positive and bounded — the upper
+    bound (< 1e6) excludes crawl-quality garbage values (1e154) that would
+    overflow the exact-integer rate kernels (q65's milli-rate fold) in both
+    engines.  Applied identically in _SPARSE_RATES_SQL.
+    """
     e = table(spark, sf_dir, "events")
     return (
-        e.filter(F.col("value") > 480)
+        e.filter((F.col("value") > 480) & (F.col("value") < 1e6))
         .groupBy(F.to_date("ts").alias("rate_date"))
         .agg(F.max("value").alias("rate"))
     )
@@ -31,8 +38,23 @@ def _sparse_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPARSE_RATES_SQL = """
   SELECT CAST(ts AS DATE) AS rate_date, MAX(value) AS rate
-  FROM events WHERE value > 480 GROUP BY 1
+  FROM events WHERE value > 480 AND value < 1e6 GROUP BY 1
 """
+
+# Measurement-domain gate for the exact-integer event-value kernels (q62
+# PSI buckets, q69 TWAP milli-quantization): |value| <= 1e12 keeps every
+# milli-scaled value (and its duration-weighted products) inside BIGINT in
+# both engines; a 1e154 crawl-garbage value otherwise overflows Spark's
+# ANSI cast and DuckDB's INT64 conversion identically-fatally but with
+# different errors.  ABS(NaN) <= bound is false in both engines, so NaN
+# rows are excluded symmetrically too.  Same discipline as the vector
+# family's embedding-validity gate (queries/vector.py).
+_VALUE_DOMAIN = 1e12
+_VALUE_DOMAIN_SQL = f"ABS(value) <= {_VALUE_DOMAIN}"
+
+
+def _valid_value(df: DataFrame) -> DataFrame:
+    return df.filter(F.abs(F.col("value")) <= F.lit(_VALUE_DOMAIN))
 
 
 # ---------------------------------------------------------------------------
@@ -504,7 +526,8 @@ def q59_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH seq AS (
   SELECT user_id, event_type,
-         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         -- NULLS FIRST: engine-wide null-ordering convention (r8)
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
            AS prev_type
   FROM events
 ),
@@ -567,11 +590,11 @@ WITH counts AS (
          CASE WHEN ts < TIMESTAMP '{_Q62_SPLIT} 00:00:00' THEN 'ref' ELSE 'cur' END AS win,
          LEAST(CAST(FLOOR(value / 50) AS BIGINT), {_Q62_BUCKETS - 1}) AS b,
          COUNT(*) AS n
-  FROM events GROUP BY 1, 2, 3
+  FROM events WHERE {_VALUE_DOMAIN_SQL} GROUP BY 1, 2, 3
 ),
 spine AS (
   SELECT t.event_type, gs.b
-  FROM (SELECT DISTINCT event_type FROM events) t
+  FROM (SELECT DISTINCT event_type FROM events WHERE {_VALUE_DOMAIN_SQL}) t
   CROSS JOIN (SELECT UNNEST(generate_series(0, {_Q62_BUCKETS - 1})) AS b) gs
 ),
 filled AS (
@@ -601,7 +624,7 @@ FROM terms GROUP BY event_type ORDER BY event_type
 """,
 )
 def q62_feature_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "events")
+    e = _valid_value(table(spark, sf_dir, "events"))
     b = F.least(
         F.floor(F.col("value") / 50).cast("long"), F.lit(_Q62_BUCKETS - 1)
     )
@@ -1114,7 +1137,7 @@ WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,
          epoch_us(ts) // {_DAY_US} AS day_idx,
          CAST(FLOOR(value * 1000) AS BIGINT) AS val_milli
-  FROM events
+  FROM events WHERE {_VALUE_DOMAIN_SQL}
 ),
 n AS (
   SELECT user_id, day_idx, val_milli,
@@ -1134,7 +1157,7 @@ def q69_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_spark.catalog import EPOCH_NTZ
 
     e = (
-        table(spark, sf_dir, "events")
+        _valid_value(table(spark, sf_dir, "events"))
         .select(
             "user_id",
             "event_id",
@@ -1347,7 +1370,9 @@ daily AS (
 )
 SELECT event_type, day,
        CAST(new_users AS BIGINT) AS new_users,
-       CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day
+       -- NULLS FIRST: engine-wide null-ordering convention (r8) — an
+       -- all-NULL-timestamp cohort sorts before every dated cohort
+       CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day NULLS FIRST
                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
          AS cumulative_distinct_users
 FROM daily ORDER BY event_type, day
@@ -1995,9 +2020,11 @@ def q82_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q83_mad_outliers",
-    oracle="""
+    oracle=f"""
 WITH e AS (
+  -- measurement-domain gate: see _VALUE_DOMAIN (r8)
   SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+  WHERE {_VALUE_DOMAIN_SQL}
 ),
 med AS (
   SELECT event_type, CAST(2 * quantile_cont(c, 0.5) AS BIGINT) AS med2
@@ -2022,7 +2049,7 @@ GROUP BY d.event_type ORDER BY d.event_type
 """,
 )
 def q83_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "events").select(
+    e = _valid_value(table(spark, sf_dir, "events")).select(
         "event_type", F.round(F.col("value") * 100).cast("bigint").alias("c")
     )
     med = e.groupBy("event_type").agg(

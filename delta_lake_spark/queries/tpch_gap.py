@@ -110,8 +110,11 @@ def q48_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q49_order_count_distribution",
     oracle="""
 WITH per_cust AS (
+  -- DISTINCT c_custkey: the distribution is per customer KEY — a
+  -- duplicated customer row (crawl-quality input) must not double its
+  -- order count via join fan-out; same collapse in the engine (r8)
   SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
-  FROM customer c
+  FROM (SELECT DISTINCT c_custkey FROM customer) c
   LEFT JOIN (SELECT * FROM orders
              WHERE o_orderpriority <> '1-URGENT') o
     ON c.c_custkey = o.o_custkey
@@ -124,7 +127,9 @@ ORDER BY custdist DESC, c_count DESC
 """,
 )
 def q49_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer").select("c_custkey")
+    # distinct: the distribution is per customer KEY (oracle collapses
+    # duplicate customer rows the same way, r8)
+    c = table(spark, sf_dir, "customer").select("c_custkey").distinct()
     # pre-aggregate orders per customer before the outer join: the join then
     # carries one row per customer per side instead of one per order.
     per_cust_orders = (
@@ -951,38 +956,46 @@ GROUP BY anc ORDER BY root
 )
 def q75_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    labels = c.select(
-        F.col("c_custkey").alias("k"),
-        "c_acctbal",
-        F.when(
-            F.col("c_custkey") >= 10,
-            F.expr("(c_custkey * 7919 DIV 10) % c_custkey"),
-        ).otherwise(F.col("c_custkey")).alias("anc"),
-        F.when(F.col("c_custkey") >= 10, F.lit(1)).otherwise(F.lit(0)).alias("hops"),
+    # Pointer doubling runs over a SYNTHESIZED key universe range(0, max_k],
+    # not over the customer rows themselves (r8, degenerate suite): the
+    # parent function is pure arithmetic, so a chain from a sparse key
+    # (e.g. a planted 9001 in a 150-customer table) passes through integers
+    # that are NOT customer keys — a self-join over the table rows breaks
+    # there, and duplicate customer keys would fan every descendant path
+    # out.  The oracle's recursive CTE climbs row-locally and has neither
+    # problem; the universe map reproduces it exactly.  Cost: the map is
+    # one narrow (k, anc, hops) relation of max_custkey rows — vertex-sized
+    # and equi-joined per round, same asymptotics as before.
+    max_k = c.agg(F.max("c_custkey")).first()[0] or 0
+    ptr = spark.range(0, max_k + 1).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") >= 10, F.expr("(id * 7919 DIV 10) % id"))
+        .otherwise(F.col("id"))
+        .alias("anc"),
+        F.when(F.col("id") >= 10, F.lit(1)).otherwise(F.lit(0)).alias("hops"),
     )
-    labels = pin(labels)
-    for _ in range(10):  # ceil(log2(max_depth)) rounds; fixpoint-checked
-        l1, l2 = labels.alias("l1"), labels.alias("l2")
-        nxt = (
-            l1.join(l2, F.col("l1.anc") == F.col("l2.k"))
-            .select(
-                F.col("l1.k").alias("k"),
-                F.col("l1.c_acctbal").alias("c_acctbal"),
-                F.col("l2.anc").alias("anc"),
-                (F.col("l1.hops") + F.col("l2.hops")).alias("hops"),
-            )
+    ptr = pin(ptr)
+    for _ in range(12):  # ceil(log2(max_depth)) rounds; fixpoint-checked
+        p1, p2 = ptr.alias("p1"), ptr.alias("p2")
+        nxt = p1.join(p2, F.col("p1.anc") == F.col("p2.k")).select(
+            F.col("p1.k").alias("k"),
+            F.col("p2.anc").alias("anc"),
+            (F.col("p1.hops") + F.col("p2.hops")).alias("hops"),
         )
         nxt = pin(nxt)
         changed = (
             nxt.alias("n")
-            .join(labels.alias("o"), F.col("n.k") == F.col("o.k"))
+            .join(ptr.alias("o"), F.col("n.k") == F.col("o.k"))
             .filter(F.col("n.anc") != F.col("o.anc"))
             .limit(1)
             .count()
         )
-        labels = nxt
+        ptr = nxt
         if changed == 0:
             break
+    labels = c.join(ptr, c.c_custkey == ptr.k).select(
+        "c_acctbal", "anc", "hops"
+    )
     return (
         labels.groupBy(F.col("anc").alias("root"))
         .agg(

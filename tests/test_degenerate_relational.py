@@ -1,0 +1,272 @@
+"""Adversarial-input parity for the relational/time-series families
+(VERDICT r7 task 7).
+
+Round 7 certified the 95 documents-/embeddings-derived queries on a
+degenerate corpus; this suite gives the other 106 oracle-backed queries
+(orders/lineitem/customer/part/supplier/events-derived) the same
+treatment.  A 100 TB enterprise lakehouse absolutely contains rows like
+these — NULL and orphan join keys, duplicated primary keys, zero /
+negative / huge / negative-zero monetary values, out-of-domain discount
+rates, epoch-boundary and DST-adjacent and far-future timestamps,
+microsecond-tie events, empty and unicode strings, and malformed JSON —
+and every query must either produce the same answer as the DuckDB oracle
+on them or exclude them by an explicitly documented rule applied
+symmetrically in both engines (the round-7 discipline).
+
+Planted magnitudes are LARGE but inside the schema's value domain
+(money <= 1e9 with cents — the oracles' DECIMAL(18,2) arithmetic is part
+of the cross-engine contract, and a value that overflows DECIMAL(18)
+multiplication is schema-invalid input, not crawl noise; event values
+<= 1e154 so variance/correlation squares stay finite in both engines).
+
+The fixture CLONES sf0.001 and APPENDS adversarial rows to orders,
+lineitem, customer, part, supplier, and events (keeping every original
+row so joins, spines, cohorts, and sessions stay populated).  nation and
+region keep their curated 25/5-row topology — dims of that shape are
+reference data, not crawl input.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from delta_lake_spark.catalog import TABLES
+from delta_lake_spark.queries import ORACLE, QUERIES
+from tests.conftest import SF_SMOKE
+from tests.oracle_harness import compare_one, duck_connection
+
+# The r7 suite (test_degenerate_corpus.py) covers the documents/embeddings
+# families; this one covers everything else that is oracle-backed — the
+# q* relational/time-series/graph families.
+RELATIONAL_QUERIES = sorted(n for n in ORACLE if n.startswith("q"))
+
+_EPOCH = "1970-01-01T00:00:00"
+_DST_SPRING = "2024-03-10T07:30:00"  # 02:30 America/New_York does not exist
+_DST_FALL = "2024-11-03T05:30:00"    # 01:30 America/New_York happens twice
+_LEAP = "2024-02-29T12:00:00"
+_YEAR_END = "2023-12-31T23:59:59.999999"
+_FAR_FUTURE = "2199-12-31T23:59:59"
+
+
+def _ts(s):
+    import datetime as dt
+
+    return dt.datetime.fromisoformat(s)
+
+
+def _append_rows(src_path: str, dst_path: str, rows: list[dict]) -> None:
+    """Append adversarial rows to a parquet table, preserving its schema
+    (missing dict keys become NULL)."""
+    t = pq.read_table(src_path)
+    cols = {}
+    for field in t.schema:
+        vals = [r.get(field.name) for r in rows]
+        cols[field.name] = pa.array(vals, field.type)
+    pq.write_table(
+        pa.concat_tables([t, pa.table(cols, schema=t.schema)]), dst_path
+    )
+
+
+@pytest.fixture(scope="module")
+def degen_rel_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("degen_rel_sf"))
+    for t in TABLES:
+        shutil.copy(
+            os.path.join(SF_SMOKE, f"{t}.parquet"),
+            os.path.join(out, f"{t}.parquet"),
+        )
+
+    # ---- customer: NULL/orphan nation keys, boundary balances, odd strings
+    _append_rows(
+        os.path.join(SF_SMOKE, "customer.parquet"),
+        os.path.join(out, "customer.parquet"),
+        [
+            {"c_custkey": 9001, "c_name": "", "c_nationkey": 0,
+             "c_acctbal": 0.0, "c_mktsegment": "BUILDING"},
+            {"c_custkey": 9002, "c_name": "Ms. Zoë Ünicode-Nâme",
+             "c_nationkey": 1, "c_acctbal": -0.0, "c_mktsegment": ""},
+            {"c_custkey": 9003, "c_name": "null-nation", "c_nationkey": None,
+             "c_acctbal": 1e9, "c_mktsegment": "MACHINERY"},
+            {"c_custkey": 9004, "c_name": "orphan-nation", "c_nationkey": 99,
+             "c_acctbal": -99999.99, "c_mktsegment": "HOUSEHOLD"},
+            {"c_custkey": 9005, "c_name": "null-balance", "c_nationkey": 2,
+             "c_acctbal": None, "c_mktsegment": None},
+            # duplicated primary key, conflicting attributes
+            {"c_custkey": 9001, "c_name": "dup-custkey", "c_nationkey": 3,
+             "c_acctbal": 5.5, "c_mktsegment": "AUTOMOBILE"},
+        ],
+    )
+
+    # ---- supplier: NULL nation, negative balance
+    _append_rows(
+        os.path.join(SF_SMOKE, "supplier.parquet"),
+        os.path.join(out, "supplier.parquet"),
+        [
+            {"s_suppkey": 901, "s_name": "", "s_nationkey": None,
+             "s_acctbal": -0.0},
+            {"s_suppkey": 902, "s_name": "naïve supplier", "s_nationkey": 0,
+             "s_acctbal": None},
+        ],
+    )
+
+    # ---- part: NULL size, zero/negative price, odd strings
+    _append_rows(
+        os.path.join(SF_SMOKE, "part.parquet"),
+        os.path.join(out, "part.parquet"),
+        [
+            {"p_partkey": 9901, "p_name": "", "p_brand": "Brand#00",
+             "p_type": "", "p_size": None, "p_retailprice": 0.0},
+            {"p_partkey": 9902, "p_name": "ünicode pärt névé",
+             "p_brand": None, "p_type": "PROMO ANODIZED ZERO",
+             "p_size": 0, "p_retailprice": -1.0},
+            {"p_partkey": 9903, "p_name": "a", "p_brand": "Brand#99",
+             "p_type": "STANDARD", "p_size": -5, "p_retailprice": None},
+        ],
+    )
+
+    # ---- orders: the full join-key/value/timestamp hazard matrix
+    _append_rows(
+        os.path.join(SF_SMOKE, "orders.parquet"),
+        os.path.join(out, "orders.parquet"),
+        [
+            # NULL / orphan foreign keys
+            {"o_orderkey": 99001, "o_custkey": None, "o_orderstatus": "O",
+             "o_totalprice": 100.0, "o_orderdate": _ts("2024-01-15T00:00:00"),
+             "o_orderpriority": "1-URGENT"},
+            {"o_orderkey": 99002, "o_custkey": 888888, "o_orderstatus": "F",
+             "o_totalprice": 200.0, "o_orderdate": _ts("2024-02-15T00:00:00"),
+             "o_orderpriority": "5-LOW"},
+            # duplicated primary key (two physical rows, same key)
+            {"o_orderkey": 99003, "o_custkey": 9001, "o_orderstatus": "O",
+             "o_totalprice": 10.0, "o_orderdate": _ts(_LEAP),
+             "o_orderpriority": "2-HIGH"},
+            {"o_orderkey": 99003, "o_custkey": 9001, "o_orderstatus": "F",
+             "o_totalprice": 20.0, "o_orderdate": _ts(_LEAP),
+             "o_orderpriority": "3-MEDIUM"},
+            # boundary money: zero, negative zero, negative, huge, tiny
+            {"o_orderkey": 99004, "o_custkey": 9002, "o_orderstatus": "O",
+             "o_totalprice": 0.0, "o_orderdate": _ts(_EPOCH),
+             "o_orderpriority": "4-NOT SPECIFIED"},
+            {"o_orderkey": 99005, "o_custkey": 9002, "o_orderstatus": "O",
+             "o_totalprice": -0.0, "o_orderdate": _ts(_DST_SPRING),
+             "o_orderpriority": "1-URGENT"},
+            {"o_orderkey": 99006, "o_custkey": 9003, "o_orderstatus": "P",
+             "o_totalprice": -500.25, "o_orderdate": _ts(_DST_FALL),
+             "o_orderpriority": "5-LOW"},
+            {"o_orderkey": 99007, "o_custkey": 9003, "o_orderstatus": "O",
+             "o_totalprice": 1e9, "o_orderdate": _ts(_YEAR_END),
+             "o_orderpriority": "2-HIGH"},
+            {"o_orderkey": 99008, "o_custkey": 9004, "o_orderstatus": "F",
+             "o_totalprice": 1e-10, "o_orderdate": _ts(_FAR_FUTURE),
+             "o_orderpriority": "3-MEDIUM"},
+            # NULL value / date / status / priority
+            {"o_orderkey": 99009, "o_custkey": 9004, "o_orderstatus": None,
+             "o_totalprice": None, "o_orderdate": None,
+             "o_orderpriority": None},
+            # unknown status code, empty strings
+            {"o_orderkey": 99010, "o_custkey": 9005, "o_orderstatus": "Z",
+             "o_totalprice": 42.0, "o_orderdate": _ts("2024-06-01T00:00:00"),
+             "o_orderpriority": ""},
+        ],
+    )
+
+    # ---- lineitem: rows against the adversarial orders + its own hazards
+    _append_rows(
+        os.path.join(SF_SMOKE, "lineitem.parquet"),
+        os.path.join(out, "lineitem.parquet"),
+        [
+            # orphan orderkey / NULL orderkey
+            {"l_orderkey": 777777, "l_partkey": 9901, "l_suppkey": 901,
+             "l_linenumber": 1, "l_quantity": 1.0, "l_extendedprice": 10.0,
+             "l_discount": 0.05, "l_tax": 0.02, "l_returnflag": "N",
+             "l_linestatus": "O", "l_shipdate": _ts("2024-01-20T00:00:00")},
+            {"l_orderkey": None, "l_partkey": 9902, "l_suppkey": 902,
+             "l_linenumber": 1, "l_quantity": 2.0, "l_extendedprice": 20.0,
+             "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "A",
+             "l_linestatus": "F", "l_shipdate": _ts("2024-01-21T00:00:00")},
+            # against the duplicated order 99003: duplicated line number too
+            {"l_orderkey": 99003, "l_partkey": 9901, "l_suppkey": 901,
+             "l_linenumber": 1, "l_quantity": 0.0, "l_extendedprice": 0.0,
+             "l_discount": 1.0, "l_tax": -0.01, "l_returnflag": "R",
+             "l_linestatus": "F", "l_shipdate": _ts(_LEAP)},
+            {"l_orderkey": 99003, "l_partkey": 9903, "l_suppkey": 902,
+             "l_linenumber": 1, "l_quantity": -3.0,
+             "l_extendedprice": -30.0, "l_discount": -0.1, "l_tax": 0.5,
+             "l_returnflag": "R", "l_linestatus": "F",
+             "l_shipdate": _ts(_DST_SPRING)},
+            # discount > 1 (out of domain), huge price, epoch ship date
+            {"l_orderkey": 99004, "l_partkey": 9902, "l_suppkey": 901,
+             "l_linenumber": 1, "l_quantity": 50.0,
+             "l_extendedprice": 1e8, "l_discount": 1.5, "l_tax": 0.0,
+             "l_returnflag": "N", "l_linestatus": "O",
+             "l_shipdate": _ts(_EPOCH)},
+            # NULLs in every nullable measure
+            {"l_orderkey": 99005, "l_partkey": None, "l_suppkey": None,
+             "l_linenumber": 2, "l_quantity": None,
+             "l_extendedprice": None, "l_discount": None, "l_tax": None,
+             "l_returnflag": None, "l_linestatus": None, "l_shipdate": None},
+            # negative zero price, far-future ship date, empty flag
+            {"l_orderkey": 99007, "l_partkey": 9903, "l_suppkey": 902,
+             "l_linenumber": 1, "l_quantity": 7.0, "l_extendedprice": -0.0,
+             "l_discount": 0.0, "l_tax": 0.0, "l_returnflag": "",
+             "l_linestatus": "O", "l_shipdate": _ts(_FAR_FUTURE)},
+        ],
+    )
+
+    # ---- events: NULL users/types, microsecond ties, boundary timestamps,
+    # malformed JSON props
+    _append_rows(
+        os.path.join(SF_SMOKE, "events.parquet"),
+        os.path.join(out, "events.parquet"),
+        [
+            {"event_id": 99001, "ts": _ts(_EPOCH), "user_id": 9001,
+             "event_type": "view", "value": 0.0, "props": "{}"},
+            {"event_id": 99002, "ts": None, "user_id": 9001,
+             "event_type": "click", "value": 1.0, "props": None},
+            {"event_id": 99003, "ts": _ts(_DST_SPRING), "user_id": None,
+             "event_type": "purchase", "value": -0.0, "props": "{"},
+            {"event_id": 99004, "ts": _ts(_DST_FALL), "user_id": 9002,
+             "event_type": None, "value": None, "props": "null"},
+            {"event_id": 99005, "ts": _ts(_YEAR_END), "user_id": 9002,
+             "event_type": "", "value": 1e154, "props": ""},
+            # two events one microsecond apart (session/gap boundaries)
+            {"event_id": 99006, "ts": _ts("2024-05-01T12:00:00"),
+             "user_id": 9003, "event_type": "view", "value": 2.0,
+             "props": '{"k": "v"}'},
+            {"event_id": 99007, "ts": _ts("2024-05-01T12:00:00.000001"),
+             "user_id": 9003, "event_type": "click", "value": 3.0,
+             "props": '{"k": {"nested": [1, 2]}}'},
+            # exact-tie timestamps for the same user (order ambiguity)
+            {"event_id": 99008, "ts": _ts("2024-05-01T13:00:00"),
+             "user_id": 9003, "event_type": "view", "value": 4.0,
+             "props": '{"unicode": "héllo"}'},
+            {"event_id": 99009, "ts": _ts("2024-05-01T13:00:00"),
+             "user_id": 9003, "event_type": "purchase", "value": 5.0,
+             "props": '{"a":'},
+            # duplicated event_id, tiny denormal value, far-future ts
+            {"event_id": 99009, "ts": _ts(_FAR_FUTURE), "user_id": 9004,
+             "event_type": "view", "value": 5e-324, "props": "[]"},
+        ],
+    )
+
+    return out
+
+
+@pytest.fixture(scope="module")
+def degen_rel_duck(degen_rel_dir):
+    con = duck_connection(degen_rel_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", RELATIONAL_QUERIES)
+def test_degenerate_relational_parity(spark, degen_rel_duck, degen_rel_dir, name):
+    res = compare_one(
+        spark, degen_rel_duck, name, QUERIES[name], ORACLE[name], degen_rel_dir
+    )
+    assert res.ok, f"{name}: {res.detail}"

@@ -65,6 +65,15 @@ _NAMES = [
     "q101_clustering_coefficient",  # r6 rewrite: edge-iterator adjacency kernel
     "q72_triangle_census",       # r6 rewrite: array_intersect triangle count
 ]
+# Round-8 re-run (after the degenerate-RELATIONAL hardening: try_divide /
+# try_cast / try_parse_json symmetric NULL rules, the NULLS FIRST oracle
+# convention, the _VALUE_DOMAIN event gate, q49's key collapse, q75's
+# synthesized pointer universe, q93's chained rankings, q11's
+# NULL-price-last sort struct, and the q60 DECIMAL(19,2) widening): the
+# FULL 201-query registry diffed byte-identical between local[3]/3/128MB
+# and local[8]/17/256KB at sf0.01, and the 201-query DuckDB hash sweep
+# passed under both a plain UTC and an America/New_York driver session
+# the same day (2026-08-16).
 # Round-7 re-run (after the degenerate-input kernel hardening — guarded
 # shingle/winnow/char-ngram sequences, the internal minhash graph gate,
 # graph_docs in near_dedup, the q30 join-order rewrite, and the
