@@ -68,8 +68,44 @@ def pin(df: DataFrame) -> DataFrame:
     localCheckpoint by default (fastest, session-scoped);
     reliable checkpoint when ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1``
     (survives executor loss on a multi-node cluster).
+
+    The pinned blocks live for the SESSION unless released: an iterative
+    loop that pins every round (q73 PageRank, q75 pointer doubling) must
+    ``unpin`` the superseded round once the next one is materialized, or a
+    long-lived session accumulates every round of every run — the r8
+    scale100 refresh (3 timed executions of a 10-round loop over a 15M-row
+    graph) ran the JVM into GC-locker storms and shuffle-file loss exactly
+    this way.  pin() records the block-manager RDD ids it created on the
+    returned DataFrame so unpin() can free precisely those blocks.  (The
+    before/after diff assumes pins are not created concurrently from other
+    driver threads — true for this engine's single-threaded query
+    functions.)
     """
+    sc = df.sparkSession.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keySet().toArray())
     if _reliable():
         _ensure_checkpoint_dir(df)
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        out = df.checkpoint(eager=True)
+    else:
+        out = df.localCheckpoint(eager=True)
+    after = sc._jsc.getPersistentRDDs().keySet().toArray()
+    out._pin_rdd_ids = [int(i) for i in after if int(i) not in before]
+    return out
+
+
+def unpin(df: DataFrame) -> None:
+    """Release the blocks of a DataFrame previously returned by ``pin``.
+
+    Safe only once every consumer of ``df`` has materialized (the lineage
+    was truncated, so the blocks are the ONLY copy of the data).  No-op for
+    frames that pin() did not produce.
+    """
+    ids = getattr(df, "_pin_rdd_ids", None)
+    if not ids:
+        return
+    rdds = df.sparkSession.sparkContext._jsc.getPersistentRDDs()
+    for i in ids:
+        r = rdds.get(i)
+        if r is not None:
+            r.unpersist(False)
+    df._pin_rdd_ids = []

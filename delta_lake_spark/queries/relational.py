@@ -329,14 +329,13 @@ def q11_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (3-arg max_by(x, y, n) is not in Spark 4.1's registry — probed r8.)
     # Sort key: ascending (-price, orderkey) == price DESC, orderkey ASC;
     # double negation is an exact IEEE sign flip, so -(-p) round-trips.
-    # A leading coalesce(+inf) field makes a NULL price sort LAST — the
+    # NULL prices fold to +inf in the sort key so they rank LAST — the
     # DESC NULLS LAST behavior of a real ROW_NUMBER window in both engines
-    # (negating NULL keeps NULL, which array_sort would otherwise place
-    # FIRST ascending; degenerate suite r8).  For non-null prices the extra
-    # field equals _negp, so the ordering is unchanged.
+    # (a NULL field would otherwise sort FIRST ascending; degenerate suite
+    # r8) — and decode back to NULL on output (+inf is unreachable for a
+    # real negated price: money is finite by the schema contract).
     s = F.struct(
-        F.coalesce(-F.col("o_totalprice"), F.lit(float("inf"))).alias("_sk"),
-        (-F.col("o_totalprice")).alias("_negp"),
+        F.coalesce(-F.col("o_totalprice"), F.lit(float("inf"))).alias("_negp"),
         F.col("o_orderkey").alias("k"),
     )
     top3 = (
@@ -349,7 +348,9 @@ def q11_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             F.col("_s.k").alias("o_orderkey"),
-            (-F.col("_s._negp")).alias("o_totalprice"),
+            F.when(
+                F.col("_s._negp") == F.lit(float("inf")), F.lit(None)
+            ).otherwise(-F.col("_s._negp")).alias("o_totalprice"),
             (F.col("_pos") + 1).cast("int").alias("rn"),
         )
         .orderBy("o_custkey", "rn")

@@ -1281,15 +1281,17 @@ def q71_scd2_tier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q74_pit_tier_enrichment",
-    oracle="""
+    oracle=f"""
 WITH s AS (
+  -- measurement-domain gate: see _VALUE_DOMAIN (r8; an inf click value
+  -- otherwise overflows the milli-quantization cast in both engines)
   SELECT user_id, event_id, epoch_us(ts) AS t,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_change,
          CASE WHEN event_type = 'purchase'
               THEN CAST(FLOOR(value / 100.0) AS BIGINT) END AS tier,
          CASE WHEN event_type = 'click'
               THEN CAST(FLOOR(value * 1000) AS BIGINT) END AS val_milli
-  FROM events WHERE event_type IN ('purchase', 'click')
+  FROM events WHERE event_type IN ('purchase', 'click') AND {_VALUE_DOMAIN_SQL}
 ),
 f AS (
   SELECT user_id, is_change, val_milli,
@@ -1309,7 +1311,7 @@ def q74_pit_tier_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_spark.catalog import EPOCH_NTZ
 
     e = (
-        table(spark, sf_dir, "events")
+        _valid_value(table(spark, sf_dir, "events"))
         .filter(F.col("event_type").isin("purchase", "click"))
         .select(
             "user_id",

@@ -251,6 +251,18 @@ def degen_rel_dir(spark, tmp_path_factory):
             # duplicated event_id, tiny denormal value, far-future ts
             {"event_id": 99009, "ts": _ts(_FAR_FUTURE), "user_id": 9004,
              "event_type": "view", "value": 5e-324, "props": "[]"},
+            # NaN / +inf measurements: money columns carry the documented
+            # finite-DECIMAL schema contract, but a raw crawl double column
+            # absolutely ships NaN and inf.  Both engines order NaN/inf
+            # greatest, the value-domain gates exclude them from the
+            # integer kernels, and the parity harness normalizes NaN
+            # symmetrically — this pair proves all three.
+            {"event_id": 99010, "ts": _ts("2024-05-02T10:00:00"),
+             "user_id": 9004, "event_type": "view",
+             "value": float("nan"), "props": "{}"},
+            {"event_id": 99011, "ts": _ts("2024-05-02T11:00:00"),
+             "user_id": 9004, "event_type": "click",
+             "value": float("inf"), "props": "{}"},
         ],
     )
 
