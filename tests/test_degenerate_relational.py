@@ -46,6 +46,9 @@ from tests.oracle_harness import compare_one, duck_connection
 RELATIONAL_QUERIES = sorted(n for n in ORACLE if n.startswith("q"))
 
 _EPOCH = "1970-01-01T00:00:00"
+_PRE_EPOCH = "1969-12-31T23:00:00"   # negative epoch micros: DIV/% on negatives
+_OLD = "1965-06-15T00:00:00"         # pre-epoch date arithmetic
+_PRE_GREGORIAN = "1582-10-04T12:00:00"  # proleptic-Gregorian cliff edge
 _DST_SPRING = "2024-03-10T07:30:00"  # 02:30 America/New_York does not exist
 _DST_FALL = "2024-11-03T05:30:00"    # 01:30 America/New_York happens twice
 _LEAP = "2024-02-29T12:00:00"
@@ -172,6 +175,15 @@ def degen_rel_dir(spark, tmp_path_factory):
             {"o_orderkey": 99010, "o_custkey": 9005, "o_orderstatus": "Z",
              "o_totalprice": 42.0, "o_orderdate": _ts("2024-06-01T00:00:00"),
              "o_orderpriority": ""},
+            # pre-epoch and pre-Gregorian dates: negative epoch arithmetic
+            # (DIV / %) and the proleptic-Gregorian calendar both engines
+            # claim — year extraction, datediff, spine generation
+            {"o_orderkey": 99011, "o_custkey": 9005, "o_orderstatus": "F",
+             "o_totalprice": 33.0, "o_orderdate": _ts(_OLD),
+             "o_orderpriority": "5-LOW"},
+            {"o_orderkey": 99012, "o_custkey": 9001, "o_orderstatus": "F",
+             "o_totalprice": 44.0, "o_orderdate": _ts(_PRE_GREGORIAN),
+             "o_orderpriority": "4-NOT SPECIFIED"},
         ],
     )
 
@@ -263,6 +275,11 @@ def degen_rel_dir(spark, tmp_path_factory):
             {"event_id": 99011, "ts": _ts("2024-05-02T11:00:00"),
              "user_id": 9004, "event_type": "click",
              "value": float("inf"), "props": "{}"},
+            # pre-epoch event: negative epoch_us through day-index DIV,
+            # week %, and session-gap arithmetic (both engines truncate
+            # integer division toward zero — planted to prove it)
+            {"event_id": 99012, "ts": _ts(_PRE_EPOCH), "user_id": 9005,
+             "event_type": "view", "value": 7.5, "props": "{}"},
         ],
     )
 
