@@ -181,3 +181,53 @@ def test_degenerate_parity(spark, degen_duck, degenerate_dir, name):
         spark, degen_duck, name, QUERIES[name], ORACLE[name], degenerate_dir
     )
     assert res.ok, f"{name}: {res.detail}"
+
+
+def test_stream_ingest_matches_batch_on_degenerate_corpus(
+    spark, degenerate_dir, tmp_path
+):
+    """§2.9 extension of the adversarial program (r8): the streaming corpus
+    front door must leave EXACTLY the state the batch-wise path produces on
+    crawl-quality input — empty / punctuation-only / sub-window documents
+    must quarantine or dedup identically whether they arrive as a landed
+    file in a micro-batch or as a batch DataFrame, with no stream-side
+    crash (the stream path runs the same gate/fingerprint/shingle kernels
+    the r7 hardening fixed)."""
+    import time
+
+    from delta_lake_spark.catalog import table
+    from delta_lake_spark.pipeline.corpus import CorpusPipeline
+
+    docs = table(spark, degenerate_dir, "documents")
+    b1 = docs.filter("doc_id < 20")   # all 15 degenerate rows + 5 normal
+    b2 = docs.filter("doc_id >= 20")
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    b1.coalesce(1).write.parquet(str(landing / "b1"))
+    time.sleep(1.1)
+    b2.coalesce(1).write.parquet(str(landing / "b2"))
+
+    streamed = CorpusPipeline(spark, str(tmp_path / "streamed"), min_quality=60)
+    q = streamed.stream_ingest(
+        str(landing) + "/*", docs.schema, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+
+    batch = CorpusPipeline(spark, str(tmp_path / "batch"), min_quality=60)
+    r1 = batch.ingest_batch(b1, batch_id=1)
+    r2 = batch.ingest_batch(b2, batch_id=2)
+    # conservation holds on degenerate input too
+    for r in (r1, r2):
+        assert r["n_in"] == r["n_quarantined"] + r["n_deduped"] + r["n_admitted"]
+
+    s_corpus = streamed.corpus.read().orderBy("doc_id").collect()
+    b_corpus = batch.corpus.read().orderBy("doc_id").collect()
+    assert s_corpus == b_corpus
+    s_quar = streamed.quarantine.read().orderBy("doc_id").drop("_batch_id").collect()
+    b_quar = batch.quarantine.read().orderBy("doc_id").drop("_batch_id").collect()
+    assert s_quar == b_quar
+    # the degenerate rows were actually exercised: every empty/whitespace/
+    # punctuation-only doc must be somewhere (quarantine or dedup), and at
+    # least one must have been gated out
+    assert len(b_quar) > 0
