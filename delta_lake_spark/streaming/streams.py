@@ -59,12 +59,29 @@ def as_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     require TimestampType instants (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on
     TIMESTAMP_NTZ).  Batch-side events.ts is NTZ wall-clock (catalog.table);
     the cast interprets it in the session timezone — UTC in ``get_spark``
-    sessions, so wall-clock and instant coincide."""
+    sessions, so wall-clock and instant coincide.
+
+    Event-time validity gate (degenerate suite r8): rows with NULL or
+    NON-POSITIVE-EPOCH timestamps (ts <= 1970-01-01T00:00:00) are excluded.
+    A NULL event time cannot be placed by any watermark/window machinery;
+    Spark's initial streaming watermark is epoch 0, so a pre-epoch event is
+    silently dropped as late data in the very FIRST micro-batch (making the
+    result depend on which rows share a batch), and the epoch INSTANT
+    itself sits on the watermark origin — dropDuplicatesWithinWatermark
+    drops ts <= watermark, so exactly-epoch rows survive some operators and
+    not others.  Strictly-after-epoch is also the honest crawl rule: a
+    zero timestamp is the classic zero-initialized parse-failure sentinel.
+    The gate makes the rule deterministic and operator-uniform and is
+    applied to every batch twin in the differential tests.
+    """
     from pyspark.sql.types import TimestampNTZType
 
     if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
-        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-    return df
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.filter(
+        F.col(ts_col).isNotNull()
+        & (F.col(ts_col) > F.lit("1970-01-01 00:00:00").cast("timestamp"))
+    )
 
 
 def windowed_agg(

@@ -1,0 +1,200 @@
+"""Degenerate-input differentials for the streaming layer (r8, the §2.9
+leg of the adversarial program).
+
+A 100 TB event stream carries NULL timestamps (failed parse upstream),
+NULL user/type keys, and NaN/inf measurements.  Each streaming twin must
+leave exactly the state its batch computation produces on that input —
+or exclude rows by a rule applied to BOTH sides.  The fixture reuses the
+relational suite's event hazards in a landing dir split across two
+micro-batch files.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_spark.catalog import table
+from delta_lake_spark.streaming import (
+    dedup_stream,
+    file_stream,
+    sessionize,
+    stream_merge_into,
+    windowed_agg,
+)
+from delta_lake_spark.tables import ManagedTable
+from tests.conftest import SF_SMOKE
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+_HAZARD_ROWS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (99001, _ts("1970-01-01T00:00:00"), 9001, "view", 0.0, "{}"),
+    (99002, None, 9001, "click", 1.0, None),                   # NULL ts
+    (99003, _ts("2024-03-10T07:30:00"), None, "purchase", -0.0, "{"),
+    (99004, _ts("2024-11-03T05:30:00"), 9002, None, None, "null"),
+    (99005, _ts("2023-12-31T23:59:59.999999"), 9002, "", 1e154, ""),
+    (99006, _ts("2024-05-01T12:00:00"), 9003, "view", 2.0, '{"k": "v"}'),
+    (99007, _ts("2024-05-01T12:00:00.000001"), 9003, "click", 3.0, "[]"),
+    (99008, _ts("2024-05-01T13:00:00"), 9003, "view", float("nan"), "{}"),
+    (99009, _ts("2024-05-01T13:00:00"), 9003, "purchase", float("inf"), "{}"),
+    (99012, _ts("1969-12-31T23:00:00"), 9005, "view", 7.5, "{}"),  # pre-epoch
+]
+
+
+@pytest.fixture(scope="module")
+def degen_events(spark):
+    ev = table(spark, SF_SMOKE, "events")
+    hazards = spark.createDataFrame(_HAZARD_ROWS, schema=ev.schema)
+    return ev.unionAll(hazards)
+
+
+@pytest.fixture(scope="module")
+def degen_landing(spark, degen_events, tmp_path_factory):
+    d = tmp_path_factory.mktemp("degen_landing")
+    degen_events.filter(
+        F.col("event_id") < 500
+    ).coalesce(1).write.parquet(str(d / "f0"))
+    degen_events.filter(
+        (F.col("event_id") >= 500) | F.col("event_id").isNull()
+    ).coalesce(1).write.parquet(str(d / "f1"))
+    return str(d) + "/*"
+
+
+def drain(q):
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_windowed_agg_matches_batch_on_degenerate_events(
+    spark, tmp_path, degen_landing, degen_events
+):
+    """Watermarked tumbling-window counts/sums over a stream carrying NULL
+    timestamps, NULL group keys, and NaN/inf values must equal the batch
+    window aggregate row for row (NULL-ts and non-positive-epoch rows are
+    excluded by BOTH sides — the event-time validity gate in
+    streams.as_event_time; Spark's initial streaming watermark is epoch 0,
+    so a 1969 event would otherwise be dropped as late data only when it
+    lands after the first micro-batch, and an exactly-epoch event survives
+    window aggs but not dropDuplicatesWithinWatermark)."""
+    src = file_stream(spark, degen_landing, degen_events.schema)
+    agg = windowed_agg(
+        src, window="1 hour", watermark="2 hours", group_cols=["event_type"]
+    )
+    t = ManagedTable(spark, str(tmp_path / "win_tbl"))
+    q = stream_merge_into(
+        agg, t, ["window_start", "event_type"], str(tmp_path / "ckpt")
+    )
+    drain(q)
+    want = (
+        degen_events.filter(
+            F.col("ts").isNotNull() & (F.col("ts") > F.lit("1970-01-01"))
+        )
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    got = t.read().select("window_start", "event_type", "n", "total_value")
+    assert sorted(map(repr, got.collect())) == sorted(map(repr, want.collect()))
+
+
+def test_sessionize_matches_batch_on_degenerate_events(
+    spark, tmp_path, degen_landing, degen_events
+):
+    """Streaming sessionization over degenerate events: NULL-ts rows have
+    no place on a session timeline (excluded both sides); microsecond ties
+    and a NULL user key must produce identical closed sessions."""
+    src = file_stream(spark, degen_landing, degen_events.schema)
+    sessions = sessionize(src, gap_seconds=1800, watermark="1 minute")
+    t = ManagedTable(spark, str(tmp_path / "sess_tbl"))
+    q = stream_merge_into(
+        sessions,
+        t,
+        ["user_id", "session_start"],
+        str(tmp_path / "ckpt"),
+        insert_only=True,
+    )
+    drain(q)
+
+    from pyspark.sql.window import Window
+
+    from delta_lake_spark.catalog import epoch_seconds
+
+    ev = degen_events.filter(
+        F.col("ts").isNotNull() & (F.col("ts") > F.lit("1970-01-01"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = epoch_seconds(F.col("ts"))
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(
+            secs - F.lag(secs).over(w) > 1800, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    sess_id = F.sum("new_sess").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    batch = (
+        flagged.withColumn("sid", sess_id)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "n_events")
+    )
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in t.read().collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in batch.collect()
+    }
+    # streaming emits only sessions the watermark has CLOSED (sessions at
+    # the stream's end can't finalize) — every emitted one must match the
+    # batch computation exactly
+    assert got, "no sessions were closed"
+    for k, v in got.items():
+        assert k in want and want[k] == v, (k, v, want.get(k))
+    # the adversarial sessions the watermark HAS passed must actually have
+    # been emitted: the microsecond-tie pair (one 2-event session) and the
+    # NULL-user-key session (a stateful group keyed by NULL)
+    assert got.get((9003, _ts("2024-05-01T12:00:00"))) == 2
+    assert got.get((None, _ts("2024-03-10T07:30:00"))) == 1
+
+
+def test_dedup_stream_matches_batch_on_degenerate_events(
+    spark, tmp_path, degen_landing, degen_events
+):
+    """Streaming drop-duplicates by user over degenerate input: the NULL
+    user key is one identity (dropDuplicates treats NULL as a value) and
+    NULL-ts rows cannot enter a watermarked dedup state store — excluded
+    on both sides."""
+    src = file_stream(spark, degen_landing, degen_events.schema)
+    deduped = dedup_stream(src, ["user_id"], watermark="10 days")
+    t = ManagedTable(spark, str(tmp_path / "dd_tbl"))
+    q = stream_merge_into(
+        deduped, t, ["user_id"], str(tmp_path / "ckpt"), insert_only=True
+    )
+    drain(q)
+    want = (
+        degen_events.filter(
+            F.col("ts").isNotNull() & (F.col("ts") > F.lit("1970-01-01"))
+        )
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert t.read().count() == want
