@@ -53,7 +53,36 @@ def _collapse_chain(
     ``ts_col``; current-head rows sort first on ties by construction —
     callers guard that batch timestamps are strictly newer) and chain
     validity ranges.  ``rows`` must carry the boolean ``_IS_CUR`` marker.
+
+    Crawl-quality input rules (degenerate suite r8), applied here so every
+    path (init, apply, stream) shares them:
+
+    - A change row with a NULL timestamp is UNPLACEABLE on the version
+      timeline and is dropped — it would otherwise sort first and open a
+      NULL ``eff_from`` version whose merge key can never match on replay.
+    - A change row with a NULL business key is dropped: the dimension's
+      close-out MERGE joins on key equality, and SQL ``NULL = NULL`` never
+      matches, so a NULL-keyed chain could be opened but never closed —
+      the streamed dimension would diverge from a batch rebuild.
+    - Two SIMULTANEOUS conflicting changes (same key, same ts, different
+      tracked values — two upstream systems emitting at the same instant)
+      resolve to exactly ONE surviving row — the greatest tracked tuple
+      ("deterministic latest-writer-wins at an instant").  The dimension's
+      merge key is ``keys + [eff_from]``, so it structurally cannot hold
+      two versions at one instant; keeping one deterministically makes the
+      chain a function of the input SET, not of physical partition order.
     """
+    for k in keys:
+        rows = rows.filter(F.col(k).isNotNull())
+    rows = rows.filter(F.col(ts_col).isNotNull())
+    instant = Window.partitionBy(*keys, ts_col).orderBy(
+        F.col(_IS_CUR).desc(), *[F.col(c).desc() for c in tracked]
+    )
+    rows = (
+        rows.withColumn("__inst_rn", F.row_number().over(instant))
+        .filter(F.col("__inst_rn") == 1)
+        .drop("__inst_rn")
+    )
     w = Window.partitionBy(*keys).orderBy(
         F.col(ts_col).asc(), F.col(_IS_CUR).desc()
     )

@@ -309,3 +309,84 @@ def test_session_window_agg_matches_batch_on_degenerate_events(
     # survived the stream/state-store round trip bit-identically
     nan_k = (9003, _ts("2024-05-01T13:00:00"))
     assert nan_k in got and got[nan_k][1] == "nan"
+
+
+def test_stream_scd2_matches_batch_on_degenerate_changes(spark, tmp_path):
+    """SCD2 over a crawl-quality change stream: NULL-timestamp and
+    NULL-business-key changes are dropped on every path (unplaceable on
+    the timeline / unmatchable by the close-out MERGE), two SIMULTANEOUS
+    conflicting changes collapse to one deterministic winner (greatest
+    tracked tuple — the merge key keys+[eff_from] cannot hold two versions
+    at one instant), NULL tracked values are ordinary versions, and the
+    streamed dimension equals the batch rebuild."""
+    from delta_lake_spark.streaming import stream_scd2_into
+    from delta_lake_spark.tables.scd import scd2_init
+
+    schema = "user_id bigint, tier string, ts timestamp"
+    rows1 = [
+        (1, "bronze", _ts("2024-01-01T00:00:00")),
+        # two conflicting changes at the same instant (two upstream systems)
+        (1, "gold", _ts("2024-01-02T00:00:00")),
+        (1, "silver", _ts("2024-01-02T00:00:00")),
+        (2, "bronze", _ts("2024-01-01T00:00:00")),
+        (2, None, _ts("2024-01-02T00:00:00")),        # NULL tracked value
+        (None, "bronze", _ts("2024-01-01T00:00:00")),  # NULL business key
+        (3, "bronze", None),                           # NULL ts: dropped
+    ]
+    rows2 = [
+        (1, "gold", _ts("2024-01-04T00:00:00")),
+        (2, None, _ts("2024-01-05T00:00:00")),         # no-op vs open NULL
+        (None, "zürich-tier", _ts("2024-01-06T00:00:00")),
+        (3, "silver", None),                           # NULL ts again
+        (3, "silver", _ts("2024-01-06T00:00:00")),     # 3's first real change
+    ]
+    land = tmp_path / "land"
+    df1 = spark.createDataFrame(rows1, schema)
+    df1.coalesce(1).write.parquet(str(land / "f0"))
+
+    dim = ManagedTable(spark, str(tmp_path / "dim"))
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_scd2_into(
+        file_stream(spark, str(land) + "/*", df1.schema),
+        dim, ["user_id"], ["tier"], "ts", ckpt,
+    )
+    drain(q)
+    import time
+
+    time.sleep(1.1)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(
+        str(land / "f1")
+    )
+    q = stream_scd2_into(
+        file_stream(spark, str(land) + "/*", df1.schema),
+        dim, ["user_id"], ["tier"], "ts", ckpt,
+    )
+    drain(q)
+
+    rebuild = ManagedTable(spark, str(tmp_path / "rebuild"))
+    scd2_init(
+        rebuild, spark.createDataFrame(rows1 + rows2, schema),
+        ["user_id"], ["tier"], "ts",
+    )
+    key = lambda t: sorted(
+        ((r.user_id, r.tier, r.eff_from, r.eff_to, r.is_current)
+         for r in t.read().collect()),
+        key=repr,
+    )
+    assert key(dim) == key(rebuild)
+
+    rows = key(dim)
+    # NULL-ts changes were dropped: user 3 has exactly one version (the
+    # dated one), not a NULL-eff_from artifact
+    u3 = sorted((r for r in rows if r[0] == 3), key=lambda r: r[2])
+    assert u3 == [(3, "silver", _ts("2024-01-06T00:00:00"), None, True)]
+    # the simultaneous conflict resolved to ONE deterministic winner:
+    # silver > gold in tracked-tuple order, so silver is the Jan 2 version
+    u1 = sorted((r for r in rows if r[0] == 1), key=lambda r: r[2])
+    assert [(t, f) for (_, t, f, _, _) in u1] == [
+        ("bronze", _ts("2024-01-01T00:00:00")),
+        ("silver", _ts("2024-01-02T00:00:00")),
+        ("gold", _ts("2024-01-04T00:00:00")),
+    ]
+    # NULL business keys were dropped on both paths
+    assert not [r for r in rows if r[0] is None]
