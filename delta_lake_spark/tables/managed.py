@@ -1442,6 +1442,16 @@ class ManagedTable:
     ) -> int:
         """Upsert ``source`` into the table on equality of ``keys``.
 
+        NULL source keys follow standard SQL/Delta MERGE semantics: a NULL
+        key never matches (``NULL = NULL`` is not true), so such rows take
+        the NOT MATCHED branch on EVERY merge — repeated merges of the same
+        NULL-keyed row insert it repeatedly.  Layers that promise
+        convergence on crawl-quality input define their own rule above
+        this: IncrementalAggView fails fast on NULL grouping keys, SCD2
+        drops NULL-business-key changes (tables/scd.py), and the
+        incremental except-date append compares null-safely
+        (tables/incremental.py).
+
         ``with_metrics=True`` records Delta-style ``operationMetrics``
         (source rows, matched/updated/deleted/inserted row counts,
         clause conditions applied) into the commit entry — read them back
