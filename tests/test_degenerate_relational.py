@@ -280,6 +280,17 @@ def degen_rel_dir(spark, tmp_path_factory):
             # integer division toward zero — planted to prove it)
             {"event_id": 99012, "ts": _ts(_PRE_EPOCH), "user_id": 9005,
              "event_type": "view", "value": 7.5, "props": "{}"},
+            # NULL-ts rows with GATE-PASSING values: a NULL-ts purchase
+            # (point-in-time tier kernels order by event time) and a
+            # NULL-ts high value (passes the rate gate's value > 480, so
+            # the NULL-date rate group reaches the spine/ffill kernels)
+            {"event_id": 99013, "ts": None, "user_id": 9006,
+             "event_type": "purchase", "value": 600.0, "props": "{}"},
+            {"event_id": 99014, "ts": _ts("2024-07-01T10:00:00"),
+             "user_id": 9006, "event_type": "click", "value": 2.5,
+             "props": "{}"},
+            {"event_id": 99015, "ts": None, "user_id": 9007,
+             "event_type": "view", "value": 900.0, "props": "{}"},
         ],
     )
 
