@@ -26,79 +26,68 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup/vector/multimodal/sampling extension families out of it in round 2.
 # This explicit window curates which 50 face the driver.
 #
-# Round-7 rotation (VERDICT r6 task 2, the final certification close-out):
-# Round-8 window (VERDICT r7 task 2 — the recency ratchet): the external
-# certification program completed in round 7 (cumulative 201/201 oracle-backed
-# queries hard-certified; see CERTIFIED.json). From this round on the window
-# holds the 50 queries whose *latest* external certification is oldest —
-# computed deterministically by `python tools/certified_ledger.py --stalest
-# 50` (sort by latest certified round, ties by name). This round that is
-# q01_pricing_summary (last certified r3; every other r3 row was re-certified
-# in r7's tail) plus the 49 oldest r4 rows, so after r8 no query's external
-# check is older than r4 and the histogram advances one round per round.
+# Recency ratchet (VERDICT r7 task 2, standing): the window holds the 50
+# queries whose *latest* external certification is oldest — computed
+# deterministically by `python tools/certified_ledger.py --stalest 50`
+# (sort by latest certified round, ties by name).
+# Round-9 rotation (VERDICT r8 task 4): v16_knn_graph (the single row whose
+# freshest certification is still r4) plus the 49 oldest r5 rows, so after
+# r9 the certification-freshness floor advances to r5.
 # Every query below is green in the local all-oracle sweep
 # (tests/test_oracle_parity.py replicates the driver's t2 gate exactly) and
 # in the two-profile determinism + NY-timezone sweeps.
 DRIVER_WINDOW = [
-    # dedup family
-    "d06_minhash_lsh_pairs",
-    "d10_dedup_clusters",
-    "d17_duplicated_spans",
-    "d20_prefix_filter_jaccard",
-    "d21_semantic_dedup_survivors",
-    # multimodal family
-    "m01_payload_metadata",
-    # pipeline family
-    "p01_curation_pipeline",
-    "p03_release_pipeline",
-    # relational / time-series analytics
-    "q01_pricing_summary",
-    "q02_client_stats",
-    "q03_daily_metrics",
-    "q04_fraud_analysis",
-    "q13_set_ops",
-    "q18_rollup_flags",
-    "q21_global_stats",
-    "q22_balance_quartiles",
-    "q24_cube_order_mix",
-    "q25_rolling_7d_volume",
-    "q26_exists_urgent_no_failed",
-    "q31_returned_items",
-    "q32_promo_revenue_share",
-    "q33_activity_reconciliation",
-    "q35_orders_above_customer_avg",
-    "q36_unpivot_segment_metrics",
-    "q37_top_supplier_revenue",
-    "q38_monthly_rollup_from_daily",
-    "q41_grouping_sets",
-    "q42_right_join_order_coverage",
-    "q43_coverage_matrix",
-    "q46_market_share",
-    "q49_order_count_distribution",
-    "q57_min_cost_supplier",
-    "q60_correlation_matrix",
-    "q62_feature_drift",
-    "q66_variant_props",
-    "q68_peak_concurrency",
-    "q71_scd2_tier_history",
-    "q72_triangle_census",
-    "q73_copurchase_pagerank",
-    "q76_running_distinct_users",
-    "q79_funnel_conversion",
-    "q82_interval_union_coverage",
-    "q83_mad_outliers",
-    # sampling family
-    "s01_hash_split_sample",
-    "s09_leakage_safe_split",
-    "s10_weighted_pps_sample",
-    # text-analysis family
-    "t01_dedup_exact",
-    "t21_heavy_hitters",
-    "t22_decontamination",
-    # vector family
-    "v02_embedding_near_dups",
+    "v16_knn_graph",
+    "d13_contamination_scan",
+    "d14_lsh_band_tuning",
+    "d15_semantic_dedup",
+    "d18_containment_pairs",
+    "d22_cross_source_dup_matrix",
+    "m07_chunk_dedup_report",
+    "p02_packing_pipeline",
+    "p04_mixture_materialization",
+    "q100_order_splitting",
+    "q101_clustering_coefficient",
+    "q102_priority_segment_chi2",
+    "q103_benford_screen",
+    "q104_order_cadence",
+    "q105_frequent_triples",
+    "q39_exact_percentile_outliers",
+    "q53_sole_return_suppliers",
+    "q55_table_profile",
+    "q84_dominant_part_suppliers",
+    "q85_rich_inactive_customers",
+    "q86_seasonal_deviation",
+    "q87_rolling_active_users",
+    "q88_full_coverage_customers",
+    "q89_revenue_gini",
+    "q90_ship_latency_slo",
+    "q91_market_basket_lift",
+    "q92_retention_cohorts",
+    "q93_rfm_segments",
+    "q94_repurchase_intervals",
+    "q95_supplier_hhi",
+    "q96_pareto_customers",
+    "q97_segment_migration",
+    "q98_new_vs_returning",
+    "q99_value_bands",
+    "s11_epoch_shuffle",
+    "s12_mixture_plan",
+    "s13_dsir_importance",
+    "s14_neyman_allocation",
+    "s15_kfold_assignment",
+    "t23_bigram_lm_score",
+    "t24_boilerplate_ngrams",
+    "t25_classifier_auc",
+    "t26_langid_kappa",
+    "t27_quality_rank_correlation",
+    "t28_lexical_diversity",
+    "t29_tokenizer_fertility",
+    "v10_cluster_quality",
+    "v17_kmeans_exact",
+    "v18_pq_ann",
+    "v19_pq_shortlist_rerank",
 ]
-
 
 def _curated(mapping: dict) -> dict:
     # Fail loudly if the window drifts from the registry: a silent drop would

@@ -147,25 +147,33 @@ def _idle_gate() -> dict:
     capture is launched alongside sibling processes — the committed
     idle-box numbers and the driver-run numbers then diverge by pure host
     load.  So every capture self-gates (VERDICT r7 task 5): poll
-    /proc/loadavg until load_1m < SPARK_GRAFT_BENCH_MAX_LOAD (default 2.0)
-    or SPARK_GRAFT_BENCH_IDLE_WAIT seconds (default 300) elapse, then
+    /proc/loadavg until BOTH load_1m AND load_5m are below
+    SPARK_GRAFT_BENCH_MAX_LOAD (default 2.0) or
+    SPARK_GRAFT_BENCH_IDLE_WAIT seconds (default 600) elapse, then
     proceed regardless and RECORD the outcome — a bounded wait can't stall
     the driver, and a timed-out gate is visible in the payload instead of
     masquerading as a clean capture.  Disable with
     SPARK_GRAFT_BENCH_IDLE_GATE=0.
+
+    Gating on load_5m too is the r9 fix (VERDICT r8 task 3): the r8
+    capture passed a load_1m-only gate at 0.26 yet ran 30% slower than
+    r7's idle capture — siblings had JUST gone quiet (load_5m 4.76, nine
+    busy sibling procs) and resumed mid-run.  load_5m is the signal that
+    actually predicts a contended run; it decays slowly, hence the longer
+    default wait budget.
     """
     gate: dict = {"enabled": os.environ.get(
         "SPARK_GRAFT_BENCH_IDLE_GATE", "1") != "0"}
     if not gate["enabled"]:
         return gate
     max_load = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_LOAD", "2.0"))
-    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "300"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "600"))
     gate.update(max_load=max_load, max_wait_s=max_wait)
     t0 = time.perf_counter()
     while True:
         la = _read_loadavg()
         waited = round(time.perf_counter() - t0, 1)
-        if not la or la["load_1m"] < max_load:
+        if not la or (la["load_1m"] < max_load and la["load_5m"] < max_load):
             gate.update(outcome="idle", waited_s=waited, **la)
             return gate
         if waited >= max_wait:
@@ -173,7 +181,8 @@ def _idle_gate() -> dict:
                         waited_s=waited, **la)
             return gate
         print(
-            f"# idle gate: load_1m {la['load_1m']:.2f} >= {max_load}, "
+            f"# idle gate: load_1m {la['load_1m']:.2f} / load_5m "
+            f"{la['load_5m']:.2f} >= {max_load}, "
             f"waiting ({waited:.0f}/{max_wait:.0f}s)...",
             file=sys.stderr,
         )

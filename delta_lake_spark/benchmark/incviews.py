@@ -169,7 +169,10 @@ def _measure_at_crossover(
     over a stable dim, which is the realistic shape), then time one
     incremental refresh vs one full rebuild at that size.  If the fitted
     crossover is right, the two times land within ~±30% of each other.
-    Capped at 16x the estimate's bench base to bound bench wall-clock.
+    The replication factor is capped at 100 copies of the bench orders to
+    bound bench wall-clock; when the cap binds, the payload carries
+    ``capped_below_crossover: true`` — the ±30% expectation only holds at
+    the actual fitted estimate, not at a capped build (ADVICE r8).
     """
     shutil.rmtree(work_dir, ignore_errors=True)
     orders = table(spark, sf_dir, "orders").select(
@@ -177,6 +180,7 @@ def _measure_at_crossover(
     )
     bench_rows = orders.count()
     copies = max(2, min(round(est_rows / bench_rows), 100))
+    capped = copies < round(est_rows / bench_rows)
     rep = orders.select(
         F.explode(F.sequence(F.lit(0), F.lit(copies - 1))).alias("_c"),
         "o_orderkey",
@@ -233,12 +237,21 @@ def _measure_at_crossover(
         "target_rows": est_rows,
         "measured_base_rows": n_rows,
         "copies_of_bench_orders": copies,
+        "capped_below_crossover": capped,
         "agg_incremental_refresh_s": inc_s,
         "agg_full_rebuild_s": full_s,
         "incremental_over_full_ratio": round(inc_s / max(full_s, 1e-9), 2),
-        "note": "full rebuild timed as write-to-parquet (what a real "
-        "rebuild does), incremental as the view's MERGE refresh; at the "
-        "fitted crossover the two should be within ~±30%",
+        "note": (
+            "full rebuild timed as write-to-parquet (what a real rebuild "
+            "does), incremental as the view's MERGE refresh; "
+            + (
+                "REPLICATION CAP BOUND: measured_base_rows is below the "
+                "fitted crossover, so the ±30% expectation does not apply "
+                "at this point"
+                if capped
+                else "at the fitted crossover the two should be within ~±30%"
+            )
+        ),
     }
 
 

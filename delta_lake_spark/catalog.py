@@ -159,6 +159,42 @@ def epoch_micros(col) -> "F.Column":  # noqa: F821
     return F.timestamp_diff("MICROSECOND", F.expr(EPOCH_NTZ), col)
 
 
+# ---------------------------------------------------------------------------
+# Batch event-time validity rule (engine-wide, r9).
+#
+# THE RULE: a row participates in an event-TIME-ORDERED kernel (as-of
+# matching, funnel stage minima, attribution lookbacks, point-in-time
+# timelines, rate series) only if its timestamp is non-NULL and strictly
+# after the epoch.  A NULL event time cannot be placed on any timeline —
+# engines only disagree on where to sort it (Spark NULLS FIRST would
+# forward-fill it into real history; DuckDB ASOF never matches a NULL key).
+# A zero/negative timestamp is the classic zero-initialized parse-failure
+# sentinel in crawl data.  This is the same rule the streaming layer
+# (streaming/streams.as_event_time — Spark's initial watermark IS epoch 0,
+# so pre-epoch rows are dropped as late data nondeterministically) and SCD2
+# (tables/scd.py — NULL-ts change rows are unplaceable) already enforce;
+# batch kernels apply it via ``valid_event_time`` and their DuckDB oracles
+# apply the IDENTICAL predicate via ``VALID_EVENT_TS_SQL``, so parity holds
+# on any input.  Kernels that aggregate by VALUE only (counts, sums,
+# grouped stats) do NOT apply it — a NULL-ts row still happened.
+# ---------------------------------------------------------------------------
+VALID_EVENT_TS_SQL = "(ts IS NOT NULL AND ts > TIMESTAMP '1970-01-01 00:00:00')"
+
+
+def valid_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Engine half of the event-time validity rule (see VALID_EVENT_TS_SQL).
+
+    ``ts_col`` is TIMESTAMP_NTZ wall-clock (``table()``'s events contract),
+    so the epoch comparison is a naive-to-naive compare — timezone-invariant
+    by construction, matching the DuckDB predicate exactly.
+    """
+    from pyspark.sql import functions as F
+
+    return df.filter(
+        F.col(ts_col).isNotNull() & (F.col(ts_col) > F.expr(EPOCH_NTZ))
+    )
+
+
 def table_parallel(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
     """Scan + hash-repartition to the session's parallelism.
 

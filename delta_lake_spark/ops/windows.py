@@ -92,8 +92,17 @@ def asof_join(
     ``by`` keys the window is partitioned and parallel.  Without ``by`` the
     window is global — only use for provably small series (documented
     single-partition hazard, as with the reference's global windows).
+
+    NULL-key semantics (r9, matches DuckDB ``ASOF LEFT JOIN`` and the engine
+    event-time validity rule, catalog.VALID_EVENT_TS_SQL): a right row with a
+    NULL ``on`` key is DROPPED — under the union+ffill layout it would sort
+    NULLS FIRST and forward-fill its payload into every subsequent left row,
+    whereas no inequality comparison against NULL can ever be true.  A left
+    row with a NULL key keeps its row with NULL payload (left-join contract):
+    it sorts before every surviving right row, so the fill finds nothing.
     """
     rc = list(right_cols or [c for c in right.columns if c != on and c not in by])
+    right = right.filter(F.col(on).isNotNull())
     lcols = left.columns
     lt = left.select(
         *lcols,

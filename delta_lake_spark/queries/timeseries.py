@@ -13,7 +13,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from delta_lake_spark.catalog import epoch_seconds, table
+from delta_lake_spark.catalog import (
+    VALID_EVENT_TS_SQL,
+    epoch_seconds,
+    table,
+    valid_event_time,
+)
 from delta_lake_spark.ops.windows import asof_join, date_spine, diff_cols, gap_fill
 from delta_lake_spark.queries.registry import register
 
@@ -27,8 +32,14 @@ def _sparse_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound (< 1e6) excludes crawl-quality garbage values (1e154) that would
     overflow the exact-integer rate kernels (q65's milli-rate fold) in both
     engines.  Applied identically in _SPARSE_RATES_SQL.
+
+    Event-time validity gate (r9, catalog.VALID_EVENT_TS_SQL): a rate is a
+    point on a timeline — a NULL-ts "rate" would otherwise become a
+    NULL-date row that Spark's NULLS-FIRST forward-fill smears into every
+    earlier date while DuckDB's ASOF never matches it (the r8 planted row
+    99015, value 900, proved the divergence in q19).
     """
-    e = table(spark, sf_dir, "events")
+    e = valid_event_time(table(spark, sf_dir, "events"))
     return (
         e.filter((F.col("value") > 480) & (F.col("value") < 1e6))
         .groupBy(F.to_date("ts").alias("rate_date"))
@@ -36,9 +47,10 @@ def _sparse_daily_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SPARSE_RATES_SQL = """
+_SPARSE_RATES_SQL = f"""
   SELECT CAST(ts AS DATE) AS rate_date, MAX(value) AS rate
-  FROM events WHERE value > 480 AND value < 1e6 GROUP BY 1
+  FROM events WHERE value > 480 AND value < 1e6 AND {VALID_EVENT_TS_SQL}
+  GROUP BY 1
 """
 
 # Measurement-domain gate for the exact-integer event-value kernels (q62
@@ -383,20 +395,26 @@ def q45_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q58_conversion_funnel",
-    oracle="""
-WITH s1 AS (
-  SELECT user_id, MIN(ts) AS t1 FROM events
+    oracle=f"""
+WITH ev AS (
+  -- event-time validity gate (catalog.VALID_EVENT_TS_SQL): funnel stages
+  -- are MIN-over-time — a NULL-ts view would found a user's funnel at an
+  -- unplaceable instant (engines disagree on whether it enters the minima)
+  SELECT user_id, event_type, ts FROM events WHERE {VALID_EVENT_TS_SQL}
+),
+s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM ev
   WHERE event_type = 'view' GROUP BY user_id
 ),
 s2 AS (
   SELECT e.user_id, MIN(e.ts) AS t2
-  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id
   WHERE e.event_type = 'click' AND e.ts > s1.t1
   GROUP BY e.user_id
 ),
 s3 AS (
   SELECT e.user_id, MIN(e.ts) AS t3
-  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  FROM ev e JOIN s2 ON e.user_id = s2.user_id
   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
   GROUP BY e.user_id
 )
@@ -416,7 +434,9 @@ SELECT step, users, sum_secs FROM (
 """,
 )
 def q58_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    e = valid_event_time(table(spark, sf_dir, "events")).select(
+        "user_id", "event_type", "ts"
+    )
     w = Window.partitionBy("user_id")
     t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
     stepped = e.withColumn("t1", t1)
@@ -913,8 +933,10 @@ def q65_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "q67_touch_attribution",
-    oracle="""
+    oracle=f"""
 WITH seq AS (
+  -- event-time validity gate (catalog.VALID_EVENT_TS_SQL): attribution
+  -- lookbacks order by event time — a NULL-ts purchase has no "before"
   SELECT user_id, event_type, value, ts, event_id,
          FIRST_VALUE(event_type) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
@@ -923,7 +945,7 @@ WITH seq AS (
                     IGNORE NULLS) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
-  FROM events
+  FROM events WHERE {VALID_EVENT_TS_SQL}
 ),
 p AS (
   SELECT COALESCE(first_touch, 'direct') AS first_touch,
@@ -949,7 +971,7 @@ ORDER BY touch_type
 """,
 )
 def q67_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "events")
+    e = valid_event_time(table(spark, sf_dir, "events"))
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -1291,7 +1313,10 @@ WITH s AS (
               THEN CAST(FLOOR(value / 100.0) AS BIGINT) END AS tier,
          CASE WHEN event_type = 'click'
               THEN CAST(FLOOR(value * 1000) AS BIGINT) END AS val_milli
+  -- event-time validity gate (catalog.VALID_EVENT_TS_SQL): a NULL-ts
+  -- purchase would open a tier version at an unplaceable instant
   FROM events WHERE event_type IN ('purchase', 'click') AND {_VALUE_DOMAIN_SQL}
+    AND {VALID_EVENT_TS_SQL}
 ),
 f AS (
   SELECT user_id, is_change, val_milli,
@@ -1311,7 +1336,7 @@ def q74_pit_tier_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_spark.catalog import EPOCH_NTZ
 
     e = (
-        _valid_value(table(spark, sf_dir, "events"))
+        _valid_value(valid_event_time(table(spark, sf_dir, "events")))
         .filter(F.col("event_type").isin("purchase", "click"))
         .select(
             "user_id",

@@ -897,7 +897,7 @@ def q73_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("cp"))
             .agg(F.sum(F.expr("r DIV d")).alias("s"))
         )
-        ranks = (
+        nxt = pin(
             deg.join(contrib, deg["p"] == contrib["cp"], "left")
             .select(
                 "p",
@@ -908,8 +908,12 @@ def q73_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("bigint").alias("r"),
             )
         )
-        prev, ranks = ranks, pin(ranks)
-        unpin(prev)  # superseded round — release its blocks (r8)
+        # pin the NEW round first, THEN release the superseded PINNED frame
+        # (r9, ADVICE r8: rebinding `ranks` before unpin made `prev` the
+        # unpinned join plan — a no-op release that leaked every round's
+        # blocks; q75's nxt/ptr sequencing was the correct pattern)
+        unpin(ranks)
+        ranks = nxt
     # the result depends only on the final pinned ranks (lineage truncated),
     # so the edge layout and degree caches can be released before returning:
     # a timing harness that re-executes this query would otherwise stack one

@@ -73,14 +73,25 @@ def as_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     zero timestamp is the classic zero-initialized parse-failure sentinel.
     The gate makes the rule deterministic and operator-uniform and is
     applied to every batch twin in the differential tests.
+
+    Timezone invariance (r9): the gate is evaluated BEFORE the NTZ->instant
+    cast, against the NTZ epoch wall-clock — a naive-to-naive compare that no
+    session timezone can shift (the same predicate as the batch rule,
+    catalog.VALID_EVENT_TS_SQL).  For input that is already TimestampType,
+    the cutoff is the explicit epoch INSTANT ``timestamp_seconds(0)``, not a
+    session-tz-interpreted literal.
     """
     from pyspark.sql.types import TimestampNTZType
 
+    from delta_lake_spark.catalog import valid_event_time
+
     if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
-        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        return valid_event_time(df, ts_col).withColumn(
+            ts_col, F.col(ts_col).cast("timestamp")
+        )
     return df.filter(
         F.col(ts_col).isNotNull()
-        & (F.col(ts_col) > F.lit("1970-01-01 00:00:00").cast("timestamp"))
+        & (F.col(ts_col) > F.timestamp_seconds(F.lit(0)))
     )
 
 

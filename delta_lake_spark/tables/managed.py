@@ -1761,8 +1761,20 @@ class ManagedTable:
             elif when_matched == "delete":
                 merged = target.join(src, keys, "left_anti")
                 if when_not_matched == "insert_all":
-                    merged = merged.unionByName(src)
-            else:  # matched update only, no inserts
+                    # only NOT-MATCHED source rows insert: a matched source
+                    # row's pair was consumed by the delete clause —
+                    # unioning ALL of src resurrected matched keys with the
+                    # source payload (r9 degenerate-tables sweep, R-delete)
+                    merged = merged.unionByName(
+                        src.join(target, keys, "left_anti")
+                    )
+            elif when_matched == "ignore":  # and when_not_matched == "ignore"
+                # both main clauses no-op: the merge is only its by-source
+                # effects (already applied to `target` above).  This combo
+                # previously fell into the update branch below and silently
+                # REPLACED matched rows (r9 degenerate-tables sweep, R-ignore)
+                merged = target
+            else:  # update_all matched rows only, no inserts
                 matched = src.join(target, keys, "left_semi")
                 merged = matched.unionByName(target.join(src, keys, "left_anti"))
 

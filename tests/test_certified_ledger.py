@@ -1,11 +1,12 @@
 """The certification provenance ledger (tools/certified_ledger.py) must stay
-internally consistent and cover every CORRECTNESS_r0*.json present."""
+internally consistent and cover every CORRECTNESS_r*.json present."""
 
 from __future__ import annotations
 
 import glob
 import json
 import os
+import warnings
 
 from tools.certified_ledger import REPO, build
 
@@ -40,11 +41,16 @@ def test_checked_in_ledger_covers_all_rounds_on_disk():
     then asserts the fresh ledger is consistent.  The regen lands in the
     round's first commit, so the tripwire's audit purpose — a committed
     ledger covering every round — is preserved without ever opening red.
+
+    ADVICE r8: silent self-healing would let a never-committed regen hide
+    indefinitely, so a heal is surfaced as a LOUD UserWarning (visible in
+    pytest's warnings summary) telling the builder to commit the refreshed
+    CERTIFIED.json in the round's first commit.
     """
     path = os.path.join(REPO, "CERTIFIED.json")
     on_disk = sorted(
         os.path.basename(p)
-        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
     )
     ledger = json.load(open(path)) if os.path.exists(path) else {"inputs": None}
     if ledger["inputs"] != on_disk:
@@ -52,6 +58,13 @@ def test_checked_in_ledger_covers_all_rounds_on_disk():
 
         regen()
         ledger = json.load(open(path))
+        warnings.warn(
+            "CERTIFIED.json was stale (new CORRECTNESS_r*.json on disk) and "
+            "has been regenerated IN-PLACE — commit the refreshed ledger now "
+            "(round-open ritual, tools/certified_ledger.py)",
+            UserWarning,
+            stacklevel=1,
+        )
     assert ledger["inputs"] == on_disk
     t = ledger["totals"]
     assert t["never_hard_certified_oracle_backed"] == 0, (

@@ -20,6 +20,10 @@ The corpus deliberately covers, for every hazard found in the round-7 audit:
 - single-character words (bigram kernels: ``sequence(1, 0)`` over chars)
 - 1- and 2-token documents (below every n-gram window)
 - normal documents that near-dup each other (the graph must still form)
+
+FIXTURE-CHANGE RULE (r9): edits here require a same-session green sweep
+stamped via ``python tools/stamp_degenerate.py`` (see
+tests/degenerate_fixtures.stamp and tests/test_degenerate_stamp.py).
 """
 
 from __future__ import annotations

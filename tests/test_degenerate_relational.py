@@ -24,6 +24,13 @@ lineitem, customer, part, supplier, and events (keeping every original
 row so joins, spines, cohorts, and sessions stay populated).  nation and
 region keep their curated 25/5-row topology — dims of that shape are
 reference data, not crawl input.
+
+FIXTURE-CHANGE RULE (r9, tools/stamp_degenerate.py): any edit to this
+file requires the full degenerate sweep green in the SAME session —
+run ``python tools/stamp_degenerate.py`` and commit the refreshed
+``tests/degenerate_fixtures.stamp`` with the edit.  Round 8 shipped four
+real divergences by planting rows without re-running the sweep; the
+stamp test makes that failure mode red within seconds of any pytest run.
 """
 
 from __future__ import annotations

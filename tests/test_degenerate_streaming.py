@@ -7,6 +7,10 @@ leave exactly the state its batch computation produces on that input —
 or exclude rows by a rule applied to BOTH sides.  The fixture reuses the
 relational suite's event hazards in a landing dir split across two
 micro-batch files.
+
+FIXTURE-CHANGE RULE (r9): edits here require a same-session green sweep
+stamped via ``python tools/stamp_degenerate.py`` (see
+tests/degenerate_fixtures.stamp and tests/test_degenerate_stamp.py).
 """
 
 from __future__ import annotations

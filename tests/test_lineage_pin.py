@@ -30,6 +30,26 @@ def test_reliable_checkpoint_same_results(spark, monkeypatch, name):
     assert base == reliable
 
 
+@pytest.mark.parametrize("name", ["q73_copurchase_pagerank", "q75_hierarchy_rollup"])
+def test_iterative_loops_release_pinned_blocks(spark, name):
+    """ADVICE r8 (medium): q73's unpin(prev) was a no-op — `prev` was
+    rebound to the UNPINNED join plan, so every round's pinned blocks (and
+    the initial pin) leaked for the session's lifetime.  Bound check: after
+    a full run, at most the final round's pinned RDDs (plus any pre-existing
+    session caches) survive — a leak of 10 rounds x >=1 RDD trips this."""
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    QUERIES[name](spark, SF_SMOKE).collect()
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    leaked = after - before
+    # final ranks frame stays pinned (the caller may still consume it);
+    # one pin is <= 2 RDD ids in practice — 10 leaked rounds is >= 10.
+    assert len(leaked) <= 3, (
+        f"{name} leaked {len(leaked)} persistent RDDs across iterations: "
+        f"{sorted(leaked)}"
+    )
+
+
 def test_reliable_mode_provisions_checkpoint_dir(spark, monkeypatch):
     monkeypatch.setenv(lineage._ENV_FLAG, "1")
     out = lineage.pin(spark.range(10))

@@ -20,7 +20,9 @@ BATCH = st.lists(
     max_size=5,
     unique_by=lambda kv: kv[0],  # merge precondition: unique source keys
 )
-OP = st.sampled_from(["upsert", "insert_only", "delete"])
+OP = st.sampled_from(
+    ["upsert", "insert_only", "delete", "delete_insert", "noop"]
+)
 SCRIPT = st.lists(st.tuples(OP, BATCH), min_size=1, max_size=4)
 
 
@@ -45,6 +47,18 @@ def test_merge_sequence_matches_model(spark, script):
                 t.merge(src, ["id"], when_matched="ignore")
                 for k, v in batch:
                     model.setdefault(k, v)
+            elif op == "delete_insert":
+                # r9 degenerate-tables fix: matched keys delete, ONLY
+                # not-matched source rows insert (the pair is consumed)
+                t.merge(src, ["id"], when_matched="delete")
+                for k, v in batch:
+                    if k in model:
+                        model.pop(k)
+                    else:
+                        model[k] = v
+            elif op == "noop":
+                # r9 fix: ignore+ignore must leave every row untouched
+                t.merge(src, ["id"], when_matched="ignore", when_not_matched="ignore")
             else:
                 t.merge(src, ["id"], when_matched="delete", when_not_matched="ignore")
                 for k, _v in batch:

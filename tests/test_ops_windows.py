@@ -56,6 +56,27 @@ def test_asof_join_picks_most_recent_at_or_before(spark):
     assert out[3] == (None, None)  # nothing at or before -> null
 
 
+def test_asof_join_null_keys_never_match(spark):
+    """NULL-key semantics (r9, ops/windows.asof_join docstring): a NULL
+    right key is dropped (would otherwise ffill into everything via
+    NULLS-FIRST); a NULL left key keeps its row with NULL payload —
+    both matching DuckDB ASOF LEFT JOIN."""
+    events = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 2)), (2, None), (3, dt.date(2023, 1, 1))],
+        "event_id int, d date",
+    )
+    rates = spark.createDataFrame(
+        [(None, 999.0), (dt.date(2024, 1, 1), 90.0)], "d date, rate double"
+    )
+    out = {
+        r["event_id"]: (r["rate"], r["d_asof"])
+        for r in asof_join(events, rates, on="d").collect()
+    }
+    assert out[1] == (90.0, dt.date(2024, 1, 1))  # real match unaffected
+    assert out[2] == (None, None)  # NULL left key -> no match, row kept
+    assert out[3] == (None, None)  # earlier than every rate; NULL rate must NOT leak
+
+
 def test_gap_fill_partitioned(spark):
     df = spark.createDataFrame(
         [("a", 1, 5.0), ("a", 2, None), ("b", 1, None), ("b", 2, 7.0)],

@@ -2,7 +2,7 @@
 ledger (VERDICT r5 task 8).
 
 For every query in the registry, record which rounds' external driver runs
-(CORRECTNESS_r0*.json) certified it hard-green (rows + schema + hash, no
+(CORRECTNESS_r*.json) certified it hard-green (rows + schema + hash, no
 err) and which certified it rows-only (the weaker gate for queries without
 an oracle_sql entry).  Auditors should never need to re-derive the union of
 the per-round files by hand.
@@ -26,7 +26,7 @@ def build() -> dict:
 
     hard: dict[str, list[int]] = {}
     rows_only: dict[str, list[int]] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))):
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(path.rsplit("_r", 1)[1].split(".")[0])
         for name, res in json.load(open(path)).items():
             if res.get("err"):
@@ -46,7 +46,7 @@ def build() -> dict:
         "generated_by": "python tools/certified_ledger.py",
         "inputs": sorted(
             os.path.basename(p)
-            for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r0*.json"))
+            for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
         ),
         "totals": {
             "registered_queries": len(QUERIES),
