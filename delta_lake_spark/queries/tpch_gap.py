@@ -875,30 +875,28 @@ def q73_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edges): broadcast shape 38.9 s / 10 rounds vs src-partitioned
     # 154.5 s — the dst-layout + broadcast pair is 4x even at the cap.
     #
-    # The edge layout and degree table are SESSION-CACHED per (sf_dir) (r9):
-    # r8 released them per call to stop cache stacking, but plan-keyed
-    # memoization gives the same bound (ONE entry per corpus, reused) while
-    # making a warm re-run pay only the loop — at sf10x the per-call
-    # rebuild (repartition of 240M edge rows) was ~60 s of every timed run,
-    # 1.5x the loop itself.
-    from delta_lake_spark.ops.session_cache import session_cached
-
-    deg = session_cached(
-        spark,
-        ("q73_degrees", sf_dir),
-        lambda: sym.groupBy(F.col("src").alias("p")).agg(
-            F.count(F.lit(1)).alias("d")
-        ),
+    # Session-caching the edge layout across calls was TRIED AND REVERTED
+    # in r9: it removed the per-call rebuild (~30 s at sf10x) but left a
+    # permanently-resident ~6 GB working set that drove every subsequent
+    # loop into GCLocker retry storms — same-box fresh-session A/B: r8
+    # rebuild-per-call warm 61.0/68.8 s vs session-cached warm 79.5 s at
+    # sf10x.  The rebuild-then-release policy keeps the block store clean
+    # for whatever runs next; with it, the bare 10-round loop measures
+    # ~30 s (bisect harness, all four loop variants within noise).
+    deg_src = sym.groupBy(F.col("src").alias("p")).agg(
+        F.count(F.lit(1)).alias("d")
     )
-    n = deg.count()  # the one driver scalar (vertex count; cached frame)
+    n = deg_src.count()  # the one driver scalar (vertex count)
     small = n <= _PR_BCAST_MAX_VERTICES
-    layout_key = "dst" if small else "src"
-    direct = session_cached(
-        spark,
-        ("q73_edges", layout_key, sf_dir),
-        lambda: sym.repartition(
-            spark.sparkContext.defaultParallelism, layout_key
-        ),
+    direct = (
+        sym.repartition(
+            spark.sparkContext.defaultParallelism, "dst" if small else "src"
+        ).persist()
+    )
+    deg = (
+        direct.groupBy(F.col("src").alias("p"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
     )
     init = _PR_TOTAL // n
     base = (15 * init) // 100
@@ -944,9 +942,11 @@ def q73_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # blocks; q75's nxt/ptr sequencing was the correct pattern)
         unpin(ranks)
         ranks = nxt
-    # the result depends only on the final pinned ranks; the session-cached
-    # edge layout / degree table stay resident for the next run (bounded:
-    # one memo entry per corpus dir, ops/session_cache eviction rules)
+    # the result depends only on the final pinned ranks (lineage truncated),
+    # so the edge layout and degree caches are released before returning —
+    # keeping them resident was measured SLOWER (see layout comment above)
+    direct.unpersist()
+    deg.unpersist()
     return (
         ranks.select(F.col("p").cast("bigint").alias("l_partkey"),
                      F.col("r").alias("rank_pico"))

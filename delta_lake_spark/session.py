@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 12g kept after an r9 head-to-head: a 48g heap made the 100x graph
+        # bench WORSE (q73 sf10x 128.8 s vs 99.9 s on the same idle box —
+        # larger G1 collections beat the GCLocker retries they replaced).
+        # SPARK_GRAFT_DRIVER_MEM overrides per host.
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")

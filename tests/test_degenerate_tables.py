@@ -277,6 +277,105 @@ def test_delete_whole_partition_then_maintenance(spark, tmp):
     assert t.count_rows() == len(ROWS)
 
 
+def test_constraint_null_predicate_is_violation(spark, tmp):
+    """R6 (managed.py _enforce_constraints): a CHECK predicate that
+    evaluates to NULL on a row COUNTS AS A VIOLATION (Delta semantics — a
+    constraint must provably hold; plain-SQL CHECK would wave NULL
+    through).  The write must raise and leave the table untouched."""
+    t = ManagedTable(spark, f"{tmp}/k")
+    t.write(spark.createDataFrame([(1, 10.0)], "k long, val double"))
+    t.add_constraint("pos", "val > 0")
+    v = t.latest_version()
+    bad = spark.createDataFrame([(2, None)], "k long, val double")  # NULL pred
+    with pytest.raises(ValueError, match="pos"):
+        t.write(bad, mode="append")
+    with pytest.raises(ValueError, match="pos"):
+        t.merge(bad, ["k"])
+    assert t.latest_version() == v
+    assert [(r["k"], r["val"]) for r in t.read().collect()] == [(1, 10.0)]
+
+
+def test_add_constraint_rejects_nan_rows(spark, tmp):
+    """R6 corollary: Spark SQL orders NaN GREATER than every number, so
+    `val < bound` is FALSE on a NaN row in both engines — adding an
+    upper-bound constraint to a table holding NaN must fail (the scan
+    finds the violating row), and the constraint must not land."""
+    t = _base(spark, tmp, partitioned=False)  # holds NaN and inf rows
+    with pytest.raises(ValueError, match="existing row violates"):
+        t.add_constraint("bounded", "val < 1e308")
+    assert "bounded" not in t.constraints()
+
+
+def test_schema_evolution_with_null_key_source(spark, tmp):
+    """R2 x schema evolution: a merge_schema source carrying a NEW column
+    and a NULL merge key — the NULL-key row inserts (NOT MATCHED), the new
+    column appends nullable, and pre-evolution rows read NULL for it."""
+    t = ManagedTable(spark, f"{tmp}/e")
+    t.write(spark.createDataFrame([(1, 10), (None, 77)], "k long, v long"))
+    src = spark.createDataFrame(
+        [(1, 100, "x"), (None, 9, "y")], "k long, v long, extra string"
+    )
+    t.merge(src, ["k"], merge_schema=True)
+    got = sorted(
+        ((r["k"], r["v"], r["extra"]) for r in t.read().collect()), key=str
+    )
+    assert got == sorted(
+        [
+            (1, 100, "x"),  # matched: whole row updated, extra filled
+            (None, 77, None),  # old NULL-key target row: untouched, NULL extra
+            (None, 9, "y"),  # NULL-key source row: inserted (R2)
+        ],
+        key=str,
+    )
+
+
+def test_row_tracking_through_dup_keys_and_compaction(spark, tmp):
+    """Row-tracked MERGE takes the row-preserving plan, where duplicate
+    TARGET keys each pair with the source row and update INDEPENDENTLY
+    (managed.py _conditional_merge_plan docstring — no key collapse,
+    unlike the unconditional fast path): every duplicate keeps its own
+    stable id, zero-row commits assign no ids, and OPTIMIZE preserves
+    every id (Delta row-tracking contract)."""
+    t = ManagedTable(spark, f"{tmp}/r")
+    t.write(spark.createDataFrame([(1, 10), (1, 11), (2, 20)], "k long, v long"))
+    t.enable_row_tracking()
+    ids0 = {r["_row_id"] for r in t.read_with_row_ids().collect()}
+    t.merge(spark.createDataFrame([(1, 100)], "k long, v long"), ["k"])
+    t.write(spark.createDataFrame([], "k long, v long"), mode="append")
+    rows = t.read_with_row_ids().collect()
+    ids = [r["_row_id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 3, "each dup keeps a distinct id"
+    assert set(ids) == ids0, "matched updates keep TARGET ids, none minted"
+    assert sorted((r["k"], r["v"]) for r in rows) == [(1, 100), (1, 100), (2, 20)]
+    by_id = {r["_row_id"]: (r["k"], r["v"]) for r in rows}
+    t.optimize()
+    after = {
+        r["_row_id"]: (r["k"], r["v"]) for r in t.read_with_row_ids().collect()
+    }
+    assert after == by_id, "OPTIMIZE must not reassign row ids"
+
+
+def test_wap_publish_degenerate_partitions(spark, tmp):
+    """R4 x WAP: stage-audit-publish over the degenerate partition layout —
+    clone to staging, delete a whole partition there (leaving NULL/unicode/
+    path-hostile dirs), publish overwrite; the target atomically becomes
+    the staged snapshot and time travel still reaches the pre-publish
+    content."""
+    t = _base(spark, tmp)
+    v_pre = t.latest_version()
+    staging = t.clone(f"{tmp}/staging")
+    staging.delete_where([("grp", "=", "plain")])
+    t.publish_from(staging)
+    assert rows_of(t.read()) == rows_of(staging.read())
+    assert {r[0] for r in t.show_partitions().collect()} == {
+        None,
+        "héllo wörld",
+        "a/b=c d%e",
+    }
+    assert rows_of(t.read(version=v_pre)) != rows_of(t.read())
+    assert t.count_rows() == len(ROWS) - 3
+
+
 def test_cdf_across_zero_row_commits(spark, tmp):
     """CDF must record zero-row commits as zero changes — not error, not
     phantom rows — and real changes around them stay exact."""
