@@ -20,6 +20,21 @@ The ranged frame is persisted before the count: ``repartitionByRange`` samples
 its boundaries per execution, so the count job and the ranking job MUST see
 the same physical partitioning.  Callers should ``unpersist`` the result when
 done (or let it age out).
+
+Step 4 (r9, guide §2.4 "remove shuffles outright"): the local rank used to be
+``row_number() OVER (PARTITION BY spark_partition_id() ORDER BY keys)`` — but
+that Window's required clustering on the partition id is NOT satisfied by the
+range partitioning, so Catalyst inserted a SECOND full-data exchange
+(``hashpartitioning(_gr_pid)``) before every window: each ranked frame was
+shuffled twice.  The local rank is now read off ``monotonically_increasing_id``
+evaluated above an explicit ``sortWithinPartitions``: the function's
+documented layout puts the record number within the partition in the lower
+33 bits, so ``mono & (2^33-1)`` IS the 0-based local row index in sorted
+order (deterministic under retry for the same reason the window form was —
+the sort order is total given unique keys).  The per-partition offsets then
+attach as a literal array lookup (no join), so one range exchange is the
+ONLY data movement.  The 33-bit layout caps partitions at ~8.6e9 rows —
+far above any sane partition size (a guard asserts it anyway).
 """
 
 from __future__ import annotations
@@ -30,6 +45,8 @@ from pyspark.sql.window import Window
 
 _PID = "_gr_pid"
 _OFF = "_gr_offset"
+_LOC = "_gr_loc"
+_LOC_MASK = (1 << 33) - 1  # monotonically_increasing_id: low 33 bits = record#
 
 
 def _global_row_number_with_total(
@@ -53,23 +70,35 @@ def _global_row_number_with_total(
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     ranged = (
         df.repartitionByRange(num_partitions, *cols)
+        .sortWithinPartitions(*cols)
         .withColumn(_PID, F.spark_partition_id())
+        # local 0-based row index in sorted order (module docstring): this
+        # projection sits ABOVE the sort and is nondeterministic-flagged, so
+        # Catalyst will not reorder it below the sort; persist() pins the
+        # evaluated values for every consumer job.
+        .withColumn(
+            _LOC, F.monotonically_increasing_id().bitwiseAND(F.lit(_LOC_MASK))
+        )
         .persist()
     )
     counts = sorted(
         (r[_PID], r["n"])
         for r in ranged.groupBy(_PID).agg(F.count("*").alias("n")).collect()
     )
+    by_pid = dict(counts)
+    assert all(n <= _LOC_MASK for _, n in counts), "partition exceeds 2^33 rows"
     offsets, acc = [], 0
-    for pid, n in counts:
-        offsets.append((pid, acc))
-        acc += n
-    off = spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
-    w = Window.partitionBy(_PID).orderBy(*cols)
+    for pid in range(num_partitions):
+        offsets.append(acc)
+        acc += by_pid.get(pid, 0)
+    # literal array lookup instead of a broadcast join + window: zero extra
+    # exchanges, zero extra jobs (element_at is 1-based; pid is 0-based)
+    off_arr = F.array(*[F.lit(o).cast("long") for o in offsets])
     ranked = (
-        ranged.join(F.broadcast(off), _PID)
-        .withColumn(out_col, F.row_number().over(w) + F.col(_OFF))
-        .drop(_PID, _OFF)
+        ranged.withColumn(
+            out_col, F.element_at(off_arr, F.col(_PID) + 1) + F.col(_LOC) + 1
+        )
+        .drop(_PID, _LOC)
     )
     return ranked, acc
 
@@ -128,6 +157,94 @@ def global_ntile(
     return ranked.withColumn(out_col, bucket.cast("int")).drop(rn)
 
 
+def global_row_number_grouped(
+    df: DataFrame,
+    group_col: str,
+    order_by: list[str | Column],
+    *,
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Per-group exact ``row_number() OVER (PARTITION BY group ORDER BY
+    order_by)`` for ALL groups through ONE range exchange (guide §2.4: two
+    operations keyed the same way share one exchange).
+
+    Running :func:`global_row_number` once per group costs k range
+    shuffles, k boundary-sampling jobs and k count-collect jobs for k
+    groups — and when the calls are chained on one frame (q93's three RFM
+    scores, r8 bench) the logical plan nests k deep, so every later job
+    replans the whole stack.  This fused form range-partitions ONCE on
+    ``(group, *order_by)`` — group-contiguity makes per-group offsets
+    well-defined — counts rows per (partition, group) in ONE job
+    (metadata-sized: P x #groups rows), prefix-sums per group in partition
+    order, and ranks within (partition, group).
+
+    ``order_by`` must be unique per group (add a tie-break).  ``group_col``
+    is intended for small bounded tags (dimension ids, period flags);
+    NULL group values are handled (null-safe join, NULLS-FIRST grouping).
+
+    Returns ``(ranked_df, totals)`` where ``totals`` maps each group value
+    to its exact row count — callers needing per-group N (quintile math)
+    get it without extra jobs.  Same persist/unpersist contract as
+    :func:`global_row_number`.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(group_col), *cols)
+        .sortWithinPartitions(F.col(group_col), *cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .withColumn(
+            _LOC, F.monotonically_increasing_id().bitwiseAND(F.lit(_LOC_MASK))
+        )
+        .persist()
+    )
+    # ONE metadata job: per-(partition, group) row count AND the group's
+    # first local index in that partition — rank = loc - start + offset + 1.
+    stats = (
+        ranged.groupBy(_PID, group_col)
+        .agg(F.count("*").alias("n"), F.min(_LOC).alias("s"))
+        .collect()
+    )
+    per_group: dict = {}
+    for r in sorted(stats, key=lambda r: r[_PID]):
+        per_group.setdefault(r[group_col], []).append((r[_PID], r["n"], r["s"]))
+    rows, totals = [], {}
+    for g, lst in per_group.items():
+        acc = 0
+        for pid, n, s in lst:
+            rows.append((pid, g, acc, s))
+            acc += n
+        totals[g] = acc
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    off_schema = StructType(
+        [
+            StructField("_gr_p2", IntegerType(), False),
+            StructField("_gr_g", df.schema[group_col].dataType, True),
+            StructField(_OFF, LongType(), False),
+            StructField("_gr_s", LongType(), False),
+        ]
+    )
+    off = spark.createDataFrame(rows, off_schema)
+    # broadcast attach (P x #groups rows): BroadcastHashJoin leaves the probe
+    # side's partitioning intact — no extra exchange, no window.
+    ranked = (
+        ranged.join(
+            F.broadcast(off),
+            (F.col(_PID) == F.col("_gr_p2"))
+            & F.col(group_col).eqNullSafe(F.col("_gr_g")),
+        )
+        .withColumn(
+            out_col, F.col(_LOC) - F.col("_gr_s") + F.col(_OFF) + 1
+        )
+        .drop(_PID, _LOC, _OFF, "_gr_p2", "_gr_g", "_gr_s")
+    )
+    return ranked, totals
+
+
 def global_cumsum(
     df: DataFrame,
     value: str | Column,
@@ -159,24 +276,29 @@ def global_cumsum(
         .withColumn(_PID, F.spark_partition_id())
         .persist()
     )
-    sums = sorted(
+    sums = dict(
         (r[_PID], r["s"])
         for r in ranged.groupBy(_PID)
         .agg(F.sum("_gc_v").alias("s"))
         .collect()
     )
     offsets, acc = [], 0
-    for pid, s in sums:
-        offsets.append((pid, acc))
-        acc += int(s or 0)
-    off = spark.createDataFrame(offsets, f"{_PID} int, {_OFF} long")
+    for pid in range(num_partitions):
+        offsets.append(acc)
+        acc += int(sums.get(pid) or 0)
+    # literal array lookup instead of a broadcast join (r9): the partial-sum
+    # offsets attach as a projection; the running-sum window (and its
+    # clustering exchange) is the one piece a prefix sum genuinely needs.
+    off_arr = F.array(*[F.lit(o).cast("long") for o in offsets])
     w = (
         Window.partitionBy(_PID)
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        ranged.join(F.broadcast(off), _PID)
-        .withColumn(out_col, F.sum("_gc_v").over(w) + F.col(_OFF))
-        .drop(_PID, _OFF, "_gc_v")
+        ranged.withColumn(
+            out_col,
+            F.sum("_gc_v").over(w) + F.element_at(off_arr, F.col(_PID) + 1),
+        )
+        .drop(_PID, "_gc_v")
     )

@@ -2140,11 +2140,11 @@ ORDER BY r_score, f_score, m_score
 """,
 )
 def q93_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_lake_spark.ops.ranking import global_row_number
+    from delta_lake_spark.ops.ranking import global_row_number_grouped
 
     o = table(spark, sf_dir, "orders")
-    # rfm feeds five consumers (count, three rankings, final join) —
-    # persist so the fact aggregate runs once
+    # rfm feeds two consumers (the fused ranking and its count) — persist so
+    # the fact aggregate runs once
     rfm = (
         o.groupBy("o_custkey")
         .agg(
@@ -2158,28 +2158,52 @@ def q93_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    n = rfm.count()
 
     # exact closed-form quintile: ((rn-1)*5) div n + 1 on the unique-keyed
-    # rank.  Scores are CHAINED rankings on one DataFrame, not three ranked
-    # branches joined back on o_custkey: a NULL customer key (crawl-quality
-    # orders) never equi-joins (NULL != NULL), so the join form silently
-    # dropped that group while the oracle's windows kept it (r8).
-    d = rfm
-    for dim, out_col in [
-        ("recency_day", "r_score"),
-        ("frequency", "f_score"),
-        ("monetary_cents", "m_score"),
-    ]:
-        d = global_row_number(d, [dim, "o_custkey"], out_col="_rn")
-        d = d.withColumn(
-            out_col, F.expr(f"CAST(((_rn - 1) * 5) div {n} + 1 AS BIGINT)")
-        ).drop("_rn")
+    # rank.  r9 shape (guide §2.4): the r8 form CHAINED three
+    # global_row_number calls, which cost three range exchanges, three
+    # boundary-sample jobs and three count jobs, and nested the plan three
+    # deep (66 Exchange nodes in the r8 plan).  The three rankings fuse into
+    # ONE pass: explode each customer into (dim, value) rows — every dim
+    # ranks exactly the same n customers — and rank once over
+    # (dim, value, custkey) via global_row_number_grouped (one range
+    # exchange, one stats job).  The scores then pivot back per customer
+    # with a groupBy (NULL custkey is one GROUP, same as the window form —
+    # never an equi-join, which would drop it, the r8 hazard).
+    exploded = rfm.select(
+        "o_custkey",
+        "monetary_cents",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("dim"), F.col("recency_day").alias("v")
+                ),
+                F.struct(F.lit(2).alias("dim"), F.col("frequency").alias("v")),
+                F.struct(
+                    F.lit(3).alias("dim"), F.col("monetary_cents").alias("v")
+                ),
+            )
+        ).alias("e"),
+    ).select("o_custkey", "monetary_cents", F.col("e.dim").alias("dim"), F.col("e.v").alias("v"))
+    ranked, totals = global_row_number_grouped(
+        exploded, "dim", ["v", "o_custkey"], out_col="_rn"
+    )
+    n = totals.get(1, 0) or 1  # every dim ranks the same n customers
+    scored = ranked.withColumn(
+        "score", F.expr(f"CAST(((_rn - 1) * 5) div {n} + 1 AS BIGINT)")
+    )
     return (
-        d.groupBy("r_score", "f_score", "m_score")
+        scored.groupBy("o_custkey")
+        .agg(
+            F.max(F.when(F.col("dim") == 1, F.col("score"))).alias("r_score"),
+            F.max(F.when(F.col("dim") == 2, F.col("score"))).alias("f_score"),
+            F.max(F.when(F.col("dim") == 3, F.col("score"))).alias("m_score"),
+            F.max("monetary_cents").alias("_cents"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count("*").cast("bigint").alias("n_customers"),
-            F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
+            F.sum("_cents").cast("bigint").alias("segment_cents"),
         )
         .orderBy("r_score", "f_score", "m_score")
     )
@@ -2474,34 +2498,44 @@ GROUP BY 1, 2 ORDER BY early_score, late_score
 
 @register("q97_segment_migration", oracle=_q97_oracle())
 def q97_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_lake_spark.ops.ranking import global_row_number
+    from delta_lake_spark.ops.ranking import global_row_number_grouped
 
     o = table(spark, sf_dir, "orders")
 
-    def period_scores(cond) -> DataFrame:
-        rev = (
-            o.filter(cond)
-            .groupBy("o_custkey")
-            .agg(
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-                .cast("bigint")
-                .alias("cents")
-            )
-        )
-        n = rev.count()
-        ranked = global_row_number(rev, ["cents", "o_custkey"], out_col="rn")
-        return ranked.select(
+    # r9 shape (guide §2.4): the r8 form built each period independently —
+    # two fact scans, two custkey agg exchanges, two count jobs and two
+    # global_row_number range exchanges.  Both periods now come off ONE
+    # pass: a period tag (NULL order dates match neither period and drop,
+    # exactly as the two filters did), ONE (period, custkey) aggregate, and
+    # ONE fused ranking over (period, cents, custkey).  The per-period n
+    # for the quintile formula rides out of the ranking's stats job.  The
+    # full-outer join on custkey stays — a NULL custkey row in both periods
+    # must produce TWO rows (never matching itself), which a groupBy pivot
+    # would merge (oracle semantics, degenerate corpus).
+    split = F.lit(_Q97_SPLIT).cast("timestamp")
+    tagged = o.withColumn(
+        "_period",
+        F.when(F.col("o_orderdate") < split, 0)
+        .when(F.col("o_orderdate") >= split, 1),
+    ).filter(F.col("_period").isNotNull())
+    rev = tagged.groupBy("_period", "o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked, totals = global_row_number_grouped(
+        rev, "_period", ["cents", "o_custkey"], out_col="rn"
+    )
+
+    def period_scores(period: int, out: str) -> DataFrame:
+        n = totals.get(period, 0) or 1
+        return ranked.filter(F.col("_period") == period).select(
             "o_custkey",
-            F.expr(f"CAST(((rn - 1) * 5) div {n} + 1 AS BIGINT)").alias("score"),
+            F.expr(f"CAST(((rn - 1) * 5) div {n} + 1 AS BIGINT)").alias(out),
         )
 
-    split = F.lit(_Q97_SPLIT).cast("timestamp")
-    e = period_scores(F.col("o_orderdate") < split).withColumnRenamed(
-        "score", "e_score"
-    )
-    l = period_scores(F.col("o_orderdate") >= split).withColumnRenamed(
-        "score", "l_score"
-    )
+    e = period_scores(0, "e_score")
+    l = period_scores(1, "l_score")
     return (
         e.join(l, "o_custkey", "full_outer")
         .groupBy(

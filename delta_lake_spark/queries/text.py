@@ -1871,8 +1871,17 @@ def t27_quality_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("lm_score_micro").alias("y")
     )
     q = docs.select("doc_id", quality_score("text").alias("x"))
-    # persisted: both rank passes and the final moments consume this frame
-    m = q.join(lm, "doc_id").persist()
+    # pinned (eager localCheckpoint), not just persisted (r9): each midrank
+    # pass launches several jobs (range sample, partial-sum collect, final),
+    # and each used to replan the WHOLE bigram-LM join stack under this
+    # point — the r8 physical plan carried 332 Exchange nodes and Catalyst
+    # planning dwarfed execution (the p03 lesson, measured there in r6).
+    # pin() truncates the lineage to a cached relation; the reliable-
+    # checkpoint switch (SPARK_GRAFT_RELIABLE_CHECKPOINT=1) keeps it safe on
+    # a multi-node cluster.
+    from delta_lake_spark.ops.lineage import pin
+
+    m = pin(q.join(lm, "doc_id"))
 
     def with_doubled_midranks(df, col, out):
         h = df.groupBy(col).agg(F.count("*").alias("_k"))

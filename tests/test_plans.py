@@ -522,14 +522,16 @@ def test_m07_chunk_dedup_two_bounded_exchanges(spark):
     assert "Join" not in plan
 
 
-def test_q97_migration_windows_pid_partitioned(spark):
-    """Both period rankings must ride the range-partition path — every
-    window partitions by the ranking pid, never globally."""
+def test_q97_migration_ranking_window_free(spark):
+    """Both period rankings ride the fused range-partition path (r9): ONE
+    range exchange for both periods, NO window at all (the local rank is
+    read off monotonically_increasing_id above the partition sort — the
+    r8 window form cost a second full-data exchange on the ranking pid),
+    and never a global (unpartitioned) window funnel."""
     plan = plan_of(QUERIES["q97_segment_migration"](spark, SF_SMOKE), "simple")
-    windows = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
-    assert windows, plan
-    for ln in windows:
-        assert "_gr_pid" in ln, ln
+    assert "windowspecdefinition" not in plan, plan
+    assert "hashpartitioning(_gr_pid" not in plan, plan
+    assert plan.count("rangepartitioning(_period") >= 1, plan
 
 
 def test_q99_value_bands_single_band_exchange(spark):
