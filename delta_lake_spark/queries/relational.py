@@ -1977,7 +1977,19 @@ def q91_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     # NOT persisted: the cached distinct frame loses the codegen'd parquet
     # scan under the self-join and measures ~2x slower than re-scanning
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    #
+    # r9 (guide §2.4, the q53 pattern): hash-partition by l_orderkey ALONE —
+    # hash(ok) satisfies the (ok, pk) distinct AND both sides of the
+    # intra-order self-join below, so the basket enumeration adds no join
+    # exchange (the r8 plan re-shuffled both join inputs from hash(ok, pk)
+    # to hash(ok)).  Measured per interleaved A/B cycle (the box drifts):
+    # new wins 4/5 cycles, e.g. 2.59 -> 1.34 s and 2.38 -> 1.40 s in the
+    # clean early cycles; plan has one fewer fact-sized exchange.
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition(F.col("l_orderkey"))
+        .distinct()
+    )
     n_orders = items.select(
         F.countDistinct("l_orderkey").cast("bigint").alias("n")
     )
@@ -2977,7 +2989,14 @@ LIMIT 20
 )
 def q105_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
+    # r9: hash(ok) pre-partition — one exchange serves the distinct and all
+    # THREE sides of the chained intra-order self-joins (q91's rationale;
+    # measured there, same shape one join deeper).
+    items = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition(F.col("l_orderkey"))
+        .distinct()
+    )
     n_orders = items.select(
         F.countDistinct("l_orderkey").cast("bigint").alias("n")
     )

@@ -355,6 +355,20 @@ def q53_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returned-line count, then derive order breadth and return breadth via
     # an order-partitioned window over that MUCH smaller frame.  numwait
     # counts qualifying l1 ROWS, so it sums n_r_lines, not pairs.
+    #
+    # r9 (guide §2.4 "share one exchange"): hash-partition by l_orderkey
+    # ALONE before the aggregate — hash(ok) satisfies the aggregate's
+    # clustering on (ok, sk), the window's clustering on (ok), AND the
+    # orders semi-join's left side, so ONE exchange serves all three (the
+    # r8 plan paid hash(ok, sk) then hash(ok) back to back).  The explicit
+    # repartition forgoes map-side partial aggregation, which is a no-op
+    # here anyway: (order, supplier) groups are 1-2 rows, so the raw rows
+    # shuffled (projected to 3 columns first, §2.3) cost the same bytes as
+    # the partial aggregates.  Measured 1.48 -> 0.98 s warm median
+    # (interleaved A/B, identical results).
+    l = l.select("l_orderkey", "l_suppkey", "l_returnflag").repartition(
+        F.col("l_orderkey")
+    )
     pair = l.groupBy("l_orderkey", "l_suppkey").agg(
         F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_r_lines")
     )
@@ -574,10 +588,22 @@ def q57_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     l = table(spark, sf_dir, "lineitem")
-    pair = l.groupBy("l_partkey", "l_suppkey").agg(
-        F.floor(
-            F.sum(_dec("l_extendedprice")).cast("double") / F.count("*") * 100
-        ).alias("avg_price_c")
+    # r9 (guide §2.4, the q53 pattern): hash-partition by l_partkey ALONE —
+    # one exchange serves the (partkey, suppkey) aggregate AND the
+    # part-partitioned argmin window below (the r8 plan paid
+    # hash(pk, sk) then hash(pk) on the fact-sized pair frame).  Partial
+    # aggregation forgone is a no-op: (part, supplier) groups are a few
+    # rows.  Projected to the 3 needed columns before the shuffle (§2.3).
+    # Measured 1.47 -> 0.86 s warm median (interleaved A/B, identical).
+    pair = (
+        l.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .repartition(F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.floor(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.count("*") * 100
+            ).alias("avg_price_c")
+        )
     )
     p = table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "PROMO") & (F.col("p_size") <= 15)
