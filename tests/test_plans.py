@@ -534,6 +534,31 @@ def test_q97_migration_ranking_window_free(spark):
     assert plan.count("rangepartitioning(_period") >= 1, plan
 
 
+def test_q53_fact_path_single_exchange(spark):
+    """The (orderkey, suppkey) aggregate, the orderkey window and the
+    orders semi-join all ride ONE hash(l_orderkey) exchange (r9): the
+    prefix-key pre-partition must not regress back to the r8 plan's
+    hash(ok, sk) + hash(ok) double shuffle of the fact-sized pair frame."""
+    plan = plan_of(QUERIES["q53_sole_return_suppliers"](spark, SF_SMOKE), "simple")
+    assert "hashpartitioning(l_orderkey" in plan, plan
+    # exactly one exchange mentions l_orderkey; none mentions l_suppkey
+    assert plan.count("hashpartitioning(l_orderkey") == 1, plan
+    assert "hashpartitioning(l_suppkey" not in plan
+    for ln in plan.splitlines():
+        if "hashpartitioning" in ln and "l_suppkey" in ln:
+            raise AssertionError(ln)
+
+
+def test_q57_fact_path_single_exchange(spark):
+    """Same prefix-key rule for q57: one hash(l_partkey) exchange serves
+    the (partkey, suppkey) aggregate and the argmin window."""
+    plan = plan_of(QUERIES["q57_min_cost_supplier"](spark, SF_SMOKE), "simple")
+    assert plan.count("hashpartitioning(l_partkey") == 1, plan
+    for ln in plan.splitlines():
+        if "hashpartitioning" in ln and "l_suppkey" in ln:
+            raise AssertionError(ln)
+
+
 def test_q99_value_bands_single_band_exchange(spark):
     """Band histogram is one fact projection into a bounded aggregate —
     exactly one hash exchange (the band groupBy); the scalar total joins
