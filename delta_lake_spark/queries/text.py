@@ -1871,17 +1871,17 @@ def t27_quality_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("lm_score_micro").alias("y")
     )
     q = docs.select("doc_id", quality_score("text").alias("x"))
-    # pinned (eager localCheckpoint), not just persisted (r9): each midrank
-    # pass launches several jobs (range sample, partial-sum collect, final),
-    # and each used to replan the WHOLE bigram-LM join stack under this
-    # point — the r8 physical plan carried 332 Exchange nodes and Catalyst
-    # planning dwarfed execution (the p03 lesson, measured there in r6).
-    # pin() truncates the lineage to a cached relation; the reliable-
-    # checkpoint switch (SPARK_GRAFT_RELIABLE_CHECKPOINT=1) keeps it safe on
-    # a multi-node cluster.
-    from delta_lake_spark.ops.lineage import pin
-
-    m = pin(q.join(lm, "doc_id"))
+    # persisted: both rank passes and the final moments consume this frame.
+    # pin() (eager localCheckpoint) was measured HERE and kept OUT (r9):
+    # in a clean session it wins (0.39 vs 0.91 s — it truncates the
+    # planning stack that made the r8 plan carry 332 Exchange nodes), but
+    # in a bench-crowded session (dozens of resident cached frames, the
+    # condition the driver actually measures under) the eager checkpoint
+    # degrades 6.5x (pin 2.56 s vs persist 1.65 s, interleaved A/B after
+    # warming 15 other queries).  The r9 window-free global_cumsum already
+    # removed the per-midrank offsets join, so the persist-form plan is
+    # far below the r8 blowup anyway.
+    m = q.join(lm, "doc_id").persist()
 
     def with_doubled_midranks(df, col, out):
         h = df.groupBy(col).agg(F.count("*").alias("_k"))
