@@ -1,5 +1,5 @@
-"""Distributed global ranking: row_number / ntile over the WHOLE frame
-without the single-partition funnel.
+"""Distributed global ranking: row_number / ntile / cumsum over the WHOLE
+frame without the single-partition funnel.
 
 ``Window.orderBy(...)`` with no partitionBy routes every row through one task
 (Exchange SinglePartition) — the plan shape :mod:`ops.plan_audit` flags as
@@ -34,19 +34,100 @@ order (deterministic under retry for the same reason the window form was —
 the sort order is total given unique keys).  The per-partition offsets then
 attach as a literal array lookup (no join), so one range exchange is the
 ONLY data movement.  The 33-bit layout caps partitions at ~8.6e9 rows —
-far above any sane partition size (a guard asserts it anyway).
+far above any sane partition size — and a runtime guard raises if a
+partition count ever exceeds it.  Every stats collect additionally
+cross-checks ``max(_LOC) + 1 == count`` per partition (ADVICE r9): if a
+Spark upgrade ever changed the monotonically_increasing_id bit layout or
+reordered the projection below the sort, ranks fail loudly instead of
+silently corrupting.
+
+``global_cumsum`` / ``global_cumsum_grouped`` (r10, VERDICT r9 item 2)
+carry TWO measured forms of the running-sum step, switched by
+``SPARK_GRAFT_CUMSUM_ONE_EXCHANGE`` (see :func:`_cumsum_one_exchange` for
+the numbers): the default pid-window form keeps the second
+(histogram-scale) ``hashpartitioning(_gr_pid)`` exchange, which a single
+machine services out of the page cache faster than any alternative; the
+one-exchange form replaces it with a vectorized Arrow ``mapInPandas``
+prefix sum over the already-range-partitioned, partition-sorted frame
+(guide §4 — numpy cumsum per batch, running carry across batches, the
+collected per-partition partial sums riding in the task closure), for
+deployments where the second exchange would cross a real network.
+
+Driver-side structure bounds (VERDICT r9 item 8): the literal offsets
+array is constant-folded into every task binary, and at tens of thousands
+of shuffle partitions (100 TB shapes) a P-element literal in every task
+plus O(P) expression-tree work in Catalyst stops being free.  Above
+``_LITERAL_OFFSETS_MAX_PARTITIONS`` the offsets therefore attach via the
+broadcast-hash-join form instead (probe-side partitioning intact, so the
+plan gains a BroadcastExchange of a P-row frame but no data exchange).
+The measured crossover on this box (tools/synth_ab.py, 2M rows): literal
+array wins at P <= 2048 (0.57 s vs 0.62 s at P=2048) and LOSES at
+P=16384 (3.5 s vs 3.0 s, with whole-plan constant folding visibly
+driver-bound); 4096 splits the difference conservatively.  The grouped
+stats collect is P x #groups rows on the driver — bounded tags only
+(#groups <= ~dozens), documented in :func:`global_row_number_grouped`.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 _PID = "_gr_pid"
 _OFF = "_gr_offset"
 _LOC = "_gr_loc"
 _LOC_MASK = (1 << 33) - 1  # monotonically_increasing_id: low 33 bits = record#
+# Above this partition count the constant-folded literal offsets array (one
+# copy in every task binary + O(P) Catalyst work per consumer) costs more
+# than a broadcast join of a P-row offsets frame; see module docstring for
+# the measured crossover.
+_LITERAL_OFFSETS_MAX_PARTITIONS = 4096
+# group-key sentinel for NULL groups in driver-side dicts (None is a valid
+# dict key, but pandas/numpy NaN round-trips make it unreliable as one)
+_NULL_KEY = ("__gr_null__",)
+
+
+def _check_loc_layout(pid: int, n: int, mx) -> None:
+    """Runtime cross-check of the monotonically_increasing_id layout
+    (ADVICE r9): the max masked id in a partition must equal count-1.  A
+    Spark upgrade that changed the bit layout, or an optimizer that moved
+    the projection below the sort, fails loudly here instead of silently
+    corrupting ranks."""
+    if n > _LOC_MASK:
+        raise ValueError(
+            f"partition {pid} holds {n} rows > 2^33-1: the 33-bit local "
+            "row-index layout cannot rank it — raise num_partitions"
+        )
+    if n > 0 and mx != n - 1:
+        raise RuntimeError(
+            f"monotonically_increasing_id layout check failed on partition "
+            f"{pid}: max local index {mx} != count-1 {n - 1} — the id bit "
+            "layout or projection placement changed; ranks would corrupt"
+        )
+
+
+def _attach_offsets(ranged: DataFrame, offsets: list[int], expr_of) -> DataFrame:
+    """Attach per-partition offsets to the ranged frame: as a constant-folded
+    literal array lookup below the partition-count ceiling, as a broadcast
+    hash join (probe-side partitioning intact — no extra data exchange)
+    above it.  ``expr_of(off_col)`` builds the output projection from the
+    attached offset column/expression."""
+    spark = ranged.sparkSession
+    if len(offsets) <= _LITERAL_OFFSETS_MAX_PARTITIONS:
+        off_arr = F.array(*[F.lit(o).cast("long") for o in offsets])
+        return expr_of(ranged, F.element_at(off_arr, F.col(_PID) + 1))
+    off_schema = StructType(
+        [
+            StructField("_gr_p2", IntegerType(), False),
+            StructField(_OFF, LongType(), False),
+        ]
+    )
+    off = spark.createDataFrame(
+        [(pid, o) for pid, o in enumerate(offsets)], off_schema
+    )
+    joined = ranged.join(F.broadcast(off), F.col(_PID) == F.col("_gr_p2"))
+    return expr_of(joined, F.col(_OFF)).drop("_gr_p2", _OFF)
 
 
 def _global_row_number_with_total(
@@ -82,24 +163,25 @@ def _global_row_number_with_total(
         .persist()
     )
     counts = sorted(
-        (r[_PID], r["n"])
-        for r in ranged.groupBy(_PID).agg(F.count("*").alias("n")).collect()
+        (r[_PID], r["n"], r["mx"])
+        for r in ranged.groupBy(_PID)
+        .agg(F.count("*").alias("n"), F.max(_LOC).alias("mx"))
+        .collect()
     )
-    by_pid = dict(counts)
-    assert all(n <= _LOC_MASK for _, n in counts), "partition exceeds 2^33 rows"
+    by_pid = dict((pid, n) for pid, n, _ in counts)
+    for pid, n, mx in counts:
+        _check_loc_layout(pid, n, mx)
     offsets, acc = [], 0
     for pid in range(num_partitions):
         offsets.append(acc)
         acc += by_pid.get(pid, 0)
-    # literal array lookup instead of a broadcast join + window: zero extra
-    # exchanges, zero extra jobs (element_at is 1-based; pid is 0-based)
-    off_arr = F.array(*[F.lit(o).cast("long") for o in offsets])
-    ranked = (
-        ranged.withColumn(
-            out_col, F.element_at(off_arr, F.col(_PID) + 1) + F.col(_LOC) + 1
-        )
-        .drop(_PID, _LOC)
-    )
+    ranked = _attach_offsets(
+        ranged,
+        offsets,
+        lambda frame, off: frame.withColumn(
+            out_col, off + F.col(_LOC) + 1
+        ),
+    ).drop(_PID, _LOC)
     return ranked, acc
 
 
@@ -180,8 +262,10 @@ def global_row_number_grouped(
     order, and ranks within (partition, group).
 
     ``order_by`` must be unique per group (add a tie-break).  ``group_col``
-    is intended for small bounded tags (dimension ids, period flags);
-    NULL group values are handled (null-safe join, NULLS-FIRST grouping).
+    is intended for small bounded tags (dimension ids, period flags) — the
+    stats collect is P x #groups rows on the driver, so #groups must stay
+    metadata-sized (dozens, not millions); NULL group values are handled
+    (null-safe join, NULLS-FIRST grouping).
 
     Returns ``(ranked_df, totals)`` where ``totals`` maps each group value
     to its exact row count — callers needing per-group N (quintile math)
@@ -205,9 +289,31 @@ def global_row_number_grouped(
     # first local index in that partition — rank = loc - start + offset + 1.
     stats = (
         ranged.groupBy(_PID, group_col)
-        .agg(F.count("*").alias("n"), F.min(_LOC).alias("s"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(_LOC).alias("s"),
+            F.max(_LOC).alias("mx"),
+        )
         .collect()
     )
+    # overflow + layout cross-check per PARTITION (ADVICE r9: the grouped
+    # variant lacked the 2^33 guard the ungrouped one had): group intervals
+    # [s, s+n) must exactly tile [0, partition row count) in sorted order.
+    by_pid: dict[int, list] = {}
+    for r in stats:
+        by_pid.setdefault(r[_PID], []).append((r["s"], r["n"], r["mx"]))
+    for pid, ivs in by_pid.items():
+        pid_n = sum(n for _, n, _ in ivs)
+        _check_loc_layout(pid, pid_n, max(mx for _, _, mx in ivs))
+        nxt = 0
+        for s, n, mx in sorted(ivs):
+            if s != nxt or mx != s + n - 1:
+                raise RuntimeError(
+                    f"grouped local-index layout check failed on partition "
+                    f"{pid}: interval [{s}, {s}+{n}) with max {mx} does not "
+                    f"tile at {nxt} — id layout or sort placement changed"
+                )
+            nxt = s + n
     per_group: dict = {}
     for r in sorted(stats, key=lambda r: r[_PID]):
         per_group.setdefault(r[group_col], []).append((r[_PID], r["n"], r["s"]))
@@ -218,7 +324,7 @@ def global_row_number_grouped(
             rows.append((pid, g, acc, s))
             acc += n
         totals[g] = acc
-    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+    from pyspark.sql.types import IntegerType
 
     off_schema = StructType(
         [
@@ -245,6 +351,39 @@ def global_row_number_grouped(
     return ranked, totals
 
 
+def _null_key(g):
+    """Normalize a group value into a dict key that survives the
+    driver-Row / Arrow / pandas round trips (None and float NaN both mean
+    SQL NULL)."""
+    if g is None or (isinstance(g, float) and g != g):
+        return _NULL_KEY
+    return g
+
+
+def _cumsum_one_exchange() -> bool:
+    """Form switch for the running-sum step (r10, measured both ways).
+
+    Default (0): per-partition ``SUM OVER (PARTITION BY _gr_pid)`` window —
+    Catalyst inserts a second ``hashpartitioning(_gr_pid)`` exchange of the
+    frame, but on a single machine that exchange is a page-cache shuffle
+    and beats the alternative at every measured size (interleaved
+    tools/synth_ab.py cumsum: window 4.9 s vs map 6.8 s at 20M rows,
+    0.26 vs 0.40 s at 200K; sf0.1 whole-query A/B: t25 0.45 -> 0.85 s and
+    q96 0.41 -> 0.69 s REGRESSED under the map form).
+
+    SPARK_GRAFT_CUMSUM_ONE_EXCHANGE=1: vectorized Arrow ``mapInPandas``
+    prefix sum over the already-range-partitioned, partition-sorted frame —
+    ONE exchange total.  The Python boundary costs ~25% of the frame pass
+    locally, but the exchange it removes is a full-network pass of every
+    byte on a real cluster (guide §1.3 napkin math: the local box's
+    "shuffle" never leaves the page cache, a 100 TB cluster's does), so
+    network-bound deployments should flip this on.  Both forms are exact
+    and property-tested identical."""
+    import os
+
+    return os.environ.get("SPARK_GRAFT_CUMSUM_ONE_EXCHANGE", "0") == "1"
+
+
 def global_cumsum(
     df: DataFrame,
     value: str | Column,
@@ -255,23 +394,27 @@ def global_cumsum(
 ) -> DataFrame:
     """Exact global running ``SUM(value) OVER (ORDER BY order_by ROWS
     UNBOUNDED PRECEDING)`` with P-way parallelism — the cumulative-sum twin
-    of :func:`global_row_number` (range partition on the order key,
-    per-partition window sum, broadcast per-partition value offsets).
-    ``order_by`` must be a unique key; ascending only.  ``value`` must be
-    integral/decimal for the result to be order-independent (the offsets
-    are exact partial sums)."""
+    of :func:`global_row_number` (range partition on the order key, collected
+    per-partition partial sums as offsets, partition-local running sum).
+    ``order_by`` must be a unique key; ascending only.  ``value`` must be an
+    integral, effectively non-null column (SQL SUM skips NULLs; they
+    contribute 0 here) for the result to be order-independent and exact.
+
+    The running-sum step takes one of two measured forms (see
+    :func:`_cumsum_one_exchange`): the default pid-window (fastest on a
+    single machine) or the one-exchange Arrow prefix sum (fastest when the
+    second exchange would cross a network)."""
     spark = df.sparkSession
     if num_partitions is None:
         # defaultParallelism (cores), not shuffle.partitions (2x cores): the
-        # range exchange + offset collect + broadcast join sequence is
-        # scheduling-bound (the q73 lesson — halving tiny-task count there
-        # measured 3x); P still scales with the cluster, which is all the
-        # prefix-sum construction needs
+        # range exchange + offset collect sequence is scheduling-bound (the
+        # q73 lesson — halving tiny-task count there measured 3x); P still
+        # scales with the cluster, which is all the prefix sum needs
         num_partitions = spark.sparkContext.defaultParallelism
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     val = F.col(value) if isinstance(value, str) else value
     ranged = (
-        df.withColumn("_gc_v", val)
+        df.withColumn("_gc_v", val.cast("long"))
         .repartitionByRange(num_partitions, *cols)
         .withColumn(_PID, F.spark_partition_id())
         .persist()
@@ -286,19 +429,204 @@ def global_cumsum(
     for pid in range(num_partitions):
         offsets.append(acc)
         acc += int(sums.get(pid) or 0)
-    # literal array lookup instead of a broadcast join (r9): the partial-sum
-    # offsets attach as a projection; the running-sum window (and its
-    # clustering exchange) is the one piece a prefix sum genuinely needs.
-    off_arr = F.array(*[F.lit(o).cast("long") for o in offsets])
-    w = (
-        Window.partitionBy(_PID)
-        .orderBy(*cols)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    return (
-        ranged.withColumn(
-            out_col,
-            F.sum("_gc_v").over(w) + F.element_at(off_arr, F.col(_PID) + 1),
+
+    if not _cumsum_one_exchange():
+        # pid-window form: literal offsets attach as a projection (the r9
+        # improvement — no broadcast join); the running-sum window's
+        # clustering requirement inserts the histogram-scale
+        # hashpartitioning(_gr_pid) exchange, measured cheaper than the
+        # Python boundary on a single machine (docstring above).
+        from pyspark.sql.window import Window
+
+        off_arr = F.array(*[F.lit(o).cast("long") for o in offsets])
+        w = (
+            Window.partitionBy(_PID)
+            .orderBy(*cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
-        .drop(_PID, "_gc_v")
+        return (
+            ranged.withColumn(
+                out_col,
+                F.sum("_gc_v").over(w)
+                + F.element_at(off_arr, F.col(_PID) + 1),
+            )
+            .drop(_PID, "_gc_v")
+        )
+
+    out_fields = [
+        f for f in ranged.schema.fields if f.name not in (_PID, "_gc_v")
+    ]
+    out_names = [f.name for f in out_fields]
+    out_schema = StructType(out_fields + [StructField(out_col, LongType(), True)])
+
+    def _prefix_sum(batches):
+        import numpy as np
+
+        run = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if run is None:
+                run = offsets[int(pdf[_PID].iloc[0])]
+            vals = pdf["_gc_v"].fillna(0).to_numpy(dtype="int64")
+            c = np.cumsum(vals) + run
+            run = int(c[-1])
+            out = pdf[out_names].copy()
+            out[out_col] = c
+            yield out
+
+    return ranged.sortWithinPartitions(*cols).mapInPandas(
+        _prefix_sum, out_schema
     )
+
+
+def global_cumsum_grouped(
+    df: DataFrame,
+    group_col: str,
+    value: str | Column,
+    order_by: list[str | Column],
+    *,
+    out_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Per-group exact running ``SUM(value) OVER (PARTITION BY group ORDER
+    BY order_by ROWS UNBOUNDED PRECEDING)`` for ALL groups through ONE range
+    exchange — the cumulative-sum twin of
+    :func:`global_row_number_grouped` (VERDICT r9 item 3: t27's two midrank
+    histogram+cumsum stacks fuse into one pass on an (x|y) tag).
+
+    Range-partitions ONCE on ``(group, *order_by)`` (group-contiguity makes
+    per-group partition offsets well-defined), collects per-(partition,
+    group) partial sums in ONE metadata job, then runs the same vectorized
+    partition-local prefix-sum pass as :func:`global_cumsum`, resetting the
+    accumulator at group boundaries (rows arrive sorted by (group, keys),
+    so groups are contiguous runs — the per-block loop is per GROUP, not
+    per row, and each block is one numpy cumsum).
+
+    Same contracts as the grouped ranking: ``order_by`` unique per group,
+    ``group_col`` a small bounded tag (the stats collect is P x #groups
+    driver rows), NULL groups handled.  ``value`` integral non-null (NULLs
+    contribute 0).  Returns ``(df, totals)`` with each group's exact sum.
+
+    The running-sum step follows the same two measured forms as
+    :func:`global_cumsum` (see :func:`_cumsum_one_exchange`): default
+    (pid, group)-window, one-exchange Arrow prefix sum behind the env flag.
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    val = F.col(value) if isinstance(value, str) else value
+    ranged = (
+        df.withColumn("_gc_v", val.cast("long"))
+        .repartitionByRange(num_partitions, F.col(group_col), *cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
+    )
+    stats = (
+        ranged.groupBy(_PID, group_col)
+        .agg(F.sum("_gc_v").alias("s"))
+        .collect()
+    )
+    per_group: dict = {}
+    for r in sorted(stats, key=lambda r: r[_PID]):
+        per_group.setdefault(_null_key(r[group_col]), []).append(
+            (r[_PID], r["s"], r[group_col])
+        )
+    offsets: dict = {}
+    totals: dict = {}
+    for gk, lst in per_group.items():
+        acc = 0
+        for pid, s, g in lst:
+            offsets[(pid, gk)] = acc
+            acc += int(s or 0)
+        totals[lst[0][2]] = acc
+
+    if not _cumsum_one_exchange():
+        # (pid, group)-window form: offsets attach via a broadcast hash
+        # join on the null-safe (pid, group) pair (the grouped twin of the
+        # ungrouped literal array — a 2-key literal lookup has no
+        # constant-foldable form); the window's clustering requirement
+        # inserts one histogram-scale hash exchange.
+        from pyspark.sql.window import Window
+
+        rows = [
+            (pid, g, offsets[(pid, _null_key(g))])
+            for lst in per_group.values()
+            for pid, s, g in lst
+        ]
+        off_schema = StructType(
+            [
+                StructField("_gr_p2", IntegerType(), False),
+                StructField("_gr_g", df.schema[group_col].dataType, True),
+                StructField(_OFF, LongType(), False),
+            ]
+        )
+        off = spark.createDataFrame(rows, off_schema)
+        w = (
+            Window.partitionBy(_PID, group_col)
+            .orderBy(*cols)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        summed = (
+            ranged.join(
+                F.broadcast(off),
+                (F.col(_PID) == F.col("_gr_p2"))
+                & F.col(group_col).eqNullSafe(F.col("_gr_g")),
+            )
+            .withColumn(out_col, F.sum("_gc_v").over(w) + F.col(_OFF))
+            .drop(_PID, "_gc_v", _OFF, "_gr_p2", "_gr_g")
+        )
+        return summed, totals
+
+    out_fields = [
+        f for f in ranged.schema.fields if f.name not in (_PID, "_gc_v")
+    ]
+    out_names = [f.name for f in out_fields]
+    out_schema = StructType(out_fields + [StructField(out_col, LongType(), True)])
+
+    def _prefix_sum(batches):
+        import numpy as np
+        import pandas as pd
+
+        pid = None
+        run: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if pid is None:
+                pid = int(pdf[_PID].iloc[0])
+            vals = pdf["_gc_v"].fillna(0).to_numpy(dtype="int64")
+            keys = pdf[group_col].to_numpy(dtype=object)
+            na = pd.isna(keys)
+            if na.any():
+                keys = keys.copy()
+                # assign via a 0-d object cell: a bare tuple on the right
+                # would be BROADCAST into its elements by numpy
+                cell = np.empty((), dtype=object)
+                cell[()] = _NULL_KEY
+                keys[na] = cell
+            out_vals = np.empty(len(vals), dtype="int64")
+            # contiguous group blocks (sorted by (group, keys)); one numpy
+            # cumsum per block — per-group work, not per-row Python
+            # (None != None is False, so NULL-group runs stay one block)
+            bounds = (
+                [0]
+                + (np.flatnonzero(keys[1:] != keys[:-1]) + 1).tolist()
+                + [len(keys)]
+            )
+            for b in range(len(bounds) - 1):
+                s, e = bounds[b], bounds[b + 1]
+                gk = keys[s]
+                base = run.get(gk, offsets.get((pid, gk), 0))
+                c = np.cumsum(vals[s:e]) + base
+                out_vals[s:e] = c
+                run[gk] = int(c[-1])
+            out = pdf[out_names].copy()
+            out[out_col] = out_vals
+            yield out
+
+    ranked = ranged.sortWithinPartitions(F.col(group_col), *cols).mapInPandas(
+        _prefix_sum, out_schema
+    )
+    return ranked, totals

@@ -1864,32 +1864,60 @@ FROM mo
 )
 def t27_quality_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_spark.functions.text import bigram_lm_scores, quality_score
-    from delta_lake_spark.ops.ranking import global_cumsum
+    from delta_lake_spark.ops.lineage import pin
+    from delta_lake_spark.ops.ranking import global_cumsum_grouped
 
     docs = table_parallel(spark, sf_dir, "documents", "doc_id")
     lm = bigram_lm_scores(docs, "doc_id", "text").select(
         "doc_id", F.col("lm_score_micro").alias("y")
     )
     q = docs.select("doc_id", quality_score("text").alias("x"))
-    # persisted: both rank passes and the final moments consume this frame.
+    # persisted: the histogram pass and the final moments consume this frame.
     # pin() (eager localCheckpoint) was measured HERE and kept OUT (r9):
-    # in a clean session it wins (0.39 vs 0.91 s — it truncates the
-    # planning stack that made the r8 plan carry 332 Exchange nodes), but
-    # in a bench-crowded session (dozens of resident cached frames, the
-    # condition the driver actually measures under) the eager checkpoint
-    # degrades 6.5x (pin 2.56 s vs persist 1.65 s, interleaved A/B after
-    # warming 15 other queries).  The r9 window-free global_cumsum already
-    # removed the per-midrank offsets join, so the persist-form plan is
-    # far below the r8 blowup anyway.
+    # in a clean session it wins (it truncates the planning stack), but in a
+    # bench-crowded session (dozens of resident cached frames, the condition
+    # the driver actually measures under) the eager checkpoint degrades 6.5x
+    # (pin 2.56 s vs persist 1.65 s, interleaved A/B after warming 15 other
+    # queries).
     m = q.join(lm, "doc_id").persist()
 
-    def with_doubled_midranks(df, col, out):
-        h = df.groupBy(col).agg(F.count("*").alias("_k"))
-        c = global_cumsum(h, "_k", [col], out_col="_ci")
-        r = c.select(col, (2 * F.col("_ci") - F.col("_k") + 1).alias(out))
-        return df.join(r, col)
-
-    j = with_doubled_midranks(with_doubled_midranks(m, "x", "x2"), "y", "y2")
+    # ONE fused midrank pass for both dimensions (r10, the q93 recipe —
+    # VERDICT r9 item 3): the two histogram+cumsum stacks used to consume m
+    # separately, each range-partitioning its own histogram and (until r10)
+    # paying a second pid-hash window exchange — the committed r9 plan
+    # carried 322 Exchange nodes because every consumer job replanned the
+    # whole bigram-LM stack under m.  Both score histograms now explode to
+    # (dim, v) rows and one grouped cumsum ranks them through a single
+    # range exchange; doubled midrank = 2*cum_incl - k + 1, per dim.
+    h = (
+        m.select(
+            F.explode(
+                F.array(
+                    F.struct(F.lit("x").alias("dim"), F.col("x").alias("v")),
+                    F.struct(F.lit("y").alias("dim"), F.col("y").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.dim", "e.v")
+        .groupBy("dim", "v")
+        .agg(F.count("*").alias("_k"))
+    )
+    c, _ = global_cumsum_grouped(h, "dim", "_k", ["v"], out_col="_ci")
+    # pin() the HISTOGRAM-sized midrank table (score-arity rows — block-store
+    # trivial, unlike the corpus-sized m whose pin r9 measured and rejected):
+    # it truncates the rank-side lineage, so the bigram-LM stack under m is
+    # planned once for the final join instead of once per midrank consumer
+    # (the r9 plan re-embedded it three times: 322 Exchange nodes).
+    r = pin(
+        c.select("dim", "v", (2 * F.col("_ci") - F.col("_k") + 1).alias("_r2"))
+    )
+    rx = r.filter(F.col("dim") == "x").select(
+        F.col("v").alias("x"), F.col("_r2").alias("x2")
+    )
+    ry = r.filter(F.col("dim") == "y").select(
+        F.col("v").alias("y"), F.col("_r2").alias("y2")
+    )
+    j = m.join(rx, "x").join(ry, "y")
     dec = "decimal(38,0)"
     mo = j.agg(
         F.count("*").cast(dec).alias("n"),

@@ -559,6 +559,38 @@ def test_q57_fact_path_single_exchange(spark):
             raise AssertionError(ln)
 
 
+def test_t25_cumsum_one_exchange_form_under_flag(spark, monkeypatch):
+    """SPARK_GRAFT_CUMSUM_ONE_EXCHANGE=1 (the cluster/network form) must
+    flip the AUC cumulative-negatives pass to the window-free Arrow prefix
+    sum: one range exchange, no pid hash exchange, no window.  The default
+    (local) form keeps the pid window — pinned by
+    test_q96_pareto_has_no_global_funnel."""
+    monkeypatch.setenv("SPARK_GRAFT_CUMSUM_ONE_EXCHANGE", "1")
+    plan = plan_of(QUERIES["t25_classifier_auc"](spark, SF_SMOKE), "simple")
+    assert "windowspecdefinition" not in plan, plan
+    assert "hashpartitioning(_gr_pid" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_t27_fused_midranks_one_range_exchange(spark):
+    """Both midrank passes ride ONE grouped cumsum (r10, the q93 recipe):
+    exactly one range exchange on the (dim, v) tag space, no _gr_pid hash
+    exchange, no window."""
+    plan = plan_of(
+        QUERIES["t27_quality_rank_correlation"](spark, SF_SMOKE), "simple"
+    )
+    assert "hashpartitioning(_gr_pid" not in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+    # any range exchange still visible must be the fused one on the
+    # (dim, v) tag space — the pre-fusion shape range-partitioned on x and
+    # on y separately; the pinned midrank table usually truncates the
+    # cumsum subtree out of the final plan entirely (flat scan), which is
+    # the stronger property
+    for ln in plan.splitlines():
+        if "rangepartitioning(" in ln:
+            assert "rangepartitioning(dim" in ln, ln
+
+
 def test_q99_value_bands_single_band_exchange(spark):
     """Band histogram is one fact projection into a bounded aggregate —
     exactly one hash exchange (the band groupBy); the scalar total joins

@@ -9,8 +9,13 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+import contextlib
+import io
+
+from delta_lake_spark.ops import ranking as ranking_mod
 from delta_lake_spark.ops.ranking import (
     global_cumsum,
+    global_cumsum_grouped,
     global_row_number,
     global_row_number_grouped,
 )
@@ -72,9 +77,13 @@ def test_global_row_number_grouped_matches_per_group_enumeration(spark, rows, pa
     assert totals == exp_totals
 
 
+_forms = st.sampled_from(["0", "1"])  # both cumsum forms (window / map)
+
+
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
-@given(rows=_rows, parts=st.integers(min_value=1, max_value=7))
-def test_global_cumsum_is_prefix_sum(spark, rows, parts):
+@given(rows=_rows, parts=st.integers(min_value=1, max_value=7), form=_forms)
+def test_global_cumsum_is_prefix_sum(spark, rows, parts, form, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_CUMSUM_ONE_EXCHANGE", form)
     df = spark.createDataFrame(rows, "v long, id long")
     got = {
         (r.v, r.id): r.cumsum
@@ -85,3 +94,67 @@ def test_global_cumsum_is_prefix_sum(spark, rows, parts):
         acc += v
         expected[(v, i)] = acc
     assert got == expected
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=_grouped_rows, parts=st.integers(min_value=1, max_value=7), form=_forms)
+def test_global_cumsum_grouped_matches_per_group_prefix_sums(
+    spark, rows, parts, form, monkeypatch
+):
+    """The fused (one range exchange for ALL groups, r10) per-group running
+    sum must equal computing the prefix sums independently within each
+    group — including a NULL group, which is one group for summing — in
+    BOTH running-sum forms (pid-window default / one-exchange Arrow)."""
+    monkeypatch.setenv("SPARK_GRAFT_CUMSUM_ONE_EXCHANGE", form)
+    df = spark.createDataFrame(rows, "g int, v long, id long")
+    summed, totals = global_cumsum_grouped(
+        df, "g", "v", ["v", "id"], out_col="cs", num_partitions=parts
+    )
+    got = {(r.g, r.v, r.id): r.cs for r in summed.collect()}
+    expected, exp_totals = {}, {}
+    for g in {r[0] for r in rows}:
+        acc = 0
+        for v, i in sorted((v, i) for gg, v, i in rows if gg == g):
+            acc += v
+            expected[(g, v, i)] = acc
+        exp_totals[g] = acc
+    assert got == expected
+    assert totals == exp_totals
+
+
+def _plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    return buf.getvalue()
+
+
+def test_offsets_fall_back_to_broadcast_join_above_partition_ceiling(
+    spark, monkeypatch
+):
+    """Above _LITERAL_OFFSETS_MAX_PARTITIONS (VERDICT r9 item 8: the
+    constant-folded literal array scales with partition count in every task
+    binary) the offsets must attach via the broadcast-join form — same
+    ranks, a BroadcastHashJoin in the plan instead of an element_at
+    literal."""
+    monkeypatch.setattr(ranking_mod, "_LITERAL_OFFSETS_MAX_PARTITIONS", 8)
+    rows = [((v * 37) % 13 - 6, v) for v in range(200)]
+    df = spark.createDataFrame(rows, "v long, id long")
+    ranked = global_row_number(df, ["v", "id"], num_partitions=24)
+    got = {(r.v, r.id): r.rn for r in ranked.collect()}
+    assert got == {kv: i + 1 for i, kv in enumerate(sorted(rows))}
+    plan = _plan_of(ranked)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "element_at" not in plan, plan
+
+
+def test_offsets_literal_array_below_partition_ceiling(spark):
+    """Below the ceiling the offsets stay a constant-folded literal lookup:
+    no join anywhere in the ranking subtree."""
+    rows = [((v * 37) % 13 - 6, v) for v in range(200)]
+    df = spark.createDataFrame(rows, "v long, id long")
+    ranked = global_row_number(df, ["v", "id"], num_partitions=24)
+    got = {(r.v, r.id): r.rn for r in ranked.collect()}
+    assert got == {kv: i + 1 for i, kv in enumerate(sorted(rows))}
+    plan = _plan_of(ranked)
+    assert "Join" not in plan, plan

@@ -62,7 +62,9 @@ def main() -> None:
         with open(path, "w") as fh:
             fh.write(buf.getvalue())
         plan = buf.getvalue()
-        n_exch = plan.count("Exchange")
+        # count real Exchange operators only: a bare substring count also
+        # matches ReusedExchange nodes and inflates the evidence (ADVICE r9)
+        n_exch = plan.count("Exchange") - plan.count("ReusedExchange")
         joins = [w for w in ("BroadcastHashJoin", "SortMergeJoin",
                              "ShuffledHashJoin", "BroadcastNestedLoopJoin",
                              "CartesianProduct") if w in plan]
