@@ -326,12 +326,20 @@ def connected_components(
     Scale notes: each iteration is one groupBy-min over the (undirected)
     edge list joined to current labels — O(E) shuffle per round, converging
     in O(diameter) rounds (near-dup clusters are tiny, so 3-4 rounds in
-    practice).  Labels are persisted per round and the previous round
-    unpersisted; the fixpoint check is a 1-row aggregate, the only driver
+    practice).  Labels are PINNED per round (eager checkpoint, the q73
+    PageRank discipline — r10): persist alone bounds re-execution but not
+    re-planning, so after k rounds the returned frame's logical plan nested
+    k deep with the full upstream edge pipeline at every level — p05's
+    committed r9 physical plan carried 2,257 Exchange nodes and every
+    downstream job replanned all of it.  Pinning the vertex-sized label
+    table each round (and the edge layout once) keeps every round's plan
+    flat; the fixpoint check is a 1-row aggregate, the only driver
     round-trip.
     """
+    from delta_lake_spark.ops.lineage import pin, unpin
+
     spark = edges.sparkSession
-    sym = (
+    sym = pin(
         # symmetrize in ONE pass over the (often expensive) edge plan: a
         # two-branch union re-executes the upstream per branch — for d10
         # that is the whole LSH candidate + verify pipeline twice (the
@@ -346,18 +354,18 @@ def connected_components(
             ).alias("_e")
         )
         .select("_e.u", "_e.v")
-        # pre-partition on the per-round join key (v) BEFORE persisting: the
+        # pre-partition on the per-round join key (v) BEFORE pinning: the
         # cached partitioning satisfies each round's join requirement, so
         # only the vertex-sized label table shuffles per iteration; core-
         # count partitions, not shuffle.partitions — the iteration is
         # scheduling-bound (the q73 PageRank pattern, measured 3x there)
         .repartition(spark.sparkContext.defaultParallelism, "v")
-        .persist()
     )
-    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).persist()
-    labels.count()
+    labels = pin(
+        sym.select(F.col("u").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
+    )
     for _ in range(max_iter):
         nm = (
             sym.alias("e")
@@ -365,7 +373,7 @@ def connected_components(
             .groupBy(F.col("e.u").alias("node"))
             .agg(F.min("l.label").alias("nmin"))
         )
-        new_labels = (
+        new_labels = pin(
             labels.alias("cur")
             .join(nm.alias("nm"), F.col("cur.node") == F.col("nm.node"), "left")
             .select(
@@ -374,7 +382,6 @@ def connected_components(
                     F.col("cur.label"), F.coalesce("nm.nmin", F.col("cur.label"))
                 ).alias("label"),
             )
-            .persist()
         )
         changed = (
             new_labels.alias("n")
@@ -383,11 +390,13 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
+        # pin the NEW round first, THEN release the superseded pinned frame
+        # (the q73/q75 sequencing — ADVICE r8)
+        unpin(labels)
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
+    unpin(sym)
     return labels.select(F.col("node").alias("id"), F.col("label").alias("component"))
 
 

@@ -60,12 +60,16 @@ plus O(P) expression-tree work in Catalyst stops being free.  Above
 ``_LITERAL_OFFSETS_MAX_PARTITIONS`` the offsets therefore attach via the
 broadcast-hash-join form instead (probe-side partitioning intact, so the
 plan gains a BroadcastExchange of a P-row frame but no data exchange).
-The measured crossover on this box (tools/synth_ab.py, 2M rows): literal
-array wins at P <= 2048 (0.57 s vs 0.62 s at P=2048) and LOSES at
-P=16384 (3.5 s vs 3.0 s, with whole-plan constant folding visibly
-driver-bound); 4096 splits the difference conservatively.  The grouped
-stats collect is P x #groups rows on the driver — bounded tags only
-(#groups <= ~dozens), documented in :func:`global_row_number_grouped`.
+Measured on this box (tools/synth_ab.py offsets, 2M rows, interleaved
+3-rep medians): literal clearly wins at P <= 2048 (0.10 vs 0.39 s at 64,
+0.49 vs 0.74 s at 2048), parity-within-noise at 4096 (1.44 vs 1.30 s) and
+still competitive at 16384 (7.0 vs 7.8 s, both dominated by 16K tiny
+tasks) — i.e. no LOCAL crossover; the 4096 ceiling is a conservative
+bound on the O(P) Catalyst expression tree and per-task literal payload
+at the 10^5-partition scale a 100 TB shuffle would use, which a single
+box cannot exercise meaningfully.  The grouped stats collect is
+P x #groups rows on the driver — bounded tags only (#groups <= ~dozens),
+documented in :func:`global_row_number_grouped`.
 """
 
 from __future__ import annotations

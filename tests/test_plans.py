@@ -591,6 +591,15 @@ def test_t27_fused_midranks_one_range_exchange(spark):
             assert "rangepartitioning(dim" in ln, ln
 
 
+def test_d10_connected_components_plan_is_flat(spark):
+    """The label-propagation loop pins (eager-checkpoints) each round's
+    vertex-sized label table, so the RETURNED component frame's plan is
+    flat — persist alone left the full LSH pipeline nested once per round
+    (the committed r9 d10 plan carried 1,134 Exchange nodes; p05's 2,257)."""
+    plan = plan_of(QUERIES["d10_dedup_clusters"](spark, SF_SMOKE), "simple")
+    assert plan.count("Exchange") <= 12, plan.count("Exchange")
+
+
 def test_q99_value_bands_single_band_exchange(spark):
     """Band histogram is one fact projection into a bounded aggregate —
     exactly one hash exchange (the band groupBy); the scalar total joins
