@@ -30,63 +30,64 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries whose *latest* external certification is oldest — computed
 # deterministically by `python tools/certified_ledger.py --stalest 50`
 # (sort by latest certified round, ties by name).
-# Round-9 rotation (VERDICT r8 task 4): v16_knn_graph (the single row whose
-# freshest certification is still r4) plus the 49 oldest r5 rows, so after
-# r9 the certification-freshness floor advances to r5.
+# Round-10 rotation (VERDICT r9 task 9): the next stalest-50 by the ledger
+# (`python tools/certified_ledger.py --stalest 50` — sort by latest
+# certified round, ties by name), advancing the certification-freshness
+# floor to r6.
 # Every query below is green in the local all-oracle sweep
 # (tests/test_oracle_parity.py replicates the driver's t2 gate exactly) and
 # in the two-profile determinism + NY-timezone sweeps.
 DRIVER_WINDOW = [
-    "v16_knn_graph",
-    "d13_contamination_scan",
-    "d14_lsh_band_tuning",
-    "d15_semantic_dedup",
-    "d18_containment_pairs",
-    "d22_cross_source_dup_matrix",
-    "m07_chunk_dedup_report",
-    "p02_packing_pipeline",
-    "p04_mixture_materialization",
-    "q100_order_splitting",
-    "q101_clustering_coefficient",
-    "q102_priority_segment_chi2",
-    "q103_benford_screen",
-    "q104_order_cadence",
-    "q105_frequent_triples",
-    "q39_exact_percentile_outliers",
-    "q53_sole_return_suppliers",
-    "q55_table_profile",
-    "q84_dominant_part_suppliers",
-    "q85_rich_inactive_customers",
-    "q86_seasonal_deviation",
-    "q87_rolling_active_users",
-    "q88_full_coverage_customers",
-    "q89_revenue_gini",
-    "q90_ship_latency_slo",
-    "q91_market_basket_lift",
-    "q92_retention_cohorts",
-    "q93_rfm_segments",
-    "q94_repurchase_intervals",
-    "q95_supplier_hhi",
-    "q96_pareto_customers",
-    "q97_segment_migration",
-    "q98_new_vs_returning",
-    "q99_value_bands",
-    "s11_epoch_shuffle",
-    "s12_mixture_plan",
-    "s13_dsir_importance",
-    "s14_neyman_allocation",
-    "s15_kfold_assignment",
-    "t23_bigram_lm_score",
-    "t24_boilerplate_ngrams",
-    "t25_classifier_auc",
-    "t26_langid_kappa",
-    "t27_quality_rank_correlation",
-    "t28_lexical_diversity",
-    "t29_tokenizer_fertility",
-    "v10_cluster_quality",
-    "v17_kmeans_exact",
-    "v18_pq_ann",
-    "v19_pq_shortlist_rerank",
+    "v20_range_search",
+    "d16_duplicate_chunks",
+    "d19_edit_distance_rerank",
+    "q44_balance_standing",
+    "q45_retention_cohorts",
+    "q47_supplier_breadth",
+    "q50_small_quantity_revenue",
+    "q51_large_orders",
+    "q52_disjunctive_revenue",
+    "q54_important_parts",
+    "q56_product_profit",
+    "q58_conversion_funnel",
+    "q59_daily_ohlc",
+    "q61_event_transitions",
+    "q63_event_cooccurrence",
+    "q64_linear_interpolation",
+    "q65_ewma_smoothing",
+    "q67_touch_attribution",
+    "q69_twap",
+    "q70_distribution_ranks",
+    "q74_pit_tier_enrichment",
+    "q75_hierarchy_rollup",
+    "q77_top_event_trigrams",
+    "q78_longest_daily_streak",
+    "q80_session_pattern_match",
+    "q81_ab_experiment_readout",
+    "s04_length_weighted_sample",
+    "s05_per_source_cap",
+    "s06_cluster_balanced_sample",
+    "s07_training_shards",
+    "s08_curriculum_sample",
+    "s16_annealed_mixture_schedule",
+    "t10_ngram_novelty",
+    "t11_char_distribution",
+    "t12_tfidf_top_terms",
+    "t13_bm25_search",
+    "t14_chunk_inventory",
+    "t15_pii_redaction",
+    "t16_classifier_scores",
+    "t17_bpe_pair_counts",
+    "t18_readability",
+    "t19_collocations",
+    "t20_vocab_richness",
+    "v08_quantized_ann",
+    "v09_kmeans_clusters",
+    "v11_matryoshka_ann",
+    "v12_ndcg_eval",
+    "v13_filtered_ann",
+    "v14_hard_negatives",
+    "v15_label_diversified_topk",
 ]
 
 def _curated(mapping: dict) -> dict:

@@ -42,6 +42,11 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+# Full tier (VERDICT r9 item 1): the degenerate-corpus differential sweeps
+# are round-close evidence, not the driver-facing fast gate.
+pytestmark = pytest.mark.full
+
+
 from delta_lake_spark.catalog import TABLES
 from delta_lake_spark.queries import ORACLE, QUERIES
 from tests.conftest import SF_SMOKE

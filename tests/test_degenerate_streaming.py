@@ -18,6 +18,11 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+
+# Full tier (VERDICT r9 item 1): the degenerate-corpus differential sweeps
+# are round-close evidence, not the driver-facing fast gate.
+pytestmark = pytest.mark.full
+
 from pyspark.sql import functions as F
 
 from delta_lake_spark.catalog import table

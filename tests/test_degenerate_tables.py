@@ -41,6 +41,11 @@ import shutil
 import tempfile
 
 import pytest
+
+# Full tier (VERDICT r9 item 1): the degenerate-corpus differential sweeps
+# are round-close evidence, not the driver-facing fast gate.
+pytestmark = pytest.mark.full
+
 from pyspark.sql import functions as F
 
 from delta_lake_spark.tables import ManagedTable
