@@ -914,16 +914,40 @@ def q73_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = deg_src.count()  # the one driver scalar (vertex count)
     small = n <= _PR_BCAST_MAX_VERTICES
-    direct = (
-        sym.repartition(
-            spark.sparkContext.defaultParallelism, "dst" if small else "src"
+    # Large-graph (non-broadcast) layout (r10, VERDICT r9 item 4): the r9
+    # src-partitioned EDGE layout made every round's contrib join re-sort
+    # all directed edges (SMJ over 240M rows/round at sf10x — the loop ran
+    # 2.8x slower than broadcast).  The loop now keeps a vertex-keyed
+    # ADJACENCY layout instead: the per-round join probes V rows, explode
+    # regenerates the (dst, val) stream inside the task, and the same
+    # partial aggregation feeds the dst shuffle.  sf10x head-to-head at the
+    # 2M-vertex cap (tools/graph_ab.py, identical final-rank checksums):
+    # src_r9 126.9 s -> src_adj 65.1 s per 10-round loop, vs broadcast
+    # 46.8 s — within the ~2x-of-broadcast target.  Also measured and
+    # REJECTED there: SHUFFLE_HASH hint on the vertex side (153.3 s — the
+    # per-round hash build costs more than the sort it avoids) and a
+    # pre-sorted persisted edge layout (OOMs the 12g driver JVM caching
+    # the 240M-row sort).
+    direct = adj = None
+    if small:
+        direct = sym.repartition(
+            spark.sparkContext.defaultParallelism, "dst"
         ).persist()
-    )
-    deg = (
-        direct.groupBy(F.col("src").alias("p"))
-        .agg(F.count(F.lit(1)).alias("d"))
-        .persist()
-    )
+        deg = (
+            direct.groupBy(F.col("src").alias("p"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .persist()
+        )
+    else:
+        adj = (
+            sym.repartition(spark.sparkContext.defaultParallelism, "src")
+            .groupBy("src")
+            .agg(F.collect_list("dst").alias("dsts"))
+            .persist()
+        )
+        deg = adj.select(
+            F.col("src").alias("p"), F.size("dsts").alias("d")
+        ).persist()
     init = _PR_TOTAL // n
     base = (15 * init) // 100
     # pin() = eager checkpoint rather than persist: it TRUNCATES the logical
@@ -943,14 +967,19 @@ def q73_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is vertex-sized work and the broadcast narrows to two columns.
         # SUM(val) over incoming edges is bit-identical to SUM(r DIV d).
         vals = ranks.select("p", F.expr("r DIV d").alias("val"))
-        contrib = (
-            direct.join(
-                F.broadcast(vals) if small else vals,
-                direct["src"] == vals["p"],
+        if small:
+            contrib = (
+                direct.join(F.broadcast(vals), direct["src"] == vals["p"])
+                .groupBy(F.col("dst").alias("cp"))
+                .agg(F.sum("val").alias("s"))
             )
-            .groupBy(F.col("dst").alias("cp"))
-            .agg(F.sum("val").alias("s"))
-        )
+        else:
+            contrib = (
+                adj.join(vals, F.col("src") == F.col("p"))
+                .select(F.explode("dsts").alias("cp"), "val")
+                .groupBy("cp")
+                .agg(F.sum("val").alias("s"))
+            )
         nxt = pin(
             deg.join(contrib, deg["p"] == contrib["cp"], "left")
             .select(
@@ -969,9 +998,10 @@ def q73_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         unpin(ranks)
         ranks = nxt
     # the result depends only on the final pinned ranks (lineage truncated),
-    # so the edge layout and degree caches are released before returning —
-    # keeping them resident was measured SLOWER (see layout comment above)
-    direct.unpersist()
+    # so the edge/adjacency layout and degree caches are released before
+    # returning — keeping them resident was measured SLOWER (see layout
+    # comment above)
+    (direct if small else adj).unpersist()
     deg.unpersist()
     return (
         ranks.select(F.col("p").cast("bigint").alias("l_partkey"),

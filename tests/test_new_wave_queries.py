@@ -13,6 +13,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
 from delta_lake_spark.queries import QUERIES
+from tests.conftest import SF_SMOKE
 
 
 def _write_events(tmp_path, rows):
@@ -192,6 +193,26 @@ def test_q73_pagerank_matches_python_reference(spark, tmp_path):
         for row in QUERIES["q73_copurchase_pagerank"](spark, str(tmp_path)).collect()
     ]
     assert got == want
+
+
+def test_q73_large_graph_shape_matches_broadcast_shape(spark, monkeypatch):
+    """The non-broadcast (adjacency) loop used past _PR_BCAST_MAX_VERTICES
+    must produce bit-identical ranks to the broadcast shape — forced here
+    by dropping the cap to 0 (r10: the large shape switched from the
+    src-partitioned edge layout to grouped adjacency arrays; sf10x
+    head-to-head in tools/graph_ab.py, differential pinned here)."""
+    from delta_lake_spark.queries import tpch_gap
+
+    small = sorted(
+        (r.l_partkey, r.rank_pico)
+        for r in QUERIES["q73_copurchase_pagerank"](spark, SF_SMOKE).collect()
+    )
+    monkeypatch.setattr(tpch_gap, "_PR_BCAST_MAX_VERTICES", 0)
+    large = sorted(
+        (r.l_partkey, r.rank_pico)
+        for r in QUERIES["q73_copurchase_pagerank"](spark, SF_SMOKE).collect()
+    )
+    assert small == large
 
 
 def test_q74_pit_enrichment_tiny(spark, tmp_path):

@@ -48,6 +48,8 @@ def _fast_parity_names() -> set:
         "t27_quality_rank_correlation", "p03_release_pipeline",
         "p04_mixture_materialization", "p05_forgetting_pipeline",
         "d10_dedup_clusters", "q73_copurchase_pagerank",
+        "v07_ann_recall", "v19_pq_shortlist_rerank", "v21_ivfpq_ann",
+        "d15_semantic_dedup", "d20_prefix_filter_jaccard",
     }
     return set(entry.DRIVER_WINDOW) | headline | touched
 
