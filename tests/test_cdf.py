@@ -180,6 +180,7 @@ def _drain_cdf(spark, table_path, out, ckpt, **opts):
     return spark.read.parquet(out)
 
 
+@pytest.mark.full  # >13s multi-process/stream differential: round-close tier
 def test_stream_cdf_delivers_tagged_changes_exactly_once(
     spark, tmp_path, _register
 ):

@@ -239,6 +239,7 @@ def test_clustering_sequences_preserve_contents(spark, ops):
             assert tags == {key}
 
 
+@pytest.mark.full  # >13s multi-process/stream differential: round-close tier
 def test_multiprocess_maintenance_races_live_writer(spark, tmp_path):
     """Two separate JVMs: one runs conflicting full-upsert merges, the
     other runs incremental clustering passes through optimize_with_retry.

@@ -3,6 +3,7 @@ gate -> dedup -> leakage-safe split -> partitioned corpus, across batches."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from delta_lake_spark.catalog import table
@@ -10,6 +11,7 @@ from delta_lake_spark.pipeline.corpus import CorpusPipeline
 from tests.conftest import SF_SMOKE
 
 
+@pytest.mark.full  # >13s multi-process/stream differential: round-close tier
 def test_corpus_pipeline_end_to_end(spark, tmp_path):
     docs = table(spark, SF_SMOKE, "documents")
     # min_quality=60: the smoke corpus has a 50s-score band (32 docs)
@@ -55,6 +57,7 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
     assert sum(st.values()) == n
 
 
+@pytest.mark.full  # >13s multi-process/stream differential: round-close tier
 def test_stream_ingest_matches_batch_pipeline(spark, tmp_path):
     """The streaming front door (foreachBatch over the landing dir) must
     leave EXACTLY the corpus, quarantine, and dedup-index state the

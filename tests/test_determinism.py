@@ -17,6 +17,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 from tests.conftest import SF_SMOKE
 
 # One representative per operator family.  Excluded by design: v05 (numpy
@@ -122,6 +124,7 @@ def _run_child(sf_dir: str, master: str, shuffle: str, max_bytes: str, out: str)
     return digests
 
 
+@pytest.mark.full  # 3-minute two-profile subprocess sweep: round-close tier
 def test_results_invariant_across_parallelism_profiles(tmp_path):
     # profile A: few fat partitions; profile B: many thin ones + tiny splits
     a = _run_child(SF_SMOKE, "local[3]", "3", str(128 * 1024 * 1024), str(tmp_path / "a.tsv"))

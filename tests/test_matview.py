@@ -160,6 +160,7 @@ def test_matview_noop_refresh(spark, tmp_path, base):
     assert view.table.latest_version() == v  # no wasted commits
 
 
+@pytest.mark.full  # >13s multi-process/stream differential: round-close tier
 def test_stream_maintain_view_matches_batch(spark, tmp_path):
     """Streaming ingest with per-batch view maintenance: after the stream
     drains, the view equals a from-scratch group-by of the base — and an

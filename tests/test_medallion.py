@@ -122,6 +122,7 @@ def test_quarantine_catches_bad_bronze_rows(spark, tmp_path):
     assert p.read("silver", "orders").filter(F.col("o_orderkey") == -999).count() == 0
 
 
+@pytest.mark.full  # >13s multi-process/stream differential: round-close tier
 def test_streaming_medallion_matches_batch_pipeline(spark, tmp_path):
     """§2.9 end-to-end seam (VERDICT r2 task 7): a lake whose orders arrive
     ONLY as a file stream (3 date-disjoint landing files → micro-batch

@@ -8,8 +8,13 @@ from __future__ import annotations
 import shutil
 import tempfile
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+# Full tier (VERDICT r9 item 1): hypothesis deep runs over the MERGE model
+# are round-close evidence, not the driver-facing fast gate.
+pytestmark = pytest.mark.full
 
 from delta_lake_spark.tables import ManagedTable
 

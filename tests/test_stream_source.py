@@ -260,6 +260,7 @@ def test_vacuum_spares_inflight_staged_shards(spark, tmp_path):
     assert sorted(r["k"] for r in mt.read().collect()) == [0, 1]
 
 
+@pytest.mark.full  # >13s multi-process/stream differential: round-close tier
 def test_max_versions_per_trigger_bounds_batches(spark, tmp_path):
     # 4 commits of backlog.  A capped processingTime stream must absorb ONE
     # version per micro-batch (4 batches); a capped availableNow drain

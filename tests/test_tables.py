@@ -124,6 +124,7 @@ def test_merge_partition_value_change_no_duplicate(spark, tmp_path, base_df):
     assert t.read().count() == 10
 
 
+@pytest.mark.full  # >13s multi-process/stream differential: round-close tier
 def test_partition_value_normalization_bool_and_escapes(spark, tmp_path):
     """Partition-value comparisons must normalize both sides: Spark writes
     flag=true (lowercase) and percent-escapes special chars; str(True) or
@@ -188,6 +189,7 @@ def test_merge_source_evaluated_once(spark, tmp_path, base_df):
     assert got[1] == 9.0 and got[77] == 7.0 and len(got) == 11
 
 
+@pytest.mark.full  # >13s multi-process/stream differential: round-close tier
 def test_merge_in_batches(spark, tmp_path, base_df):
     t = ManagedTable(spark, str(tmp_path / "mb"))
     t.write(base_df)
@@ -1015,6 +1017,7 @@ def test_vacuum_time_travel_raises_clear_error(spark, tmp_path):
     assert len(t.history()) >= 2
 
 
+@pytest.mark.full  # >13s multi-process/stream differential: round-close tier
 def test_concurrent_writers_across_processes(spark, tmp_path):
     """VERDICT r3 #5: the os.link commit protocol under REAL multi-process
     contention — two separate JVMs run conflicting full-upsert merges on the
